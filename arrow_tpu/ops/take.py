@@ -1,0 +1,134 @@
+"""take: gather rows by an index column.
+
+Re-design of arrow-select/src/take.rs:86.  On TPU the gather is one fused
+XLA gather per tensor; per-layout dispatch mirrors take_impl (take.rs:196):
+
+  primitive   -> values gather + validity gather (take.rs:408,434)
+  dictionary  -> gather the codes, dictionary shared (take.rs take_dict)
+  string      -> offset-arithmetic byte gather (host-assisted in the eager
+                 API; hot paths dictionary-encode first)
+  struct      -> recursive child takes
+  list        -> offsets rebuild + child gather
+
+Null indices produce null outputs.  TakeOptions{check_bounds} (take.rs:357):
+unchecked mode clamps (the reference's unchecked mode is UB; clamping is the
+deterministic device-safe analogue), checked mode verifies and raises.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import validity as vd
+from ..core.column import (Column, DictionaryColumn, ListColumn, NullColumn,
+                           PrimitiveColumn, StringColumn, StructColumn)
+from ..core.datum import as_datum
+from ..core.table import Table
+from ..errors import ArrowInvalid
+
+__all__ = ["take", "take_table"]
+
+
+def take(values: Column, indices, *, check_bounds: bool = False) -> Column:
+    indices = as_datum(indices)
+    if not isinstance(indices, PrimitiveColumn) or \
+            not indices.dtype.is_integer:
+        raise ArrowInvalid("take indices must be an integer column")
+    if check_bounds:
+        n = len(values)
+        idx = indices.values
+        bad = jnp.logical_and(
+            jnp.logical_or(idx < 0, idx >= n),
+            indices.is_valid_mask())
+        if bool(jnp.any(bad)):
+            raise ArrowInvalid(f"take index out of bounds 0..{n}")
+    return _take_impl(values, indices)
+
+
+def _gather_validity(values: Column, indices: PrimitiveColumn) -> vd.Mask:
+    """out valid = indices valid AND values[idx] valid (take.rs take_bits)."""
+    idx = indices.values
+    out = None
+    if values.validity is not None:
+        out = jnp.take(values.validity, idx, mode="clip")
+    return vd.union(out, indices.validity)
+
+
+def _take_impl(values: Column, indices: PrimitiveColumn) -> Column:
+    idx = indices.values
+
+    if isinstance(values, NullColumn):
+        return NullColumn(int(idx.shape[0]))
+
+    if isinstance(values, PrimitiveColumn):
+        out = jnp.take(values.values, idx, mode="clip")
+        return PrimitiveColumn(out, values.dtype,
+                               _gather_validity(values, indices))
+
+    if isinstance(values, DictionaryColumn):
+        codes = jnp.take(values.codes, idx, mode="clip")
+        return DictionaryColumn(codes, values.values,
+                                _gather_validity(values, indices))
+
+    if isinstance(values, StructColumn):
+        children = tuple(_take_impl(c, indices) for c in values.children)
+        iv = indices.validity
+        v = None if values.validity is None else \
+            jnp.take(values.validity, idx, mode="clip")
+        return StructColumn(children, values.fields, vd.union(v, iv))
+
+    if isinstance(values, StringColumn):
+        return _take_bytes(values, indices)
+
+    if isinstance(values, ListColumn):
+        return _take_list(values, indices)
+
+    raise ArrowInvalid(f"take of {type(values)}")
+
+
+def _take_bytes(values: StringColumn, indices: PrimitiveColumn
+                ) -> StringColumn:
+    """Variable-width gather.  Eager/host-assisted: output byte count is
+    data-dependent, so the offsets round-trip to host once; the byte gather
+    itself stays a device gather."""
+    idx = np.asarray(indices.values)
+    offs = np.asarray(values.offsets)
+    starts = offs[idx]
+    lens = offs[idx + 1] - starts
+    new_offs = np.zeros(len(idx) + 1, offs.dtype)
+    np.cumsum(lens, out=new_offs[1:])
+    total = int(new_offs[-1])
+    # byte gather map: for each output byte, its source byte index
+    src = np.repeat(starts - new_offs[:-1], lens) + np.arange(total,
+                                                             dtype=offs.dtype)
+    data = jnp.take(values.data, jnp.asarray(src), mode="clip") \
+        if total else jnp.zeros((0,), jnp.uint8)
+    return StringColumn(jnp.asarray(new_offs), data, values.dtype,
+                        _gather_validity(values, indices))
+
+
+def _take_list(values: ListColumn, indices: PrimitiveColumn) -> ListColumn:
+    idx = np.asarray(indices.values)
+    offs = np.asarray(values.offsets)
+    starts = offs[idx]
+    lens = offs[idx + 1] - starts
+    new_offs = np.zeros(len(idx) + 1, offs.dtype)
+    np.cumsum(lens, out=new_offs[1:])
+    total = int(new_offs[-1])
+    src = np.repeat(starts - new_offs[:-1], lens) + np.arange(total,
+                                                             dtype=offs.dtype)
+    child_idx = PrimitiveColumn(jnp.asarray(src), indices.dtype)
+    child = _take_impl(values.child, child_idx)
+    return ListColumn(jnp.asarray(new_offs), child,
+                      _gather_validity(values, indices))
+
+
+def take_table(table: Table, indices, *, check_bounds: bool = False) -> Table:
+    """take_record_batch (take.rs:964): one index column over all columns."""
+    indices = as_datum(indices)
+    cols = tuple(take(c, indices, check_bounds=check_bounds)
+                 for c in table.columns)
+    return Table(cols, table.schema, _validated=True)
