@@ -46,6 +46,13 @@ class Scalar:
         obj.dtype, obj.valid = aux
         return obj
 
+    def as_py(self):
+        """Host value (None when null)."""
+        if not self.valid:
+            return None
+        v = np.asarray(self.value).item()
+        return v
+
     def __repr__(self):
         v = self.value if self.valid else None
         return f"Scalar<{self.dtype!r}>({v})"

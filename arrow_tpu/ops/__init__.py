@@ -16,3 +16,24 @@ from .take import take, take_table  # noqa: F401
 from .filter import (  # noqa: F401
     FilterPredicate, filter, filter_table, filter_static,
 )
+from .concat import (  # noqa: F401
+    concat, concat_tables, interleave, interleave_tables,
+)
+from .select_misc import zip_, nullif, shift  # noqa: F401
+from .row_format import (  # noqa: F401
+    SortOptions, SortField, RowConverter, Rows,
+)
+from .sort import (  # noqa: F401
+    SortColumn, sort_to_indices, sort, lexsort_to_indices, lexsort,
+    sort_table, rank, partition, Partitions,
+)
+from .aggregate import (  # noqa: F401
+    sum_, sum_checked, min_, max_, min_max, count, count_nulls,
+    bool_and, bool_or,
+)
+from .strings import (  # noqa: F401
+    dictionary_encode, dictionary_decode,
+    like, ilike, nlike, nilike, starts_with, ends_with, contains,
+    regexp_is_match, substring, length, octet_length, bit_length,
+    upper, lower, concat_elements,
+)

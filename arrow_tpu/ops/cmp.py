@@ -31,11 +31,12 @@ _OPS = {
 
 
 def _dispatch(op: str, lhs: Datum, rhs: Datum) -> PrimitiveColumn:
-    lhs, rhs = as_datum(lhs), as_datum(rhs)
     # dictionary / string operands route through the strings module
+    # (before as_datum: raw str/bytes scalars have no tensor representation)
     if _is_stringy(lhs) or _is_stringy(rhs):
         from . import strings
         return strings.compare(op, lhs, rhs)
+    lhs, rhs = as_datum(lhs), as_datum(rhs)
     lv, rv, mask, n, ldt, rdt = broadcast_pair(lhs, rhs)
     if ldt != rdt and not (ldt.is_numeric and rdt.is_numeric
                            and ldt.to_jax() == rdt.to_jax()):

@@ -1,0 +1,130 @@
+"""concat + interleave: merge primitives.
+
+concat (arrow-select/src/concat.rs:371): on TPU a concat of device tensors
+is a single XLA concatenate per buffer — capacity precomputation
+(concat.rs:46-82) is XLA's job.  Dictionary concat shifts codes into a
+combined dictionary (the reference merges + remaps when beneficial,
+concat.rs:98-109; value-dedup is ops.strings.dictionary_unify's job).
+
+interleave (arrow-select/src/interleave.rs:70) builds an array from
+(array_idx, row_idx) pairs over N sources — realized as concat + flat
+gather, which on TPU is strictly better than the reference's per-type
+copy loops: one gather at full HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..core import validity as vd
+from ..core.column import (Column, DictionaryColumn, ListColumn, NullColumn,
+                           PrimitiveColumn, StringColumn, StructColumn)
+from ..core.table import Table
+from ..errors import ArrowInvalid, ArrowTypeError
+from .take import take as take_kernel
+
+__all__ = ["concat", "concat_tables", "interleave", "interleave_tables"]
+
+
+def _concat_masks(cols: Sequence[Column]) -> vd.Mask:
+    if all(c.validity is None for c in cols):
+        return None
+    return jnp.concatenate([c.is_valid_mask() for c in cols])
+
+
+def concat(cols: Sequence[Column]) -> Column:
+    if not cols:
+        raise ArrowInvalid("concat of zero arrays")
+    if len({c.dtype for c in cols}) != 1:
+        raise ArrowTypeError(
+            f"concat type mismatch: {[c.dtype for c in cols]}")
+    c0 = cols[0]
+    if len(cols) == 1:
+        return c0
+
+    if isinstance(c0, NullColumn):
+        return NullColumn(sum(len(c) for c in cols))
+
+    if isinstance(c0, PrimitiveColumn):
+        return PrimitiveColumn(jnp.concatenate([c.values for c in cols]),
+                               c0.dtype, _concat_masks(cols),
+                               _canonical=True)
+
+    if isinstance(c0, StringColumn):
+        datas = [c.data for c in cols]
+        offsets = [np.asarray(cols[0].offsets)]
+        base = int(offsets[0][-1])
+        for c in cols[1:]:
+            o = np.asarray(c.offsets)
+            offsets.append(o[1:] + base)
+            base += int(o[-1])
+        return StringColumn(jnp.asarray(np.concatenate(offsets)),
+                            jnp.concatenate(datas), c0.dtype,
+                            _concat_masks(cols))
+
+    if isinstance(c0, DictionaryColumn):
+        # shift each batch's codes into a concatenated dictionary
+        dict_concat = concat([c.values for c in cols])
+        shifted = []
+        base = 0
+        for c in cols:
+            shifted.append(c.codes + base)
+            base += len(c.values)
+        return DictionaryColumn(jnp.concatenate(shifted), dict_concat,
+                                _concat_masks(cols))
+
+    if isinstance(c0, StructColumn):
+        children = tuple(concat([c.children[i] for c in cols])
+                         for i in range(len(c0.children)))
+        return StructColumn(children, c0.fields, _concat_masks(cols))
+
+    if isinstance(c0, ListColumn):
+        child = concat([c.child for c in cols])
+        offsets = [np.asarray(cols[0].offsets)]
+        base = int(offsets[0][-1])
+        for c in cols[1:]:
+            o = np.asarray(c.offsets)
+            offsets.append(o[1:] + base)
+            base += int(o[-1])
+        return ListColumn(jnp.asarray(np.concatenate(offsets)), child,
+                          _concat_masks(cols))
+
+    raise ArrowTypeError(f"concat of {type(c0)}")
+
+
+def concat_tables(tables: Sequence[Table]) -> Table:
+    """concat_batches (concat.rs:470)."""
+    if not tables:
+        raise ArrowInvalid("concat of zero tables")
+    t0 = tables[0]
+    for t in tables[1:]:
+        if t.schema.names != t0.schema.names:
+            raise ArrowInvalid("schema mismatch in concat_tables")
+    cols = tuple(concat([t.columns[i] for t in tables])
+                 for i in range(t0.num_columns))
+    return Table(cols, t0.schema, _validated=True)
+
+
+def interleave(cols: Sequence[Column],
+               indices: Sequence[Tuple[int, int]]) -> Column:
+    """Build a column picking (array_idx, row_idx) pairs
+    (interleave.rs:70)."""
+    offsets = np.zeros(len(cols) + 1, np.int64)
+    np.cumsum([len(c) for c in cols], out=offsets[1:])
+    flat = np.asarray([offsets[a] + r for a, r in indices], np.int64)
+    merged = concat(list(cols)) if len(cols) > 1 else cols[0]
+    idx = PrimitiveColumn(jnp.asarray(flat), dt.int64)
+    return take_kernel(merged, idx)
+
+
+def interleave_tables(tables: Sequence[Table],
+                      indices: Sequence[Tuple[int, int]]) -> Table:
+    """interleave_record_batch (interleave.rs:359)."""
+    t0 = tables[0]
+    cols = tuple(interleave([t.columns[i] for t in tables], indices)
+                 for i in range(t0.num_columns))
+    return Table(cols, t0.schema, _validated=True)

@@ -1,0 +1,291 @@
+"""Order-preserving row/key encoding — the engine's arrow-row.
+
+The reference encodes rows as memcmp-comparable byte strings
+(arrow-row/src/lib.rs:148-260: int -> sign-flip + big-endian + 0x01 validity
+prefix; float -> totalOrder bit-twiddle; descending -> byte inversion).
+The TPU re-design keeps the *order-preserving transform* but targets the
+hardware's comparison unit: each column becomes one or two uint64 "radix
+keys" (null class key + value key), and a multi-column sort is a stable
+lexsort over the key stack — no byte-string materialization in the hot
+path.  A byte-row materialization (`RowConverter`) is still provided for
+API parity, spill, and merge interchange.
+
+Key transforms (order-preserving into uint64, cf. arrow-row/src/fixed.rs:47):
+  signed int   : cast int64, bitcast u64, flip sign bit
+  unsigned int : zero-extend
+  bool         : 0/1
+  float        : cast f64, bitcast u64; if sign set -> ~bits
+                 else bits | MSB   (IEEE totalOrder; matches the
+                 reference's total_cmp sort semantics)
+  temporal     : via the signed-int path
+  dictionary   : dense rank of the dictionary values (host-computed once
+                 per dictionary), gathered by code — the reference instead
+                 encodes values inline (lib.rs Codec::Dictionary); rank
+                 keys preserve order within a conversion context
+  utf8/binary  : dictionary-encode, then as above
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..core import validity as vd
+from ..core.column import (Column, DictionaryColumn, PrimitiveColumn,
+                           StringColumn)
+from ..errors import ArrowNotImplementedError
+
+__all__ = ["SortOptions", "SortField", "encode_value_key", "encode_keys",
+           "RowConverter", "Rows"]
+
+_SIGN64 = jnp.uint64(1) << jnp.uint64(63)
+
+
+@dataclass(frozen=True)
+class SortOptions:
+    """arrow-schema SortOptions (lib.rs:84): defaults ascending,
+    nulls first (lib.rs:161-169)."""
+    descending: bool = False
+    nulls_first: bool = True
+
+
+@dataclass(frozen=True)
+class SortField:
+    """arrow-row SortField (lib.rs:576)."""
+    options: SortOptions = SortOptions()
+
+
+def _float_total_order_bits(f64: jnp.ndarray) -> jnp.ndarray:
+    bits = jax_bitcast_u64(f64)
+    neg = bits >> jnp.uint64(63) == jnp.uint64(1)
+    return jnp.where(neg, ~bits, bits | _SIGN64)
+
+
+def jax_bitcast_u64(x: jnp.ndarray) -> jnp.ndarray:
+    import jax
+    return jax.lax.bitcast_convert_type(x, jnp.uint64)
+
+
+def dictionary_value_ranks(values: Column) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense ranks of dictionary values (host, once per dictionary).
+    Returns (ranks uint64, is_null bool) per dictionary slot."""
+    if isinstance(values, StringColumn):
+        lst = values.to_pylist_host()
+        is_null = np.array([v is None for v in lst])
+        keys = np.array([b"" if v is None else
+                         (v.encode() if isinstance(v, str) else v)
+                         for v in lst], dtype=object)
+        # dense ranks: equal values share a rank (np.unique sorts bytes
+        # lexicographically = UTF-8 code-point order, matching the
+        # reference's byte comparison)
+        _, inv = np.unique(keys[~is_null].astype(bytes), return_inverse=True) \
+            if (~is_null).any() else (None, np.zeros(0, np.int64))
+        ranks = np.zeros(len(lst), np.uint64)
+        ranks[~is_null] = inv.astype(np.uint64)
+        return ranks, is_null
+    if isinstance(values, PrimitiveColumn):
+        vals = np.asarray(values.values)
+        is_null = np.zeros(len(vals), bool) if values.validity is None \
+            else ~np.asarray(values.validity)
+        _, inv = np.unique(vals[~is_null], return_inverse=True) \
+            if (~is_null).any() else (None, np.zeros(0, np.int64))
+        ranks = np.zeros(len(vals), np.uint64)
+        ranks[~is_null] = inv.astype(np.uint64)
+        return ranks, is_null
+    raise ArrowNotImplementedError(f"dictionary of {type(values)}")
+
+
+def encode_value_key(col: Column) -> Tuple[jnp.ndarray, vd.Mask]:
+    """uint64 order key per element (ascending), plus effective validity
+    (folding in null dictionary entries)."""
+    if isinstance(col, PrimitiveColumn):
+        d = col.dtype
+        v = col.values
+        if d.is_floating:
+            return _float_total_order_bits(v.astype(jnp.float64)), col.validity
+        if d.is_boolean:
+            return v.astype(jnp.uint64), col.validity
+        if d.is_unsigned_integer:
+            return v.astype(jnp.uint64), col.validity
+        # signed ints + temporal
+        return (jax_bitcast_u64(v.astype(jnp.int64)) ^ _SIGN64), col.validity
+    if isinstance(col, DictionaryColumn):
+        ranks, dict_null = dictionary_value_ranks(col.values)
+        key = jnp.take(jnp.asarray(ranks), col.codes, mode="clip")
+        eff_validity = col.validity
+        if dict_null.any():
+            entry_valid = jnp.take(jnp.asarray(~dict_null), col.codes,
+                                   mode="clip")
+            eff_validity = vd.union(eff_validity, entry_valid)
+        return key, eff_validity
+    if isinstance(col, StringColumn):
+        # encode via on-the-fly dictionary (host unique)
+        from .strings import dictionary_encode
+        return encode_value_key(dictionary_encode(col))
+    raise ArrowNotImplementedError(f"row key for {type(col)}")
+
+
+def encode_keys(cols: Sequence[Column],
+                options: Sequence[SortOptions]) -> List[jnp.ndarray]:
+    """Key stack for a stable lexsort, most-significant column FIRST.
+    Each column contributes (null_class_key, value_key)."""
+    keys: List[jnp.ndarray] = []
+    for col, opt in zip(cols, options):
+        vkey, validity = encode_value_key(col)
+        if opt.descending:
+            vkey = ~vkey
+        n = vkey.shape[0]
+        if validity is None:
+            null_key = None
+            vkey_final = vkey
+        else:
+            # null class: nulls_first -> null=0 valid=1; else null=1 valid=0
+            if opt.nulls_first:
+                null_key = validity.astype(jnp.uint64)
+            else:
+                null_key = (~validity).astype(jnp.uint64)
+            vkey_final = jnp.where(validity, vkey, jnp.uint64(0))
+        if null_key is not None:
+            keys.append(null_key)
+        keys.append(vkey_final)
+    return keys
+
+
+def lexsort_indices_from_keys(keys: List[jnp.ndarray],
+                              dtype=jnp.uint32) -> jnp.ndarray:
+    """Stable lexicographic argsort; keys[0] most significant.
+    jnp.lexsort treats the LAST key as primary, so reverse."""
+    if len(keys) == 1:
+        idx = jnp.argsort(keys[0], stable=True)
+    else:
+        idx = jnp.lexsort(tuple(reversed(keys)))
+    return idx.astype(dtype)
+
+
+# ---- byte-row materialization (API parity with RowConverter) ----------------
+
+@dataclass
+class Rows:
+    """Fixed-width memcmp-comparable rows: uint8 matrix (n, width).
+    Row i sorts before row j iff bytes(i) < bytes(j) lexicographically
+    (the arrow-row contract, lib.rs:1166)."""
+    data: jnp.ndarray            # (n, width) uint8
+    fields: Tuple[SortField, ...]
+    layout: Tuple[Tuple[int, int], ...]  # (offset, nbytes) per column
+    dtypes: Tuple[dt.DataType, ...]
+
+    def __len__(self):
+        return int(self.data.shape[0])
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.data)
+
+    def argsort(self) -> jnp.ndarray:
+        # lexsort over byte columns, most significant byte first
+        cols = [self.data[:, i] for i in range(self.data.shape[1])]
+        return jnp.lexsort(tuple(reversed(cols))).astype(jnp.uint32)
+
+
+class RowConverter:
+    """Columns -> comparable rows and back (arrow-row RowConverter,
+    lib.rs:413,642,749).  Fixed-width codecs only; dictionary/string
+    columns encode their dense value rank (4 bytes) — order-preserving
+    within this converter's lifetime, decodable back to the dictionary."""
+
+    def __init__(self, fields: Sequence[SortField]):
+        self.fields = tuple(fields)
+
+    def _column_width(self, col: Column) -> int:
+        if isinstance(col, (DictionaryColumn, StringColumn)):
+            return 1 + 8
+        return 1 + 8  # tag byte + uint64 key
+
+    def convert_columns(self, cols: Sequence[Column]) -> Rows:
+        assert len(cols) == len(self.fields)
+        n = len(cols[0])
+        parts = []
+        layout = []
+        offset = 0
+        for col, f in zip(cols, self.fields):
+            opt = f.options
+            vkey, validity = encode_value_key(col)
+            if opt.descending:
+                vkey = ~vkey
+            if validity is None:
+                tag = jnp.full((n,), 0x01, jnp.uint8)
+            else:
+                null_tag = 0x00 if opt.nulls_first else 0xFF
+                tag = jnp.where(validity, jnp.uint8(0x01),
+                                jnp.uint8(null_tag))
+                vkey = jnp.where(validity, vkey, jnp.uint64(0))
+            # big-endian byte expansion of the u64 key
+            shifts = jnp.arange(56, -8, -8, dtype=jnp.uint64)
+            bytes_ = ((vkey[:, None] >> shifts[None, :])
+                      & jnp.uint64(0xFF)).astype(jnp.uint8)
+            parts.append(tag[:, None])
+            parts.append(bytes_)
+            layout.append((offset, 9))
+            offset += 9
+        data = jnp.concatenate(parts, axis=1)
+        return Rows(data, self.fields, tuple(layout),
+                    tuple(c.dtype for c in cols))
+
+    def convert_rows(self, rows: Rows, like: Sequence[Column]
+                     ) -> List[Column]:
+        """Inverse transform.  `like` supplies dictionaries for
+        dictionary-encoded fields (the reference stores interned values in
+        the converter; we pass the source columns explicitly)."""
+        out: List[Column] = []
+        data = rows.data
+        for (off, w), f, src in zip(rows.layout, self.fields, like):
+            opt = f.options
+            tag = data[:, off]
+            validity = tag == 0x01
+            shifts = jnp.arange(56, -8, -8, dtype=jnp.uint64)
+            key = jnp.sum(data[:, off + 1: off + 9].astype(jnp.uint64)
+                          << shifts[None, :], axis=1, dtype=jnp.uint64)
+            if opt.descending:
+                key = ~key
+            out.append(_decode_key(key, validity, src))
+        return out
+
+
+def _decode_key(key: jnp.ndarray, validity: jnp.ndarray, src: Column
+                ) -> Column:
+    import jax
+    all_valid = bool(jnp.all(validity))
+    mask = None if all_valid else validity
+    d = src.dtype
+    if isinstance(src, PrimitiveColumn):
+        if d.is_floating:
+            neg = (key & _SIGN64) == jnp.uint64(0)
+            bits = jnp.where(neg, ~key, key & ~_SIGN64)
+            f = jax.lax.bitcast_convert_type(bits, jnp.float64)
+            return PrimitiveColumn(f.astype(d.to_jax()), d, mask)
+        if d.is_boolean:
+            return PrimitiveColumn(key.astype(jnp.bool_), d, mask)
+        if d.is_unsigned_integer:
+            return PrimitiveColumn(key.astype(d.to_jax()), d, mask)
+        i = jax.lax.bitcast_convert_type(key ^ _SIGN64, jnp.int64)
+        return PrimitiveColumn(i.astype(d.to_jax()), d, mask)
+    if isinstance(src, DictionaryColumn):
+        # invert the rank mapping: rank -> dictionary code
+        ranks, dict_null = dictionary_value_ranks(src.values)
+        order = np.argsort(ranks[~dict_null], kind="stable")
+        valid_codes = np.nonzero(~dict_null)[0]
+        # first code for each rank (ranks are dense over valid entries)
+        nranks = int(ranks[~dict_null].max()) + 1 if (~dict_null).any() else 0
+        rank_to_code = np.zeros(max(nranks, 1), np.int64)
+        seen = np.zeros(max(nranks, 1), bool)
+        for c in valid_codes[::-1]:
+            rank_to_code[int(ranks[c])] = c
+        codes = jnp.take(jnp.asarray(rank_to_code),
+                         jnp.clip(key.astype(jnp.int64), 0,
+                                  max(nranks - 1, 0)), mode="clip")
+        return DictionaryColumn(codes.astype(src.codes.dtype), src.values,
+                                mask)
+    raise ArrowNotImplementedError(f"decode of {type(src)}")

@@ -1,0 +1,78 @@
+"""zip / nullif / shift — small selection kernels
+(arrow-select/src/{zip.rs,nullif.rs,window.rs})."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import dtypes as dt
+from ..core import validity as vd
+from ..core.column import Column, DictionaryColumn, PrimitiveColumn
+from ..core.datum import Scalar, as_datum
+from ..errors import ArrowInvalid, ArrowTypeError
+
+__all__ = ["zip_", "nullif", "shift"]
+
+
+def zip_(mask, truthy, falsy) -> Column:
+    """Element-wise select: mask ? truthy : falsy (zip.rs:84).
+    A null mask slot yields null."""
+    mask = as_datum(mask)
+    truthy, falsy = as_datum(truthy), as_datum(falsy)
+    if not mask.dtype.is_boolean:
+        raise ArrowTypeError("zip mask must be boolean")
+    n = len(mask)
+
+    def parts(x):
+        if isinstance(x, Scalar):
+            vals = jnp.broadcast_to(x.value, (n,))
+            m = None if x.valid else jnp.zeros((n,), jnp.bool_)
+            return vals, m, x.dtype
+        return x.values, x.validity, x.dtype
+
+    tv, tm, tdt = parts(truthy)
+    fv, fm, fdt = parts(falsy)
+    if tdt != fdt:
+        raise ArrowTypeError(f"zip type mismatch {tdt!r} vs {fdt!r}")
+    cond = mask.values
+    out = jnp.where(cond, tv, fv)
+    chosen_valid = jnp.where(cond, vd.make_mask(n, tm), vd.make_mask(n, fm))
+    validity = vd.union(mask.validity, chosen_valid)
+    return PrimitiveColumn(out, tdt, validity)
+
+
+def nullif(col: Column, cond) -> Column:
+    """Set slots to null where cond is true (nullif.rs:44); null cond slots
+    keep the original validity."""
+    cond = as_datum(cond)
+    if not cond.dtype.is_boolean:
+        raise ArrowTypeError("nullif condition must be boolean")
+    hit = cond.values
+    if cond.validity is not None:
+        hit = jnp.logical_and(hit, cond.validity)
+    keep = jnp.logical_not(hit)
+    return col.with_validity(vd.union(col.validity, keep))
+
+
+def shift(col: Column, offset: int) -> Column:
+    """Window shift with null fill (window.rs:55): positive offset moves
+    values toward higher indices, vacated slots become null."""
+    n = len(col)
+    if offset == 0:
+        return col
+    if abs(offset) >= n:
+        if isinstance(col, PrimitiveColumn):
+            return PrimitiveColumn(jnp.zeros_like(col.values), col.dtype,
+                                   jnp.zeros((n,), jnp.bool_))
+        raise ArrowInvalid("shift beyond length on non-primitive")
+    if not isinstance(col, PrimitiveColumn):
+        raise ArrowInvalid("shift supports primitive columns")
+    rolled = jnp.roll(col.values, offset)
+    idx = jnp.arange(n)
+    in_range = (idx >= offset) if offset > 0 else (idx < n + offset)
+    validity = vd.make_mask(n, None if col.validity is None
+                            else jnp.roll(col.validity, offset))
+    validity = jnp.logical_and(validity, in_range)
+    return PrimitiveColumn(jnp.where(in_range, rolled,
+                                     jnp.zeros_like(rolled)),
+                           col.dtype, validity, _canonical=True)

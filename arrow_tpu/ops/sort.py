@@ -1,0 +1,162 @@
+"""Sort kernels: sort_to_indices / sort / lexsort / rank / partition.
+
+Re-design of arrow-ord/src/sort.rs.  The reference's comparison sort over
+(index, value) pairs (sort.rs:478) becomes: order-preserving uint64 key
+transform (ops.row_format, the arrow-row encoding idea) + stable radix-style
+argsort on device — the TPU path the reference itself recommends for
+multi-column sorts (arrow-row/src/lib.rs:103-121).
+
+Parity notes:
+  - Output indices are uint32 like the reference.
+  - Stability: the reference uses sort_unstable for single columns; this
+    engine is always stable (deterministic), which agrees with the
+    reference wherever outputs are observably defined, and with pyarrow's
+    stable sort_indices goldens.
+  - Floats sort by IEEE totalOrder (reference total_cmp): -NaN < -inf,
+    NaN > +inf.
+  - `limit` (sort.rs partial_sort:853) takes the prefix of the stable
+    order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..core.column import Column, PrimitiveColumn
+from ..core.table import Table
+from ..errors import ArrowInvalid
+from .row_format import (SortOptions, encode_keys, encode_value_key,
+                         lexsort_indices_from_keys)
+from .take import take as take_kernel, take_table
+
+__all__ = ["SortOptions", "SortColumn", "sort_to_indices", "sort",
+           "lexsort_to_indices", "lexsort", "sort_table", "rank",
+           "partition", "Partitions"]
+
+
+@dataclass
+class SortColumn:
+    """arrow-ord SortColumn (sort.rs:709)."""
+    column: Column
+    options: SortOptions = SortOptions()
+
+
+def sort_to_indices(col: Column, options: SortOptions = SortOptions(),
+                    limit: Optional[int] = None) -> PrimitiveColumn:
+    """Indices that sort `col` (sort.rs:219)."""
+    keys = encode_keys([col], [options])
+    idx = lexsort_indices_from_keys(keys)
+    if limit is not None:
+        idx = idx[:limit]
+    return PrimitiveColumn(idx, dt.uint32)
+
+
+def sort(col: Column, options: SortOptions = SortOptions(),
+         limit: Optional[int] = None) -> Column:
+    """sort kernel (sort.rs:57): take by sorted indices."""
+    return take_kernel(col, sort_to_indices(col, options, limit))
+
+
+def lexsort_to_indices(columns: Sequence[SortColumn],
+                       limit: Optional[int] = None) -> PrimitiveColumn:
+    """Multi-column sort indices (sort.rs:779): first column is the
+    primary key."""
+    if not columns:
+        raise ArrowInvalid("lexsort of zero columns")
+    lens = {len(c.column) for c in columns}
+    if len(lens) != 1:
+        raise ArrowInvalid("lexsort column length mismatch")
+    keys = encode_keys([c.column for c in columns],
+                       [c.options for c in columns])
+    idx = lexsort_indices_from_keys(keys)
+    if limit is not None:
+        idx = idx[:limit]
+    return PrimitiveColumn(idx, dt.uint32)
+
+
+def lexsort(columns: Sequence[SortColumn],
+            limit: Optional[int] = None) -> List[Column]:
+    idx = lexsort_to_indices(columns, limit)
+    return [take_kernel(c.column, idx) for c in columns]
+
+
+def sort_table(table: Table, by: Sequence[Tuple[str, SortOptions]],
+               limit: Optional[int] = None) -> Table:
+    cols = [SortColumn(table.column(name), opt) for name, opt in by]
+    return take_table(table, lexsort_to_indices(cols, limit))
+
+
+def rank(col: Column, options: SortOptions = SortOptions()
+         ) -> jnp.ndarray:
+    """'max'-method 1-based rank, nulls ranked by their sort position
+    (arrow-ord/src/rank.rs:54: equal values get the highest of their
+    ranks).  Returns a uint32 tensor."""
+    keys = encode_keys([col], [options])
+    # fold (null_key, value_key) into one order key via sorted position:
+    idx = lexsort_indices_from_keys(keys)
+    n = len(col)
+    # position of each element in sorted order
+    pos = jnp.zeros((n,), jnp.uint32).at[idx].set(
+        jnp.arange(n, dtype=jnp.uint32))
+    # max rank among equal keys: compare neighboring sorted keys
+    stacked = [k[idx.astype(jnp.int64)] for k in keys]
+    if len(stacked) == 1:
+        eq_prev = stacked[0][1:] == stacked[0][:-1]
+    else:
+        eq_prev = jnp.ones((n - 1,), jnp.bool_)
+        for k in stacked:
+            eq_prev = jnp.logical_and(eq_prev, k[1:] == k[:-1])
+    # run-id per sorted slot, then max position within run + 1
+    run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), ~eq_prev])
+    run_id = jnp.cumsum(run_start) - 1
+    # last position of each run = segment max of (arange+1)
+    import jax
+    seg_max = jax.ops.segment_max(jnp.arange(1, n + 1, dtype=jnp.uint32),
+                                  run_id, num_segments=n,
+                                  indices_are_sorted=True)
+    rank_sorted = seg_max[run_id]
+    return rank_sorted[pos.astype(jnp.int64)]
+
+
+@dataclass
+class Partitions:
+    """Consecutive equal-row ranges (arrow-ord/src/partition.rs:127),
+    the reference's group-by building block."""
+    boundaries: np.ndarray  # sorted boundary positions incl. 0 and n
+
+    def ranges(self) -> List[Tuple[int, int]]:
+        b = self.boundaries
+        return [(int(b[i]), int(b[i + 1])) for i in range(len(b) - 1)]
+
+    def __len__(self):
+        return len(self.boundaries) - 1
+
+
+def partition(columns: Sequence[Column]) -> Partitions:
+    """Boundaries between consecutive distinct rows (partition.rs:156:
+    computed via neq of shifted columns; nulls compare equal —
+    `distinct` semantics)."""
+    if not columns:
+        raise ArrowInvalid("partition of zero columns")
+    n = len(columns[0])
+    if n == 0:
+        return Partitions(np.array([0]))
+    change = jnp.zeros((n - 1,), jnp.bool_)
+    for col in columns:
+        vkey, validity = encode_value_key(col)
+        if validity is None:
+            neq = vkey[1:] != vkey[:-1]
+        else:
+            v = validity
+            both_valid = v[1:] & v[:-1]
+            neq = jnp.where(both_valid, vkey[1:] != vkey[:-1],
+                            v[1:] != v[:-1])
+        change = jnp.logical_or(change, neq)
+    (pos,) = np.nonzero(np.asarray(change))
+    boundaries = np.concatenate([[0], pos + 1, [n]])
+    return Partitions(boundaries)

@@ -1,0 +1,312 @@
+"""String kernels via dictionary late-materialization.
+
+The reference operates directly on UTF-8 buffers with specialized predicate
+fast paths (arrow-string/src/{like.rs,predicate.rs}); its own hot paths
+late-materialize dictionaries (arrow-ord/src/cmp.rs:387).  The TPU design
+takes that idea to its conclusion: variable-width data dictionary-encodes at
+ingest, string *predicates* evaluate once per distinct value (host, tiny),
+and the result broadcasts to all rows through a device gather by code —
+O(cardinality) string work + O(n) device work, instead of the reference's
+O(n) string work.
+
+Device-side kernels that don't need value inspection (octet_length,
+character length via continuation-byte popcount) run directly on the
+byte/offset tensors.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dtypes as dt
+from ..core import validity as vd
+from ..core.column import (Column, DictionaryColumn, PrimitiveColumn,
+                           StringColumn)
+from ..core.datum import Datum, Scalar, as_datum
+from ..errors import ArrowNotImplementedError, ArrowTypeError
+
+__all__ = [
+    "dictionary_encode", "dictionary_decode", "compare",
+    "like", "ilike", "nlike", "nilike",
+    "starts_with", "ends_with", "contains",
+    "regexp_is_match", "substring", "length", "octet_length", "bit_length",
+    "upper", "lower", "concat_elements",
+]
+
+
+# ---- encoding ----------------------------------------------------------------
+
+def dictionary_encode(col: Column, code_dtype=jnp.int32) -> DictionaryColumn:
+    """StringColumn -> DictionaryColumn with sorted-unique values
+    (cast.rs cast_to_dictionary analogue; host pass over the bytes once)."""
+    if isinstance(col, DictionaryColumn):
+        return col
+    if not isinstance(col, StringColumn):
+        raise ArrowTypeError(f"dictionary_encode of {type(col)}")
+    lst = col.to_pylist_host()
+    vals = np.array([("" if v is None else v) for v in lst], dtype=object)
+    uniq, inv = np.unique(vals.astype(str), return_inverse=True)
+    values = StringColumn.from_pylist([str(u) for u in uniq], col.dtype)
+    codes = jnp.asarray(inv.astype(np.dtype(code_dtype)))
+    return DictionaryColumn(codes, values, col.validity)
+
+
+def dictionary_decode(col: DictionaryColumn) -> StringColumn:
+    """Materialize codes back to a StringColumn (take on the values)."""
+    from .take import take
+    idx = PrimitiveColumn(col.codes, dt.int32, col.validity)
+    out = take(col.values, idx)
+    assert isinstance(out, StringColumn)
+    return out
+
+
+def _dict_values_host(col: DictionaryColumn) -> List[Optional[str]]:
+    v = col.values
+    if isinstance(v, StringColumn):
+        return v.to_pylist_host()
+    raise ArrowNotImplementedError("non-string dictionary predicate")
+
+
+def _as_dict(col: Column) -> DictionaryColumn:
+    if isinstance(col, DictionaryColumn):
+        return col
+    return dictionary_encode(col)
+
+
+def _scalar_str(x) -> Optional[str]:
+    if isinstance(x, Scalar):
+        if not x.valid:
+            return None
+        raise ArrowTypeError("string scalar must be python str")
+    if isinstance(x, bytes):
+        return x.decode()
+    return x
+
+
+# ---- comparisons ---------------------------------------------------------------
+
+_CMP_FN = {
+    "eq": lambda a, b: a == b, "neq": lambda a, b: a != b,
+    "lt": lambda a, b: a < b, "lt_eq": lambda a, b: a <= b,
+    "gt": lambda a, b: a > b, "gt_eq": lambda a, b: a >= b,
+}
+
+
+def compare(op: str, lhs, rhs) -> PrimitiveColumn:
+    """Dictionary-aware comparison dispatch (called from ops.cmp)."""
+    lhs_is_col = isinstance(lhs, Column)
+    rhs_is_col = isinstance(rhs, Column)
+    if lhs_is_col and not rhs_is_col:
+        return _compare_scalar(op, lhs, rhs)
+    if rhs_is_col and not lhs_is_col:
+        flip = {"lt": "gt", "gt": "lt", "lt_eq": "gt_eq", "gt_eq": "lt_eq",
+                "eq": "eq", "neq": "neq"}
+        return _compare_scalar(flip[op], rhs, lhs)
+    return _compare_cols(op, lhs, rhs)
+
+
+def _compare_scalar(op: str, col: Column, scalar_val) -> PrimitiveColumn:
+    s = _scalar_str(scalar_val)
+    dcol = _as_dict(col)
+    if s is None:
+        return PrimitiveColumn(jnp.zeros((len(dcol),), jnp.bool_), dt.bool_,
+                               jnp.zeros((len(dcol),), jnp.bool_))
+    vals = _dict_values_host(dcol)
+    per_code = np.array([False if v is None else _CMP_FN[op](v, s)
+                         for v in vals], bool)
+    out = jnp.take(jnp.asarray(per_code), dcol.codes, mode="clip")
+    return PrimitiveColumn(out, dt.bool_, _effective_validity(dcol, vals))
+
+
+def _compare_cols(op: str, lhs: Column, rhs: Column) -> PrimitiveColumn:
+    """dict-dict compare: map both into one merged rank domain (vectored
+    dictionary compare, cmp.rs:468), then compare ranks on device."""
+    dl, dr = _as_dict(lhs), _as_dict(rhs)
+    lv, rv = _dict_values_host(dl), _dict_values_host(dr)
+    uniq = sorted({v for v in lv + rv if v is not None})
+    rank = {v: i for i, v in enumerate(uniq)}
+    lrank = np.array([rank.get(v, 0) for v in lv], np.int64)
+    rrank = np.array([rank.get(v, 0) for v in rv], np.int64)
+    lk = jnp.take(jnp.asarray(lrank), dl.codes, mode="clip")
+    rk = jnp.take(jnp.asarray(rrank), dr.codes, mode="clip")
+    fn = {"eq": jnp.equal, "neq": jnp.not_equal, "lt": jnp.less,
+          "lt_eq": jnp.less_equal, "gt": jnp.greater,
+          "gt_eq": jnp.greater_equal}[op]
+    validity = vd.union(_effective_validity(dl, lv),
+                        _effective_validity(dr, rv))
+    return PrimitiveColumn(fn(lk, rk), dt.bool_, validity)
+
+
+def _effective_validity(col: DictionaryColumn, vals) -> vd.Mask:
+    """Column validity folded with null dictionary entries."""
+    entry_null = np.array([v is None for v in vals], bool)
+    if entry_null.any():
+        entry_valid = jnp.take(jnp.asarray(~entry_null), col.codes,
+                               mode="clip")
+        return vd.union(col.validity, entry_valid)
+    return col.validity
+
+
+# ---- predicates ----------------------------------------------------------------
+
+def _per_value(col: Column, fn: Callable[[str], bool]) -> PrimitiveColumn:
+    """Evaluate a predicate once per distinct value, broadcast by code."""
+    dcol = _as_dict(col)
+    vals = _dict_values_host(dcol)
+    per_code = np.array([False if v is None else bool(fn(v)) for v in vals],
+                        bool)
+    out = jnp.take(jnp.asarray(per_code), dcol.codes, mode="clip")
+    return PrimitiveColumn(out, dt.bool_, _effective_validity(dcol, vals))
+
+
+def _like_regex(pattern: str) -> str:
+    """LIKE pattern -> anchored regex (like.rs via predicate.rs:28, with
+    its literal/prefix/suffix fast paths subsumed by the per-distinct-value
+    evaluation)."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern) and pattern[i + 1] in "%_":
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def like(col, pattern: str):
+    rx = re.compile(_like_regex(pattern), re.DOTALL)
+    return _per_value(col, lambda v: rx.match(v) is not None)
+
+
+def ilike(col, pattern: str):
+    rx = re.compile(_like_regex(pattern), re.DOTALL | re.IGNORECASE)
+    return _per_value(col, lambda v: rx.match(v) is not None)
+
+
+def nlike(col, pattern: str):
+    rx = re.compile(_like_regex(pattern), re.DOTALL)
+    return _per_value(col, lambda v: rx.match(v) is None)
+
+
+def nilike(col, pattern: str):
+    rx = re.compile(_like_regex(pattern), re.DOTALL | re.IGNORECASE)
+    return _per_value(col, lambda v: rx.match(v) is None)
+
+
+def starts_with(col, prefix: str):
+    return _per_value(col, lambda v: v.startswith(prefix))
+
+
+def ends_with(col, suffix: str):
+    return _per_value(col, lambda v: v.endswith(suffix))
+
+
+def contains(col, needle: str):
+    return _per_value(col, lambda v: needle in v)
+
+
+def regexp_is_match(col, pattern: str, flags: str = ""):
+    f = re.IGNORECASE if "i" in flags else 0
+    rx = re.compile(pattern, f)
+    return _per_value(col, lambda v: rx.search(v) is not None)
+
+
+# ---- transforms ------------------------------------------------------------------
+
+def _map_values(col: Column, fn: Callable[[str], str]) -> Column:
+    """Apply a string transform to each distinct value, keep codes."""
+    dcol = _as_dict(col)
+    vals = _dict_values_host(dcol)
+    new_vals = StringColumn.from_pylist(
+        [None if v is None else fn(v) for v in vals])
+    out = DictionaryColumn(dcol.codes, new_vals, dcol.validity,
+                           _canonical=True)
+    return out if isinstance(col, DictionaryColumn) else \
+        dictionary_decode(out)
+
+
+def substring(col, start: int, length: Optional[int] = None):
+    """substring.rs semantics: negative start counts from the end."""
+    def f(v: str) -> str:
+        b = v.encode()
+        s = start if start >= 0 else max(len(b) + start, 0)
+        e = len(b) if length is None else min(s + length, len(b))
+        return b[s:e].decode(errors="strict")
+    return _map_values(col, f)
+
+
+def upper(col):
+    return _map_values(col, str.upper)
+
+
+def lower(col):
+    return _map_values(col, str.lower)
+
+
+def concat_elements(lhs: Column, rhs: Column) -> Column:
+    """Element-wise string concatenation (concat_elements.rs)."""
+    dl, dr = _as_dict(lhs), _as_dict(rhs)
+    lv, rv = _dict_values_host(dl), _dict_values_host(dr)
+    # pair codes -> combined dictionary over observed pairs (host)
+    lc = np.asarray(dl.codes)
+    rc = np.asarray(dr.codes)
+    pair = lc.astype(np.int64) * max(len(rv), 1) + rc
+    uniq, inv = np.unique(pair, return_inverse=True)
+    vals = []
+    for p in uniq:
+        a = lv[p // max(len(rv), 1)]
+        b = rv[p % max(len(rv), 1)]
+        vals.append(None if a is None or b is None else a + b)
+    out = DictionaryColumn(jnp.asarray(inv.astype(np.int32)),
+                           StringColumn.from_pylist(vals),
+                           vd.union(dl.validity, dr.validity))
+    return out if isinstance(lhs, DictionaryColumn) else \
+        dictionary_decode(out)
+
+
+# ---- length kernels (pure device) ------------------------------------------------
+
+def octet_length(col) -> PrimitiveColumn:
+    """Byte length (length.rs octet_length) — pure device offset diff."""
+    if isinstance(col, DictionaryColumn):
+        inner = octet_length(col.values)
+        out = jnp.take(inner.values, col.codes, mode="clip")
+        return PrimitiveColumn(out, dt.int32, col.validity)
+    if not isinstance(col, StringColumn):
+        raise ArrowTypeError(f"octet_length of {type(col)}")
+    lens = (col.offsets[1:] - col.offsets[:-1]).astype(jnp.int32)
+    return PrimitiveColumn(lens, dt.int32, col.validity)
+
+
+def length(col) -> PrimitiveColumn:
+    """Character count (length.rs length): bytes minus UTF-8 continuation
+    bytes, via a prefix-sum over the byte tensor — no host round-trip."""
+    if isinstance(col, DictionaryColumn):
+        inner = length(col.values)
+        out = jnp.take(inner.values, col.codes, mode="clip")
+        return PrimitiveColumn(out, dt.int32, col.validity)
+    if not isinstance(col, StringColumn):
+        raise ArrowTypeError(f"length of {type(col)}")
+    is_start = ((col.data & jnp.uint8(0xC0)) != jnp.uint8(0x80)) \
+        .astype(jnp.int32)
+    prefix = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(is_start, dtype=jnp.int32)])
+    counts = prefix[col.offsets[1:]] - prefix[col.offsets[:-1]]
+    return PrimitiveColumn(counts.astype(jnp.int32), dt.int32, col.validity)
+
+
+def bit_length(col) -> PrimitiveColumn:
+    o = octet_length(col)
+    return PrimitiveColumn(o.values * 8, dt.int32, o.validity)

@@ -1,0 +1,87 @@
+"""Reduction goldens vs pyarrow.compute (arrow-arith/aggregate.rs parity)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import compute as ops
+from arrow_tpu.utils.bench_util import (create_boolean_array,
+                                        create_primitive_array)
+
+
+@pytest.mark.parametrize("dtype,nulls", [(np.int64, 0.0), (np.int64, 0.3),
+                                         (np.int32, 0.2)])
+def test_int_sum_min_max(dtype, nulls):
+    arr = create_primitive_array(1000, nulls, dtype)
+    col = at.column(arr)
+    assert ops.sum_(col).as_py() == pc.sum(arr).as_py()
+    assert ops.sum_checked(col).as_py() == pc.sum(arr).as_py()
+    assert ops.min_(col).as_py() == pc.min(arr).as_py()
+    assert ops.max_(col).as_py() == pc.max(arr).as_py()
+    assert ops.count(col) == pc.count(arr).as_py()
+
+
+def test_narrow_int_sum_wraps_in_type():
+    """arrow-rs `sum` accumulates in T (wrapping); pyarrow promotes —
+    we follow the reference."""
+    arr = create_primitive_array(1000, 0.1, np.uint16)
+    col = at.column(arr)
+    exp = pc.sum(arr).as_py() % (1 << 16)
+    assert ops.sum_(col).as_py() == exp
+    with pytest.raises(at.ArithmeticOverflow):
+        ops.sum_checked(col)
+
+
+def test_float_sum_min_max():
+    arr = create_primitive_array(1000, 0.2, np.float64)
+    col = at.column(arr)
+    assert ops.sum_(col).as_py() == pytest.approx(pc.sum(arr).as_py(),
+                                                  rel=1e-12)
+    assert ops.min_(col).as_py() == pc.min(arr).as_py()
+    assert ops.max_(col).as_py() == pc.max(arr).as_py()
+
+
+def test_empty_and_all_null():
+    empty = at.column([], at.int64)
+    assert ops.sum_(empty).as_py() is None
+    assert ops.min_(empty).as_py() is None
+    all_null = at.column([None, None], at.float64)
+    assert ops.sum_(all_null).as_py() is None
+    assert ops.max_(all_null).as_py() is None
+    assert ops.count(all_null) == 0
+    assert ops.count_nulls(all_null) == 2
+
+
+def test_sum_checked_overflow():
+    big = np.array([np.iinfo(np.int64).max, 1], np.int64)
+    col = at.column(big)
+    with pytest.raises(at.ArithmeticOverflow):
+        ops.sum_checked(col)
+    # wrapping sum does not raise
+    assert ops.sum_(col).as_py() == np.iinfo(np.int64).min
+
+
+def test_min_max_nan_total_order():
+    """NaN counts as greater than +inf (ArrowNativeTypeOp::compare)."""
+    col = at.column([1.0, float("nan"), 2.0])
+    assert np.isnan(ops.max_(col).as_py())
+    assert ops.min_(col).as_py() == 1.0
+
+
+def test_bool_and_or():
+    arr = create_boolean_array(500, 0.2)
+    col = at.column(arr)
+    assert ops.bool_and(col).as_py() == pc.all(arr).as_py()
+    assert ops.bool_or(col).as_py() == pc.any(arr).as_py()
+    assert ops.bool_and(at.column([], at.bool_)).as_py() is None
+
+
+def test_string_min_max_golden():
+    arr = pa.array(["pear", None, "apple", "zebra"])
+    assert ops.min_(at.column(arr)).as_py() == "apple"
+    assert ops.max_(at.column(arr)).as_py() == "zebra"
+    d = at.column(arr.dictionary_encode())
+    assert ops.min_(d).as_py() == "apple"
+    assert ops.max_(d).as_py() == "zebra"

@@ -1,0 +1,90 @@
+"""concat/interleave/zip/nullif/shift goldens (arrow-select parity)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import compute as ops
+from arrow_tpu.utils.bench_util import (create_primitive_array,
+                                        create_string_array,
+                                        create_string_dict_array)
+from util import assert_column_equals_pa
+
+
+def test_concat_primitive():
+    parts = [create_primitive_array(100, nd, np.int64, seed=s)
+             for s, nd in [(1, 0.0), (2, 0.3), (3, 0.1)]]
+    got = ops.concat([at.column(p) for p in parts])
+    assert_column_equals_pa(got, pa.concat_arrays(parts))
+
+
+def test_concat_strings():
+    parts = [create_string_array(50, 0.2, seed=s) for s in (1, 2)]
+    got = ops.concat([at.column(p) for p in parts])
+    assert_column_equals_pa(got, pa.concat_arrays(parts))
+
+
+def test_concat_dictionary():
+    parts = [create_string_dict_array(50, 0.1, cardinality=10, seed=s)
+             for s in (1, 2)]
+    got = ops.concat([at.column(p) for p in parts])
+    exp = pa.concat_arrays([p.cast(pa.string()) for p in parts])
+    # compare decoded values (dictionaries merge differently by design)
+    assert got.to_pylist() == exp.to_pylist()
+
+
+def test_concat_type_mismatch():
+    with pytest.raises(at.ArrowError):
+        ops.concat([at.column([1]), at.column([1.0])])
+
+
+def test_concat_tables():
+    t1 = at.Table.from_pydict({"a": [1, 2], "b": ["x", "y"]})
+    t2 = at.Table.from_pydict({"a": [3], "b": [None]}, schema=t1.schema)
+    got = ops.concat_tables([t1, t2])
+    assert got.to_pydict() == {"a": [1, 2, 3], "b": ["x", "y", None]}
+
+
+def test_interleave():
+    a = at.column([1, 2, None])
+    b = at.column([10, None])
+    got = ops.interleave([a, b], [(0, 2), (1, 0), (1, 1), (0, 0)])
+    assert got.to_pylist() == [None, 10, None, 1]
+
+
+def test_interleave_strings():
+    a = at.column(["a", "bb"])
+    b = at.column(["ccc", None])
+    got = ops.interleave([a, b], [(1, 0), (0, 0), (1, 1)])
+    assert got.to_pylist() == ["ccc", "a", None]
+
+
+def test_zip_golden():
+    mask = pa.array([True, False, None, True])
+    a = pa.array([1, 2, 3, None])
+    b = pa.array([10, 20, 30, 40])
+    got = ops.zip_(at.column(mask), at.column(a), at.column(b))
+    exp = pc.if_else(mask, a, b)
+    assert_column_equals_pa(got, exp)
+
+
+def test_zip_scalar():
+    mask = at.column([True, False, True])
+    got = ops.zip_(mask, at.scalar(99), at.column([1, 2, 3]))
+    assert got.to_pylist() == [99, 2, 99]
+
+
+def test_nullif():
+    col = at.column([1, 2, 3, None])
+    cond = at.column([True, False, None, False])
+    assert ops.nullif(col, cond).to_pylist() == [None, 2, 3, None]
+
+
+def test_shift():
+    col = at.column([1, 2, None, 4])
+    assert ops.shift(col, 1).to_pylist() == [None, 1, 2, None]
+    assert ops.shift(col, -2).to_pylist() == [None, 4, None, None]
+    assert ops.shift(col, 0).to_pylist() == [1, 2, None, 4]
+    assert ops.shift(col, 9).to_pylist() == [None] * 4

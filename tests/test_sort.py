@@ -1,0 +1,182 @@
+"""Sort/rank/partition goldens vs pyarrow (arrow-ord parity) and
+row-format ordering invariants (arrow-row parity)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import compute as ops
+from arrow_tpu.ops.row_format import SortOptions
+from arrow_tpu.utils.bench_util import (create_primitive_array,
+                                        create_string_array,
+                                        create_string_dict_array)
+from util import assert_column_equals_pa
+
+
+SORT_ARRAYS = [
+    create_primitive_array(500, 0.0, np.int64, lo=-50, hi=50),
+    create_primitive_array(500, 0.2, np.int64, lo=-50, hi=50),
+    create_primitive_array(500, 0.3, np.float64),
+    create_primitive_array(500, 0.1, np.uint32),
+    create_string_array(500, 0.2, cardinality=30),
+    create_string_dict_array(500, 0.2, cardinality=30),
+]
+
+
+def pa_sorted(arr, descending=False, nulls_first=True):
+    order = "descending" if descending else "ascending"
+    placement = "at_start" if nulls_first else "at_end"
+    return arr.take(pc.array_sort_indices(arr, order=order,
+                                          null_placement=placement))
+
+
+@pytest.mark.parametrize("arr", SORT_ARRAYS, ids=lambda a: str(a.type))
+@pytest.mark.parametrize("descending", [False, True])
+@pytest.mark.parametrize("nulls_first", [True, False])
+def test_sort_values_golden(arr, descending, nulls_first):
+    got = ops.sort(at.column(arr), SortOptions(descending, nulls_first))
+    assert_column_equals_pa(got, pa_sorted(arr, descending, nulls_first))
+
+
+def test_sort_indices_stable():
+    """Stable indices match pyarrow's stable sort_indices."""
+    arr = create_primitive_array(300, 0.2, np.int64, lo=-5, hi=5)
+    got = ops.sort_to_indices(at.column(arr))
+    exp = pc.array_sort_indices(arr, null_placement="at_start")
+    assert got.to_pylist() == exp.to_pylist()
+
+
+def test_sort_limit():
+    arr = create_primitive_array(1000, 0.1, np.int64)
+    got = ops.sort(at.column(arr), limit=10)
+    exp = pa_sorted(arr).slice(0, 10)
+    assert_column_equals_pa(got, exp)
+
+
+def test_float_total_order():
+    """NaN > +inf, -NaN ... reference total_cmp semantics; nulls first."""
+    col = at.column([1.5, float("nan"), None, -0.0, 0.0, float("-inf"),
+                     float("inf")])
+    got = ops.sort(col).to_pylist()
+    assert got[0] is None
+    assert got[1] == float("-inf")
+    assert str(got[2]) == "-0.0"
+    assert got[3] == 0.0
+    assert got[4] == 1.5
+    assert got[5] == float("inf")
+    assert np.isnan(got[6])
+
+
+def test_lexsort_golden():
+    t = pa.table({
+        "a": create_primitive_array(400, 0.2, np.int64, lo=0, hi=5, seed=1),
+        "b": create_string_array(400, 0.2, cardinality=5, seed=2),
+    })
+    got = ops.lexsort_to_indices([
+        ops.SortColumn(at.column(t.column("a").combine_chunks())),
+        ops.SortColumn(at.column(t.column("b").combine_chunks())),
+    ])
+    exp = pc.sort_indices(t, sort_keys=[("a", "ascending"),
+                                        ("b", "ascending")],
+                          null_placement="at_start")
+    assert got.to_pylist() == exp.to_pylist()
+
+
+def test_lexsort_mixed_directions():
+    a = at.column([1, 1, 2, 2, 1, None])
+    b = at.column([5.0, None, 1.0, 2.0, 6.0, 0.0])
+    idx = ops.lexsort_to_indices([
+        ops.SortColumn(a, SortOptions(descending=False, nulls_first=True)),
+        ops.SortColumn(b, SortOptions(descending=True, nulls_first=False)),
+    ])
+    t = pa.table({"a": [1, 1, 2, 2, 1, None],
+                  "b": [5.0, None, 1.0, 2.0, 6.0, 0.0]})
+    exp = pc.sort_indices(
+        t, sort_keys=[("a", "ascending"), ("b", "descending")],
+        null_placement="at_start")
+    # pyarrow applies one null_placement globally; our per-column
+    # nulls_first matches arrow-rs. Check b's descending nulls-last
+    # ordering directly instead:
+    rows = [(x, y) for x, y in
+            zip(ops.take(a, idx).to_pylist(), ops.take(b, idx).to_pylist())]
+    assert rows == [(None, 0.0), (1, 6.0), (1, 5.0), (1, None),
+                    (2, 2.0), (2, 1.0)]
+
+
+def test_rank_reference_doctest():
+    """arrow-ord/src/rank.rs doctest: [foo, None, foo, None, bar] ->
+    [5, 2, 5, 2, 3]."""
+    got = ops.rank(at.column(["foo", None, "foo", None, "bar"]))
+    assert np.asarray(got).tolist() == [5, 2, 5, 2, 3]
+
+
+def test_rank_golden():
+    arr = create_primitive_array(300, 0.2, np.int64, lo=-10, hi=10)
+    got = np.asarray(ops.rank(at.column(arr)))
+    exp = pc.rank(arr, sort_keys="ascending", null_placement="at_start",
+                  tiebreaker="max").to_numpy()
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_partition():
+    p = ops.partition([at.column([1, 1, 2, 2, 2, None, None])])
+    assert p.ranges() == [(0, 2), (2, 5), (5, 7)]
+    # multi-column
+    p2 = ops.partition([at.column([1, 1, 1, 2]),
+                        at.column(["a", "a", "b", "b"])])
+    assert p2.ranges() == [(0, 2), (2, 3), (3, 4)]
+    assert len(ops.partition([at.column([], at.int64)]).ranges()) == 0
+
+
+def test_sort_table():
+    t = at.Table.from_pydict({"k": [2, 1, 2, None], "v": [1.0, 2.0, 3.0, 4.0]})
+    got = ops.sort_table(t, [("k", SortOptions())])
+    assert got.to_pydict() == {"k": [None, 1, 2, 2], "v": [4.0, 2.0, 1.0, 3.0]}
+
+
+class TestRowFormat:
+    def test_argsort_matches_lexsort(self):
+        cols = [at.column(create_primitive_array(200, 0.2, np.int64,
+                                                 lo=0, hi=4, seed=3)),
+                at.column(create_primitive_array(200, 0.1, np.float64,
+                                                 seed=4))]
+        fields = [ops.SortField(), ops.SortField()]
+        conv = ops.RowConverter(fields)
+        rows = conv.convert_columns(cols)
+        got = rows.argsort().tolist()
+        exp = ops.lexsort_to_indices([ops.SortColumn(c) for c in cols])
+        assert got == exp.to_pylist()
+
+    def test_roundtrip(self):
+        cols = [at.column([3, None, 1, -7]),
+                at.column([1.5, 2.5, None, float("nan")]),
+                at.column([True, False, None, True])]
+        conv = ops.RowConverter([ops.SortField()] * 3)
+        rows = conv.convert_columns(cols)
+        back = conv.convert_rows(rows, cols)
+        for orig, rt in zip(cols, back):
+            np.testing.assert_array_equal(
+                np.asarray(orig.is_valid_mask()),
+                np.asarray(rt.is_valid_mask()))
+            np.testing.assert_array_equal(np.asarray(orig.values),
+                                          np.asarray(rt.values))
+
+    def test_descending_field(self):
+        col = at.column([5, 1, None, 3])
+        conv = ops.RowConverter([ops.SortField(
+            SortOptions(descending=True, nulls_first=False))])
+        rows = conv.convert_columns([col])
+        assert ops.take(col, at.PrimitiveColumn(
+            rows.argsort(), at.uint32)).to_pylist() == [5, 3, 1, None]
+
+    def test_rows_memcmp_contract(self):
+        """byte-lexicographic order == logical row order."""
+        cols = [at.column([2, 1, 1, None]), at.column(["b", "z", "a", "a"])]
+        conv = ops.RowConverter([ops.SortField(), ops.SortField()])
+        rows = np.asarray(conv.convert_columns(cols).data)
+        order = sorted(range(4), key=lambda i: rows[i].tobytes())
+        exp = ops.lexsort_to_indices(
+            [ops.SortColumn(c) for c in cols]).to_pylist()
+        assert order == exp
