@@ -31,6 +31,9 @@ from .aggregate import (  # noqa: F401
     sum_, sum_checked, min_, max_, min_max, count, count_nulls,
     bool_and, bool_or,
 )
+from .cast import cast, can_cast, CastOptions  # noqa: F401
+from .groupby import group_by, AggSpec, segment_aggregate  # noqa: F401
+from .join import join, join_indices  # noqa: F401
 from .strings import (  # noqa: F401
     dictionary_encode, dictionary_decode,
     like, ilike, nlike, nilike, starts_with, ends_with, contains,

@@ -1,0 +1,162 @@
+"""Cast matrix goldens (arrow-cast parity; CastOptions{safe} semantics:
+safe=True -> null on failure, safe=False -> CastError)."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import compute as ops
+from arrow_tpu.utils.bench_util import create_primitive_array
+from util import assert_column_equals_pa
+
+
+NUMERIC = [at.int8, at.int16, at.int32, at.int64,
+           at.uint8, at.uint16, at.uint32, at.float32, at.float64]
+
+
+@pytest.mark.parametrize("to", NUMERIC, ids=lambda d: d.name)
+def test_numeric_cast_in_range(to):
+    """In-range conversions match pyarrow exactly."""
+    arr = create_primitive_array(500, 0.2, np.int64, lo=0, hi=100)
+    got = ops.cast(at.column(arr), to)
+    assert_column_equals_pa(got, arr.cast(_pa(to)))
+
+
+def _pa(d):
+    from arrow_tpu.io.interop import dtype_to_pyarrow
+    return dtype_to_pyarrow(d)
+
+
+def test_cast_same_type_noop():
+    c = at.column([1, 2, None])
+    assert ops.cast(c, at.int64) is c
+
+
+def test_int_narrowing_safe_nulls():
+    got = ops.cast(at.column([1, 300, None, -5]), at.int8)
+    assert got.to_pylist() == [1, None, None, -5]
+
+
+def test_int_narrowing_unsafe_raises():
+    with pytest.raises(at.CastError):
+        ops.cast(at.column([300]), at.int8, ops.CastOptions(safe=False))
+
+
+def test_signed_to_unsigned():
+    got = ops.cast(at.column([-1, 0, 5]), at.uint8)
+    assert got.to_pylist() == [None, 0, 5]
+
+
+def test_float_to_int_truncates():
+    got = ops.cast(at.column([1.9, -2.9, 0.5]), at.int32)
+    assert got.to_pylist() == [1, -2, 0]
+
+
+def test_float_to_int_fails_on_nan_inf_range():
+    got = ops.cast(at.column([float("nan"), float("inf"), 1e30, 1.0]),
+                   at.int64)
+    assert got.to_pylist() == [None, None, None, 1]
+
+
+def test_int_to_float():
+    arr = create_primitive_array(300, 0.1, np.int64)
+    assert_column_equals_pa(ops.cast(at.column(arr), at.float64),
+                            arr.cast(pa.float64()))
+
+
+def test_bool_casts():
+    assert ops.cast(at.column([True, False, None]), at.int32).to_pylist() \
+        == [1, 0, None]
+    assert ops.cast(at.column([0, 7, None]), at.bool_).to_pylist() \
+        == [False, True, None]
+
+
+def test_string_to_numeric():
+    got = ops.cast(at.column(["42", " 7 ", "nope", None, "-3"]), at.int64)
+    assert got.to_pylist() == [42, 7, None, None, -3]
+    with pytest.raises(at.CastError):
+        ops.cast(at.column(["nope"]), at.int64, ops.CastOptions(safe=False))
+    got_f = ops.cast(at.column(["1.5", "-2e3", "inf"]), at.float64)
+    assert got_f.to_pylist() == [1.5, -2000.0, float("inf")]
+
+
+def test_numeric_to_string():
+    assert ops.cast(at.column([1, -2, None]), at.utf8).to_pylist() == \
+        ["1", "-2", None]
+    assert ops.cast(at.column([1.5, None]), at.utf8).to_pylist() == \
+        ["1.5", None]
+    assert ops.cast(at.column([True, False]), at.utf8).to_pylist() == \
+        ["true", "false"]
+
+
+def test_string_temporal_parse():
+    got = ops.cast(at.column(["2020-01-02", "bad", None]), at.date32)
+    assert got.to_pylist() == [datetime.date(2020, 1, 2), None, None]
+    ts = ops.cast(at.column(["2020-01-02T03:04:05.123456"]),
+                  at.timestamp("us"))
+    assert ts.to_pylist() == [datetime.datetime(2020, 1, 2, 3, 4, 5, 123456)]
+
+
+def test_timestamp_unit_conversion_golden():
+    arr = pa.array([1_700_000_000_123_456, None]).cast(pa.timestamp("us"))
+    col = at.column(arr)
+    for unit in ("s", "ms", "us", "ns"):
+        got = ops.cast(col, at.timestamp(unit))
+        exp = arr.cast(pa.timestamp(unit), safe=False)
+        assert_column_equals_pa(got, exp)
+
+
+def test_timestamp_to_date():
+    arr = pa.array([1_700_000_000, -1]).cast(pa.timestamp("s"))
+    got = ops.cast(at.column(arr), at.date32)
+    exp = arr.cast(pa.date32())
+    assert_column_equals_pa(got, exp)
+
+
+def test_date_to_timestamp():
+    arr = pa.array([0, 19000, -400], pa.int32()).cast(pa.date32())
+    got = ops.cast(at.column(arr), at.timestamp("us"))
+    exp = arr.cast(pa.timestamp("us"))
+    assert_column_equals_pa(got, exp)
+
+
+def test_int_timestamp_reinterpret():
+    got = ops.cast(at.column([123, None]), at.timestamp("ms"))
+    exp = pa.array([123, None], pa.int64()).cast(pa.timestamp("ms"))
+    assert_column_equals_pa(got, exp)
+    back = ops.cast(at.column(exp), at.int64)
+    assert back.to_pylist() == [123, None]
+
+
+def test_dictionary_casts():
+    arr = pa.array(["a", "b", None, "a"])
+    d = ops.cast(at.column(arr), at.dictionary(at.int32, at.utf8))
+    assert isinstance(d, at.DictionaryColumn)
+    assert d.to_pylist() == arr.to_pylist()
+    back = ops.cast(d, at.utf8)
+    assert isinstance(back, at.StringColumn)
+    assert back.to_pylist() == arr.to_pylist()
+
+
+def test_dict_numeric_string_path():
+    d = ops.cast(at.column(pa.array(["1", "2", "1"]).dictionary_encode()),
+                 at.int64)
+    assert d.to_pylist() == [1, 2, 1]
+
+
+def test_null_column_cast():
+    got = ops.cast(at.NullColumn(3), at.int64)
+    assert got.to_pylist() == [None, None, None]
+    gs = ops.cast(at.NullColumn(2), at.utf8)
+    assert gs.to_pylist() == [None, None]
+
+
+def test_can_cast():
+    assert ops.can_cast(at.int64, at.float32)
+    assert ops.can_cast(at.utf8, at.int64)
+    assert ops.can_cast(at.utf8, at.dictionary(at.int32, at.utf8))
+    assert ops.can_cast(at.timestamp("us"), at.date32)
