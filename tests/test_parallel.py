@@ -1,0 +1,192 @@
+"""Distributed operator tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: the reference's mock-server pattern -> simulated mesh)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import arrow_tpu as at
+from arrow_tpu import parallel as par
+
+
+NDEV = 8
+AXIS = "shards"
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return par.make_mesh(NDEV)
+
+
+def _shard(mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P(AXIS)))
+
+
+def test_hash_u64_uniformity():
+    keys = jnp.arange(100_000, dtype=jnp.uint64)
+    shards = np.asarray(par.hash_u64(keys) % jnp.uint64(NDEV)).astype(np.int64)
+    counts = np.bincount(shards, minlength=NDEV)
+    assert counts.min() > 100_000 / NDEV * 0.9
+
+
+def test_repartition_roundtrip(mesh):
+    """Every valid row arrives at shard hash(key)%n, none lost."""
+    n = 1024  # per-shard 128
+    rng = np.random.default_rng(0)
+    keys = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.uint64))
+    vals = jnp.arange(n, dtype=jnp.int64)
+    valid = jnp.asarray(rng.random(n) > 0.1)
+
+    @functools.partial(jax.jit)
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                       out_specs=P(AXIS))
+    def shuffle(k, v, ok):
+        sh = par.repartition_arrays(AXIS, k, ok, 128, k, v)
+        return jnp.stack([sh.arrays[0].astype(jnp.int64),
+                          sh.arrays[1],
+                          sh.valid.astype(jnp.int64)], axis=-1)
+
+    out = np.asarray(shuffle(keys, vals, valid)).reshape(NDEV, -1, 3)
+    got_rows = set()
+    for shard_i in range(NDEV):
+        rows = out[shard_i]
+        for k, v, ok in rows:
+            if ok:
+                # row landed on the right shard
+                expect = int(np.asarray(
+                    par.hash_u64(jnp.asarray([np.uint64(k)]))
+                    % jnp.uint64(NDEV))[0])
+                assert expect == shard_i
+                got_rows.add((int(k), int(v)))
+    exp_rows = {(int(k), int(v)) for k, v, ok in
+                zip(np.asarray(keys), np.asarray(vals), np.asarray(valid))
+                if ok}
+    assert got_rows == exp_rows
+
+
+def test_dist_group_by_matches_local(mesh):
+    n = 2048
+    rng = np.random.default_rng(1)
+    keys_raw = rng.integers(0, 64, n).astype(np.uint64)
+    vals = rng.integers(-100, 100, n).astype(np.int64)
+    valid = rng.random(n) > 0.15
+    shuffle_cap, group_cap = n // NDEV, 64
+
+    @functools.partial(jax.jit)
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                       out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                                  P(AXIS), P(AXIS)))
+    def agg(k, v, ok):
+        gk, gv, outs = par.dist_group_by(
+            AXIS, k, ok, shuffle_cap, group_cap,
+            [("sum", v), ("count", v), ("min", v), ("max", v)])
+        return (gk, gv) + tuple(outs)
+
+    gk, gv, gsum, gcnt, gmin, gmax = (np.asarray(x) for x in agg(
+        jnp.asarray(keys_raw), jnp.asarray(vals), jnp.asarray(valid)))
+    got = {}
+    for i in range(len(gk)):
+        if gv[i]:
+            assert gk[i] not in got, "group appears on two shards"
+            got[int(gk[i])] = (int(gsum[i]), int(gcnt[i]), int(gmin[i]),
+                               int(gmax[i]))
+    exp = {}
+    for k, v, ok in zip(keys_raw, vals, valid):
+        if ok:
+            s, c, lo, hi = exp.get(int(k), (0, 0, 1 << 62, -(1 << 62)))
+            exp[int(k)] = (s + int(v), c + 1, min(lo, int(v)),
+                           max(hi, int(v)))
+    assert got == exp
+
+
+def test_dist_sum(mesh):
+    n = 1024
+    rng = np.random.default_rng(2)
+    vals = rng.integers(-50, 50, n).astype(np.int64)
+    valid = rng.random(n) > 0.2
+
+    @functools.partial(jax.jit)
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(AXIS), P(AXIS)), out_specs=P())
+    def s(v, ok):
+        return par.dist_sum(AXIS, v, ok)
+
+    assert int(s(jnp.asarray(vals), jnp.asarray(valid))) == \
+        int(vals[valid].sum())
+
+
+def test_dist_join_unique(mesh):
+    n_probe, n_build = 2048, 512
+    rng = np.random.default_rng(3)
+    pk = rng.integers(0, 600, n_probe).astype(np.uint64)
+    pv = np.arange(n_probe, dtype=np.int64)
+    bk = rng.permutation(600)[:n_build].astype(np.uint64)  # unique keys
+    bv = (bk * 7).astype(np.int64)
+
+    @functools.partial(jax.jit)
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(AXIS),) * 4,
+                       out_specs=(P(AXIS),) * 5)
+    def run(pkk, pvv, bkk, bvv):
+        ones_p = jnp.ones(pkk.shape, jnp.bool_)
+        ones_b = jnp.ones(bkk.shape, jnp.bool_)
+        k, kvalid, pvals, hit, bvals = par.dist_join_unique(
+            AXIS, pkk, ones_p, (pvv,), bkk, ones_b, (bvv,),
+            n_probe // NDEV, n_build // NDEV)
+        return k, kvalid, pvals[0], hit, bvals[0]
+
+    k, kvalid, pvo, hit, bvo = (np.asarray(x) for x in run(
+        jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(bk), jnp.asarray(bv)))
+    build_map = {int(k_): int(v_) for k_, v_ in zip(bk, bv)}
+    got = {}
+    for i in range(len(k)):
+        if kvalid[i]:
+            got[int(pvo[i])] = (int(k[i]), int(bvo[i]) if hit[i] else None)
+    assert len(got) == n_probe
+    for probe_row, (key, joined) in got.items():
+        assert key == int(pk[probe_row])
+        assert joined == build_map.get(key)
+
+
+def test_dist_sort(mesh):
+    n = 4096
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 1 << 50, n).astype(np.uint64)
+    payload = np.arange(n, dtype=np.int64)
+    valid = rng.random(n) > 0.1
+    cap = (n // NDEV) * 3  # range-partition slack
+
+    @functools.partial(jax.jit)
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(AXIS),) * 3,
+                       out_specs=(P(AXIS),) * 3)
+    def run(k, ok, p):
+        k2, ok2, (p2,) = par.dist_sort(AXIS, k, ok, cap, (p,))
+        return k2, ok2, p2
+
+    k2, ok2, p2 = (np.asarray(x) for x in run(
+        jnp.asarray(keys), jnp.asarray(valid), jnp.asarray(payload)))
+    # collect valid rows shard by shard -> must be globally sorted & complete
+    per_shard = ok2.reshape(NDEV, -1).sum(1)
+    flat_keys = []
+    flat_pay = []
+    for s in range(NDEV):
+        rows = slice(s * (len(k2) // NDEV), (s + 1) * (len(k2) // NDEV))
+        kk, oo, pp = k2[rows], ok2[rows], p2[rows]
+        flat_keys.extend(kk[oo].tolist())
+        flat_pay.extend(pp[oo].tolist())
+    exp_order = np.argsort(keys[valid], kind="stable")
+    np.testing.assert_array_equal(np.array(flat_keys),
+                                  np.sort(keys[valid]))
+    # payload still paired with its key
+    pairs_got = set(zip(flat_keys, flat_pay))
+    pairs_exp = {(int(k), int(p)) for k, p in
+                 zip(keys[valid], payload[valid])}
+    assert pairs_got == pairs_exp
+    assert flat_keys == sorted(flat_keys)
