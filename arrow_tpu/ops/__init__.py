@@ -32,6 +32,14 @@ from .aggregate import (  # noqa: F401
     bool_and, bool_or,
 )
 from .cast import cast, can_cast, CastOptions  # noqa: F401
+from .temporal import (  # noqa: F401
+    date_part, year, month, day, hour, minute, second, millisecond,
+    microsecond, nanosecond, day_of_week, day_of_year, quarter,
+)
+from .bitwise import (  # noqa: F401
+    bit_and, bit_or, bit_xor, bit_not, shift_left, shift_right,
+)
+from .coalesce import BatchCoalescer  # noqa: F401
 from .groupby import group_by, AggSpec, segment_aggregate  # noqa: F401
 from .join import join, join_indices  # noqa: F401
 from .strings import (  # noqa: F401

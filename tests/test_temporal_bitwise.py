@@ -1,0 +1,101 @@
+"""date_part + bitwise kernel goldens vs pyarrow (arrow-arith temporal.rs /
+bitwise.rs parity) and BatchCoalescer behavior."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import compute as ops
+from arrow_tpu.utils.bench_util import (create_primitive_array,
+                                        create_timestamp_array)
+from util import assert_column_equals_pa
+
+
+TS = create_timestamp_array(500, 0.1, unit="us")
+NEG = pa.array([-1, -86_400_000_001, 0, 86_400_000_000 * 400]) \
+    .cast(pa.timestamp("us"))
+DATES = pa.array([0, -1, 18993, -719162], pa.int32()).cast(pa.date32())
+
+
+@pytest.mark.parametrize("arr", [TS, NEG, DATES],
+                         ids=["ts", "ts-neg", "date32"])
+@pytest.mark.parametrize("part,pa_fn", [
+    ("year", pc.year), ("month", pc.month), ("day", pc.day),
+    ("quarter", pc.quarter), ("doy", pc.day_of_year),
+])
+def test_date_parts_golden(arr, part, pa_fn):
+    got = ops.date_part(at.column(arr), part)
+    exp = pa_fn(arr)
+    assert got.to_pylist() == exp.to_pylist()
+
+
+def test_time_parts_golden():
+    got_h = ops.hour(at.column(TS))
+    assert got_h.to_pylist() == pc.hour(TS).to_pylist()
+    assert ops.minute(at.column(TS)).to_pylist() == \
+        pc.minute(TS).to_pylist()
+    assert ops.second(at.column(TS)).to_pylist() == \
+        pc.second(TS).to_pylist()
+    # arrow-rs DatePart::Microsecond is microsecond OF SECOND
+    # (temporal.rs:108: nanosecond()/1000); pyarrow reports the
+    # sub-millisecond component, so compose the golden:
+    exp_us = pc.add(pc.multiply(pc.millisecond(TS), 1000),
+                    pc.microsecond(TS))
+    assert ops.microsecond(at.column(TS)).to_pylist() == exp_us.to_pylist()
+    assert ops.millisecond(at.column(TS)).to_pylist() == \
+        pc.millisecond(TS).to_pylist()
+
+
+def test_day_of_week():
+    # 1970-01-01 was a Thursday: Monday0 -> 3
+    arr = pa.array([0, 1, 2, 3, 4], pa.int32()).cast(pa.date32())
+    got = ops.day_of_week(at.column(arr))
+    assert got.to_pylist() == [3, 4, 5, 6, 0]
+    assert got.to_pylist() == pc.day_of_week(arr).to_pylist()
+
+
+def test_bitwise_golden():
+    a = create_primitive_array(500, 0.1, np.int64, seed=1)
+    b = create_primitive_array(500, 0.1, np.int64, seed=2)
+    ca, cb = at.column(a), at.column(b)
+    assert_column_equals_pa(ops.bit_and(ca, cb), pc.bit_wise_and(a, b))
+    assert_column_equals_pa(ops.bit_or(ca, cb), pc.bit_wise_or(a, b))
+    assert_column_equals_pa(ops.bit_xor(ca, cb), pc.bit_wise_xor(a, b))
+    assert_column_equals_pa(ops.bit_not(ca), pc.bit_wise_not(a))
+
+
+def test_shifts():
+    a = at.column([1, 2, -8, None])
+    s = at.column([3, 1, 1, 2])
+    assert ops.shift_left(a, s).to_pylist() == [8, 4, -16, None]
+    assert ops.shift_right(a, s).to_pylist() == [0, 1, -4, None]
+    # wrapping shift amount (Rust wrapping_shl): 65 % 64 == 1
+    w = ops.shift_left(at.column([1, 1]), at.column([65, 64]))
+    assert w.to_pylist() == [2, 1]
+
+
+def test_coalescer():
+    c = ops.BatchCoalescer(10)
+    for i in range(7):
+        c.push_batch(at.Table.from_pydict({"x": list(range(4))}))
+    got = []
+    while c.has_completed_batch():
+        got.append(c.next_completed_batch())
+    c.finish()
+    while c.has_completed_batch():
+        got.append(c.next_completed_batch())
+    sizes = [t.num_rows for t in got]
+    assert sizes == [10, 10, 8]
+    all_rows = [v for t in got for v in t.column("x").to_pylist()]
+    assert all_rows == list(range(4)) * 7
+
+
+def test_coalescer_with_filter():
+    c = ops.BatchCoalescer(5)
+    t = at.Table.from_pydict({"x": list(range(10))})
+    c.push_batch_with_filter(t, at.column([i % 2 == 0 for i in range(10)]))
+    c.finish()
+    out = c.next_completed_batch()
+    assert out.column("x").to_pylist() == [0, 2, 4, 6, 8]
