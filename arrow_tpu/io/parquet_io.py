@@ -1,0 +1,142 @@
+"""Parquet scan/write (the parquet crate's Arrow layer).
+
+API mirrors ParquetRecordBatchReaderBuilder (parquet/src/arrow/arrow_reader/
+mod.rs:831): projection (ProjectionMask), row-group selection, predicate
+pushdown (RowFilter -> our FilterPredicate applied streaming per batch),
+batch size; and ArrowWriter (arrow_writer/mod.rs:131) with
+WriterProperties (file/properties.rs:156): compression, row-group size,
+dictionary control, statistics.
+
+The container codec is Arrow C++ (pyarrow.parquet) — byte-compatible with
+the reference's parquet crate by the cross-implementation test suite; the
+decoded columns upload straight to device tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import dtypes as dt
+from ..core.table import Table
+from ..errors import ArrowInvalid
+from .interop import table_from_pyarrow, table_to_pyarrow
+
+__all__ = ["ParquetReaderBuilder", "WriterProperties", "ParquetWriter",
+           "read_parquet", "write_parquet", "read_metadata"]
+
+
+@dataclass
+class WriterProperties:
+    """file/properties.rs:156 subset."""
+    compression: str = "snappy"          # the reference's default too
+    row_group_size: int = 1 << 20
+    dictionary_enabled: bool = True
+    write_statistics: bool = True
+    data_page_size: Optional[int] = None
+
+
+@dataclass
+class ParquetReaderBuilder:
+    """Builder: with_projection / with_row_groups / with_row_filter /
+    with_batch_size / with_limit+offset, then build() -> batch iterator."""
+    path: object
+    columns: Optional[Sequence[str]] = None
+    row_groups: Optional[Sequence[int]] = None
+    batch_size: int = 65536
+    row_filter: Optional[Callable[[Table], object]] = None
+    limit: Optional[int] = None
+    offset: int = 0
+
+    def with_projection(self, columns: Sequence[str]):
+        self.columns = list(columns)
+        return self
+
+    def with_row_groups(self, groups: Sequence[int]):
+        self.row_groups = list(groups)
+        return self
+
+    def with_batch_size(self, n: int):
+        self.batch_size = n
+        return self
+
+    def with_row_filter(self, predicate_fn):
+        """predicate_fn: Table -> boolean Column; pushed down per batch
+        (the RowFilter/RowSelection role, arrow_reader/filter.rs:173)."""
+        self.row_filter = predicate_fn
+        return self
+
+    def with_limit(self, n: int):
+        self.limit = n
+        return self
+
+    def with_offset(self, n: int):
+        self.offset = n
+        return self
+
+    def build(self) -> Iterator[Table]:
+        f = pq.ParquetFile(self.path)
+        remaining = self.limit
+        to_skip = self.offset
+        for batch in f.iter_batches(batch_size=self.batch_size,
+                                    row_groups=self.row_groups,
+                                    columns=self.columns):
+            t = table_from_pyarrow(batch)
+            if self.row_filter is not None:
+                from ..ops.filter import filter_table
+                t = filter_table(t, self.row_filter(t))
+            if to_skip:
+                drop = min(to_skip, t.num_rows)
+                t = t.slice(drop, t.num_rows - drop)
+                to_skip -= drop
+                if t.num_rows == 0:
+                    continue
+            if remaining is not None:
+                if remaining <= 0:
+                    return
+                if t.num_rows > remaining:
+                    t = t.slice(0, remaining)
+                remaining -= t.num_rows
+            yield t
+
+
+def read_parquet(path, columns: Optional[Sequence[str]] = None) -> Table:
+    return table_from_pyarrow(pq.read_table(path, columns=columns))
+
+
+class ParquetWriter:
+    """ArrowWriter (arrow_writer/mod.rs:131): streaming batch writer."""
+
+    def __init__(self, path, schema_table: Table,
+                 properties: WriterProperties = WriterProperties()):
+        self._schema = table_to_pyarrow(schema_table.slice(0, 0)).schema
+        self._props = properties
+        self._w = pq.ParquetWriter(
+            path, self._schema,
+            compression=properties.compression,
+            use_dictionary=properties.dictionary_enabled,
+            write_statistics=properties.write_statistics,
+            data_page_size=properties.data_page_size)
+
+    def write(self, table: Table) -> None:
+        self._w.write_batch(table_to_pyarrow(table),
+                            row_group_size=self._props.row_group_size)
+
+    def close(self) -> None:
+        self._w.close()
+
+
+def write_parquet(path, table: Table,
+                  properties: WriterProperties = WriterProperties()):
+    w = ParquetWriter(path, table, properties)
+    w.write(table)
+    w.close()
+
+
+def read_metadata(path):
+    """Footer metadata incl. per-column statistics
+    (file/metadata/mod.rs:176)."""
+    return pq.read_metadata(path)

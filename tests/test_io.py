@@ -1,0 +1,275 @@
+"""I/O layer tests: IPC file/stream/push-decoder, CSV (+ push decoder),
+JSON, Parquet (projection/pushdown/limit), Avro, Flight gRPC roundtrip
+(SURVEY.md §4 tier-2: the in-process server fixture pattern)."""
+
+import io as _io
+import json
+import os
+import struct
+import tempfile
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.io import avro, csv as acsv, ipc, json_io, parquet_io
+from arrow_tpu.utils.bench_util import (create_primitive_array,
+                                        create_string_array)
+
+
+@pytest.fixture
+def table():
+    return at.Table.from_pyarrow(pa.record_batch({
+        "i": create_primitive_array(200, 0.1, np.int64),
+        "f": create_primitive_array(200, 0.2, np.float64),
+        "s": create_string_array(200, 0.1),
+    }))
+
+
+def _eq(a: at.Table, b: at.Table):
+    assert a.to_pydict() == b.to_pydict()
+
+
+class TestIpc:
+    def test_file_roundtrip(self, table, tmp_path):
+        p = str(tmp_path / "t.arrow")
+        ipc.write_file(p, [table, table.slice(0, 10)])
+        back = ipc.read_file(p)
+        assert len(back) == 2
+        _eq(back[0], table)
+        assert back[1].num_rows == 10
+
+    def test_file_compression(self, table, tmp_path):
+        p = str(tmp_path / "t.arrow")
+        ipc.write_file(p, table, compression="zstd")
+        _eq(ipc.read_file(p)[0], table)
+
+    def test_stream_roundtrip(self, table):
+        data = ipc.serialize_table(table)
+        _eq(ipc.deserialize_table(data), table)
+
+    def test_push_decoder_chunked(self, table):
+        data = ipc.serialize_table(table)
+        dec = ipc.StreamDecoder()
+        for i in range(0, len(data), 13):
+            dec.feed(data[i:i + 13])
+        got = dec.next_batch()
+        assert got is not None
+        _eq(got, table)
+
+    def test_push_decoder_dictionary(self):
+        td = at.Table.from_pyarrow(pa.record_batch(
+            {"d": pa.array(["a", "b", "a", None]).dictionary_encode()}))
+        dec = ipc.StreamDecoder()
+        dec.feed(ipc.serialize_table(td))
+        got = dec.next_batch()
+        assert got.to_pydict() == {"d": ["a", "b", "a", None]}
+
+    def test_cross_implementation(self, table, tmp_path):
+        """Our file is readable by stock pyarrow and vice versa."""
+        p = str(tmp_path / "x.arrow")
+        ipc.write_file(p, table)
+        with pa.ipc.open_file(p) as r:
+            assert r.get_batch(0).num_rows == table.num_rows
+
+
+class TestCsv:
+    def test_roundtrip(self, table, tmp_path):
+        p = str(tmp_path / "t.csv")
+        acsv.write_csv(p, table.select(["i", "f"]))
+        back = acsv.read_csv(p)
+        _eq(back, table.select(["i", "f"]))
+
+    def test_schema_inference(self):
+        src = "a,b,c\n1,x,1.5\n2,y,2.5\n"
+        schema = acsv.infer_schema(src)
+        assert [f.dtype for f in schema.fields] == \
+            [at.int64, at.utf8, at.float64]
+
+    def test_explicit_schema(self):
+        src = "a\n1\n2\n"
+        schema = at.Schema((at.Field("a", at.float64),))
+        t = acsv.read_csv(src, schema=schema)
+        assert t.column("a").dtype == at.float64
+
+    def test_push_decoder(self):
+        dec = acsv.ReaderBuilder().build_decoder()
+        dec.decode(b"a,b\n1,x\n2,")
+        t1 = dec.flush()
+        assert t1.to_pydict() == {"a": [1], "b": ["x"]}
+        dec.decode(b"y\n3,z\n")
+        t2 = dec.flush()
+        assert t2.to_pydict() == {"a": [2, 3], "b": ["y", "z"]}
+
+
+class TestJson:
+    def test_read_lines(self):
+        src = '{"a": 1, "b": "x"}\n{"a": null, "b": "y"}\n'
+        t = json_io.read_json(src)
+        assert t.to_pydict() == {"a": [1, None], "b": ["x", "y"]}
+
+    def test_read_objects(self):
+        t = json_io.read_json_objects([{"a": 1}, {"a": 2}])
+        assert t.to_pydict() == {"a": [1, 2]}
+
+    def test_write_lines(self, table):
+        small = table.slice(0, 3)
+        s = json_io.WriterBuilder("lines").write_str(small)
+        rows = [json.loads(l) for l in s.strip().split("\n")]
+        assert len(rows) == 3
+
+    def test_write_array_roundtrip(self):
+        t = at.Table.from_pydict({"a": [1, None, 3], "b": ["x", "y", None]})
+        s = json_io.WriterBuilder("array", explicit_nulls=True).write_str(t)
+        assert json.loads(s) == [{"a": 1, "b": "x"}, {"a": None, "b": "y"},
+                                 {"a": 3, "b": None}]
+
+
+class TestParquet:
+    def test_roundtrip(self, table, tmp_path):
+        p = str(tmp_path / "t.parquet")
+        parquet_io.write_parquet(p, table)
+        _eq(parquet_io.read_parquet(p), table)
+
+    def test_projection_and_batches(self, table, tmp_path):
+        p = str(tmp_path / "t.parquet")
+        parquet_io.write_parquet(p, table)
+        batches = list(parquet_io.ParquetReaderBuilder(p)
+                       .with_projection(["i"])
+                       .with_batch_size(64).build())
+        assert all(b.column_names == ["i"] for b in batches)
+        assert sum(b.num_rows for b in batches) == table.num_rows
+
+    def test_row_filter_pushdown(self, table, tmp_path):
+        from arrow_tpu import compute as ops
+        p = str(tmp_path / "t.parquet")
+        parquet_io.write_parquet(p, table)
+        batches = list(parquet_io.ParquetReaderBuilder(p)
+                       .with_row_filter(lambda t: ops.gt(t["i"], 0))
+                       .build())
+        total = sum(b.num_rows for b in batches)
+        exp = sum(1 for v in table.column("i").to_pylist()
+                  if v is not None and v > 0)
+        assert total == exp
+
+    def test_limit_offset(self, table, tmp_path):
+        p = str(tmp_path / "t.parquet")
+        parquet_io.write_parquet(p, table)
+        got = list(parquet_io.ParquetReaderBuilder(p).with_batch_size(32)
+                   .with_offset(10).with_limit(50).build())
+        assert sum(b.num_rows for b in got) == 50
+        first = got[0].column("i").to_pylist()[0]
+        assert first == table.column("i").to_pylist()[10]
+
+    def test_metadata(self, table, tmp_path):
+        p = str(tmp_path / "t.parquet")
+        parquet_io.write_parquet(p, table)
+        md = parquet_io.read_metadata(p)
+        assert md.num_rows == table.num_rows
+
+
+def _avro_bytes(rows, schema_json, codec=b"null"):
+    """Hand-rolled avro writer for test fixtures."""
+    def zz(n):
+        n = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def enc_str(s):
+        b = s.encode() if isinstance(s, str) else s
+        return zz(len(b)) + b
+
+    def enc_val(v, sch):
+        if isinstance(sch, list):
+            if v is None:
+                return zz(sch.index("null"))
+            idx = next(i for i, s in enumerate(sch) if s != "null")
+            return zz(idx) + enc_val(v, sch[idx])
+        if sch == "long" or sch == "int":
+            return zz(v)
+        if sch == "double":
+            return struct.pack("<d", v)
+        if sch == "string":
+            return enc_str(v)
+        if sch == "boolean":
+            return b"\x01" if v else b"\x00"
+        raise AssertionError(sch)
+
+    schema = json.loads(schema_json)
+    body = b""
+    for r in rows:
+        for f in schema["fields"]:
+            body += enc_val(r[f["name"]], f["type"])
+    if codec == b"deflate":
+        comp = zlib.compressobj(wbits=-15)
+        body = comp.compress(body) + comp.flush()
+    sync = b"S" * 16
+    header = b"Obj\x01"
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec}
+    header += zz(len(meta))
+    for k, v in meta.items():
+        header += enc_str(k) + enc_str(v)
+    header += zz(0) + sync
+    return header + zz(len(rows)) + zz(len(body)) + body + sync
+
+
+class TestAvro:
+    SCHEMA = json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "x", "type": "double"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "ok", "type": "boolean"},
+        ]})
+    ROWS = [{"id": 1, "x": 1.5, "s": "a", "ok": True},
+            {"id": -2, "x": -0.25, "s": None, "ok": False},
+            {"id": 3, "x": 2.0, "s": "ccc", "ok": True}]
+
+    def test_read(self):
+        t = avro.read_avro(_avro_bytes(self.ROWS, self.SCHEMA))
+        assert t.to_pydict() == {
+            "id": [1, -2, 3], "x": [1.5, -0.25, 2.0],
+            "s": ["a", None, "ccc"], "ok": [True, False, True]}
+
+    def test_deflate(self):
+        t = avro.read_avro(_avro_bytes(self.ROWS, self.SCHEMA,
+                                       codec=b"deflate"))
+        assert t.num_rows == 3
+
+    def test_reader_builder_batches(self):
+        t = avro.ReaderBuilder(batch_size=2).build(
+            _avro_bytes(self.ROWS, self.SCHEMA))
+        assert [b.num_rows for b in t] == [2, 1]
+
+
+class TestFlight:
+    def test_do_get_do_put_exchange(self, table):
+        from arrow_tpu.io.flight import FlightServer, FlightTableClient
+        from arrow_tpu import compute as ops
+        server = FlightServer(
+            exchange_fn=lambda t: at.Table(
+                (ops.add(t["i"], at.scalar(1)),),
+                at.Schema((at.Field("i", at.int64),))))
+        server.register("t0", table)
+        client = FlightTableClient(server.uri)
+        try:
+            assert "t0" in client.list_flights()
+            got = client.do_get("t0")
+            _eq(got, table)
+            client.do_put("up", table.slice(0, 50))
+            _eq(server.get_table("up"), table.slice(0, 50))
+            small = at.Table.from_pydict({"i": [1, 2, None]})
+            outs = client.do_exchange("x", small)
+            assert outs[0].to_pydict() == {"i": [2, 3, None]}
+        finally:
+            client.close()
+            server.shutdown()
