@@ -19,6 +19,7 @@ from ..core.column import (Column, DictionaryColumn, ListColumn, NullColumn,
                            PrimitiveColumn, StringColumn, StructColumn)
 from ..core.table import Table
 from ..errors import ArrowNotImplementedError
+from ..utils import native as _native
 
 __all__ = ["column_from_pyarrow", "column_to_pyarrow",
            "table_from_pyarrow", "table_to_pyarrow",
@@ -206,7 +207,7 @@ def column_to_pyarrow(col: Column) -> pa.Array:
         data = np.asarray(col.data, np.uint8)
         validity_buf = None
         if col.validity is not None:
-            bits = np.packbits(np.asarray(col.validity), bitorder="little")
+            bits = _native.pack_bits(np.asarray(col.validity, np.uint8))
             validity_buf = pa.py_buffer(bits.tobytes())
         cls = pa.StringArray if col.dtype.is_string else pa.BinaryArray
         return cls.from_buffers(len(col), pa.py_buffer(offs.tobytes()),
@@ -224,7 +225,7 @@ def column_to_pyarrow(col: Column) -> pa.Array:
         out = pa.ListArray.from_arrays(offs, child)
         if col.validity is not None:
             # from_arrays lacks a mask argument pre-14; rebuild with validity
-            bits = np.packbits(np.asarray(col.validity), bitorder="little")
+            bits = _native.pack_bits(np.asarray(col.validity, np.uint8))
             out = pa.Array.from_buffers(
                 out.type, len(col),
                 [pa.py_buffer(bits.tobytes()), out.buffers()[1]],
@@ -236,7 +237,7 @@ def column_to_pyarrow(col: Column) -> pa.Array:
         names = [f.name for f in col.fields]
         out = pa.StructArray.from_arrays(children, names)
         if col.validity is not None:
-            bits = np.packbits(np.asarray(col.validity), bitorder="little")
+            bits = _native.pack_bits(np.asarray(col.validity, np.uint8))
             out = pa.Array.from_buffers(out.type, len(col),
                                         [pa.py_buffer(bits.tobytes())],
                                         children=children)

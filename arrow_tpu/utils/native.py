@@ -1,0 +1,166 @@
+"""ctypes bindings to the native hostcodec library (native/hostcodec.cpp).
+
+Auto-builds with g++ on first use if the shared object is missing; every
+entry point has a NumPy fallback so the engine works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["available", "pack_bits", "unpack_bits", "count_set_bits",
+           "decode_zigzag_longs", "encode_rows", "argsort_rows"]
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO = os.path.join(_NATIVE_DIR, "libhostcodec.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.c_int64
+    lib.pack_bits.argtypes = [u8p, i64, u8p]
+    lib.unpack_bits.argtypes = [u8p, i64, u8p]
+    lib.count_set_bits.argtypes = [u8p, i64]
+    lib.count_set_bits.restype = i64
+    lib.decode_zigzag_longs.argtypes = [
+        u8p, i64, i64, i64, ctypes.POINTER(ctypes.c_int64)]
+    lib.decode_zigzag_longs.restype = i64
+    lib.encode_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        u8p, u8p, i64, ctypes.c_int32, u8p]
+    lib.argsort_rows.argtypes = [u8p, i64, i64,
+                                 ctypes.POINTER(ctypes.c_uint32)]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def pack_bits(mask: np.ndarray) -> np.ndarray:
+    mask = np.ascontiguousarray(mask, np.uint8)
+    lib = _load()
+    if lib is None:
+        return np.packbits(mask.view(bool), bitorder="little")
+    out = np.zeros((len(mask) + 7) // 8, np.uint8)
+    lib.pack_bits(_u8(mask), len(mask), _u8(out))
+    return out
+
+
+def unpack_bits(bits: np.ndarray, n: int) -> np.ndarray:
+    bits = np.ascontiguousarray(bits, np.uint8)
+    lib = _load()
+    if lib is None:
+        return np.unpackbits(bits, count=n, bitorder="little").astype(bool)
+    out = np.zeros(n, np.uint8)
+    lib.unpack_bits(_u8(bits), n, _u8(out))
+    return out.view(bool)
+
+
+def count_set_bits(bits: np.ndarray, n: int) -> int:
+    bits = np.ascontiguousarray(bits, np.uint8)
+    lib = _load()
+    if lib is None:
+        return int(np.unpackbits(bits, count=n, bitorder="little").sum())
+    return int(lib.count_set_bits(_u8(bits), n))
+
+
+def decode_zigzag_longs(data: bytes, pos: int, count: int):
+    """-> (values int64[count], new_pos); the avro hot loop."""
+    lib = _load()
+    if lib is None:
+        out = np.zeros(count, np.int64)
+        for k in range(count):
+            shift = acc = 0
+            while True:
+                b = data[pos]
+                pos += 1
+                acc |= (b & 0x7F) << shift
+                if not (b & 0x80):
+                    break
+                shift += 7
+            out[k] = (acc >> 1) ^ -(acc & 1)
+        return out, pos
+    arr = np.frombuffer(data, np.uint8)
+    out = np.zeros(count, np.int64)
+    new_pos = lib.decode_zigzag_longs(
+        _u8(arr), len(arr), pos, count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if new_pos < 0:
+        raise ValueError("truncated avro varint data")
+    return out, int(new_pos)
+
+
+def encode_rows(keys, valids, desc, nulls_first) -> np.ndarray:
+    """keys: list of uint64[n]; valids: list of bool[n] or None.
+    -> uint8[n, ncols*9] memcmp-comparable rows."""
+    ncols = len(keys)
+    n = len(keys[0])
+    keys = [np.ascontiguousarray(k, np.uint64) for k in keys]
+    valids_np = [None if v is None else np.ascontiguousarray(v, np.uint8)
+                 for v in valids]
+    lib = _load()
+    out = np.zeros((n, ncols * 9), np.uint8)
+    if lib is None:
+        for c in range(ncols):
+            k = keys[c].copy()
+            ok = np.ones(n, bool) if valids_np[c] is None \
+                else valids_np[c].view(bool)
+            if desc[c]:
+                k = ~k
+            k[~ok] = 0
+            tag = np.where(ok, 0x01, 0x00 if nulls_first[c] else 0xFF)
+            out[:, c * 9] = tag
+            out[:, c * 9 + 1: c * 9 + 9] = \
+                k[:, None].view(np.uint8).reshape(n, 8)[:, ::-1]
+        return out
+    key_ptrs = (ctypes.c_void_p * ncols)(
+        *[k.ctypes.data for k in keys])
+    valid_ptrs = (ctypes.c_void_p * ncols)(
+        *[0 if v is None else v.ctypes.data for v in valids_np])
+    desc_a = np.ascontiguousarray(desc, np.uint8)
+    nf_a = np.ascontiguousarray(nulls_first, np.uint8)
+    lib.encode_rows(key_ptrs, valid_ptrs, _u8(desc_a), _u8(nf_a), n,
+                    ncols, _u8(out))
+    return out
+
+
+def argsort_rows(rows: np.ndarray) -> np.ndarray:
+    rows = np.ascontiguousarray(rows, np.uint8)
+    n, width = rows.shape
+    lib = _load()
+    if lib is None:
+        view = rows.view([("b", np.uint8, width)]).ravel()
+        return np.argsort(view, kind="stable").astype(np.uint32)
+    out = np.zeros(n, np.uint32)
+    lib.argsort_rows(_u8(rows), n, width,
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out

@@ -1,0 +1,127 @@
+// hostcodec: native host-side codecs for the arrow_tpu engine.
+//
+// The reference implements its entire hot path in native code; in this
+// engine the device hot path is XLA/Pallas, and THIS library covers the
+// host-side loops that sit on the ingest/egress boundary where Python is
+// 100-1000x too slow:
+//   - validity bitmap pack/unpack (Arrow bitmap <-> dense bool mask)
+//   - Avro zigzag-varint block decode (arrow-avro reader/vlq.rs role)
+//   - order-preserving row encoding (arrow-row fixed.rs: tag byte +
+//     big-endian key) and memcmp row argsort (Row::cmp, lib.rs:1166)
+//
+// C ABI, loaded via ctypes (no pybind11 in this image).  Build: make -C
+// native.  All functions are pure (caller owns buffers).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+
+extern "C" {
+
+// ---- validity bitmaps -------------------------------------------------------
+
+// dense bool (1 byte/elem) -> LSB-first packed bits (Arrow validity layout)
+void pack_bits(const uint8_t* mask, int64_t n, uint8_t* out) {
+    std::memset(out, 0, (n + 7) / 8);
+    for (int64_t i = 0; i < n; ++i) {
+        out[i >> 3] |= static_cast<uint8_t>(mask[i] != 0) << (i & 7);
+    }
+}
+
+void unpack_bits(const uint8_t* bits, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = (bits[i >> 3] >> (i & 7)) & 1;
+    }
+}
+
+int64_t count_set_bits(const uint8_t* bits, int64_t n) {
+    int64_t cnt = 0;
+    int64_t i = 0;
+    for (; i + 64 <= n; i += 64) {
+        uint64_t w;
+        std::memcpy(&w, bits + (i >> 3), 8);
+        cnt += __builtin_popcountll(w);
+    }
+    for (; i < n; ++i) cnt += (bits[i >> 3] >> (i & 7)) & 1;
+    return cnt;
+}
+
+// ---- avro vlq/zigzag block decode -------------------------------------------
+
+// Decode `count` zigzag varints starting at data[pos]; returns new pos or
+// -1 on truncation.  (arrow-avro reader/vlq.rs, decode-only.)
+int64_t decode_zigzag_longs(const uint8_t* data, int64_t len, int64_t pos,
+                            int64_t count, int64_t* out) {
+    for (int64_t k = 0; k < count; ++k) {
+        uint64_t acc = 0;
+        int shift = 0;
+        while (true) {
+            if (pos >= len) return -1;
+            uint8_t b = data[pos++];
+            acc |= static_cast<uint64_t>(b & 0x7F) << shift;
+            if (!(b & 0x80)) break;
+            shift += 7;
+            if (shift > 63) return -1;
+        }
+        out[k] = static_cast<int64_t>(acc >> 1) ^ -static_cast<int64_t>(acc & 1);
+    }
+    return pos;
+}
+
+// ---- order-preserving row encoding (arrow-row fixed.rs) ----------------------
+
+// keys: column-major (ncols arrays of n uint64 value keys, pre-transformed
+// order-preserving); valid: ncols arrays of n bools (nullptr = all valid).
+// Emits rows of ncols * 9 bytes: [tag][8B big-endian key] per column.
+// tag: 0x01 valid; null tag 0x00 (nulls first) or 0xFF (nulls last).
+// desc: invert key bytes (descending).
+void encode_rows(const uint64_t* const* keys, const uint8_t* const* valid,
+                 const uint8_t* desc, const uint8_t* nulls_first,
+                 int64_t n, int32_t ncols, uint8_t* out) {
+    const int64_t width = static_cast<int64_t>(ncols) * 9;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t* row = out + i * width;
+        for (int32_t c = 0; c < ncols; ++c) {
+            uint8_t* cell = row + c * 9;
+            bool ok = valid[c] == nullptr || valid[c][i];
+            uint64_t k = ok ? keys[c][i] : 0;
+            if (desc[c]) k = ~k;
+            cell[0] = ok ? 0x01 : (nulls_first[c] ? 0x00 : 0xFF);
+            for (int b = 0; b < 8; ++b) {
+                cell[1 + b] = static_cast<uint8_t>(k >> (56 - 8 * b));
+            }
+        }
+    }
+}
+
+// Stable argsort of fixed-width rows by memcmp (Row: Ord, lib.rs:1166).
+void argsort_rows(const uint8_t* rows, int64_t n, int64_t width,
+                  uint32_t* out) {
+    std::iota(out, out + n, 0u);
+    std::stable_sort(out, out + n, [&](uint32_t a, uint32_t b) {
+        return std::memcmp(rows + static_cast<int64_t>(a) * width,
+                           rows + static_cast<int64_t>(b) * width,
+                           width) < 0;
+    });
+}
+
+// ---- selection host fallbacks ------------------------------------------------
+
+// Gather of 8-byte elements (host-side take for spill/io paths).
+void gather64(const uint64_t* src, const int64_t* idx, int64_t n,
+              uint64_t* out) {
+    for (int64_t i = 0; i < n; ++i) out[i] = src[idx[i]];
+}
+
+// Filter-compact 8-byte elements; returns kept count.
+int64_t compact64(const uint64_t* src, const uint8_t* keep, int64_t n,
+                  uint64_t* out) {
+    int64_t k = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (keep[i]) out[k++] = src[i];
+    }
+    return k;
+}
+
+}  // extern "C"
