@@ -30,13 +30,14 @@ def on_tpu() -> bool:
 
 # Pallas kernels compile only on real TPU; on CPU we run them in interpreter
 # mode (slow) or fall back to pure-XLA implementations.  Tests on the virtual
-# 8-device CPU mesh use the XLA fallback path by default.
-_USE_PALLAS = os.environ.get("ARROW_TPU_USE_PALLAS", "auto")
+# 8-device CPU mesh use the XLA fallback path by default and opt in per-test
+# (env read at call time so monkeypatching works).
 
 
 def use_pallas() -> bool:
-    if _USE_PALLAS == "1":
+    flag = os.environ.get("ARROW_TPU_USE_PALLAS", "auto")
+    if flag == "1":
         return True
-    if _USE_PALLAS == "0":
+    if flag == "0":
         return False
     return on_tpu()

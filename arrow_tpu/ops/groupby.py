@@ -71,6 +71,14 @@ def group_by(table: Table, keys: Sequence[str],
             fields.append(f)
         return Table(out_cols, dt.Schema(tuple(fields)))
 
+    # TPU hash-agg fast path: dictionary keys with a small combined code
+    # domain aggregate in ONE pass over the data (Pallas one-hot kernels)
+    # with no row sort at all — the 10M-row lexsort below exists only to
+    # discover groups.
+    fast = _dictionary_fast_path(table, key_cols, keys, aggs)
+    if fast is not None:
+        return fast
+
     # 1-2: stable sort by encoded keys
     keystack = encode_keys(key_cols, [SortOptions()] * len(key_cols))
     order = lexsort_indices_from_keys(keystack).astype(jnp.int64)
@@ -99,6 +107,134 @@ def group_by(table: Table, keys: Sequence[str],
     return Table(out_cols, dt.Schema(tuple(fields)))
 
 
+def _pallas_agg_ok(src: Column, op: str) -> bool:
+    """Whether the Pallas grouped kernels cover this (column, op)."""
+    if op in ("count", "count_all"):
+        return True
+    if not isinstance(src, PrimitiveColumn):
+        return False
+    d = src.values.dtype
+    if not (jnp.issubdtype(d, jnp.integer) and d != jnp.bool_):
+        return False
+    return op in ("sum", "mean", "min", "max")
+
+
+def _pallas_agg_from_codes(src: Column, a: AggSpec, codes, num_groups: int
+                           ) -> Tuple[Column, dt.Field]:
+    """One aggregate over dense group codes via the Pallas kernels
+    (kernels/segagg.py, kernels/groupminmax.py) — no sort, no scatter."""
+    from ..kernels.segagg import grouped_sum_count, grouped_count
+    from ..kernels.groupminmax import grouped_min_max
+    from ..core.column import NullColumn
+    out_dt = _agg_dtype(src.dtype, a.op)
+    valid = src.is_valid_mask()
+    if isinstance(src, NullColumn):
+        valid = jnp.zeros((len(src),), jnp.bool_)
+
+    if a.op == "count_all":
+        cnt = grouped_count(codes, None, num_groups)
+        return PrimitiveColumn(cnt, dt.int64), \
+            dt.Field(a.out_name, dt.int64, nullable=False)
+    if a.op == "count":
+        cnt = grouped_count(codes, valid, num_groups)
+        return PrimitiveColumn(cnt, dt.int64), \
+            dt.Field(a.out_name, dt.int64, nullable=False)
+
+    sums, counts = grouped_sum_count(src.values, codes, valid, num_groups)
+    group_valid = counts > 0
+    group_mask = None if bool(jnp.all(group_valid)) else group_valid
+    if a.op == "sum":
+        return PrimitiveColumn(sums.astype(src.dtype.to_jax()), out_dt,
+                               group_mask), dt.Field(a.out_name, out_dt)
+    if a.op == "mean":
+        m = sums.astype(jnp.float64) / jnp.maximum(counts, 1) \
+            .astype(jnp.float64)
+        return PrimitiveColumn(m, out_dt, group_mask), \
+            dt.Field(a.out_name, out_dt)
+    mn, mx = grouped_min_max(src.values, codes, valid, num_groups,
+                             want_min=a.op == "min",
+                             want_max=a.op == "max")
+    r = mn if a.op == "min" else mx
+    return PrimitiveColumn(r, out_dt, group_mask), \
+        dt.Field(a.out_name, out_dt)
+
+
+def _dictionary_fast_path(table: Table, key_cols, keys, aggs
+                          ) -> Optional[Table]:
+    """GROUP BY over dictionary-encoded keys without sorting the rows.
+
+    Combined key code = mixed-radix digit stack over (dict size + 1) per
+    key (the extra digit encodes null).  All aggregates run in one
+    streaming pass via the Pallas one-hot kernels; only the <= G_MAX
+    group-sized arrays are then ordered (same encoded-key lexsort as the
+    general path, so output order is identical).
+    """
+    from .. import config
+    from ..kernels.segagg import grouped_count, G_MAX
+    if not config.use_pallas():
+        return None
+    if not all(isinstance(c, DictionaryColumn) for c in key_cols):
+        return None
+    sizes = [len(c.values) for c in key_cols]
+    g_total = 1
+    for s in sizes:
+        g_total *= s + 1
+    if not (0 < g_total <= G_MAX):
+        return None
+    for a in aggs:
+        if not _pallas_agg_ok(table.column(a.column), a.op):
+            return None
+
+    # combined dense code per row (null key value -> digit `size`)
+    n = table.num_rows
+    combined = jnp.zeros((n,), jnp.int32)
+    for c, size in zip(key_cols, sizes):
+        digit = c.codes.astype(jnp.int32)
+        if c.validity is not None:
+            digit = jnp.where(c.validity, digit, jnp.int32(size))
+        combined = combined * jnp.int32(size + 1) + digit
+
+    occupancy = grouped_count(combined, None, g_total)      # count_all
+    occupied = occupancy > 0
+
+    # group-sized key columns (decode mixed-radix digits)
+    gids = jnp.arange(g_total, dtype=jnp.int64)
+    key_cols_g: List[Column] = []
+    stride = g_total
+    for c, size in zip(key_cols, sizes):
+        stride //= (size + 1)
+        digit = (gids // stride) % (size + 1)
+        is_null = digit == size
+        codes_g = jnp.where(is_null, jnp.int64(0), digit) \
+            .astype(c.codes.dtype)
+        mask = None if not bool(jnp.any(is_null)) else ~is_null
+        key_cols_g.append(DictionaryColumn(codes_g, c.values, mask,
+                                           _canonical=True))
+
+    # aggregates over the combined codes
+    agg_cols: List[Column] = []
+    fields = [table.schema.field(k) for k in keys]
+    agg_fields: List[dt.Field] = []
+    for a in aggs:
+        col, f = _pallas_agg_from_codes(table.column(a.column), a,
+                                        combined, g_total)
+        agg_cols.append(col)
+        agg_fields.append(f)
+
+    # order groups exactly like the general path: lexsort the encoded
+    # keys (nulls first), then drop unoccupied combinations
+    keystack_g = encode_keys(key_cols_g, [SortOptions()] * len(key_cols_g))
+    order_g = lexsort_indices_from_keys(keystack_g).astype(jnp.int64)
+    occ_sorted = occupied[order_g]
+    n_occ = int(jnp.sum(occ_sorted))     # host sync (output cardinality)
+    sel = order_g[jnp.nonzero(occ_sorted, size=n_occ)[0]]
+    sel_col = PrimitiveColumn(sel, dt.int64)
+
+    out_cols = [take_kernel(c, sel_col) for c in key_cols_g]
+    out_cols += [take_kernel(c, sel_col) for c in agg_cols]
+    return Table(out_cols, dt.Schema(tuple(fields + agg_fields)))
+
+
 def _empty_agg(table: Table, a: AggSpec):
     src = table.column(a.column)
     out_dt = _agg_dtype(src.dtype, a.op)
@@ -118,6 +254,26 @@ def _segment_agg(table: Table, a: AggSpec, order, gid, num_groups: int
                  ) -> Tuple[Column, dt.Field]:
     src = table.column(a.column)
     from ..core.column import NullColumn
+
+    # Pallas route: XLA segment_* lower to scatter on TPU (measured
+    # 0.005-0.014 Grows/s on v5e vs 0.2-0.4 for the one-hot kernels).
+    from .. import config
+    from ..kernels.segagg import G_MAX
+    if (config.use_pallas() and num_groups <= G_MAX
+            and _pallas_agg_ok(src, a.op)
+            and not isinstance(src, NullColumn)):
+        codes = gid.astype(jnp.int32)
+        if isinstance(src, PrimitiveColumn):
+            mask = None if src.validity is None \
+                else src.is_valid_mask()[order]
+            sorted_src: Column = PrimitiveColumn(
+                src.values[order], src.dtype, mask, _canonical=True)
+        else:   # count/count_all need only validity
+            mask = src.is_valid_mask()[order]
+            sorted_src = PrimitiveColumn(
+                jnp.zeros((len(src),), jnp.int64), dt.int64, mask,
+                _canonical=True)
+        return _pallas_agg_from_codes(sorted_src, a, codes, num_groups)
     if isinstance(src, NullColumn):
         # all-null input: sum/min/max per group are null; counts are 0
         if a.op in ("count", "count_all"):
