@@ -170,7 +170,7 @@ def _dictionary_fast_path(table: Table, key_cols, keys, aggs
     general path, so output order is identical).
     """
     from .. import config
-    from ..kernels.segagg import grouped_count, G_MAX
+    from ..kernels.segagg import G_MAX
     if not config.use_pallas():
         return None
     if not all(isinstance(c, DictionaryColumn) for c in key_cols):
@@ -194,7 +194,59 @@ def _dictionary_fast_path(table: Table, key_cols, keys, aggs
             digit = jnp.where(c.validity, digit, jnp.int32(size))
         combined = combined * jnp.int32(size + 1) + digit
 
-    occupancy = grouped_count(combined, None, g_total)      # count_all
+    # collect all aggregate requests into ONE fused kernel launch: the
+    # one-hot is built once per block and shared; sums/counts/min/max for
+    # every column come out of a single pass over the batch.
+    from ..kernels.groupagg import grouped_aggregate, SumCol, MinMaxCol
+    from ..core.column import NullColumn
+
+    def col_valid(src):
+        if isinstance(src, NullColumn):
+            return jnp.zeros((len(src),), jnp.bool_)
+        return None if src.validity is None else src.is_valid_mask()
+
+    sum_specs: List[SumCol] = [SumCol(jnp.zeros((n,), jnp.int64), None)]
+    sum_slot = {None: 0}           # None key = occupancy / count_all
+    mm_specs: List[MinMaxCol] = []
+    mm_slot = {}
+    for a in aggs:
+        src = table.column(a.column)
+        if a.op == "count_all":
+            continue               # slot 0
+        if a.op == "count":
+            key = ("cnt", a.column)
+            if key not in sum_slot:
+                sum_slot[key] = len(sum_specs)
+                sum_specs.append(SumCol(jnp.zeros((n,), jnp.int64),
+                                        col_valid(src)))
+        elif a.op in ("sum", "mean"):
+            key = ("sum", a.column)
+            if key not in sum_slot:
+                sum_slot[key] = len(sum_specs)
+                sum_specs.append(SumCol(src.values, col_valid(src)))
+        else:                      # min / max
+            key = ("mm", a.column)
+            if key not in mm_slot:
+                mm_slot[key] = len(mm_specs)
+                mm_specs.append(MinMaxCol(src.values, col_valid(src),
+                                          want_min=False, want_max=False))
+                if col_valid(src) is not None:
+                    # empty-group masking needs per-group valid counts
+                    ckey = ("cnt", a.column)
+                    if ckey not in sum_slot:
+                        sum_slot[ckey] = len(sum_specs)
+                        sum_specs.append(SumCol(jnp.zeros((n,), jnp.int64),
+                                                col_valid(src)))
+            spec = mm_specs[mm_slot[key]]
+            if a.op == "min":
+                spec.want_min = True
+            else:
+                spec.want_max = True
+
+    sums, counts, mms = grouped_aggregate(combined, g_total,
+                                          sum_cols=sum_specs,
+                                          mm_cols=mm_specs)
+    occupancy = counts[0]
     occupied = occupancy > 0
 
     # group-sized key columns (decode mixed-radix digits)
@@ -211,15 +263,46 @@ def _dictionary_fast_path(table: Table, key_cols, keys, aggs
         key_cols_g.append(DictionaryColumn(codes_g, c.values, mask,
                                            _canonical=True))
 
-    # aggregates over the combined codes
+    # materialize each aggregate from the fused kernel outputs
     agg_cols: List[Column] = []
     fields = [table.schema.field(k) for k in keys]
     agg_fields: List[dt.Field] = []
     for a in aggs:
-        col, f = _pallas_agg_from_codes(table.column(a.column), a,
-                                        combined, g_total)
-        agg_cols.append(col)
-        agg_fields.append(f)
+        src = table.column(a.column)
+        out_dt = _agg_dtype(src.dtype, a.op)
+        if a.op == "count_all":
+            agg_cols.append(PrimitiveColumn(occupancy, dt.int64))
+            agg_fields.append(dt.Field(a.out_name, dt.int64,
+                                       nullable=False))
+            continue
+        if a.op == "count":
+            cnt = counts[sum_slot[("cnt", a.column)]]
+            agg_cols.append(PrimitiveColumn(cnt, dt.int64))
+            agg_fields.append(dt.Field(a.out_name, dt.int64,
+                                       nullable=False))
+            continue
+        if a.op in ("sum", "mean"):
+            slot = sum_slot[("sum", a.column)]
+            s, c = sums[slot], counts[slot]
+        else:
+            mn, mx = mms[mm_slot[("mm", a.column)]]
+            # per-group valid count: registered above for nullable
+            # columns; all-valid columns reuse occupancy
+            c = counts[sum_slot[("cnt", a.column)]] \
+                if ("cnt", a.column) in sum_slot else occupancy
+        group_valid = c > 0
+        group_mask = None if bool(jnp.all(group_valid)) else group_valid
+        if a.op == "sum":
+            agg_cols.append(PrimitiveColumn(s.astype(src.dtype.to_jax()),
+                                            out_dt, group_mask))
+        elif a.op == "mean":
+            m = s.astype(jnp.float64) / jnp.maximum(c, 1) \
+                .astype(jnp.float64)
+            agg_cols.append(PrimitiveColumn(m, out_dt, group_mask))
+        else:
+            r = mn if a.op == "min" else mx
+            agg_cols.append(PrimitiveColumn(r, out_dt, group_mask))
+        agg_fields.append(dt.Field(a.out_name, out_dt))
 
     # order groups exactly like the general path: lexsort the encoded
     # keys (nulls first), then drop unoccupied combinations
