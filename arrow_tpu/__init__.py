@@ -16,12 +16,16 @@ from . import config  # noqa: F401  (must run first: enables x64)
 
 from . import dtypes
 from .dtypes import (  # noqa: F401
-    DataType, Field, Schema,
+    DataType, Field, Schema, ExtensionType,
     null, bool_, int8, int16, int32, int64,
     uint8, uint16, uint32, uint64, float16, float32, float64,
-    utf8, large_utf8, binary, date32, date64,
-    timestamp, time32, time64, duration, decimal128,
-    dictionary, list_, struct, fixed_size_list,
+    utf8, large_utf8, utf8_view, binary, large_binary, binary_view,
+    fixed_size_binary, date32, date64,
+    timestamp, time32, time64, duration, interval,
+    decimal32, decimal64, decimal128, decimal256,
+    dictionary, list_, large_list, struct, fixed_size_list, map_,
+    union, run_end_encoded,
+    uuid, json_, bool8, fixed_shape_tensor, opaque,
 )
 from .errors import (  # noqa: F401
     ArrowError, ArrowTypeError, ArrowInvalid, ArrowNotImplementedError,
@@ -30,6 +34,10 @@ from .errors import (  # noqa: F401
 from .core.column import (  # noqa: F401
     Column, PrimitiveColumn, StringColumn, DictionaryColumn,
     ListColumn, StructColumn, NullColumn, column,
+)
+from .core.nested import (  # noqa: F401
+    FixedSizeListColumn, FixedSizeBinaryColumn, MapColumn,
+    UnionColumn, RunEndColumn, DecimalColumn, IntervalMDNColumn,
 )
 from .core.datum import Scalar, scalar  # noqa: F401
 from .core.table import Table, RecordBatch  # noqa: F401

@@ -30,10 +30,14 @@ import numpy as np
 __all__ = [
     "DataType", "null", "bool_", "int8", "int16", "int32", "int64",
     "uint8", "uint16", "uint32", "uint64", "float16", "float32", "float64",
-    "utf8", "large_utf8", "binary", "date32", "date64",
-    "timestamp", "time32", "time64", "duration", "decimal128",
-    "dictionary", "list_", "struct", "fixed_size_list", "map_",
-    "Field", "Schema",
+    "utf8", "large_utf8", "utf8_view", "binary", "large_binary",
+    "binary_view", "fixed_size_binary", "date32", "date64",
+    "timestamp", "time32", "time64", "duration", "interval",
+    "decimal32", "decimal64", "decimal128", "decimal256",
+    "dictionary", "list_", "large_list", "struct", "fixed_size_list",
+    "map_", "union", "run_end_encoded",
+    "Field", "Schema", "ExtensionType",
+    "uuid", "json_", "bool8", "fixed_shape_tensor", "opaque",
 ]
 
 
@@ -47,10 +51,12 @@ class DataType:
     tz: Optional[str] = None          # timestamp timezone
     precision: Optional[int] = None   # decimal precision
     scale: Optional[int] = None       # decimal scale
-    index_type: Optional["DataType"] = None   # dictionary key type
+    index_type: Optional["DataType"] = None   # dictionary key / run-end type
     value_type: Optional["DataType"] = None   # dictionary/list value type
-    fields: Optional[Tuple["Field", ...]] = None  # struct children
-    list_size: Optional[int] = None   # fixed-size list
+    fields: Optional[Tuple["Field", ...]] = None  # struct/union children
+    list_size: Optional[int] = None   # fixed-size list / fixed-size binary
+    mode: Optional[str] = None        # union: 'sparse' | 'dense'
+    type_ids: Optional[Tuple[int, ...]] = None  # union child type ids
 
     # ---- categories ------------------------------------------------------
     @property
@@ -75,12 +81,13 @@ class DataType:
 
     @property
     def is_decimal(self) -> bool:
-        return self.name == "decimal128"
+        return self.name in ("decimal32", "decimal64", "decimal128",
+                             "decimal256")
 
     @property
     def is_temporal(self) -> bool:
         return self.name in ("timestamp", "date32", "date64",
-                             "time32", "time64", "duration")
+                             "time32", "time64", "duration", "interval")
 
     @property
     def is_boolean(self) -> bool:
@@ -88,20 +95,29 @@ class DataType:
 
     @property
     def is_string(self) -> bool:
-        return self.name in ("utf8", "large_utf8")
+        return self.name in ("utf8", "large_utf8", "utf8_view")
 
     @property
     def is_binary(self) -> bool:
-        return self.name in ("binary", "large_binary")
+        return self.name in ("binary", "large_binary", "binary_view",
+                             "fixed_size_binary")
 
     @property
     def is_dictionary(self) -> bool:
         return self.name == "dictionary"
 
     @property
+    def is_run_end_encoded(self) -> bool:
+        return self.name == "run_end_encoded"
+
+    @property
+    def is_union(self) -> bool:
+        return self.name == "union"
+
+    @property
     def is_nested(self) -> bool:
         return self.name in ("list", "large_list", "fixed_size_list",
-                             "struct", "map")
+                             "struct", "map", "union", "run_end_encoded")
 
     @property
     def is_null(self) -> bool:
@@ -110,8 +126,11 @@ class DataType:
     @property
     def is_primitive(self) -> bool:
         """Fixed-width, single-tensor representable."""
-        return (self.is_numeric or self.is_boolean or self.is_temporal) \
-            and not self.is_decimal
+        if self.is_decimal:
+            return False
+        if self.name == "interval" and self.unit == "month_day_nano":
+            return False      # 128-bit: IntervalMDNColumn (two tensors)
+        return self.is_numeric or self.is_boolean or self.is_temporal
 
     # ---- physical mapping -------------------------------------------------
     def to_jax(self):
@@ -125,6 +144,18 @@ class DataType:
             return jnp.int32
         if self.name == "time64":
             return jnp.int64
+        if self.name == "decimal32":
+            return jnp.int32
+        if self.name == "decimal64":
+            return jnp.int64
+        if self.name == "interval":
+            # year_month: i32 months; day_time: i64 (days<<32 | millis).
+            # month_day_nano is 128-bit -> IntervalMDNColumn (two tensors)
+            if self.unit == "year_month":
+                return jnp.int32
+            if self.unit == "day_time":
+                return jnp.int64
+            raise TypeError("interval[month_day_nano] is two-tensor")
         if self.name == "dictionary":
             return self.index_type.to_jax()
         raise TypeError(f"{self} has no single-tensor physical dtype")
@@ -146,19 +177,26 @@ class DataType:
     def __repr__(self) -> str:
         if self.name == "timestamp":
             return f"timestamp[{self.unit}{', tz=' + self.tz if self.tz else ''}]"
-        if self.name in ("time32", "time64", "duration"):
+        if self.name in ("time32", "time64", "duration", "interval"):
             return f"{self.name}[{self.unit}]"
-        if self.name == "decimal128":
-            return f"decimal128({self.precision}, {self.scale})"
+        if self.is_decimal:
+            return f"{self.name}({self.precision}, {self.scale})"
+        if self.name == "fixed_size_binary":
+            return f"fixed_size_binary({self.list_size})"
         if self.name == "dictionary":
             return f"dictionary<{self.index_type!r}, {self.value_type!r}>"
-        if self.name == "list":
-            return f"list<{self.value_type!r}>"
+        if self.name in ("list", "large_list"):
+            return f"{self.name}<{self.value_type!r}>"
         if self.name == "fixed_size_list":
             return f"fixed_size_list<{self.value_type!r}, {self.list_size}>"
         if self.name == "struct":
             inner = ", ".join(f"{f.name}: {f.dtype!r}" for f in self.fields or ())
             return f"struct<{inner}>"
+        if self.name == "union":
+            inner = ", ".join(f"{f.name}: {f.dtype!r}" for f in self.fields or ())
+            return f"union<{inner}; mode={self.mode}>"
+        if self.name == "run_end_encoded":
+            return f"run_end_encoded<{self.index_type!r}, {self.value_type!r}>"
         return self.name
 
 
@@ -190,9 +228,18 @@ float32 = DataType("float32")
 float64 = DataType("float64")
 utf8 = DataType("utf8")
 large_utf8 = DataType("large_utf8")
+utf8_view = DataType("utf8_view")
 binary = DataType("binary")
+large_binary = DataType("large_binary")
+binary_view = DataType("binary_view")
 date32 = DataType("date32")
 date64 = DataType("date64")
+
+
+def fixed_size_binary(byte_width: int) -> DataType:
+    """FixedSizeBinary(w) (arrow-schema/src/datatype.rs FixedSizeBinary);
+    the width rides in `list_size`."""
+    return DataType("fixed_size_binary", list_size=byte_width)
 
 
 def timestamp(unit: str = "us", tz: Optional[str] = None) -> DataType:
@@ -215,8 +262,33 @@ def duration(unit: str = "us") -> DataType:
     return DataType("duration", unit=unit)
 
 
+def interval(unit: str = "month_day_nano") -> DataType:
+    """Interval(YearMonth | DayTime | MonthDayNano)
+    (arrow-buffer/src/interval.rs; datatype.rs Interval)."""
+    assert unit in ("year_month", "day_time", "month_day_nano"), unit
+    return DataType("interval", unit=unit)
+
+
+def decimal32(precision: int, scale: int) -> DataType:
+    assert 1 <= precision <= 9
+    return DataType("decimal32", precision=precision, scale=scale)
+
+
+def decimal64(precision: int, scale: int) -> DataType:
+    assert 1 <= precision <= 18
+    return DataType("decimal64", precision=precision, scale=scale)
+
+
 def decimal128(precision: int, scale: int) -> DataType:
+    assert 1 <= precision <= 38
     return DataType("decimal128", precision=precision, scale=scale)
+
+
+def decimal256(precision: int, scale: int) -> DataType:
+    """256-bit decimal (the i256 analog, arrow-buffer/src/bigint/mod.rs);
+    stored as 4 x u64 little-endian limb tensors."""
+    assert 1 <= precision <= 76
+    return DataType("decimal256", precision=precision, scale=scale)
 
 
 def dictionary(index_type: DataType, value_type: DataType) -> DataType:
@@ -226,6 +298,31 @@ def dictionary(index_type: DataType, value_type: DataType) -> DataType:
 
 def list_(value_type: DataType) -> DataType:
     return DataType("list", value_type=value_type)
+
+
+def large_list(value_type: DataType) -> DataType:
+    """LargeList: 64-bit offsets at the boundary; device representation is
+    identical to list (offsets are already int64 tensors on device)."""
+    return DataType("large_list", value_type=value_type)
+
+
+def union(fields, mode: str = "sparse", type_ids=None) -> DataType:
+    """Union(sparse|dense) (arrow-array/src/array/union_array.rs:123)."""
+    assert mode in ("sparse", "dense"), mode
+    fields = tuple(fields)
+    tids = tuple(type_ids) if type_ids is not None \
+        else tuple(range(len(fields)))
+    assert len(tids) == len(fields)
+    return DataType("union", fields=fields, mode=mode, type_ids=tids)
+
+
+def run_end_encoded(run_end_type: DataType, value_type: DataType
+                    ) -> DataType:
+    """RunEndEncoded (arrow-array/src/array/run_array.rs:63); the run-end
+    integer type rides in `index_type`."""
+    assert run_end_type.name in ("int16", "int32", "int64")
+    return DataType("run_end_encoded", index_type=run_end_type,
+                    value_type=value_type)
 
 
 def fixed_size_list(value_type: DataType, list_size: int) -> DataType:
@@ -241,6 +338,64 @@ def map_(key_type: DataType, item_type: DataType) -> DataType:
     kv = struct([Field("key", key_type, nullable=False),
                  Field("value", item_type)])
     return DataType("map", value_type=kv)
+
+
+# ---- extension types (arrow-schema/src/extension/mod.rs:188) ---------------
+
+@dataclass(frozen=True)
+class ExtensionType:
+    """A logical type layered on a storage DataType via field metadata
+    (keys ARROW:extension:name / ARROW:extension:metadata, like the
+    reference's ExtensionType trait)."""
+
+    extension_name: str
+    storage: DataType
+    extension_metadata: str = ""
+
+    def field_metadata(self) -> Tuple[Tuple[str, str], ...]:
+        md = (("ARROW:extension:name", self.extension_name),)
+        if self.extension_metadata:
+            md += (("ARROW:extension:metadata", self.extension_metadata),)
+        return md
+
+    def __repr__(self):
+        return f"extension<{self.extension_name}, {self.storage!r}>"
+
+
+def uuid() -> ExtensionType:
+    """arrow.uuid (extension/canonical/uuid.rs)."""
+    return ExtensionType("arrow.uuid", fixed_size_binary(16))
+
+
+def json_(storage: DataType = utf8) -> ExtensionType:
+    """arrow.json (extension/canonical/json.rs)."""
+    assert storage.is_string
+    return ExtensionType("arrow.json", storage)
+
+
+def bool8() -> ExtensionType:
+    """arrow.bool8 (extension/canonical/bool8.rs): bools as int8 storage."""
+    return ExtensionType("arrow.bool8", int8)
+
+
+def fixed_shape_tensor(value_type: DataType, shape) -> ExtensionType:
+    """arrow.fixed_shape_tensor (extension/canonical/fixed_shape_tensor.rs)."""
+    import json as _json
+    size = 1
+    for s in shape:
+        size *= int(s)
+    return ExtensionType("arrow.fixed_shape_tensor",
+                         fixed_size_list(value_type, size),
+                         _json.dumps({"shape": list(map(int, shape))}))
+
+
+def opaque(storage: DataType, type_name: str, vendor_name: str
+           ) -> ExtensionType:
+    """arrow.opaque (extension/canonical/opaque.rs)."""
+    import json as _json
+    return ExtensionType(
+        "arrow.opaque", storage,
+        _json.dumps({"type_name": type_name, "vendor_name": vendor_name}))
 
 
 # ---- numeric promotion helpers (used by arith kernels & cast) -------------

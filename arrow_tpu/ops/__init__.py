@@ -19,7 +19,8 @@ from .filter import (  # noqa: F401
 from .concat import (  # noqa: F401
     concat, concat_tables, interleave, interleave_tables,
 )
-from .select_misc import zip_, nullif, shift  # noqa: F401
+from .select_misc import zip_, nullif, shift, union_extract  # noqa: F401
+from .ree import run_end_encode, run_end_decode  # noqa: F401
 from .row_format import (  # noqa: F401
     SortOptions, SortField, RowConverter, Rows,
 )

@@ -93,6 +93,75 @@ def concat(cols: Sequence[Column]) -> Column:
         return ListColumn(jnp.asarray(np.concatenate(offsets)), child,
                           _concat_masks(cols))
 
+    from ..core.nested import (DecimalColumn, FixedSizeBinaryColumn,
+                               FixedSizeListColumn, IntervalMDNColumn,
+                               MapColumn, RunEndColumn, UnionColumn)
+
+    if isinstance(c0, FixedSizeBinaryColumn):
+        return FixedSizeBinaryColumn(
+            jnp.concatenate([c.data for c in cols], axis=0),
+            _concat_masks(cols))
+
+    if isinstance(c0, DecimalColumn):
+        return DecimalColumn(
+            jnp.concatenate([c.limbs for c in cols], axis=0),
+            c0.dtype, _concat_masks(cols))
+
+    if isinstance(c0, IntervalMDNColumn):
+        return IntervalMDNColumn(
+            jnp.concatenate([c.months for c in cols]),
+            jnp.concatenate([c.days for c in cols]),
+            jnp.concatenate([c.nanos for c in cols]),
+            _concat_masks(cols))
+
+    if isinstance(c0, FixedSizeListColumn):
+        return FixedSizeListColumn(concat([c.child for c in cols]),
+                                   c0.list_size, _concat_masks(cols))
+
+    if isinstance(c0, MapColumn):
+        entries = concat([c.entries for c in cols])
+        offsets = [np.asarray(cols[0].offsets)]
+        base = int(offsets[0][-1])
+        for c in cols[1:]:
+            o = np.asarray(c.offsets)
+            offsets.append(o[1:] + base)
+            base += int(o[-1])
+        return MapColumn(jnp.asarray(np.concatenate(offsets)), entries,
+                         _concat_masks(cols))
+
+    if isinstance(c0, UnionColumn):
+        tids = jnp.concatenate([c.type_ids for c in cols])
+        if c0.offsets is None:         # sparse: concat children directly
+            children = [concat([c.children[i] for c in cols])
+                        for i in range(len(c0.children))]
+            return UnionColumn(tids, None, children, c0.fields, c0.ids)
+        # dense: per-child concat with per-batch offset shifts
+        children = [concat([c.children[i] for c in cols])
+                    for i in range(len(c0.children))]
+        shifted = []
+        bases = [0] * len(c0.children)
+        for c in cols:
+            shift = np.zeros(len(c), np.int32)
+            tid_np = np.asarray(c.type_ids)
+            for i, tid in enumerate(c.ids):
+                shift[tid_np == tid] = bases[i]
+                bases[i] += len(c.children[i])
+            shifted.append(np.asarray(c.offsets) + shift)
+        return UnionColumn(tids, jnp.asarray(np.concatenate(shifted)),
+                           children, c0.fields, c0.ids)
+
+    if isinstance(c0, RunEndColumn):
+        # shift run ends; adjacent runs across the seam stay separate
+        # (same as arrow-rs concat of run arrays)
+        vals = concat([c.values for c in cols])
+        ends = []
+        base = 0
+        for c in cols:
+            ends.append(np.asarray(c.run_ends, np.int64) + base)
+            base += len(c)
+        re = np.concatenate(ends).astype(np.asarray(c0.run_ends).dtype)
+        return RunEndColumn(jnp.asarray(re), vals, base)
+
     raise ArrowTypeError(f"concat of {type(c0)}")
 
 

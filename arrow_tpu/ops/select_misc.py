@@ -1,5 +1,5 @@
-"""zip / nullif / shift — small selection kernels
-(arrow-select/src/{zip.rs,nullif.rs,window.rs})."""
+"""zip / nullif / shift / union_extract — small selection kernels
+(arrow-select/src/{zip.rs,nullif.rs,window.rs,union_extract.rs})."""
 
 from __future__ import annotations
 
@@ -11,7 +11,7 @@ from ..core.column import Column, DictionaryColumn, PrimitiveColumn
 from ..core.datum import Scalar, as_datum
 from ..errors import ArrowInvalid, ArrowTypeError
 
-__all__ = ["zip_", "nullif", "shift"]
+__all__ = ["zip_", "nullif", "shift", "union_extract"]
 
 
 def zip_(mask, truthy, falsy) -> Column:
@@ -76,3 +76,27 @@ def shift(col: Column, offset: int) -> Column:
     return PrimitiveColumn(jnp.where(in_range, rolled,
                                      jnp.zeros_like(rolled)),
                            col.dtype, validity, _canonical=True)
+
+
+def union_extract(col, field_name: str) -> Column:
+    """Extract one union child as a top-level column; rows of other type
+    ids become null (union_extract.rs).  Sparse: mask the child directly.
+    Dense: gather child rows via the offsets."""
+    from ..core.nested import UnionColumn
+    if not isinstance(col, UnionColumn):
+        raise ArrowTypeError("union_extract expects a union column")
+    try:
+        i = [f.name for f in col.fields].index(field_name)
+    except ValueError:
+        raise ArrowInvalid(f"union has no field {field_name!r}")
+    tid = col.ids[i]
+    selected = col.type_ids == jnp.int8(tid)
+    child = col.children[i]
+    if col.offsets is None:                       # sparse
+        return child.with_validity(
+            vd.union(child.validity, selected))
+    from .take import take as take_kernel
+    safe = jnp.where(selected, col.offsets, jnp.zeros_like(col.offsets))
+    out = take_kernel(child, PrimitiveColumn(safe.astype(jnp.int64),
+                                             dt.int64))
+    return out.with_validity(vd.union(out.validity, selected))

@@ -86,7 +86,83 @@ def _take_impl(values: Column, indices: PrimitiveColumn) -> Column:
     if isinstance(values, ListColumn):
         return _take_list(values, indices)
 
+    from ..core.nested import (DecimalColumn, FixedSizeBinaryColumn,
+                               FixedSizeListColumn, IntervalMDNColumn,
+                               MapColumn, RunEndColumn, UnionColumn)
+
+    if isinstance(values, FixedSizeBinaryColumn):
+        return FixedSizeBinaryColumn(
+            jnp.take(values.data, idx, axis=0, mode="clip"),
+            _gather_validity(values, indices))
+
+    if isinstance(values, DecimalColumn):
+        return DecimalColumn(
+            jnp.take(values.limbs, idx, axis=0, mode="clip"),
+            values.dtype, _gather_validity(values, indices))
+
+    if isinstance(values, IntervalMDNColumn):
+        return IntervalMDNColumn(
+            jnp.take(values.months, idx, mode="clip"),
+            jnp.take(values.days, idx, mode="clip"),
+            jnp.take(values.nanos, idx, mode="clip"),
+            _gather_validity(values, indices))
+
+    if isinstance(values, FixedSizeListColumn):
+        k = values.list_size
+        child_idx = (idx[:, None].astype(jnp.int64) * k
+                     + jnp.arange(k, dtype=jnp.int64)[None, :]).reshape(-1)
+        child = _take_impl(values.child,
+                           PrimitiveColumn(child_idx, indices.dtype))
+        return FixedSizeListColumn(child, k,
+                                   _gather_validity(values, indices))
+
+    if isinstance(values, MapColumn):
+        as_list = ListColumn(values.offsets, values.entries,
+                             values.validity)
+        out = _take_list(as_list, indices)
+        return MapColumn(out.offsets, out.child, out.validity)
+
+    if isinstance(values, UnionColumn):
+        tids = jnp.take(values.type_ids, idx, mode="clip")
+        if values.offsets is None:        # sparse: gather every child
+            children = [_take_impl(c, indices) for c in values.children]
+            return UnionColumn(tids, None, children, values.fields,
+                               values.ids)
+        offs = jnp.take(values.offsets, idx, mode="clip")
+        return UnionColumn(tids, offs, values.children, values.fields,
+                           values.ids)
+
+    if isinstance(values, RunEndColumn):
+        return _take_run(values, indices)
+
     raise ArrowInvalid(f"take of {type(values)}")
+
+
+def _take_run(values, indices: PrimitiveColumn):
+    """take on RunEndEncoded (take.rs take_run): map logical rows to
+    physical runs, then merge adjacent equal physical indices into the
+    output runs (host-assisted run rebuild, like the offsets paths)."""
+    from ..core.nested import RunEndColumn
+    phys = np.asarray(values.row_to_run(indices.values))
+    n = len(phys)
+    if n == 0:
+        return RunEndColumn(jnp.zeros((0,), values.run_ends.dtype),
+                            values.values.slice(0, 0), 0)
+    start = np.ones(n, bool)
+    start[1:] = phys[1:] != phys[:-1]
+    run_phys = phys[start]
+    ends = np.nonzero(start)[0]
+    run_ends = np.concatenate([ends[1:], [n]]).astype(
+        np.asarray(values.run_ends).dtype)
+    vals = _take_impl(values.values,
+                      PrimitiveColumn(jnp.asarray(run_phys.astype(np.int64)),
+                                      indices.dtype))
+    out = RunEndColumn(jnp.asarray(run_ends), vals, n)
+    iv = indices.validity
+    if iv is not None:
+        raise ArrowInvalid("take on run-end arrays with null indices is "
+                           "not supported; mask first")
+    return out
 
 
 def _take_bytes(values: StringColumn, indices: PrimitiveColumn
