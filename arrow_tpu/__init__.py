@@ -41,6 +41,16 @@ from .core.nested import (  # noqa: F401
 )
 from .core.datum import Scalar, scalar  # noqa: F401
 from .core.table import Table, RecordBatch  # noqa: F401
+from .core.tensor import Tensor  # noqa: F401
+from .core.pool import (  # noqa: F401
+    MemoryPool, TrackingMemoryPool, MemoryReservation,
+    column_memory_size, table_memory_size,
+)
+from .core import builders  # noqa: F401
+from .utils.display import (  # noqa: F401
+    FormatOptions, ArrayFormatter, pretty_format_table,
+    pretty_format_columns,
+)
 
 from . import ops as compute  # noqa: F401
 
