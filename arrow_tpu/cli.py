@@ -1,0 +1,147 @@
+"""Command-line tools (the parquet crate's src/bin/ suite + the
+flight_sql_client binary, arrow-flight/src/bin/).
+
+    python -m arrow_tpu.cli parquet-read    file.parquet [--limit N]
+    python -m arrow_tpu.cli parquet-schema  file.parquet
+    python -m arrow_tpu.cli parquet-rewrite in.parquet out.parquet
+                                            [--compression zstd]
+    python -m arrow_tpu.cli parquet-concat  out.parquet in1 in2 ...
+    python -m arrow_tpu.cli parquet-fromcsv in.csv out.parquet
+    python -m arrow_tpu.cli pretty          file.parquet [--limit N]
+    python -m arrow_tpu.cli flight-sql      --uri grpc://host:port "SQL"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _read_table(path):
+    from .io.parquet_io import read_parquet
+    return read_parquet(path)
+
+
+def cmd_parquet_read(args):
+    """parquet-read: rows as JSON lines (parquet/src/bin/parquet-read.rs)."""
+    t = _read_table(args.file)
+    d = t.to_pydict()
+    n = t.num_rows if args.limit is None else min(args.limit, t.num_rows)
+    names = t.column_names
+    for i in range(n):
+        print(json.dumps({k: d[k][i] for k in names}, default=str))
+
+
+def cmd_parquet_schema(args):
+    """parquet-schema: schema + file metadata."""
+    from .io.parquet_io import read_metadata
+    md = read_metadata(args.file)
+    print(f"num_rows: {md.num_rows}")
+    print(f"num_row_groups: {md.num_row_groups}")
+    print(f"created_by: {md.created_by}")
+    print("schema:")
+    print(md.schema)
+
+
+def cmd_parquet_rewrite(args):
+    """parquet-rewrite: decode + re-encode with new properties."""
+    from .io.parquet_io import write_parquet, WriterProperties
+    t = _read_table(args.input)
+    props = WriterProperties(compression=args.compression)
+    write_parquet(args.output, t, properties=props)
+    print(f"rewrote {t.num_rows} rows -> {args.output}")
+
+
+def cmd_parquet_concat(args):
+    """parquet-concat: concatenate row groups of several files."""
+    from .io.parquet_io import write_parquet
+    from .ops.concat import concat_tables
+    tables = [_read_table(p) for p in args.inputs]
+    out = concat_tables(tables)
+    write_parquet(args.output, out)
+    print(f"concatenated {len(tables)} files, {out.num_rows} rows "
+          f"-> {args.output}")
+
+
+def cmd_parquet_fromcsv(args):
+    """parquet-fromcsv: CSV -> Parquet with schema inference."""
+    from .io.csv import read_csv
+    from .io.parquet_io import write_parquet
+    t = read_csv(args.input)
+    write_parquet(args.output, t)
+    print(f"wrote {t.num_rows} rows -> {args.output}")
+
+
+def cmd_pretty(args):
+    """pretty: ASCII table of a parquet/csv file."""
+    path = args.file
+    if path.endswith(".csv"):
+        from .io.csv import read_csv
+        t = read_csv(path)
+    else:
+        t = _read_table(path)
+    if args.limit is not None and t.num_rows > args.limit:
+        from .core.table import Table
+        t = Table([c.slice(0, args.limit) for c in t.columns], t.schema)
+    from .utils.display import pretty_format_table
+    print(pretty_format_table(t))
+
+
+def cmd_flight_sql(args):
+    """flight_sql_client: run one query against a FlightSQL server."""
+    from .io.flightsql import FlightSQLClient
+    from .utils.display import pretty_format_table
+    cli = FlightSQLClient(args.uri)
+    try:
+        t = cli.execute(args.query)
+        print(pretty_format_table(t))
+    finally:
+        cli.close()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="arrow_tpu.cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("parquet-read")
+    s.add_argument("file")
+    s.add_argument("--limit", type=int, default=None)
+    s.set_defaults(fn=cmd_parquet_read)
+
+    s = sub.add_parser("parquet-schema")
+    s.add_argument("file")
+    s.set_defaults(fn=cmd_parquet_schema)
+
+    s = sub.add_parser("parquet-rewrite")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--compression", default="snappy")
+    s.set_defaults(fn=cmd_parquet_rewrite)
+
+    s = sub.add_parser("parquet-concat")
+    s.add_argument("output")
+    s.add_argument("inputs", nargs="+")
+    s.set_defaults(fn=cmd_parquet_concat)
+
+    s = sub.add_parser("parquet-fromcsv")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.set_defaults(fn=cmd_parquet_fromcsv)
+
+    s = sub.add_parser("pretty")
+    s.add_argument("file")
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_pretty)
+
+    s = sub.add_parser("flight-sql")
+    s.add_argument("--uri", required=True)
+    s.add_argument("query")
+    s.set_defaults(fn=cmd_flight_sql)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

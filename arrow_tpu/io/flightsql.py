@@ -1,0 +1,338 @@
+"""FlightSQL protocol layer (arrow-flight/src/sql/, 5.1k LoC;
+format/FlightSql.proto).
+
+FlightSQL rides ordinary Flight RPC: command messages are protobuf
+structs wrapped in google.protobuf.Any and carried in
+FlightDescriptor.cmd / Action bodies.  arrow-rs implements the message
+layer plus client/server plumbing — the SQL itself is the application's
+job.  This module does the same: a hand-rolled protobuf wire codec for
+the command messages (the wire format is varint tags + length-delimited
+fields; no generated code), a FlightSQLServer that dispatches commands
+to a pluggable query handler, and a FlightSQLClient mirroring
+sql/client.rs (execute / prepared statements / catalog metadata).
+
+A small default executor handles `SELECT [cols|*] FROM t [WHERE col <op>
+literal] [LIMIT n]` over the server's registered tables so the protocol
+is usable out of the box; real engines plug their own handler.
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+import uuid as _uuid
+from typing import Callable, Dict, List, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.flight as fl
+
+from ..core.table import Table
+from ..errors import ArrowInvalid
+from .flight import FlightServer, _split_batches
+from .interop import table_from_pyarrow, table_to_pyarrow
+
+__all__ = ["FlightSQLServer", "FlightSQLClient", "simple_sql_executor"]
+
+_TYPE_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
+
+
+# ---- minimal protobuf wire codec ---------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, i: int) -> Tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, i
+        shift += 7
+
+
+def _field(tag: int, payload: bytes) -> bytes:
+    """Length-delimited field (wire type 2)."""
+    return _varint((tag << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _parse_fields(buf: bytes) -> Dict[int, List]:
+    """Parse a message into {field_tag: [values]}; length-delimited
+    fields come back as bytes, varints as int."""
+    out: Dict[int, List] = {}
+    i = 0
+    while i < len(buf):
+        key, i = _read_varint(buf, i)
+        tag, wt = key >> 3, key & 7
+        if wt == 2:
+            ln, i = _read_varint(buf, i)
+            val = buf[i:i + ln]
+            i += ln
+        elif wt == 0:
+            val, i = _read_varint(buf, i)
+        elif wt == 1:
+            val = struct.unpack("<q", buf[i:i + 8])[0]
+            i += 8
+        elif wt == 5:
+            val = struct.unpack("<i", buf[i:i + 4])[0]
+            i += 4
+        else:
+            raise ArrowInvalid(f"unsupported wire type {wt}")
+        out.setdefault(tag, []).append(val)
+    return out
+
+
+def _any_pack(msg_name: str, payload: bytes) -> bytes:
+    """google.protobuf.Any{type_url=1, value=2}."""
+    return _field(1, (_TYPE_PREFIX + msg_name).encode()) \
+        + _field(2, payload)
+
+
+def _any_unpack(buf: bytes) -> Tuple[str, bytes]:
+    f = _parse_fields(buf)
+    url = f.get(1, [b""])[0].decode()
+    val = f.get(2, [b""])[0]
+    return url.rsplit(".", 1)[-1], val
+
+
+# ---- command messages (FlightSql.proto field numbers) -------------------------
+
+def cmd_statement_query(query: str) -> bytes:
+    return _any_pack("CommandStatementQuery", _field(1, query.encode()))
+
+
+def cmd_prepared_statement_query(handle: bytes) -> bytes:
+    return _any_pack("CommandPreparedStatementQuery", _field(1, handle))
+
+
+def cmd_get_catalogs() -> bytes:
+    return _any_pack("CommandGetCatalogs", b"")
+
+
+def cmd_get_db_schemas() -> bytes:
+    return _any_pack("CommandGetDbSchemas", b"")
+
+
+def cmd_get_tables(include_schema: bool = False) -> bytes:
+    body = b""
+    if include_schema:
+        body += _varint((5 << 3) | 0) + _varint(1)
+    return _any_pack("CommandGetTables", body)
+
+
+def action_create_prepared(query: str) -> bytes:
+    return _any_pack("ActionCreatePreparedStatementRequest",
+                     _field(1, query.encode()))
+
+
+def action_close_prepared(handle: bytes) -> bytes:
+    return _any_pack("ActionClosePreparedStatementRequest",
+                     _field(1, handle))
+
+
+# ---- default SQL executor ------------------------------------------------------
+
+_OPS = {"=": "eq", "==": "eq", "!=": "neq", "<>": "neq",
+        "<": "lt", "<=": "lt_eq", ">": "gt", ">=": "gt_eq"}
+
+
+def simple_sql_executor(tables: Dict[str, Table], query: str) -> Table:
+    """SELECT [cols|*] FROM t [WHERE col <op> literal] [LIMIT n].
+
+    Deliberately tiny — the protocol layer is the deliverable (the
+    reference ships no SQL engine either); executes with the engine's
+    own filter/compare kernels.
+    """
+    import re
+    m = re.match(
+        r"\s*select\s+(?P<cols>.+?)\s+from\s+(?P<t>\w+)"
+        r"(?:\s+where\s+(?P<w>\w+)\s*(?P<op><=|>=|!=|<>|==|=|<|>)\s*"
+        r"(?P<lit>'[^']*'|[-\w.]+))?"
+        r"(?:\s+limit\s+(?P<lim>\d+))?\s*;?\s*$",
+        query, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ArrowInvalid(f"unsupported SQL: {query!r}")
+    name = m.group("t")
+    if name not in tables:
+        raise ArrowInvalid(f"no such table {name!r}")
+    t = tables[name]
+
+    if m.group("w"):
+        from ..ops import cmp as _cmp
+        from ..ops.filter import filter_table
+        lit = m.group("lit")
+        if lit.startswith("'"):
+            value = lit[1:-1]
+        elif "." in lit:
+            value = float(lit)
+        else:
+            value = int(lit)
+        col = t.column(m.group("w"))
+        from ..core.datum import scalar as make_scalar
+        pred = getattr(_cmp, _OPS[m.group("op")])(
+            col, make_scalar(value, col.dtype))
+        t = filter_table(t, pred)
+
+    cols = m.group("cols").strip()
+    if cols != "*":
+        names = [c.strip() for c in cols.split(",")]
+        t = t.select(names) if hasattr(t, "select") else Table(
+            [t.column(n) for n in names],
+            type(t.schema)(tuple(t.schema.field(n) for n in names)))
+
+    if m.group("lim"):
+        k = int(m.group("lim"))
+        t = Table([c.slice(0, min(k, t.num_rows)) for c in t.columns],
+                  t.schema)
+    return t
+
+
+# ---- server --------------------------------------------------------------------
+
+class FlightSQLServer(FlightServer):
+    """FlightService with FlightSQL command dispatch
+    (sql/server.rs FlightSqlService).
+
+    get_flight_info/do_get understand wrapped FlightSQL commands;
+    do_action handles prepared-statement lifecycle.  `executor` maps
+    (tables, query) -> Table and defaults to simple_sql_executor.
+    """
+
+    def __init__(self, location: str = "grpc://0.0.0.0:0",
+                 executor: Optional[Callable[[Dict[str, Table], str],
+                                             Table]] = None, **kw):
+        super().__init__(location, **kw)
+        self._executor = executor or simple_sql_executor
+        self._prepared: Dict[bytes, str] = {}
+        self._plock = threading.Lock()
+
+    # -- command plumbing ------------------------------------------------
+    def _run(self, query: str) -> Table:
+        return self._executor(dict(self._tables), query)
+
+    def _table_for_cmd(self, cmd: bytes) -> Table:
+        name, body = _any_unpack(cmd)
+        f = _parse_fields(body)
+        if name == "CommandStatementQuery":
+            return self._run(f[1][0].decode())
+        if name == "CommandPreparedStatementQuery":
+            handle = f[1][0]
+            with self._plock:
+                q = self._prepared.get(handle)
+            if q is None:
+                raise ArrowInvalid("unknown prepared statement")
+            return self._run(q)
+        if name == "CommandGetCatalogs":
+            from ..core.column import column
+            return Table.from_pydict({"catalog_name": column(["default"])})
+        if name == "CommandGetDbSchemas":
+            from ..core.column import column
+            return Table.from_pydict({
+                "catalog_name": column(["default"]),
+                "db_schema_name": column(["public"])})
+        if name == "CommandGetTables":
+            from ..core.column import column
+            names = sorted(self._tables)
+            return Table.from_pydict({
+                "catalog_name": column(["default"] * len(names)),
+                "db_schema_name": column(["public"] * len(names)),
+                "table_name": column(names),
+                "table_type": column(["TABLE"] * len(names))})
+        raise ArrowInvalid(f"unsupported FlightSQL command {name}")
+
+    # -- Flight overrides --------------------------------------------------
+    def get_flight_info(self, context, descriptor):
+        if descriptor.descriptor_type == fl.DescriptorType.CMD:
+            table = self._table_for_cmd(descriptor.command)
+            batch = table_to_pyarrow(table)
+            ticket = fl.Ticket(descriptor.command)
+            ep = fl.FlightEndpoint(ticket, [self.uri])
+            return fl.FlightInfo(batch.schema, descriptor, [ep],
+                                 table.num_rows, -1)
+        return super().get_flight_info(context, descriptor)
+
+    def do_get(self, context, ticket):
+        raw = ticket.ticket
+        if raw.startswith(b"\n") and _TYPE_PREFIX.encode() in raw:
+            table = self._table_for_cmd(raw)
+            batches = _split_batches(table)
+            return fl.GeneratorStream(batches[0].schema, iter(batches))
+        return super().do_get(context, ticket)
+
+    def do_action(self, context, action):
+        if action.type == "CreatePreparedStatement":
+            name, body = _any_unpack(action.body.to_pybytes())
+            f = _parse_fields(body)
+            query = f[1][0].decode()
+            handle = _uuid.uuid4().bytes
+            with self._plock:
+                self._prepared[handle] = query
+            # ActionCreatePreparedStatementResult{handle=1}
+            result = _any_pack("ActionCreatePreparedStatementResult",
+                               _field(1, handle))
+            return iter([fl.Result(result)])
+        if action.type == "ClosePreparedStatement":
+            name, body = _any_unpack(action.body.to_pybytes())
+            f = _parse_fields(body)
+            with self._plock:
+                self._prepared.pop(f[1][0], None)
+            return iter([])
+        return super().do_action(context, action) \
+            if hasattr(super(), "do_action") else iter([])
+
+
+# ---- client --------------------------------------------------------------------
+
+class FlightSQLClient:
+    """FlightSQL client (sql/client.rs): execute / prepared statements /
+    catalog metadata over any FlightSQL-speaking server."""
+
+    def __init__(self, uri: str):
+        self._client = fl.connect(uri)
+
+    def _get(self, cmd: bytes) -> Table:
+        info = self._client.get_flight_info(
+            fl.FlightDescriptor.for_command(cmd))
+        ticket = info.endpoints[0].ticket
+        reader = self._client.do_get(ticket)
+        return table_from_pyarrow(reader.read_all())
+
+    def execute(self, query: str) -> Table:
+        return self._get(cmd_statement_query(query))
+
+    def prepare(self, query: str) -> bytes:
+        action = fl.Action("CreatePreparedStatement",
+                           action_create_prepared(query))
+        results = list(self._client.do_action(action))
+        name, body = _any_unpack(results[0].body.to_pybytes())
+        return _parse_fields(body)[1][0]
+
+    def execute_prepared(self, handle: bytes) -> Table:
+        return self._get(cmd_prepared_statement_query(handle))
+
+    def close_prepared(self, handle: bytes) -> None:
+        action = fl.Action("ClosePreparedStatement",
+                           action_close_prepared(handle))
+        list(self._client.do_action(action))
+
+    def get_catalogs(self) -> Table:
+        return self._get(cmd_get_catalogs())
+
+    def get_db_schemas(self) -> Table:
+        return self._get(cmd_get_db_schemas())
+
+    def get_tables(self) -> Table:
+        return self._get(cmd_get_tables())
+
+    def close(self):
+        self._client.close()

@@ -21,6 +21,7 @@ from .concat import (  # noqa: F401
 )
 from .select_misc import zip_, nullif, shift, union_extract  # noqa: F401
 from .ree import run_end_encode, run_end_decode  # noqa: F401
+from .ord import make_comparator, make_lexicographic_comparator  # noqa: F401
 from .row_format import (  # noqa: F401
     SortOptions, SortField, RowConverter, Rows,
 )
