@@ -16,8 +16,12 @@ Dispatch groups (of the reference's 213 match arms, the families are):
   anything -> same type        no-op
   null -> T                    all-null column
 
-Out-of-scope this round: decimal rescale, interval casts, nested list casts
-(cast/{decimal,list,map}.rs) — tracked in README parity table.
+  decimal casts                rescale / int / float / string, any width
+                               (host-exact python ints; cast/decimal.rs)
+  list casts                   list <-> large_list <-> fixed_size_list,
+                               child casts (cast/list.rs)
+
+Out-of-scope this round: interval casts, map casts (cast/map.rs).
 """
 
 from __future__ import annotations
@@ -63,6 +67,15 @@ def can_cast(from_dt: dt.DataType, to_dt: dt.DataType) -> bool:
         inner_from = from_dt.value_type if from_dt.is_dictionary else from_dt
         inner_to = to_dt.value_type if to_dt.is_dictionary else to_dt
         return can_cast(inner_from, inner_to)
+    if from_dt.is_decimal:
+        return (to_dt.is_decimal or to_dt.is_integer or to_dt.is_floating
+                or to_dt.is_string)
+    if to_dt.is_decimal:
+        return (from_dt.is_integer or from_dt.is_floating
+                or from_dt.is_boolean or from_dt.is_string)
+    lists = ("list", "large_list", "fixed_size_list")
+    if from_dt.name in lists and to_dt.name in lists:
+        return can_cast(from_dt.value_type, to_dt.value_type)
     return False
 
 
@@ -97,6 +110,15 @@ def cast(col: Column, to: dt.DataType,
             from .strings import dictionary_encode
             return dictionary_encode(inner, to.index_type.to_jax())
         raise ArrowNotImplementedError(f"pack {to.value_type!r} dictionary")
+
+    from ..core.nested import DecimalColumn
+    from ..core.column import ListColumn
+    from ..core.nested import FixedSizeListColumn
+    if from_dt.is_decimal or to.is_decimal:
+        return _cast_decimal(col, to, options)
+    if isinstance(col, (ListColumn, FixedSizeListColumn)) or \
+            to.name in ("list", "large_list", "fixed_size_list"):
+        return _cast_list(col, to, options)
 
     if isinstance(col, StringColumn):
         return _cast_from_string(col, to, options)
@@ -314,3 +336,210 @@ def _parse_one(s: str, to: dt.DataType):
         return us * 1000 // _UNIT_NS[to.unit] if to.unit == "ns" \
             else us // (_UNIT_NS[to.unit] // 1000)
     raise ArrowNotImplementedError(f"parse to {to!r}")
+
+
+# ---- decimal casts (cast/decimal.rs) -------------------------------------------
+
+def _dec_ints(col) -> list:
+    """Unscaled integers (python ints, exact at any width) + validity."""
+    from ..core.nested import DecimalColumn
+    if isinstance(col, DecimalColumn):
+        vals = col.to_pyints()
+        return [0 if v is None else v for v in vals]
+    return [int(x) for x in np.asarray(col.values)]
+
+
+def _dec_build(ints, to: dt.DataType, validity) -> Column:
+    from ..core.nested import DecimalColumn
+    if to.name in ("decimal32", "decimal64"):
+        phys = np.int32 if to.name == "decimal32" else np.int64
+        return PrimitiveColumn(jnp.asarray(np.asarray(ints, phys)), to,
+                               validity)
+    return DecimalColumn.from_pyints(ints, to, validity)
+
+
+def _round_half_away(num: int, den: int) -> int:
+    """num/den rounded half away from zero (arrow-rs decimal rescale)."""
+    q, r = divmod(abs(num), den)
+    if 2 * r >= den:
+        q += 1
+    return q if num >= 0 else -q
+
+
+def _cast_decimal(col: Column, to: dt.DataType,
+                  options: CastOptions) -> Column:
+    """decimal <-> decimal/int/float/string (host-exact python ints;
+    device paths for wide decimals arrive with limb arithmetic)."""
+    from_dt = col.dtype
+    n = len(col)
+    valid = None if col.validity is None else np.asarray(col.validity)
+
+    def finish(ints, failed):
+        validity = valid
+        if any(failed):
+            if not options.safe:
+                raise CastError("decimal cast overflow")
+            bad = np.asarray(failed)
+            validity = (~bad) if validity is None else (validity & ~bad)
+        v = None if validity is None else jnp.asarray(validity)
+        return ints, v
+
+    if from_dt.is_decimal and to.is_decimal:
+        ints = _dec_ints(col)
+        ds = to.scale - from_dt.scale
+        limit = 10 ** to.precision
+        out, failed = [], []
+        for x in ints:
+            y = x * 10 ** ds if ds >= 0 else _round_half_away(x, 10 ** -ds)
+            failed.append(abs(y) >= limit)
+            out.append(0 if abs(y) >= limit else y)
+        out, v = finish(out, failed)
+        return _dec_build(out, to, v)
+
+    if from_dt.is_decimal:
+        ints = _dec_ints(col)
+        scale = 10 ** from_dt.scale
+        if to.is_integer:
+            lo, hi = dt.integer_bounds(to)
+            out, failed = [], []
+            for x in ints:
+                y = int(x / scale) if x >= 0 else -int(-x // scale) \
+                    if (-x) % scale == 0 else -((-x) // scale)
+                # truncate toward zero
+                y = abs(x) // scale
+                y = y if x >= 0 else -y
+                bad = not (lo <= y <= hi)
+                failed.append(bad)
+                out.append(0 if bad else y)
+            out, v = finish(out, failed)
+            return PrimitiveColumn(jnp.asarray(np.asarray(out, to.to_jax())),
+                                   to, v)
+        if to.is_floating:
+            out = np.asarray([x / scale for x in ints], np.float64)
+            v = None if valid is None else jnp.asarray(valid)
+            return PrimitiveColumn(jnp.asarray(out.astype(to.to_jax())),
+                                   to, v)
+        if to.is_string:
+            s = from_dt.scale
+            strs = []
+            for i, x in enumerate(ints):
+                if valid is not None and not valid[i]:
+                    strs.append("")
+                    continue
+                if s == 0:
+                    strs.append(str(x))
+                else:
+                    sign = "-" if x < 0 else ""
+                    ax = abs(x)
+                    strs.append(f"{sign}{ax // 10**s}."
+                                f"{str(ax % 10**s).zfill(s)}")
+            sc = StringColumn.from_pylist(strs, to)
+            return sc.with_validity(None if valid is None
+                                    else jnp.asarray(valid))
+        raise ArrowNotImplementedError(f"cast {from_dt!r} -> {to!r}")
+
+    # -> decimal
+    limit = 10 ** to.precision
+    if from_dt.is_integer or from_dt.is_boolean:
+        src = [int(x) for x in np.asarray(col.values)]
+        out, failed = [], []
+        for x in src:
+            y = x * 10 ** to.scale
+            bad = abs(y) >= limit
+            failed.append(bad)
+            out.append(0 if bad else y)
+        out, v = finish(out, failed)
+        return _dec_build(out, to, v)
+    if from_dt.is_floating:
+        src = np.asarray(col.values, np.float64)
+        out, failed = [], []
+        for x in src:
+            if not np.isfinite(x):
+                failed.append(True)
+                out.append(0)
+                continue
+            y = int(np.round(x * 10.0 ** to.scale))
+            bad = abs(y) >= limit
+            failed.append(bad)
+            out.append(0 if bad else y)
+        out, v = finish(out, failed)
+        return _dec_build(out, to, v)
+    if from_dt.is_string:
+        texts = col.to_pylist()
+        out, failed = [], []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                failed.append(False)
+                continue
+            try:
+                from decimal import Decimal
+                y = int((Decimal(t) * 10 ** to.scale)
+                        .to_integral_value(rounding="ROUND_HALF_UP"))
+                bad = abs(y) >= limit
+            except Exception:
+                y, bad = 0, True
+            failed.append(bad)
+            out.append(0 if bad else y)
+        out, v = finish(out, failed)
+        return _dec_build(out, to, v)
+    raise ArrowNotImplementedError(f"cast {from_dt!r} -> {to!r}")
+
+
+# ---- list casts (cast/list.rs) --------------------------------------------------
+
+def _cast_list(col: Column, to: dt.DataType,
+               options: CastOptions) -> Column:
+    from ..core.column import ListColumn
+    from ..core.nested import FixedSizeListColumn
+    from_dt = col.dtype
+
+    if isinstance(col, ListColumn) and to.name in ("list", "large_list"):
+        child = cast(col.child, to.value_type, options) \
+            if col.child.dtype != to.value_type else col.child
+        out = ListColumn(col.offsets, child, col.validity)
+        out.dtype = to
+        return out
+
+    if isinstance(col, ListColumn) and to.name == "fixed_size_list":
+        k = to.list_size
+        offs = np.asarray(col.offsets)
+        lens = np.diff(offs)
+        valid = None if col.validity is None else np.asarray(col.validity)
+        ok = lens == k
+        if valid is not None:
+            ok = ok | ~valid
+        if not ok.all():
+            if not options.safe:
+                raise CastError(f"list lengths != {k}")
+            valid = ok if valid is None else (valid & ok)
+        # gather each row's k slots (null rows -> zeros)
+        idx = offs[:-1][:, None] + np.arange(k)[None, :]
+        idx = np.where((lens == k)[:, None], idx, 0)
+        from .take import take as take_kernel
+        child = take_kernel(col.child, PrimitiveColumn(
+            jnp.asarray(idx.reshape(-1).astype(np.int64)), dt.int64))
+        if to.value_type != child.dtype:
+            child = cast(child, to.value_type, options)
+        return FixedSizeListColumn(
+            child, k, None if valid is None else jnp.asarray(valid))
+
+    if isinstance(col, FixedSizeListColumn) and \
+            to.name in ("list", "large_list"):
+        k = col.list_size
+        n = len(col)
+        off_np = np.int64 if to.name == "large_list" else np.int32
+        offs = (np.arange(n + 1) * k).astype(off_np)
+        child = col.child
+        if to.value_type != child.dtype:
+            child = cast(child, to.value_type, options)
+        out = ListColumn(jnp.asarray(offs), child, col.validity)
+        out.dtype = to
+        return out
+
+    if isinstance(col, FixedSizeListColumn) and \
+            to.name == "fixed_size_list" and to.list_size == col.list_size:
+        child = cast(col.child, to.value_type, options)
+        return FixedSizeListColumn(child, col.list_size, col.validity)
+
+    raise ArrowNotImplementedError(f"cast {from_dt!r} -> {to!r}")

@@ -1,0 +1,114 @@
+"""Decimal and list cast matrix (cast/decimal.rs, cast/list.rs) —
+pyarrow.compute.cast is the behavior oracle."""
+
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import dtypes as dt
+from arrow_tpu.io.interop import column_from_pyarrow, column_to_pyarrow
+from arrow_tpu.ops.cast import cast, can_cast, CastOptions
+
+
+def oracle_cast(arr: pa.Array, to: pa.DataType) -> list:
+    return pc.cast(arr, to).to_pylist()
+
+
+def ours(arr: pa.Array, to: dt.DataType) -> list:
+    return column_to_pyarrow(cast(column_from_pyarrow(arr), to)).to_pylist()
+
+
+def test_decimal_rescale_up():
+    arr = pa.array([Decimal("12.34"), None, Decimal("-0.05")],
+                   pa.decimal128(10, 2))
+    to = dt.decimal128(12, 4)
+    assert ours(arr, to) == oracle_cast(arr, pa.decimal128(12, 4))
+
+
+def test_decimal_rescale_down_rounds():
+    arr = pa.array([Decimal("12.345"), Decimal("12.344"),
+                    Decimal("-12.345")], pa.decimal128(10, 3))
+    got = ours(arr, dt.decimal128(10, 2))
+    # 12.345 -> 12.35 / 12.344 -> 12.34 / -12.345 -> -12.35 (half away)
+    assert [str(x) for x in got] == ["12.35", "12.34", "-12.35"]
+
+
+def test_decimal_widths():
+    arr = pa.array([Decimal("0.7"), None], pa.decimal128(10, 1))
+    got = ours(arr, dt.decimal256(40, 3))
+    assert [None if x is None else str(x) for x in got] == ["0.700", None]
+    arr2 = pa.array([Decimal(123)], pa.decimal64(10, 0))
+    assert str(ours(arr2, dt.decimal32(5, 1))[0]) == "123.0"
+
+
+def test_decimal_to_int_float_string():
+    arr = pa.array([Decimal("123.45"), Decimal("-6.78"), None],
+                   pa.decimal128(10, 2))
+    assert ours(arr, dt.int64) == [123, -6, None]
+    assert ours(arr, dt.float64) == [123.45, -6.78, None]
+    assert ours(arr, dt.utf8) == ["123.45", "-6.78", None]
+
+
+def test_int_float_string_to_decimal():
+    ints = pa.array([12, None, -3], pa.int64())
+    assert [None if x is None else str(x)
+            for x in ours(ints, dt.decimal128(10, 2))] == \
+        ["12.00", None, "-3.00"]
+    floats = pa.array([1.005, -2.5], pa.float64())
+    got = ours(floats, dt.decimal128(10, 2))
+    assert str(got[1]) == "-2.50"
+    strs = pa.array(["12.345", "bad", None], pa.string())
+    got = ours(strs, dt.decimal128(10, 2))
+    assert str(got[0]) == "12.35" and got[1] is None and got[2] is None
+
+
+def test_decimal_overflow_safe_and_raise():
+    arr = pa.array([Decimal(99999)], pa.decimal128(5, 0))
+    got = cast(column_from_pyarrow(arr), dt.decimal32(3, 0))
+    assert got.to_pyarrow().to_pylist() == [None]
+    with pytest.raises(Exception):
+        cast(column_from_pyarrow(arr), dt.decimal32(3, 0),
+             CastOptions(safe=False))
+
+
+def test_list_to_large_list_and_back():
+    arr = pa.array([[1, 2], None, [3]], pa.list_(pa.int64()))
+    got = ours(arr, dt.large_list(dt.int64))
+    assert got == [[1, 2], None, [3]]
+    back = ours(pa.array([[1], [2, 3]], pa.large_list(pa.int64())),
+                dt.list_(dt.int64))
+    assert back == [[1], [2, 3]]
+
+
+def test_list_child_cast():
+    arr = pa.array([[1, 2], [3]], pa.list_(pa.int64()))
+    got = column_to_pyarrow(cast(column_from_pyarrow(arr),
+                                 dt.list_(dt.float64)))
+    assert got.to_pylist() == [[1.0, 2.0], [3.0]]
+    assert got.type == pa.list_(pa.float64())
+
+
+def test_list_to_fixed_size_list():
+    arr = pa.array([[1, 2], [3, 4], None], pa.list_(pa.int64()))
+    got = ours(arr, dt.fixed_size_list(dt.int64, 2))
+    assert got == [[1, 2], [3, 4], None]
+    ragged = pa.array([[1], [2, 3]], pa.list_(pa.int64()))
+    got = ours(ragged, dt.fixed_size_list(dt.int64, 2))
+    assert got == [None, [2, 3]]          # safe: bad lengths -> null
+
+
+def test_fixed_size_list_to_list():
+    arr = pa.array([[1, 2], None], pa.list_(pa.int64(), 2))
+    assert ours(arr, dt.list_(dt.int64)) == [[1, 2], None]
+
+
+def test_can_cast_matrix():
+    assert can_cast(dt.decimal128(10, 2), dt.decimal256(40, 3))
+    assert can_cast(dt.int64, dt.decimal64(10, 2))
+    assert can_cast(dt.decimal32(5, 1), dt.utf8)
+    assert can_cast(dt.list_(dt.int64), dt.large_list(dt.float64))
+    assert not can_cast(dt.decimal128(10, 2), dt.list_(dt.int64))
