@@ -1,0 +1,72 @@
+"""Variant binary format (parquet-variant / -json / -compute)."""
+
+from decimal import Decimal
+
+import pytest
+
+from arrow_tpu.io.variant import (VariantBuilder, parse_variant,
+                                  variant_to_json, json_to_variant,
+                                  VariantColumn, variant_get)
+
+
+def rt(v):
+    m, b = VariantBuilder().build(v)
+    return parse_variant(m, b)
+
+
+def test_primitives_roundtrip():
+    for v in [None, True, False, 0, -1, 127, 128, -32769, 2**40,
+              -2**62, 3.5, "", "hi", "x" * 100, b"\x00\xff",
+              Decimal("12.345")]:
+        assert rt(v) == v, v
+
+
+def test_known_bytes():
+    # spec-pinned encodings
+    b = VariantBuilder()
+    assert b._encode(None) == b"\x00"
+    assert b._encode(True) == bytes([1 << 2])
+    assert b._encode(3) == bytes([3 << 2]) + b"\x03"     # int8
+    assert b._encode("ab") == bytes([(2 << 2) | 1]) + b"ab"
+
+
+def test_nested_roundtrip():
+    v = {"a": [1, 2.5, "three", None], "b": {"c": True, "d": [[]]},
+         "e": Decimal("-0.01")}
+    assert rt(v) == v
+
+
+def test_object_keys_shared():
+    # repeated keys intern to one metadata entry
+    m, b = VariantBuilder().build([{"k": 1}, {"k": 2}])
+    from arrow_tpu.io.variant import _parse_metadata
+    assert _parse_metadata(m) == ["k"]
+
+
+def test_json_bridge():
+    m, b = json_to_variant('{"x": [1, 2], "y": null}')
+    assert parse_variant(m, b) == {"x": [1, 2], "y": None}
+    assert variant_to_json(m, b) == '{"x": [1, 2], "y": null}'
+
+
+def test_large_array():
+    v = list(range(500))                 # forces is_large + wider offsets
+    assert rt(v) == v
+
+
+def test_variant_column_and_get():
+    rows = [{"user": {"id": 7, "tags": ["a", "b"]}},
+            {"user": {"id": 8}},
+            None]
+    col = VariantColumn.from_pylist([r if r is not None else
+                                     __import__(
+                                         "arrow_tpu.io.variant",
+                                         fromlist=["_NULL_SLOT"])._NULL_SLOT
+                                     for r in rows])
+    assert len(col) == 3
+    assert variant_get(col, ["user", "id"]) == [7, 8, None]
+    assert variant_get(col, ["user", "tags", 1]) == ["b", None, None]
+
+    sc = col.to_struct_column()
+    back = VariantColumn.from_struct_column(sc)
+    assert back.to_pylist() == [rows[0], rows[1], None]
