@@ -21,7 +21,7 @@ Aggregate null semantics (SQL/DataFusion):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -79,32 +79,138 @@ def group_by(table: Table, keys: Sequence[str],
     if fast is not None:
         return fast
 
-    # 1-2: stable sort by encoded keys
-    keystack = encode_keys(key_cols, [SortOptions()] * len(key_cols))
-    order = lexsort_indices_from_keys(keystack).astype(jnp.int64)
-    sorted_keys = [k[order] for k in keystack]
+    # 1-3: group discovery — key encode, stable lexsort, run boundaries,
+    # dense group ids — fused into ONE jitted program (eager per-op
+    # dispatch through the remote-TPU tunnel costs ~100x the kernels).
+    kinds, parts = [], []
+    for c in key_cols:
+        kinds.append(_key_kind(c))
+        parts.append(_key_parts(c))
+    order, gid, run_start, ng = _discover_stage(tuple(kinds),
+                                                tuple(parts))
+    num_groups = int(ng)  # host sync (output cardinality)
 
-    # 3: run boundaries -> dense group ids over sorted rows
+    # 4: one fused jitted stage computes run starts, representative
+    # rows, and every aggregate — the eager per-op dispatch through the
+    # remote-TPU tunnel costs ~100x the kernels themselves (measured:
+    # un-jitted cumsum 1078 ms vs 22 ms jitted at 10M rows).
+    from ..core.column import NullColumn
+    plan = []
+    arrays = []
+    for a in aggs:
+        src = table.column(a.column)
+        if isinstance(src, NullColumn) or (
+                not isinstance(src, PrimitiveColumn)
+                and a.op in ("count", "count_all")):
+            kind = "null" if isinstance(src, NullColumn) else "other"
+            plan.append((a.op, len(arrays), kind))
+            arrays.append((jnp.zeros((n,), jnp.int64),
+                           jnp.zeros((n,), jnp.bool_) if kind == "null"
+                           else src.validity))
+        elif isinstance(src, PrimitiveColumn):
+            d = src.values.dtype
+            kind = "float" if jnp.issubdtype(d, jnp.floating) else "int"
+            plan.append((a.op, len(arrays), kind))
+            arrays.append((src.values, src.validity))
+        else:
+            raise ArrowNotImplementedError(f"{a.op} over {type(src)}")
+
+    from .. import config
+    outs, first_idx = _agg_stage(
+        tuple(plan), num_groups, config.use_pallas(),
+        order, gid, run_start, tuple(arrays))
+
+    rep = PrimitiveColumn(first_idx.astype(jnp.int64), dt.int64)
+    out_cols: List[Column] = [take_kernel(c, rep) for c in key_cols]
+    fields = [table.schema.field(k) for k in keys]
+    for a, (vals, gvalid) in zip(aggs, outs):
+        src = table.column(a.column)
+        out_dt = _agg_dtype(src.dtype, a.op)
+        if out_dt.is_null:      # all-null source: aggregate as null i64
+            out_dt = dt.int64
+        nullable = a.op not in ("count", "count_all")
+        mask = None
+        if nullable and not bool(jnp.all(gvalid)):
+            mask = gvalid
+        out_cols.append(PrimitiveColumn(vals, out_dt, mask,
+                                        _canonical=True))
+        fields.append(dt.Field(a.out_name, out_dt, nullable=nullable))
+    return Table(out_cols, dt.Schema(tuple(fields)))
+
+
+import functools
+
+
+def _key_kind(c: Column) -> str:
+    """Static tag for the jitted key encoder."""
+    from ..core.column import StringColumn
+    if isinstance(c, DictionaryColumn):
+        return "dict"
+    if isinstance(c, StringColumn):
+        return "dict"            # encoded on host below
+    if isinstance(c, PrimitiveColumn):
+        d = c.dtype
+        if d.is_floating:
+            return "float"
+        if d.is_boolean or d.is_unsigned_integer:
+            return "uint"
+        return "int"
+    raise ArrowNotImplementedError(f"group key of {type(c)}")
+
+
+def _key_parts(c: Column):
+    """Array pytree for the jitted key encoder.  Dictionary/string keys
+    pre-compute value ranks on host (dictionary-sized, cheap); the
+    row-sized work stays in the jit."""
+    from ..core.column import StringColumn
+    from .row_format import dictionary_value_ranks
+    if isinstance(c, StringColumn):
+        from .strings import dictionary_encode
+        c = dictionary_encode(c)
+    if isinstance(c, DictionaryColumn):
+        ranks, dict_null = dictionary_value_ranks(c.values)
+        entry_valid = jnp.asarray(~dict_null) if dict_null.any() else None
+        return (c.codes, jnp.asarray(ranks), entry_valid, c.validity)
+    return (c.values, None, None, c.validity)
+
+
+@functools.partial(jax.jit, static_argnames=("kinds",))
+def _discover_stage(kinds, parts):
+    """Key encode + stable lexsort + run boundaries + dense group ids,
+    one XLA program.  Fixed group order: ascending, nulls first (the
+    engine's deterministic group order)."""
+    from .row_format import _float_total_order_bits, jax_bitcast_u64, \
+        _SIGN64
+    keys = []
+    for kind, (vals, ranks, entry_valid, validity) in zip(kinds, parts):
+        if kind == "dict":
+            vkey = jnp.take(ranks, vals, mode="clip")
+            if entry_valid is not None:
+                ev = jnp.take(entry_valid, vals, mode="clip")
+                validity = ev if validity is None else (validity & ev)
+        elif kind == "float":
+            vkey = _float_total_order_bits(vals.astype(jnp.float64))
+        elif kind == "uint":
+            vkey = vals.astype(jnp.uint64)
+        else:
+            vkey = jax_bitcast_u64(vals.astype(jnp.int64)) ^ _SIGN64
+        if validity is not None:
+            keys.append(validity.astype(jnp.uint64))     # nulls first
+            vkey = jnp.where(validity, vkey, jnp.uint64(0))
+        keys.append(vkey)
+
+    n = keys[0].shape[0]
+    iota = jnp.arange(n, dtype=jnp.int64)
+    sorted_ops = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys),
+                              is_stable=True)
+    order = sorted_ops[-1]
     neq = jnp.zeros((n - 1,), jnp.bool_)
-    for k in sorted_keys:
+    for k in sorted_ops[:-1]:
         neq = jnp.logical_or(neq, k[1:] != k[:-1])
     run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
     gid = jnp.cumsum(run_start.astype(jnp.int64)) - 1
-    num_groups = int(gid[-1]) + 1  # host sync (output cardinality)
+    return order, gid, run_start, gid[-1] + 1
 
-    # representative row per group (first in sorted order)
-    first_idx = order[jnp.nonzero(run_start, size=num_groups)[0]]
-    rep = PrimitiveColumn(first_idx.astype(jnp.int64), dt.int64)
-
-    out_cols: List[Column] = [take_kernel(c, rep) for c in key_cols]
-    fields = [table.schema.field(k) for k in keys]
-
-    # 4: segmented reductions over sorted values
-    for a in aggs:
-        col, f = _segment_agg(table, a, order, gid, num_groups)
-        out_cols.append(col)
-        fields.append(f)
-    return Table(out_cols, dt.Schema(tuple(fields)))
 
 
 def _pallas_agg_ok(src: Column, op: str) -> bool:
@@ -333,96 +439,148 @@ def _agg_dtype(src: dt.DataType, op: str) -> dt.DataType:
     return src
 
 
-def _segment_agg(table: Table, a: AggSpec, order, gid, num_groups: int
-                 ) -> Tuple[Column, dt.Field]:
-    src = table.column(a.column)
-    from ..core.column import NullColumn
+@functools.partial(jax.jit, static_argnames=("plan", "num_groups",
+                                             "pallas"))
+def _agg_stage(plan, num_groups, pallas, order, gid, run_start, arrays):
+    """All aggregates of one group_by in a single XLA program.
 
-    # Pallas route: XLA segment_* lower to scatter on TPU (measured
-    # 0.005-0.014 Grows/s on v5e vs 0.2-0.4 for the one-hot kernels).
-    from .. import config
+    plan: static tuple of (op, slot, kind) per aggregate; arrays: per
+    slot (values, valid) in ORIGINAL row order.  Strategy ladder (all
+    scatter-free; XLA segment_* lower to scatter on TPU, measured
+    0.005-0.014 Grows/s on v5e):
+      1. Pallas one-hot kernels      ints, num_groups <= 1024
+      2. cumsum + boundary diff      sums/counts, any cardinality
+                                     (exact for ints: wrapping arithmetic
+                                     is associative mod 2^64)
+      3. secondary (gid, value) sort min/max, any dtype, any cardinality
+      4. XLA segment ops             float sums (pins one accumulation
+                                     order; SURVEY.md hard-part (c))
+    Returns ([(values, group_valid)] per agg, first_idx).
+    """
+    n = gid.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int64)
+    # run-start positions via partition-sort (nonzero lowers poorly)
+    _, starts = jax.lax.sort((~run_start, iota), num_keys=1,
+                             is_stable=True)
+    starts = starts[:num_groups]
+    first_idx = order[starts]
+    nxt = jnp.concatenate([starts[1:], jnp.array([n], jnp.int64)])
+    counts_all = nxt - starts
+
+    def diff_sums(contrib):
+        cs = jnp.cumsum(contrib)
+        end_cs = cs[nxt - 1]
+        start_cs = jnp.concatenate([jnp.zeros((1,), cs.dtype),
+                                    end_cs[:-1]])
+        return end_cs - start_cs
+
+    sorted_cache = {}
+
+    def sorted_col(slot):
+        """(sorted values, sorted validity-or-None)."""
+        if slot not in sorted_cache:
+            v, m = arrays[slot]
+            sorted_cache[slot] = (v[order],
+                                  None if m is None else m[order])
+        return sorted_cache[slot]
+
+    counts_cache = {}
+
+    def valid_counts(slot):
+        if slot not in counts_cache:
+            _, ms = sorted_col(slot)
+            counts_cache[slot] = counts_all if ms is None \
+                else diff_sums(ms.astype(jnp.int64))
+        return counts_cache[slot]
+
+    mm_cache = {}
+
+    def minmax_sorted(slot):
+        """Values re-ordered by (gid, valid-first, value order) so each
+        group's min sits at its run start and max at
+        start + valid_count - 1."""
+        if slot not in mm_cache:
+            from .row_format import encode_value_key
+            from ..core.column import _jax_to_logical
+            vs, ms = sorted_col(slot)
+            vkey, eff = encode_value_key(PrimitiveColumn(
+                vs, _jax_to_logical(vs.dtype), None, _canonical=True))
+            if ms is None:
+                msk = jnp.ones(vs.shape, jnp.bool_) if eff is None else eff
+            else:
+                msk = ms if eff is None else (ms & eff)
+            null_last = (~msk).astype(jnp.uint64)
+            _, _, _, v_final = jax.lax.sort(
+                (gid, null_last, vkey, vs), num_keys=3, is_stable=False)
+            mm_cache[slot] = v_final
+        return mm_cache[slot]
+
+    pallas_cache = {}
+
+    def pallas_agg(slot):
+        if slot not in pallas_cache:
+            from ..kernels.groupagg import grouped_aggregate, SumCol, \
+                MinMaxCol
+            vs, ms = sorted_col(slot)
+            sums_, counts_, mms_ = grouped_aggregate(
+                gid.astype(jnp.int32), num_groups,
+                sum_cols=[SumCol(vs, ms)],
+                mm_cols=[MinMaxCol(vs, ms, True, True)])
+            pallas_cache[slot] = (sums_[0], counts_[0], mms_[0])
+        return pallas_cache[slot]
+
     from ..kernels.segagg import G_MAX
-    if (config.use_pallas() and num_groups <= G_MAX
-            and _pallas_agg_ok(src, a.op)
-            and not isinstance(src, NullColumn)):
-        codes = gid.astype(jnp.int32)
-        if isinstance(src, PrimitiveColumn):
-            mask = None if src.validity is None \
-                else src.is_valid_mask()[order]
-            sorted_src: Column = PrimitiveColumn(
-                src.values[order], src.dtype, mask, _canonical=True)
-        else:   # count/count_all need only validity
-            mask = src.is_valid_mask()[order]
-            sorted_src = PrimitiveColumn(
-                jnp.zeros((len(src),), jnp.int64), dt.int64, mask,
-                _canonical=True)
-        return _pallas_agg_from_codes(sorted_src, a, codes, num_groups)
-    if isinstance(src, NullColumn):
-        # all-null input: sum/min/max per group are null; counts are 0
-        if a.op in ("count", "count_all"):
-            w = (jnp.ones_like(gid) if a.op == "count_all"
-                 else jnp.zeros_like(gid))
-            cnt = jax.ops.segment_sum(w, gid, num_segments=num_groups,
-                                      indices_are_sorted=True)
-            return PrimitiveColumn(cnt.astype(jnp.int64), dt.int64), \
-                dt.Field(a.out_name, dt.int64, nullable=False)
-        return (PrimitiveColumn(jnp.zeros((num_groups,), jnp.int64),
-                                dt.int64, jnp.zeros((num_groups,),
-                                                    jnp.bool_)),
-                dt.Field(a.out_name, dt.int64))
-    if not isinstance(src, PrimitiveColumn) and a.op not in ("count",
-                                                             "count_all"):
-        raise ArrowNotImplementedError(f"{a.op} over {type(src)}")
-    out_dt = _agg_dtype(src.dtype, a.op)
-    valid_sorted = src.is_valid_mask()[order]
-
-    if a.op == "count_all":
-        cnt = jax.ops.segment_sum(jnp.ones_like(gid), gid,
-                                  num_segments=num_groups,
-                                  indices_are_sorted=True)
-        return PrimitiveColumn(cnt.astype(jnp.int64), out_dt), \
-            dt.Field(a.out_name, out_dt, nullable=False)
-
-    if a.op == "count":
-        cnt = jax.ops.segment_sum(valid_sorted.astype(jnp.int64), gid,
-                                  num_segments=num_groups,
-                                  indices_are_sorted=True)
-        return PrimitiveColumn(cnt, out_dt), \
-            dt.Field(a.out_name, out_dt, nullable=False)
-
-    vals_sorted = src.values[order]
-    nonnull = jax.ops.segment_sum(valid_sorted.astype(jnp.int64), gid,
-                                  num_segments=num_groups,
-                                  indices_are_sorted=True)
-    group_valid = nonnull > 0
-    group_mask = None if bool(jnp.all(group_valid)) else group_valid
-
-    if a.op in ("sum", "mean"):
-        zeros = jnp.zeros((), vals_sorted.dtype)
-        contrib = jnp.where(valid_sorted, vals_sorted, zeros)
-        if a.op == "mean":
-            contrib = contrib.astype(jnp.float64)
-        s = jax.ops.segment_sum(contrib, gid, num_segments=num_groups,
-                                indices_are_sorted=True)
-        if a.op == "mean":
-            m = s / jnp.maximum(nonnull, 1).astype(jnp.float64)
-            return PrimitiveColumn(m, out_dt, group_mask), \
-                dt.Field(a.out_name, out_dt)
-        return PrimitiveColumn(s.astype(src.dtype.to_jax()), out_dt,
-                               group_mask), dt.Field(a.out_name, out_dt)
-
-    # min / max with null-skipping identities
-    if a.op == "min":
-        ident = _identity(vals_sorted.dtype, is_min=True)
-        contrib = jnp.where(valid_sorted, vals_sorted, ident)
-        r = jax.ops.segment_min(contrib, gid, num_segments=num_groups,
-                                indices_are_sorted=True)
-    else:
-        ident = _identity(vals_sorted.dtype, is_min=False)
-        contrib = jnp.where(valid_sorted, vals_sorted, ident)
-        r = jax.ops.segment_max(contrib, gid, num_segments=num_groups,
-                                indices_are_sorted=True)
-    return PrimitiveColumn(r, out_dt, group_mask), dt.Field(a.out_name, out_dt)
+    outs = []
+    for op, slot, kind in plan:
+        vals_arr, _ = arrays[slot]
+        use_pallas = (pallas and num_groups <= G_MAX and kind == "int"
+                      and op in ("sum", "mean", "min", "max"))
+        if op == "count_all":
+            outs.append((counts_all,
+                         jnp.ones((num_groups,), jnp.bool_)))
+            continue
+        if op == "count":
+            outs.append((valid_counts(slot),
+                         jnp.ones((num_groups,), jnp.bool_)))
+            continue
+        nonnull = valid_counts(slot)
+        gvalid = nonnull > 0
+        if use_pallas:
+            s_, c_, (mn_, mx_) = pallas_agg(slot)
+            if op == "sum":
+                outs.append((s_.astype(vals_arr.dtype), gvalid))
+            elif op == "mean":
+                m = s_.astype(jnp.float64) / jnp.maximum(c_, 1) \
+                    .astype(jnp.float64)
+                outs.append((m, gvalid))
+            else:
+                outs.append((mn_ if op == "min" else mx_, gvalid))
+            continue
+        vs, ms = sorted_col(slot)
+        if op in ("sum", "mean"):
+            contrib = vs if ms is None \
+                else jnp.where(ms, vs, jnp.zeros((), vs.dtype))
+            if kind == "float":
+                s_ = jax.ops.segment_sum(contrib, gid,
+                                         num_segments=num_groups,
+                                         indices_are_sorted=True)
+            else:
+                s_ = diff_sums(contrib.astype(jnp.int64)) \
+                    .astype(vs.dtype)
+            if op == "mean":
+                m = s_.astype(jnp.float64) / jnp.maximum(nonnull, 1) \
+                    .astype(jnp.float64)
+                outs.append((m, gvalid))
+            else:
+                outs.append((s_, gvalid))
+            continue
+        v_final = minmax_sorted(slot)
+        if op == "min":
+            outs.append((v_final[starts], gvalid))
+        else:
+            pos = starts + jnp.maximum(nonnull, 1) - 1
+            outs.append((v_final[pos], gvalid))
+    return tuple(outs), first_idx
 
 
 def _identity(dtype, is_min: bool):
