@@ -82,10 +82,11 @@ def group_by(table: Table, keys: Sequence[str],
     # 1-3: group discovery — key encode, stable lexsort, run boundaries,
     # dense group ids — fused into ONE jitted program (eager per-op
     # dispatch through the remote-TPU tunnel costs ~100x the kernels).
+    from .row_format import key_kind, key_parts
     kinds, parts = [], []
     for c in key_cols:
-        kinds.append(_key_kind(c))
-        parts.append(_key_parts(c))
+        kinds.append(key_kind(c))
+        parts.append(key_parts(c))
     order, gid, run_start, ng = _discover_stage(tuple(kinds),
                                                 tuple(parts))
     num_groups = int(ng)  # host sync (output cardinality)
@@ -141,64 +142,14 @@ def group_by(table: Table, keys: Sequence[str],
 import functools
 
 
-def _key_kind(c: Column) -> str:
-    """Static tag for the jitted key encoder."""
-    from ..core.column import StringColumn
-    if isinstance(c, DictionaryColumn):
-        return "dict"
-    if isinstance(c, StringColumn):
-        return "dict"            # encoded on host below
-    if isinstance(c, PrimitiveColumn):
-        d = c.dtype
-        if d.is_floating:
-            return "float"
-        if d.is_boolean or d.is_unsigned_integer:
-            return "uint"
-        return "int"
-    raise ArrowNotImplementedError(f"group key of {type(c)}")
-
-
-def _key_parts(c: Column):
-    """Array pytree for the jitted key encoder.  Dictionary/string keys
-    pre-compute value ranks on host (dictionary-sized, cheap); the
-    row-sized work stays in the jit."""
-    from ..core.column import StringColumn
-    from .row_format import dictionary_value_ranks
-    if isinstance(c, StringColumn):
-        from .strings import dictionary_encode
-        c = dictionary_encode(c)
-    if isinstance(c, DictionaryColumn):
-        ranks, dict_null = dictionary_value_ranks(c.values)
-        entry_valid = jnp.asarray(~dict_null) if dict_null.any() else None
-        return (c.codes, jnp.asarray(ranks), entry_valid, c.validity)
-    return (c.values, None, None, c.validity)
-
-
 @functools.partial(jax.jit, static_argnames=("kinds",))
 def _discover_stage(kinds, parts):
     """Key encode + stable lexsort + run boundaries + dense group ids,
     one XLA program.  Fixed group order: ascending, nulls first (the
     engine's deterministic group order)."""
-    from .row_format import _float_total_order_bits, jax_bitcast_u64, \
-        _SIGN64
-    keys = []
-    for kind, (vals, ranks, entry_valid, validity) in zip(kinds, parts):
-        if kind == "dict":
-            vkey = jnp.take(ranks, vals, mode="clip")
-            if entry_valid is not None:
-                ev = jnp.take(entry_valid, vals, mode="clip")
-                validity = ev if validity is None else (validity & ev)
-        elif kind == "float":
-            vkey = _float_total_order_bits(vals.astype(jnp.float64))
-        elif kind == "uint":
-            vkey = vals.astype(jnp.uint64)
-        else:
-            vkey = jax_bitcast_u64(vals.astype(jnp.int64)) ^ _SIGN64
-        if validity is not None:
-            keys.append(validity.astype(jnp.uint64))     # nulls first
-            vkey = jnp.where(validity, vkey, jnp.uint64(0))
-        keys.append(vkey)
-
+    from .row_format import encode_keys_traced
+    keys = encode_keys_traced(kinds, ((False, True),) * len(kinds),
+                              parts)
     n = keys[0].shape[0]
     iota = jnp.arange(n, dtype=jnp.int64)
     sorted_ops = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys),

@@ -103,6 +103,24 @@ def combined_keys(lcols: Sequence[Column], rcols: Sequence[Column]):
             lkeys, rkeys)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("multi",))
+def _probe_stage(lkey, lvalid, rkey, rvalid, multi):
+    """Device half of the hash join, one XLA program: sort the build
+    side, binary-search every probe key, mask NULL probes (eager per-op
+    dispatch through the remote-TPU tunnel costs ~100x the kernels)."""
+    r_order = jnp.argsort(rkey, stable=True)
+    r_sorted = rkey[r_order]
+    rvalid_sorted = rvalid[r_order]
+    lo = jnp.searchsorted(r_sorted, lkey, side="left")
+    hi = jnp.searchsorted(r_sorted, lkey, side="right")
+    counts = (hi - lo).astype(jnp.int64)
+    counts = jnp.where(lvalid, counts, 0)  # NULL probe matches nothing
+    return lo, counts, r_order, rvalid_sorted
+
+
 def join_indices(left: Table, right: Table, on: Sequence[str],
                  how: str = "inner",
                  right_on: Optional[Sequence[str]] = None
@@ -115,16 +133,8 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
         [right.column(c) for c in right_on])
     multi = len(on) > 1
 
-    # build side = right: sort its keys; NULL keys get a sentinel that can
-    # never match because probe NULLs are masked out separately
-    r_order = jnp.argsort(rkey, stable=True)
-    r_sorted = rkey[r_order]
-    rvalid_sorted = rvalid[r_order]
-
-    lo = jnp.searchsorted(r_sorted, lkey, side="left")
-    hi = jnp.searchsorted(r_sorted, lkey, side="right")
-    counts = (hi - lo).astype(jnp.int64)
-    counts = jnp.where(lvalid, counts, 0)  # NULL probe matches nothing
+    lo, counts, r_order, rvalid_sorted = _probe_stage(
+        lkey, lvalid, rkey, rvalid, multi)
 
     counts_np = np.asarray(counts)
     lo_np = np.asarray(lo)

@@ -27,9 +27,11 @@ Key transforms (order-preserving into uint64, cf. arrow-row/src/fixed.rs:47):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -289,3 +291,91 @@ def _decode_key(key: jnp.ndarray, validity: jnp.ndarray, src: Column
         return DictionaryColumn(codes.astype(src.codes.dtype), src.values,
                                 mask)
     raise ArrowNotImplementedError(f"decode of {type(src)}")
+
+
+# ---- jitted key-encode machinery (shared by sort / rank / group_by) ---------
+#
+# Eager per-op dispatch through the remote-TPU tunnel costs ~100x the
+# kernels themselves (measured in round 1: un-jitted cumsum 1078 ms vs
+# 22 ms jitted at 10M rows), so every sort-shaped operator funnels its
+# whole pipeline through one jit.  Host-side work is confined to
+# dictionary-rank precomputation (dictionary-sized, key_parts) while the
+# row-sized key build stays traced (encode_keys_traced).
+
+def key_kind(c: Column) -> str:
+    """Static tag for the traced key encoder."""
+    if isinstance(c, DictionaryColumn):
+        return "dict"
+    if isinstance(c, StringColumn):
+        return "dict"            # host dictionary-encode in key_parts
+    if isinstance(c, PrimitiveColumn):
+        d = c.dtype
+        if d.is_floating:
+            return "float"
+        if d.is_boolean or d.is_unsigned_integer:
+            return "uint"
+        return "int"
+    raise ArrowNotImplementedError(f"sort key of {type(c)}")
+
+
+def key_parts(c: Column):
+    """(values, ranks, entry_valid, validity) arrays for one key column;
+    dictionary/string value ranks are computed on host here (small)."""
+    if isinstance(c, StringColumn):
+        from .strings import dictionary_encode
+        c = dictionary_encode(c)
+    if isinstance(c, DictionaryColumn):
+        ranks, dict_null = dictionary_value_ranks(c.values)
+        entry_valid = jnp.asarray(~dict_null) if dict_null.any() else None
+        return (c.codes, jnp.asarray(ranks), entry_valid, c.validity)
+    return (c.values, None, None, c.validity)
+
+
+def encode_keys_traced(kinds, opts, parts) -> List[jnp.ndarray]:
+    """Traced equivalent of encode_keys: uint64 key stack, most
+    significant first.  kinds/opts are static; parts are arrays."""
+    keys: List[jnp.ndarray] = []
+    for kind, (descending, nulls_first), \
+            (vals, ranks, entry_valid, validity) in zip(kinds, opts,
+                                                        parts):
+        if kind == "dict":
+            vkey = jnp.take(ranks, vals, mode="clip")
+            if entry_valid is not None:
+                ev = jnp.take(entry_valid, vals, mode="clip")
+                validity = ev if validity is None else (validity & ev)
+        elif kind == "float":
+            vkey = _float_total_order_bits(vals.astype(jnp.float64))
+        elif kind == "uint":
+            vkey = vals.astype(jnp.uint64)
+        else:
+            vkey = jax_bitcast_u64(vals.astype(jnp.int64)) ^ _SIGN64
+        if descending:
+            vkey = ~vkey
+        if validity is not None:
+            null_key = validity.astype(jnp.uint64) if nulls_first \
+                else (~validity).astype(jnp.uint64)
+            keys.append(null_key)
+            vkey = jnp.where(validity, vkey, jnp.uint64(0))
+        keys.append(vkey)
+    return keys
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "opts", "limit"))
+def _lexsort_stage(kinds, opts, parts, limit=None):
+    keys = encode_keys_traced(kinds, opts, parts)
+    n = keys[0].shape[0]
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    sorted_ops = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys),
+                              is_stable=True)
+    idx = sorted_ops[-1]
+    return idx if limit is None else idx[:limit]
+
+
+def lexsort_indices_fused(cols: Sequence[Column],
+                          opts: Sequence[SortOptions],
+                          limit: Optional[int] = None) -> jnp.ndarray:
+    """One-jit sort indices for any mix of key columns."""
+    kinds = tuple(key_kind(c) for c in cols)
+    parts = tuple(key_parts(c) for c in cols)
+    sopts = tuple((o.descending, o.nulls_first) for o in opts)
+    return _lexsort_stage(kinds, sopts, parts, limit)

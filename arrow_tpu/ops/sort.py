@@ -31,7 +31,8 @@ from ..core.column import Column, PrimitiveColumn
 from ..core.table import Table
 from ..errors import ArrowInvalid
 from .row_format import (SortOptions, encode_keys, encode_value_key,
-                         lexsort_indices_from_keys)
+                         lexsort_indices_from_keys,
+                         lexsort_indices_fused)
 from .take import take as take_kernel, take_table
 
 __all__ = ["SortOptions", "SortColumn", "sort_to_indices", "sort",
@@ -48,11 +49,9 @@ class SortColumn:
 
 def sort_to_indices(col: Column, options: SortOptions = SortOptions(),
                     limit: Optional[int] = None) -> PrimitiveColumn:
-    """Indices that sort `col` (sort.rs:219)."""
-    keys = encode_keys([col], [options])
-    idx = lexsort_indices_from_keys(keys)
-    if limit is not None:
-        idx = idx[:limit]
+    """Indices that sort `col` (sort.rs:219) — key encode + stable sort
+    fused into one XLA program (row_format.lexsort_indices_fused)."""
+    idx = lexsort_indices_fused([col], [options], limit)
     return PrimitiveColumn(idx, dt.uint32)
 
 
@@ -71,11 +70,8 @@ def lexsort_to_indices(columns: Sequence[SortColumn],
     lens = {len(c.column) for c in columns}
     if len(lens) != 1:
         raise ArrowInvalid("lexsort column length mismatch")
-    keys = encode_keys([c.column for c in columns],
-                       [c.options for c in columns])
-    idx = lexsort_indices_from_keys(keys)
-    if limit is not None:
-        idx = idx[:limit]
+    idx = lexsort_indices_fused([c.column for c in columns],
+                                [c.options for c in columns], limit)
     return PrimitiveColumn(idx, dt.uint32)
 
 
