@@ -23,7 +23,7 @@ from .mesh import shard_axis
 from .partition import bucketize, exchange, hash_u64, repartition_arrays
 
 __all__ = ["local_group_aggregate", "dist_group_by", "dist_join_unique",
-           "dist_sort", "dist_sum"]
+           "dist_join_skew", "dist_sort", "dist_sum"]
 
 _U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -186,3 +186,85 @@ def dist_sort(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
     order = jnp.argsort(k3, stable=True)
     out_valid = (sh.valid & valid2)[order]
     return k2[order], out_valid, tuple(p[order] for p in pay2)
+
+
+# ---- skew-aware join (BASELINE config 5: Zipf keys) ---------------------------
+
+def local_heavy_keys(key: jnp.ndarray, valid: jnp.ndarray,
+                     heavy_cap: int, min_count: jnp.ndarray):
+    """Top-`heavy_cap` locally heavy keys (count >= min_count), from the
+    local key histogram (sort + per-row run count via two binary
+    searches).  Padded with the u64 sentinel."""
+    k = jnp.where(valid, key, _U64_MAX)
+    ks = jnp.sort(k)
+    cnt = (jnp.searchsorted(ks, ks, side="right")
+           - jnp.searchsorted(ks, ks, side="left")).astype(jnp.int32)
+    run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                 ks[1:] != ks[:-1]])
+    cand = run_start & (ks != _U64_MAX) & (cnt >= min_count)
+    # heaviest first: sort by count descending among candidates
+    rank_key = jnp.where(cand, jnp.int32(-1) * cnt, jnp.int32(1))
+    order = jnp.argsort(rank_key, stable=True)
+    heavy = jnp.where(cand[order], ks[order], _U64_MAX)[:heavy_cap]
+    return heavy
+
+
+def _compact_front(mask: jnp.ndarray, cap: int, *arrays: jnp.ndarray):
+    """Rows where mask, packed to the front (stable), sliced to cap;
+    returns (kept_valid (cap,), arrays' (cap,))."""
+    order = jnp.argsort(~mask, stable=True)
+    kept = mask[order][:cap]
+    return kept, tuple(a[order][:cap] for a in arrays)
+
+
+def dist_join_skew(axis: str,
+                   probe_key, probe_valid, probe_vals: Sequence,
+                   build_key, build_valid, build_vals: Sequence,
+                   probe_cap: int, build_cap: int,
+                   heavy_cap: int = 64, build_heavy_cap: int = 256,
+                   heavy_min_frac: float = 1.0 / 64):
+    """Skew-aware FK join (unique build keys), shard_map body.
+
+    Heavy probe keys (detected from per-shard histograms, agreed via
+    all_gather) would overflow a hash-routed shard, so their build rows
+    are REPLICATED to every shard and their probe rows stay local (no
+    shuffle at all — the hottest keys move zero probe bytes); light keys
+    take the normal co-shuffled path (dist_join_unique).  This is the
+    heavy-hitter split the survey prescribes for the Zipf workload
+    (SURVEY.md §7 hard-part (e)).
+
+    Returns (light_result, heavy_result):
+      light_result = dist_join_unique output over the light rows
+      heavy_result = (match_valid, [build vals]) aligned with the LOCAL
+                     probe rows (heavy rows only; others masked out)
+    """
+    n = probe_key.shape[0]
+    min_count = jnp.int32(max(int(n * heavy_min_frac), 2))
+
+    heavy_local = local_heavy_keys(probe_key, probe_valid, heavy_cap,
+                                   min_count)
+    heavy_all = jnp.sort(jax.lax.all_gather(heavy_local, axis)
+                         .reshape(-1))
+
+    def is_heavy(k, valid):
+        pos = jnp.clip(jnp.searchsorted(heavy_all, k), 0,
+                       heavy_all.shape[0] - 1)
+        return valid & (heavy_all[pos] == k) & (k != _U64_MAX)
+
+    ph = is_heavy(probe_key, probe_valid)
+    bh = is_heavy(build_key, build_valid)
+
+    # light path: the standard co-shuffled join
+    light = dist_join_unique(axis, probe_key, probe_valid & ~ph,
+                             probe_vals, build_key, build_valid & ~bh,
+                             build_vals, probe_cap, build_cap)
+
+    # heavy path: replicate heavy build rows everywhere, probe locally
+    kept, packed = _compact_front(bh, build_heavy_cap, build_key,
+                                  *build_vals)
+    rep = [jax.lax.all_gather(a, axis).reshape(-1)
+           for a in (packed[0], kept) + packed[1:]]
+    rep_key, rep_valid, rep_vals = rep[0], rep[1], rep[2:]
+    hit_h, got_h = _local_lookup_unique(probe_key, ph, rep_key,
+                                        rep_valid, rep_vals)
+    return light, (hit_h, got_h)

@@ -190,3 +190,60 @@ def test_dist_sort(mesh):
                  zip(keys[valid], payload[valid])}
     assert pairs_got == pairs_exp
     assert flat_keys == sorted(flat_keys)
+
+
+def test_dist_join_skew_zipf(rng):
+    """Skew-aware join on an 8-shard mesh with a heavily skewed probe
+    side: heavy keys replicate the build rows, light keys co-shuffle;
+    together they must match every probe row exactly once."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from arrow_tpu import parallel as par
+
+    mesh = par.make_mesh(8)
+    axis = par.shard_axis(mesh)
+    per = 256
+    n = per * 8
+    # Zipf-ish: half the probe rows hit 3 hot keys; rest uniform
+    hot = rng.choice([5, 9, 13], n)
+    cold = rng.integers(0, 512, n)
+    keys = np.where(rng.random(n) < 0.5, hot, cold).astype(np.uint64)
+    pvals = rng.integers(-100, 100, n).astype(np.int64)
+    bkeys = np.arange(512, dtype=np.uint64)
+    bvals = (np.arange(512, dtype=np.int64) * 7) % 101
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(axis),) * 3 + (P(axis),) * 2,
+                       out_specs=(P(axis), P(axis), P(axis),
+                                  P(axis), P(axis), P(axis)))
+    def step(pk, pv, ok, bk, bv):
+        light, (hit_h, got_h) = par.dist_join_skew(
+            axis, pk, ok, (pv,), bk, jnp.ones(bk.shape, jnp.bool_),
+            (bv,), per * 8, per * 8, heavy_cap=8, build_heavy_cap=64,
+            heavy_min_frac=1.0 / 16)
+        lk, lvalid, lpv, lhit, lgot = light
+        return (lk, (lvalid & lhit).astype(jnp.int32), lgot[0],
+                hit_h.astype(jnp.int32), got_h[0],
+                pk)
+
+    ok = np.ones(n, bool)
+    lk, lmask, lgot, hmask, hgot, pk_local = map(
+        np.asarray, step(jnp.asarray(keys), jnp.asarray(pvals),
+                         jnp.asarray(ok), jnp.asarray(bkeys),
+                         jnp.asarray(bvals)))
+
+    expect = {int(k): int(v) for k, v in zip(bkeys, bvals)}
+    # every heavy-path hit must be correct and aligned with local rows
+    assert (hgot[hmask == 1] ==
+            [expect[int(k)] for k in pk_local[hmask == 1]]).all()
+    # light path results correct too
+    assert (lgot[lmask == 1] ==
+            [expect[int(k)] for k in lk[lmask == 1]]).all()
+    # each probe row matched exactly once across the two paths
+    total = int(lmask.sum()) + int(hmask.sum())
+    assert total == n, (int(lmask.sum()), int(hmask.sum()), n)
+    # the hot keys actually took the heavy path
+    assert int(hmask.sum()) > n // 4
