@@ -194,9 +194,14 @@ class Rows:
 
 class RowConverter:
     """Columns -> comparable rows and back (arrow-row RowConverter,
-    lib.rs:413,642,749).  Fixed-width codecs only; dictionary/string
-    columns encode their dense value rank (4 bytes) — order-preserving
-    within this converter's lifetime, decodable back to the dictionary."""
+    lib.rs:413,642,749).  Fixed-width values encode as tag byte +
+    big-endian order key (fixed.rs); STRING columns use the reference's
+    variable-length encoding — 0x02-prefixed 32-byte blocks with
+    continuation tokens (variable.rs:28-100), via the native hostcodec —
+    so string rows are byte-faithful to the arrow-row spec and decode
+    without a dictionary.  Dictionary columns encode their dense value
+    rank (order-preserving within this converter's lifetime).
+"""
 
     def __init__(self, fields: Sequence[SortField]):
         self.fields = tuple(fields)
@@ -214,6 +219,20 @@ class RowConverter:
         offset = 0
         for col, f in zip(cols, self.fields):
             opt = f.options
+            if isinstance(col, StringColumn):
+                from ..utils import native as _native
+                offs = np.asarray(col.offsets, np.int32)
+                max_len = int((offs[1:] - offs[:-1]).max()) if n else 0
+                nblocks = max(1, -(-max_len // 32))
+                v = None if col.validity is None \
+                    else np.asarray(col.validity, np.uint8)
+                enc = _native.encode_varlen_rows(
+                    offs, np.asarray(col.data, np.uint8), v, nblocks,
+                    opt.descending, opt.nulls_first)
+                parts.append(jnp.asarray(enc))
+                layout.append((offset, enc.shape[1]))
+                offset += enc.shape[1]
+                continue
             vkey, validity = encode_value_key(col)
             if opt.descending:
                 vkey = ~vkey
@@ -245,6 +264,17 @@ class RowConverter:
         data = rows.data
         for (off, w), f, src in zip(rows.layout, self.fields, like):
             opt = f.options
+            if isinstance(src, StringColumn):
+                from ..utils import native as _native
+                nblocks = (w - 1) // 33
+                offs, bytes_, valid = _native.decode_varlen_rows(
+                    np.asarray(data, np.uint8), off, nblocks,
+                    opt.descending, opt.nulls_first)
+                mask = None if valid.all() else jnp.asarray(valid.view(bool))
+                out.append(StringColumn(jnp.asarray(offs),
+                                        jnp.asarray(bytes_), src.dtype,
+                                        mask))
+                continue
             tag = data[:, off]
             validity = tag == 0x01
             shifts = jnp.arange(56, -8, -8, dtype=jnp.uint64)

@@ -14,7 +14,8 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["available", "pack_bits", "unpack_bits", "count_set_bits",
-           "decode_zigzag_longs", "encode_rows", "argsort_rows"]
+           "decode_zigzag_longs", "encode_rows", "argsort_rows",
+           "encode_varlen_rows", "decode_varlen_rows"]
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
@@ -53,6 +54,14 @@ def _load() -> Optional[ctypes.CDLL]:
         u8p, u8p, i64, ctypes.c_int32, u8p]
     lib.argsort_rows.argtypes = [u8p, i64, i64,
                                  ctypes.POINTER(ctypes.c_uint32)]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8 = ctypes.c_uint8
+    lib.encode_varlen_rows.argtypes = [i32p, u8p, u8p, i64,
+                                       ctypes.c_int32, u8, u8, u8p]
+    lib.decode_varlen_rows.argtypes = [u8p, i64, i64, i64,
+                                       ctypes.c_int32, u8, u8,
+                                       i32p, u8p, u8p]
+    lib.decode_varlen_rows.restype = i64
     _lib = lib
     return _lib
 
@@ -164,3 +173,74 @@ def argsort_rows(rows: np.ndarray) -> np.ndarray:
     lib.argsort_rows(_u8(rows), n, width,
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out
+
+
+def encode_varlen_rows(offsets: np.ndarray, data: np.ndarray,
+                       valid, nblocks: int, descending: bool,
+                       nulls_first: bool) -> np.ndarray:
+    """Variable-length row encoding (arrow-row variable.rs:28-100):
+    0x02 + 32-byte blocks with continuation tokens, padded to a fixed
+    width of 1 + 33*nblocks so the result stays a memcmp matrix."""
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(offsets) - 1
+    width = 1 + 33 * nblocks
+    out = np.zeros((n, width), np.uint8)
+    lib = _load()
+    if lib is not None:
+        v = None if valid is None else np.ascontiguousarray(valid, np.uint8)
+        lib.encode_varlen_rows(
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _u8(data), None if v is None else _u8(v), n, nblocks,
+            1 if descending else 0, 1 if nulls_first else 0, _u8(out))
+        return out
+    # numpy fallback (slow; parity only)
+    for i in range(n):
+        ok = valid is None or bool(valid[i])
+        row = out[i]
+        if descending:
+            row[:] = 0xFF
+        if not ok:
+            row[0] = 0x00 if nulls_first else 0xFF
+            continue
+        s, e = int(offsets[i]), int(offsets[i + 1])
+        chunkv = data[s:e]
+
+        def f(x):
+            return (~np.asarray(x, np.uint8)) if descending \
+                else np.asarray(x, np.uint8)
+        if e == s:
+            row[0] = f(0x01)
+            continue
+        row[0] = f(0x02)
+        p = 1
+        done = 0
+        ln = e - s
+        while done < ln:
+            c = min(32, ln - done)
+            row[p:p + c] = f(chunkv[done:done + c])
+            row[p + c:p + 32] = f(np.zeros(32 - c, np.uint8))
+            last = done + c >= ln
+            row[p + 32] = f(c + 1 if last else 0xFF)
+            p += 33
+            done += c
+    return out
+
+
+def decode_varlen_rows(rows: np.ndarray, cell_offset: int, nblocks: int,
+                       descending: bool, nulls_first: bool):
+    """Inverse of encode_varlen_rows -> (offsets i32, data u8, valid u8)."""
+    rows = np.ascontiguousarray(rows, np.uint8)
+    n, stride = rows.shape
+    out_offsets = np.zeros(n + 1, np.int32)
+    out_data = np.zeros(max(n * 32 * nblocks, 1), np.uint8)
+    out_valid = np.zeros(n, np.uint8)
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("decode_varlen_rows requires the native lib")
+    total = lib.decode_varlen_rows(
+        _u8(rows), n, stride, cell_offset, nblocks,
+        1 if descending else 0, 1 if nulls_first else 0,
+        out_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8(out_data), _u8(out_valid))
+    return out_offsets, out_data[:total], out_valid

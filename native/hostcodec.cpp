@@ -106,6 +106,95 @@ void argsort_rows(const uint8_t* rows, int64_t n, int64_t width,
     });
 }
 
+// ---- variable-length row encoding (arrow-row variable.rs:28-100) -------------
+//
+// Non-empty values encode as 0x02 followed by 32-byte data blocks, each
+// block terminated by a token byte: 0xFF for full (continued) blocks, and
+// data_len_in_block + 1 for the (zero-padded) final block.  Empty value:
+// 0x01.  Null: 0x00 (nulls first) / 0xFF (nulls last).  Descending
+// inverts every byte.  Each slot is padded to a fixed width of
+// 1 + 33 * nblocks bytes so rows stay a memcmp-comparable matrix.
+
+static inline uint8_t flip(uint8_t b, bool desc) {
+    return desc ? static_cast<uint8_t>(~b) : b;
+}
+
+void encode_varlen_rows(const int32_t* offsets, const uint8_t* data,
+                        const uint8_t* valid, int64_t n, int32_t nblocks,
+                        uint8_t desc, uint8_t nulls_first, uint8_t* out) {
+    const int64_t width = 1 + 33LL * nblocks;
+    const bool d = desc != 0;
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t* cell = out + i * width;
+        std::memset(cell, d ? 0xFF : 0x00, width);
+        bool ok = valid == nullptr || valid[i];
+        if (!ok) {
+            cell[0] = nulls_first ? 0x00 : 0xFF;  // null tag is not inverted
+            continue;
+        }
+        int64_t start = offsets[i], end = offsets[i + 1];
+        int64_t len = end - start;
+        if (len == 0) {
+            cell[0] = flip(0x01, d);
+            continue;
+        }
+        cell[0] = flip(0x02, d);
+        uint8_t* p = cell + 1;
+        int64_t done = 0;
+        while (done < len) {
+            int64_t chunk = std::min<int64_t>(32, len - done);
+            for (int64_t b = 0; b < chunk; ++b) {
+                p[b] = flip(data[start + done + b], d);
+            }
+            for (int64_t b = chunk; b < 32; ++b) p[b] = flip(0x00, d);
+            bool last = done + chunk >= len;
+            p[32] = flip(last ? static_cast<uint8_t>(chunk + 1) : 0xFF, d);
+            p += 33;
+            done += chunk;
+        }
+    }
+}
+
+// Inverse: recover (offsets, bytes, validity) from fixed-width slots.
+// out_data must hold 32 * nblocks * n bytes.  Returns total data bytes.
+int64_t decode_varlen_rows(const uint8_t* rows, int64_t n, int64_t stride,
+                           int64_t cell_offset, int32_t nblocks,
+                           uint8_t desc, uint8_t nulls_first,
+                           int32_t* out_offsets, uint8_t* out_data,
+                           uint8_t* out_valid) {
+    const bool d = desc != 0;
+    int64_t pos = 0;
+    out_offsets[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* cell = rows + i * stride + cell_offset;
+        uint8_t tag = cell[0];
+        uint8_t null_tag = nulls_first ? 0x00 : 0xFF;
+        if (tag == null_tag) {
+            out_valid[i] = 0;
+            out_offsets[i + 1] = static_cast<int32_t>(pos);
+            continue;
+        }
+        out_valid[i] = 1;
+        if (flip(tag, d) == 0x01) {               // empty
+            out_offsets[i + 1] = static_cast<int32_t>(pos);
+            continue;
+        }
+        const uint8_t* p = cell + 1;
+        for (int32_t blk = 0; blk < nblocks; ++blk) {
+            uint8_t token = flip(p[32], d);
+            int64_t chunk = (token == 0xFF) ? 32 : token - 1;
+            for (int64_t b = 0; b < chunk; ++b) {
+                out_data[pos + b] = flip(p[b], d);
+            }
+            pos += chunk;
+            if (token != 0xFF) break;
+            p += 33;
+        }
+        out_offsets[i + 1] = static_cast<int32_t>(pos);
+    }
+    return pos;
+}
+
 // ---- selection host fallbacks ------------------------------------------------
 
 // Gather of 8-byte elements (host-side take for spill/io paths).

@@ -180,3 +180,55 @@ class TestRowFormat:
         exp = ops.lexsort_to_indices(
             [ops.SortColumn(c) for c in cols]).to_pylist()
         assert order == exp
+
+
+def test_row_format_varlen_strings(rng):
+    """arrow-row variable-length string encoding (variable.rs:28-100):
+    memcmp order == string order (nulls/empties included), byte-faithful
+    block layout, and lossless decode without a dictionary."""
+    import arrow_tpu as at
+    from arrow_tpu.ops.row_format import RowConverter, SortField, SortOptions
+
+    vals = ["hello", "", None, "hell", "a" * 40, "a" * 32, "b", None, "az"]
+    col = at.column(vals)
+    conv = RowConverter([SortField()])
+    rows = conv.convert_columns([col])
+
+    # spec-pinned layout: "hello" -> 0x02 'h' 'e' 'l' 'l' 'o' 0x00*27 0x06
+    r0 = rows.to_numpy()[0]
+    assert r0[0] == 0x02
+    assert bytes(r0[1:6]) == b"hello"
+    assert (r0[6:33] == 0).all() and r0[33] == 0x06
+    # empty -> 0x01 tag only; null -> 0x00 (nulls first)
+    assert rows.to_numpy()[1][0] == 0x01
+    assert rows.to_numpy()[2][0] == 0x00
+    # 40-byte string: first block continued with 0xFF token
+    r4 = rows.to_numpy()[4]
+    assert r4[33] == 0xFF and r4[66] == 9  # 8 bytes in final block + 1
+
+    # memcmp order == (nulls first, then string order)
+    import numpy as np
+    order = np.asarray(rows.argsort())
+    got = [vals[i] for i in order]
+    expect = sorted(range(len(vals)),
+                    key=lambda i: (vals[i] is not None, vals[i] or ""))
+    assert got == [vals[i] for i in expect]
+
+    # lossless inverse
+    back, = conv.convert_rows(rows, [col])
+    assert back.to_pylist() == vals
+
+
+def test_row_format_varlen_descending():
+    import arrow_tpu as at
+    import numpy as np
+    from arrow_tpu.ops.row_format import RowConverter, SortField, SortOptions
+    vals = ["b", None, "a", "ab"]
+    col = at.column(vals)
+    conv = RowConverter([SortField(SortOptions(descending=True,
+                                            nulls_first=False))])
+    rows = conv.convert_columns([col])
+    order = np.asarray(rows.argsort())
+    assert [vals[i] for i in order] == ["b", "ab", "a", None]
+    back, = conv.convert_rows(rows, [col])
+    assert back.to_pylist() == vals
