@@ -78,3 +78,31 @@ def create_timestamp_array(size: int, null_density: float = 0.0,
     valid = _mask(rng, size, null_density)
     mask = None if valid is None else ~valid
     return pa.array(vals, mask=mask).cast(pa.timestamp(unit))
+
+
+def create_random_batch(size: int, seed: int = 0, null_density: float = 0.1):
+    """Random mixed-type Table (the reference's data_gen.rs:37 role):
+    int64/float64/bool/utf8-dictionary/timestamp columns with nulls."""
+    import jax.numpy as jnp
+    from ..core.column import DictionaryColumn, column
+    from ..core.table import Table
+    from .. import dtypes as dt
+    rng = np.random.default_rng(seed)
+
+    def mask():
+        return None if null_density == 0 else \
+            jnp.asarray(rng.random(size) >= null_density)
+
+    words = [f"w{i:03d}" for i in range(64)]
+    cols = {
+        "i64": column(rng.integers(-10**12, 10**12, size).astype(np.int64),
+                      validity=mask()),
+        "f64": column(rng.normal(0, 1e6, size), validity=mask()),
+        "flag": column(rng.random(size) < 0.5, validity=mask()),
+        "word": DictionaryColumn(
+            jnp.asarray(rng.integers(0, 64, size).astype(np.int32)),
+            column(words), mask()),
+        "ts": column(rng.integers(0, 2**40, size).astype(np.int64),
+                     dtype=dt.timestamp("us"), validity=mask()),
+    }
+    return Table.from_pydict(cols)
