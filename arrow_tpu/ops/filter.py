@@ -78,8 +78,23 @@ def _nonzero_indices(keep: jnp.ndarray, count: int) -> jnp.ndarray:
 
 
 def compact_by_mask(keep: jnp.ndarray, count: int, *arrays: jnp.ndarray):
-    """Partition every array's kept rows to the front (one fused stable
-    sort over all payload operands), slice to `count` (static)."""
+    """Partition every array's kept rows to the front, slice to `count`
+    (static).
+
+    Wide batches route to the Pallas MXU permutation kernel
+    (kernels/compact.py) when every dtype is supported — measured 3.6x
+    faster than the partition-sort at 4 x 8-byte columns on v5e (63 vs
+    229 ms at 10M rows); narrow batches keep the fused stable sort
+    (the kernel is block-latency-bound and loses below ~6 u32 planes).
+    """
+    from .. import config
+    if config.use_pallas():
+        from ..kernels import compact as ck
+        nplanes = sum(max(a.dtype.itemsize // 4, 1) for a in arrays)
+        if nplanes >= 6 and all(ck.supported_dtype(a.dtype)
+                                for a in arrays):
+            outs, _ = ck.compact_mask_arrays(keep, arrays)
+            return tuple(a[:count] for a in outs)
     sorted_ops = jax.lax.sort((~keep,) + tuple(arrays), num_keys=1,
                               is_stable=True)
     return tuple(a[:count] for a in sorted_ops[1:])

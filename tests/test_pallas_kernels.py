@@ -136,3 +136,42 @@ def test_group_by_dictionary_fast_path(rng, monkeypatch):
     monkeypatch.setenv("ARROW_TPU_USE_PALLAS", "1")
     got = group_by(t, ["k"], aggs).to_pydict()
     assert got == ref
+
+
+def test_compact_mask_arrays_kernel(rng):
+    """MXU permutation compaction vs numpy (interpreter mode)."""
+    from arrow_tpu.kernels.compact import compact_mask_arrays
+    n = 2500
+    keep = rng.random(n) < 0.4
+    x = rng.integers(-10**17, 10**17, n).astype(np.int64)
+    y = rng.random(n).astype(np.float32)
+    f = rng.integers(0, 2, n).astype(bool)
+    u = rng.integers(0, 2**62, n).astype(np.uint64)
+    outs, count = compact_mask_arrays(
+        jnp.asarray(keep), [jnp.asarray(x), jnp.asarray(y),
+                            jnp.asarray(f), jnp.asarray(u)])
+    c = int(count)
+    assert c == keep.sum()
+    assert (np.asarray(outs[0][:c]) == x[keep]).all()
+    assert (np.asarray(outs[1][:c]) == y[keep]).all()
+    assert (np.asarray(outs[2][:c]) == f[keep]).all()
+    assert (np.asarray(outs[3][:c]) == u[keep]).all()
+
+
+def test_filter_table_pallas_route(rng, monkeypatch):
+    """filter_table through the Pallas compaction matches the sort path."""
+    import arrow_tpu as at
+    from arrow_tpu.ops.filter import filter_table
+    n = 2000
+    t = at.Table.from_pydict({
+        "a": at.column(rng.integers(-100, 100, n).astype(np.int64),
+                       validity=rng.random(n) > 0.1),
+        "b": at.column(rng.integers(0, 9, n).astype(np.int32)),
+        "c": at.column(rng.integers(0, 2**40, n).astype(np.uint64)),
+    })
+    pred = at.column(rng.random(n) < 0.5)
+    monkeypatch.setenv("ARROW_TPU_USE_PALLAS", "0")
+    ref = filter_table(t, pred).to_pydict()
+    monkeypatch.setenv("ARROW_TPU_USE_PALLAS", "1")
+    got = filter_table(t, pred).to_pydict()
+    assert got == ref
