@@ -51,6 +51,7 @@ from .utils.display import (  # noqa: F401
     FormatOptions, ArrayFormatter, pretty_format_table,
     pretty_format_columns,
 )
+from .utils.trace import op_timer, timings, OpTimings  # noqa: F401
 
 from . import ops as compute  # noqa: F401
 
