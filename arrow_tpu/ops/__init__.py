@@ -47,6 +47,7 @@ from .join import join, join_indices  # noqa: F401
 from .strings import (  # noqa: F401
     dictionary_encode, dictionary_decode,
     like, ilike, nlike, nilike, starts_with, ends_with, contains,
-    regexp_is_match, substring, length, octet_length, bit_length,
+    regexp_is_match, regexp_match, substring, length,
+    octet_length, bit_length,
     upper, lower, concat_elements,
 )

@@ -33,7 +33,8 @@ __all__ = [
     "dictionary_encode", "dictionary_decode", "compare",
     "like", "ilike", "nlike", "nilike",
     "starts_with", "ends_with", "contains",
-    "regexp_is_match", "substring", "length", "octet_length", "bit_length",
+    "regexp_is_match", "regexp_match", "substring", "length",
+    "octet_length", "bit_length",
     "upper", "lower", "concat_elements",
 ]
 
@@ -221,6 +222,42 @@ def regexp_is_match(col, pattern: str, flags: str = ""):
     f = re.IGNORECASE if "i" in flags else 0
     rx = re.compile(pattern, f)
     return _per_value(col, lambda v: rx.search(v) is not None)
+
+
+def regexp_match(col, pattern: str, flags: str = ""):
+    """First-match capture groups per row as List<Utf8> (regexp.rs
+    regexp_match); no match / null input -> null entry.  Host-side over
+    the dictionary values (strings are dictionary-encoded by design)."""
+    from ..core.column import ListColumn
+    from ..core.builders import ListBuilder, StringBuilder
+    f = re.IGNORECASE if "i" in flags else 0
+    rx = re.compile(pattern, f)
+    d = _as_dict(col)
+    vals = _dict_values_host(d)
+    per_value = []
+    for v in vals:
+        if v is None:
+            per_value.append(None)
+            continue
+        m = rx.search(v)
+        if m is None:
+            per_value.append(None)
+        elif rx.groups:
+            per_value.append([g if g is not None else None
+                              for g in m.groups()])
+        else:
+            per_value.append([m.group(0)])
+    codes = np.asarray(d.codes)
+    valid = None if d.validity is None else np.asarray(d.validity)
+    lb = ListBuilder(StringBuilder())
+    for i in range(len(d)):
+        ok = valid is None or valid[i]
+        row = per_value[codes[i]] if ok else None
+        if row is None:
+            lb.append_null()
+        else:
+            lb.append_value(row)
+    return lb.finish()
 
 
 # ---- transforms ------------------------------------------------------------------

@@ -117,3 +117,15 @@ def test_concat_elements():
 def test_string_min_max():
     assert ops.min_(COL).as_py() == ""
     assert ops.max_(COL).as_py() == "grape%fruit"
+
+
+def test_regexp_match_capture_groups():
+    import arrow_tpu as at
+    from arrow_tpu.ops.strings import regexp_match
+    col = at.column(["a-1", "b-22", None, "nope"])
+    out = regexp_match(col, r"([a-z])-(\d+)")
+    assert out.to_pyarrow().to_pylist() == \
+        [["a", "1"], ["b", "22"], None, None]
+    # no capture groups: whole match
+    out2 = regexp_match(col, r"\d+")
+    assert out2.to_pyarrow().to_pylist() == [["1"], ["22"], None, None]
