@@ -50,37 +50,80 @@ def local_group_aggregate(key: jnp.ndarray, valid: jnp.ndarray,
     gid_all = jnp.cumsum(run_start.astype(jnp.int32)) - 1
     # invalid rows -> overflow segment
     gid = jnp.where(vs, jnp.minimum(gid_all, group_cap), group_cap)
-    seg = functools.partial(jax.ops.segment_sum, num_segments=group_cap + 1,
-                            indices_are_sorted=True)
-    # representative key + group validity
-    first_mask = run_start & vs & (gid_all < group_cap)
-    group_keys = jnp.zeros((group_cap + 1,), key.dtype).at[
-        jnp.where(first_mask, gid, group_cap)].max(
-        ks, mode="drop")[:group_cap]
-    counts = seg(vs.astype(jnp.int64), gid)[:group_cap]
+
+    # scatter-free segment machinery (XLA segment ops lower to scatter
+    # on TPU, measured 0.005-0.014 Grows/s on v5e): run starts via a
+    # partition-sort, counts/sums via cumsum + boundary diff, min/max
+    # via a secondary (gid, value-key) sort — same strategy ladder as
+    # ops.groupby._agg_stage, in static-shape shard_map form.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    eligible = run_start & vs & (gid_all < group_cap)
+    _, starts_raw = jax.lax.sort((~eligible, iota), num_keys=1,
+                                 is_stable=True)
+    # extend with n-sentinels so slicing is safe when n < group_cap + 1
+    starts_all = jnp.concatenate(
+        [starts_raw, jnp.full((group_cap + 1,), n, jnp.int32)])
+    slots = jnp.arange(group_cap, dtype=jnp.int32)
+    n_groups = jnp.sum(eligible, dtype=jnp.int32)
+    starts = jnp.where(slots < n_groups,
+                       starts_all[:group_cap], jnp.int32(n))
+    starts_c = jnp.minimum(starts, n - 1)
+
+    group_keys = jnp.where(slots < n_groups, ks[starts_c],
+                           jnp.zeros((), key.dtype))
+
+    def diff_sums(contrib):
+        cs = jnp.cumsum(contrib)
+        nxt = jnp.where(slots + 1 <= n_groups - 1,
+                        starts_all[1:group_cap + 1], jnp.int32(n))
+        # rows beyond the last real group (overflow/invalid) are excluded
+        # by zeroed contributions
+        end_cs = cs[jnp.maximum(nxt - 1, 0)]
+        start_cs = jnp.where(starts_c > 0, cs[starts_c - 1],
+                             jnp.zeros((), cs.dtype))
+        return jnp.where(slots < n_groups, end_cs - start_cs,
+                         jnp.zeros((), cs.dtype))
+
+    in_cap = vs & (gid_all < group_cap)
+    counts = diff_sums(in_cap.astype(jnp.int64))
     group_valid = counts > 0
     outs = []
+    mm_cache = {}
     for op, arr in specs:
         a = arr[order]
         if op == "count":
             outs.append(counts)
             continue
         if op == "sum":
-            contrib = jnp.where(vs, a, jnp.zeros((), a.dtype))
-            outs.append(seg(contrib, gid)[:group_cap])
+            contrib = jnp.where(in_cap, a, jnp.zeros((), a.dtype))
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                outs.append(diff_sums(contrib.astype(jnp.float64))
+                            .astype(a.dtype))
+            else:
+                outs.append(diff_sums(contrib.astype(jnp.int64))
+                            .astype(a.dtype))
             continue
         if op in ("min", "max"):
-            if jnp.issubdtype(a.dtype, jnp.floating):
-                ident = jnp.array(jnp.inf if op == "min" else -jnp.inf,
-                                  a.dtype)
+            cache_key = id(arr)
+            if cache_key not in mm_cache:
+                from ..ops.row_format import encode_value_key
+                from ..core.column import PrimitiveColumn, _jax_to_logical
+                vkey, eff = encode_value_key(PrimitiveColumn(
+                    a, _jax_to_logical(a.dtype), None, _canonical=True))
+                msk = in_cap if eff is None else (in_cap & eff)
+                null_last = (~msk).astype(jnp.uint64)
+                _, _, _, v_final = jax.lax.sort(
+                    (gid.astype(jnp.int32), null_last, vkey, a),
+                    num_keys=3, is_stable=False)
+                nonnull = diff_sums(msk.astype(jnp.int64))
+                mm_cache[cache_key] = (v_final, nonnull)
+            v_final, nonnull = mm_cache[cache_key]
+            if op == "min":
+                outs.append(v_final[starts_c])
             else:
-                info = jnp.iinfo(a.dtype)
-                ident = jnp.array(info.max if op == "min" else info.min,
-                                  a.dtype)
-            contrib = jnp.where(vs, a, ident)
-            red = jax.ops.segment_min if op == "min" else jax.ops.segment_max
-            outs.append(red(contrib, gid, num_segments=group_cap + 1,
-                            indices_are_sorted=True)[:group_cap])
+                pos = jnp.minimum(starts_c + jnp.maximum(nonnull, 1) - 1,
+                                  n - 1).astype(jnp.int32)
+                outs.append(v_final[pos])
             continue
         raise ValueError(f"unknown aggregate {op}")
     return group_keys, group_valid, outs
