@@ -37,6 +37,7 @@ from .cast import cast, can_cast, CastOptions  # noqa: F401
 from .temporal import (  # noqa: F401
     date_part, year, month, day, hour, minute, second, millisecond,
     microsecond, nanosecond, day_of_week, day_of_year, quarter,
+    add_interval, sub_interval,
 )
 from .bitwise import (  # noqa: F401
     bit_and, bit_or, bit_xor, bit_not, shift_left, shift_right,

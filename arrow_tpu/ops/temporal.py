@@ -16,7 +16,7 @@ from ..errors import ArrowTypeError
 
 __all__ = ["date_part", "year", "month", "day", "hour", "minute", "second",
            "millisecond", "microsecond", "nanosecond", "day_of_week",
-           "day_of_year", "quarter"]
+           "day_of_year", "quarter", "add_interval", "sub_interval"]
 
 _UNIT_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
 
@@ -147,3 +147,85 @@ def day_of_year(col):
 
 def quarter(col):
     return date_part(col, "quarter")
+
+
+# ---- interval arithmetic (arrow-arith numeric.rs interval cases) --------------
+
+def _days_in_month(y, m):
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    base = jnp.asarray([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                       jnp.int64)
+    d = base[m - 1]
+    return jnp.where((m == 2) & leap, 29, d)
+
+
+def _add_months_days_nanos(col: PrimitiveColumn, months, days, nanos,
+                           negate: bool):
+    """Calendar-aware shift of a timestamp/date column: months add with
+    end-of-month clamping (chrono checked_add_months semantics, the rule
+    arrow-rs interval arithmetic uses), then whole days, then
+    nanoseconds."""
+    if negate:
+        months, days, nanos = -months, -days, -nanos
+    d = col.dtype
+    ep_days, time_ns = _epoch_days_and_time_ns(col)
+    y, m, dd = _civil_from_days(ep_days)
+    m2 = m - 1 + months.astype(jnp.int64)
+    y2 = y + jnp.floor_divide(m2, 12)
+    m2 = m2 - jnp.floor_divide(m2, 12) * 12 + 1
+    dd2 = jnp.minimum(dd, _days_in_month(y2, m2))      # clamp
+    out_days = _days_from_civil(y2, m2, dd2) + days.astype(jnp.int64)
+    total_ns = time_ns + nanos.astype(jnp.int64)
+    out_days = out_days + jnp.floor_divide(total_ns, 86_400_000_000_000)
+    total_ns = total_ns - jnp.floor_divide(
+        total_ns, 86_400_000_000_000) * 86_400_000_000_000
+
+    if d.name == "date32":
+        return PrimitiveColumn(out_days.astype(jnp.int32), d, col.validity,
+                               _canonical=col.validity is None)
+    if d.name == "date64":
+        ms = out_days * 86_400_000 + total_ns // 1_000_000
+        return PrimitiveColumn(ms, d, col.validity,
+                               _canonical=col.validity is None)
+    scale = _UNIT_NS[d.unit]
+    v = out_days * (86_400 * (1_000_000_000 // scale)) + total_ns // scale
+    return PrimitiveColumn(v, d, col.validity,
+                           _canonical=col.validity is None)
+
+
+def add_interval(col: PrimitiveColumn, interval, *, negate: bool = False
+                 ) -> PrimitiveColumn:
+    """timestamp/date32/date64 + Interval column (numeric.rs interval
+    arithmetic: YearMonth / DayTime / MonthDayNano, calendar-aware with
+    chrono-style end-of-month clamping)."""
+    from ..core import validity as vd
+    from ..core.nested import IntervalMDNColumn
+    if col.dtype.name not in ("timestamp", "date32", "date64"):
+        raise ArrowTypeError(f"add_interval over {col.dtype!r}")
+    if isinstance(interval, IntervalMDNColumn):
+        months, days, nanos = (interval.months.astype(jnp.int64),
+                               interval.days.astype(jnp.int64),
+                               interval.nanos)
+        iv_valid = interval.validity
+    elif isinstance(interval, PrimitiveColumn) and \
+            interval.dtype.name == "interval":
+        if interval.dtype.unit == "year_month":
+            months = interval.values.astype(jnp.int64)
+            days = jnp.zeros_like(months)
+            nanos = jnp.zeros_like(months)
+        else:                                     # day_time: days<<32|ms
+            packed = interval.values.astype(jnp.int64)
+            days = packed >> 32
+            ms = packed - (days << 32)
+            months = jnp.zeros_like(days)
+            nanos = ms * 1_000_000
+        iv_valid = interval.validity
+    else:
+        raise ArrowTypeError(f"not an interval: {type(interval)}")
+    out = _add_months_days_nanos(col, months, days, nanos, negate)
+    validity = vd.union(out.validity, iv_valid)
+    return out if validity is out.validity else out.with_validity(validity)
+
+
+def sub_interval(col: PrimitiveColumn, interval) -> PrimitiveColumn:
+    return add_interval(col, interval, negate=True)

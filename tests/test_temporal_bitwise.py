@@ -99,3 +99,60 @@ def test_coalescer_with_filter():
     c.finish()
     out = c.next_completed_batch()
     assert out.column("x").to_pylist() == [0, 2, 4, 6, 8]
+
+
+def test_add_interval_month_day_nano(rng):
+    """Calendar month addition with end-of-month clamping (the chrono
+    checked_add_months rule arrow-rs interval arithmetic follows)."""
+    import datetime
+    import pyarrow as pa
+    import arrow_tpu as at
+    from arrow_tpu.io.interop import column_from_pyarrow
+    from arrow_tpu.ops.temporal import add_interval, sub_interval
+
+    ts = [datetime.datetime(2024, 1, 31, 12, 30),
+          datetime.datetime(2023, 12, 15, 0, 0),
+          datetime.datetime(1969, 3, 31, 23, 59)]
+    col = column_from_pyarrow(pa.array(ts, pa.timestamp("us")))
+    mdn = pa.array([(1, 2, 3_600_000_000_000)] * 3,
+                   pa.month_day_nano_interval())
+    iv = column_from_pyarrow(mdn)
+
+    out = add_interval(col, iv)
+    got = out.to_pyarrow().to_pylist()
+    # +1 month (clamped), +2 days, +1 hour
+    assert got[0] == datetime.datetime(2024, 3, 2, 13, 30)   # Jan31->Feb29+2d
+    assert got[1] == datetime.datetime(2024, 1, 17, 1, 0)
+    assert got[2] == datetime.datetime(1969, 5, 3, 0, 59)
+
+    back = sub_interval(out, iv)
+    # not an exact inverse when clamping fired (row 0), exact otherwise
+    assert back.to_pyarrow().to_pylist()[1] == ts[1]
+
+
+def test_add_interval_year_month_and_day_time():
+    import datetime
+    import numpy as np
+    import pyarrow as pa
+    import jax.numpy as jnp
+    import arrow_tpu as at
+    from arrow_tpu import dtypes as dt
+    from arrow_tpu.core.column import PrimitiveColumn
+    from arrow_tpu.io.interop import column_from_pyarrow
+    from arrow_tpu.ops.temporal import add_interval
+
+    col = column_from_pyarrow(pa.array(
+        [datetime.date(2020, 2, 29)], pa.date32()))
+    ym = PrimitiveColumn(jnp.asarray(np.array([12], np.int32)),
+                         dt.interval("year_month"))
+    out = add_interval(col, ym)
+    assert out.to_pyarrow().to_pylist() == [datetime.date(2021, 2, 28)]
+
+    ts = column_from_pyarrow(pa.array(
+        [datetime.datetime(2024, 6, 1)], pa.timestamp("ms")))
+    packed = (np.int64(3) << 32) | np.int64(90_000_000)   # 3d + 25h
+    dti = PrimitiveColumn(jnp.asarray(np.array([packed], np.int64)),
+                          dt.interval("day_time"))
+    out = add_interval(ts, dti)
+    assert out.to_pyarrow().to_pylist() == \
+        [datetime.datetime(2024, 6, 5, 1, 0)]
