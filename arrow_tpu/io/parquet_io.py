@@ -31,12 +31,16 @@ __all__ = ["ParquetReaderBuilder", "WriterProperties", "ParquetWriter",
 
 @dataclass
 class WriterProperties:
-    """file/properties.rs:156 subset."""
+    """file/properties.rs:156 subset (+ page index and page checksums,
+    the reference's offset/column-index and checksum.rs roles)."""
     compression: str = "snappy"          # the reference's default too
     row_group_size: int = 1 << 20
     dictionary_enabled: bool = True
     write_statistics: bool = True
     data_page_size: Optional[int] = None
+    write_page_index: bool = False
+    write_page_checksum: bool = False
+    sorting_columns: Optional[tuple] = None   # ((name, descending), ...)
 
 
 @dataclass
@@ -114,12 +118,20 @@ class ParquetWriter:
                  properties: WriterProperties = WriterProperties()):
         self._schema = table_to_pyarrow(schema_table.slice(0, 0)).schema
         self._props = properties
+        sorting = None
+        if properties.sorting_columns:
+            names = [f.name for f in self._schema]
+            sorting = [pq.SortingColumn(names.index(n), descending=d)
+                       for n, d in properties.sorting_columns]
         self._w = pq.ParquetWriter(
             path, self._schema,
             compression=properties.compression,
             use_dictionary=properties.dictionary_enabled,
             write_statistics=properties.write_statistics,
-            data_page_size=properties.data_page_size)
+            data_page_size=properties.data_page_size,
+            write_page_index=properties.write_page_index,
+            write_page_checksum=properties.write_page_checksum,
+            sorting_columns=sorting)
 
     def write(self, table: Table) -> None:
         self._w.write_batch(table_to_pyarrow(table),

@@ -60,12 +60,22 @@ def encode_order_planes(values: jnp.ndarray) -> Tuple[jnp.ndarray,
     == value order.  Ints use the sign-flip map (the same encoding
     arrow-row uses for sort keys, arrow-row/src/fixed.rs:47)."""
     d = values.dtype
+    if d in (jnp.float32, jnp.float16):
+        # 32-bit float bitcasts work on this backend (f64 ones do not):
+        # IEEE totalOrder map on the f32 bits as the hi plane, lo = 0
+        bits = jax.lax.bitcast_convert_type(
+            values.astype(jnp.float32), jnp.uint32)
+        sign = bits >> jnp.uint32(31)
+        key32 = jnp.where(sign == 1, ~bits, bits | jnp.uint32(0x80000000))
+        hi = jax.lax.bitcast_convert_type(
+            key32 ^ jnp.uint32(0x80000000), jnp.int32)
+        lo = jnp.full(values.shape, -0x80000000, jnp.int32)
+        return hi, lo
     if jnp.issubdtype(d, jnp.floating):
         # f64 bitcasts are unsupported by the TPU backend's X64 rewriter
-        # (measured); float grouped min/max stays on the ops-layer
-        # fallback until a bitcast-free two-plane encoding lands.
+        # (measured); f64 grouped min/max stays on the ops-layer fallback.
         raise NotImplementedError(
-            "grouped_min_max: float dtypes not supported on-device")
+            "grouped_min_max: float64 not supported on-device")
     if jnp.issubdtype(d, jnp.unsignedinteger):
         key = values.astype(jnp.uint64)
     else:
@@ -87,6 +97,13 @@ def decode_order_value(hi: jnp.ndarray, lo: jnp.ndarray, dtype
     lo_u = jax.lax.bitcast_convert_type(lo, jnp.uint32).astype(jnp.uint64)
     key = (((hi_u ^ jnp.uint64(0x80000000)) << jnp.uint64(32))
            | (lo_u ^ jnp.uint64(0x80000000)))
+    if dtype in (jnp.float32, jnp.float16):
+        key32 = (key >> jnp.uint64(32)).astype(jnp.uint32)
+        sign = key32 >> jnp.uint32(31)
+        bits = jnp.where(sign == 1, key32 & jnp.uint32(0x7FFFFFFF),
+                         ~key32)
+        return jax.lax.bitcast_convert_type(bits, jnp.float32) \
+            .astype(dtype)
     if jnp.issubdtype(dtype, jnp.unsignedinteger):
         return key.astype(dtype)
     v = jax.lax.bitcast_convert_type(
@@ -99,12 +116,11 @@ def grouped_min_max(values: jnp.ndarray, codes: jnp.ndarray,
                     want_min: bool = True, want_max: bool = True
                     ) -> Tuple[Optional[jnp.ndarray],
                                Optional[jnp.ndarray]]:
-    """Null-skipping per-group (min, max) of any integer dtype.
-
-    Integer dtypes only (float bit manipulation is unavailable on this
-    TPU backend; ops fall back to XLA for floats).  Empty groups return
-    identity values — callers mask them with per-group valid counts.
-    """
+    """Null-skipping per-group (min, max) of integer / f32 / f16 dtypes
+    (f64 bit manipulation is unavailable on this TPU backend; ops fall
+    back for it).  Float ordering is IEEE totalOrder (NaN above +inf).
+    Empty groups return identity values — callers mask them with
+    per-group valid counts."""
     from .groupagg import grouped_aggregate, MinMaxCol
     _, _, mms = grouped_aggregate(
         codes, num_groups,

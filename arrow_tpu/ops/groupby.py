@@ -171,9 +171,14 @@ def _pallas_agg_ok(src: Column, op: str) -> bool:
     if not isinstance(src, PrimitiveColumn):
         return False
     d = src.values.dtype
+    if op in ("min", "max"):
+        # min/max also cover f32/f16 (32-bit totalOrder planes); f64
+        # bit manipulation is unavailable on this backend
+        return (jnp.issubdtype(d, jnp.integer) and d != jnp.bool_) \
+            or d in (jnp.float32, jnp.float16)
     if not (jnp.issubdtype(d, jnp.integer) and d != jnp.bool_):
         return False
-    return op in ("sum", "mean", "min", "max")
+    return op in ("sum", "mean")
 
 
 def _pallas_agg_from_codes(src: Column, a: AggSpec, codes, num_groups: int

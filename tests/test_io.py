@@ -273,3 +273,24 @@ class TestFlight:
         finally:
             client.close()
             server.shutdown()
+
+
+def test_parquet_page_index_and_sorting(tmp_path, rng):
+    import pyarrow.parquet as pq
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import (write_parquet, WriterProperties,
+                                         read_parquet)
+    n = 1000
+    t = at.Table.from_pydict({
+        "k": at.column(np.sort(rng.integers(0, 100, n)).astype(np.int64)),
+        "v": at.column(rng.random(n)),
+    })
+    path = str(tmp_path / "pi.parquet")
+    write_parquet(path, t, WriterProperties(
+        write_page_index=True, write_page_checksum=True,
+        sorting_columns=(("k", False),)))
+    md = pq.read_metadata(path)
+    rg = md.row_group(0)
+    assert rg.sorting_columns and rg.sorting_columns[0].column_index == 0
+    assert rg.column(0).has_offset_index           # page index written
+    assert read_parquet(path).num_rows == n

@@ -175,3 +175,37 @@ def test_filter_table_pallas_route(rng, monkeypatch):
     monkeypatch.setenv("ARROW_TPU_USE_PALLAS", "1")
     got = filter_table(t, pred).to_pydict()
     assert got == ref
+
+
+def test_grouped_min_max_float32(rng):
+    n, G = 2000, 19
+    vals = rng.normal(0, 1e6, n).astype(np.float32)
+    vals[rng.random(n) < 0.05] = np.inf
+    vals[rng.random(n) < 0.05] = -np.inf
+    codes = rng.integers(0, G, n).astype(np.int32)
+    valid = rng.random(n) > 0.2
+    mn, mx = grouped_min_max(jnp.asarray(vals), jnp.asarray(codes),
+                             jnp.asarray(valid), G)
+    mn, mx = np.asarray(mn), np.asarray(mx)
+    for g in range(G):
+        m = (codes == g) & valid
+        if m.any():
+            assert mn[g] == vals[m].min(), g
+            assert mx[g] == vals[m].max(), g
+
+
+def test_group_by_float_minmax_fast_path(rng, monkeypatch):
+    n = 1500
+    codes = rng.integers(0, 4, n)
+    vals = rng.normal(0, 100, n).astype(np.float32)
+    t = at.Table.from_pydict({
+        "k": at.DictionaryColumn(jnp.asarray(codes.astype(np.int32)),
+                                 at.column(["a", "b", "c", "d"])),
+        "v": at.column(vals),
+    })
+    aggs = [AggSpec("v", "min"), AggSpec("v", "max")]
+    monkeypatch.setenv("ARROW_TPU_USE_PALLAS", "0")
+    ref = group_by(t, ["k"], aggs).to_pydict()
+    monkeypatch.setenv("ARROW_TPU_USE_PALLAS", "1")
+    got = group_by(t, ["k"], aggs).to_pydict()
+    assert got == ref
