@@ -255,9 +255,15 @@ def compact_mask_arrays(keep: jnp.ndarray, arrays: Sequence[jnp.ndarray]
             spec.append((a.dtype, 1))
             continue
         k = nbytes // 4
-        p = jax.lax.bitcast_convert_type(a, jnp.uint32)
-        p = p[None, :] if k == 1 else p.T
-        planes.append(p)
+        if k == 1:
+            planes.append(jax.lax.bitcast_convert_type(
+                a, jnp.uint32)[None, :])
+        else:
+            xu = jax.lax.bitcast_convert_type(a, jnp.uint64)
+            planes.append((xu & jnp.uint64(0xFFFFFFFF))
+                          .astype(jnp.uint32)[None, :])
+            planes.append((xu >> jnp.uint64(32))
+                          .astype(jnp.uint32)[None, :])
         spec.append((a.dtype, k))
     stacked = jnp.concatenate(planes, axis=0)
     out, count = compact_planes(keep, stacked)
@@ -280,6 +286,15 @@ def compact_mask_arrays(keep: jnp.ndarray, arrays: Sequence[jnp.ndarray]
                     jax.lax.bitcast_convert_type(part[0], jnp.uint32),
                     dtype))
         else:
-            u32 = jax.lax.bitcast_convert_type(part.T, jnp.uint32)
-            results.append(jax.lax.bitcast_convert_type(u32, dtype))
+            # arithmetic limb recombine — minor-dim transposes are slow
+            # layout changes on TPU (only 8-byte INTEGER dtypes get here)
+            lo = jax.lax.bitcast_convert_type(
+                part[0], jnp.uint32).astype(jnp.uint64)
+            hi = jax.lax.bitcast_convert_type(
+                part[1], jnp.uint32).astype(jnp.uint64)
+            xu = lo | (hi << jnp.uint64(32))
+            if jnp.issubdtype(dtype, jnp.unsignedinteger):
+                results.append(xu.astype(dtype))
+            else:
+                results.append(jax.lax.bitcast_convert_type(xu, dtype))
     return results, count

@@ -258,10 +258,15 @@ def grouped_aggregate(codes: jnp.ndarray, num_groups: int,
             else v.astype(jnp.int32)
 
     if sum_cols:
-        planes = jnp.concatenate([
-            jax.lax.bitcast_convert_type(c.values.astype(jnp.int64),
-                                         jnp.uint32).T
-            for c in sum_cols], axis=0)                     # (2S, n)
+        def limb_planes(c):
+            # arithmetic split — the (n,2)->(2,n) minor-dim transpose is
+            # a slow layout change on TPU (measured ~200 ms at 10M)
+            xu = jax.lax.bitcast_convert_type(
+                c.values.astype(jnp.int64), jnp.uint64)
+            return ((xu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                    (xu >> jnp.uint64(32)).astype(jnp.uint32))
+        planes = jnp.stack([p for c in sum_cols
+                            for p in limb_planes(c)])       # (2S, n)
         svalid = jnp.stack([mask_of(c.valid) for c in sum_cols])  # (S, n)
     else:
         planes = jnp.zeros((0, n), jnp.uint32)
