@@ -181,6 +181,31 @@ def _pallas_agg_ok(src: Column, op: str) -> bool:
     return op in ("sum", "mean")
 
 
+@functools.partial(jax.jit, static_argnames=("sizes", "g_total",
+                                             "mm_want"))
+def _fast_agg_stage(sizes, g_total, mm_want, key_parts, sum_parts,
+                    mm_parts):
+    """Device stage of the dictionary fast path, one XLA program:
+    mixed-radix combined codes, limb-plane prep, and the fused Pallas
+    grouped-aggregation kernel (eager prep measured ~100 ms extra per
+    call at 10M rows)."""
+    from ..kernels.groupagg import grouped_aggregate, SumCol, MinMaxCol
+    n = key_parts[0][0].shape[0]
+    combined = jnp.zeros((n,), jnp.int32)
+    for (codes, validity), size in zip(key_parts, sizes):
+        digit = codes.astype(jnp.int32)
+        if validity is not None:
+            digit = jnp.where(validity, digit, jnp.int32(size))
+        combined = combined * jnp.int32(size + 1) + digit
+
+    sum_cols = [SumCol(jnp.zeros((n,), jnp.int64) if v is None else v, m)
+                for v, m in sum_parts]
+    mm_cols = [MinMaxCol(v, m, want_min=w[0], want_max=w[1])
+               for (v, m), w in zip(mm_parts, mm_want)]
+    return grouped_aggregate(combined, g_total, sum_cols=sum_cols,
+                             mm_cols=mm_cols)
+
+
 def _pallas_agg_from_codes(src: Column, a: AggSpec, codes, num_groups: int
                            ) -> Tuple[Column, dt.Field]:
     """One aggregate over dense group codes via the Pallas kernels
@@ -247,29 +272,21 @@ def _dictionary_fast_path(table: Table, key_cols, keys, aggs
         if not _pallas_agg_ok(table.column(a.column), a.op):
             return None
 
-    # combined dense code per row (null key value -> digit `size`)
+    # collect aggregate requests (metadata only — the device work all
+    # happens in ONE jitted stage below: combined-code build, limb-plane
+    # prep, and the fused Pallas kernel launch)
     n = table.num_rows
-    combined = jnp.zeros((n,), jnp.int32)
-    for c, size in zip(key_cols, sizes):
-        digit = c.codes.astype(jnp.int32)
-        if c.validity is not None:
-            digit = jnp.where(c.validity, digit, jnp.int32(size))
-        combined = combined * jnp.int32(size + 1) + digit
-
-    # collect all aggregate requests into ONE fused kernel launch: the
-    # one-hot is built once per block and shared; sums/counts/min/max for
-    # every column come out of a single pass over the batch.
-    from ..kernels.groupagg import grouped_aggregate, SumCol, MinMaxCol
     from ..core.column import NullColumn
 
     def col_valid(src):
         if isinstance(src, NullColumn):
             return jnp.zeros((len(src),), jnp.bool_)
-        return None if src.validity is None else src.is_valid_mask()
+        return src.validity
 
-    sum_specs: List[SumCol] = [SumCol(jnp.zeros((n,), jnp.int64), None)]
-    sum_slot = {None: 0}           # None key = occupancy / count_all
-    mm_specs: List[MinMaxCol] = []
+    sum_parts = [(None, None)]     # slot 0 = occupancy / count_all
+    sum_slot = {None: 0}
+    mm_parts = []
+    mm_want: List = []
     mm_slot = {}
     for a in aggs:
         src = table.column(a.column)
@@ -278,36 +295,35 @@ def _dictionary_fast_path(table: Table, key_cols, keys, aggs
         if a.op == "count":
             key = ("cnt", a.column)
             if key not in sum_slot:
-                sum_slot[key] = len(sum_specs)
-                sum_specs.append(SumCol(jnp.zeros((n,), jnp.int64),
-                                        col_valid(src)))
+                sum_slot[key] = len(sum_parts)
+                sum_parts.append((None, col_valid(src)))
         elif a.op in ("sum", "mean"):
             key = ("sum", a.column)
             if key not in sum_slot:
-                sum_slot[key] = len(sum_specs)
-                sum_specs.append(SumCol(src.values, col_valid(src)))
+                sum_slot[key] = len(sum_parts)
+                sum_parts.append((src.values, col_valid(src)))
         else:                      # min / max
             key = ("mm", a.column)
             if key not in mm_slot:
-                mm_slot[key] = len(mm_specs)
-                mm_specs.append(MinMaxCol(src.values, col_valid(src),
-                                          want_min=False, want_max=False))
+                mm_slot[key] = len(mm_parts)
+                mm_parts.append((src.values, col_valid(src)))
+                mm_want.append([False, False])
                 if col_valid(src) is not None:
                     # empty-group masking needs per-group valid counts
                     ckey = ("cnt", a.column)
                     if ckey not in sum_slot:
-                        sum_slot[ckey] = len(sum_specs)
-                        sum_specs.append(SumCol(jnp.zeros((n,), jnp.int64),
-                                                col_valid(src)))
-            spec = mm_specs[mm_slot[key]]
+                        sum_slot[ckey] = len(sum_parts)
+                        sum_parts.append((None, col_valid(src)))
+            w = mm_want[mm_slot[key]]
             if a.op == "min":
-                spec.want_min = True
+                w[0] = True
             else:
-                spec.want_max = True
+                w[1] = True
 
-    sums, counts, mms = grouped_aggregate(combined, g_total,
-                                          sum_cols=sum_specs,
-                                          mm_cols=mm_specs)
+    key_parts = tuple((c.codes, c.validity) for c in key_cols)
+    sums, counts, mms = _fast_agg_stage(
+        tuple(sizes), g_total, tuple(tuple(w) for w in mm_want),
+        key_parts, tuple(sum_parts), tuple(mm_parts))
     occupancy = counts[0]
     occupied = occupancy > 0
 
