@@ -470,20 +470,27 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start, arrays):
     def minmax_sorted(slot):
         """Values re-ordered by (gid, valid-first, value order) so each
         group's min sits at its run start and max at
-        start + valid_count - 1."""
+        start + valid_count - 1.  Float values sort by native float keys
+        with a NaN-class key (64-bit float bitcasts do not compile on
+        this TPU backend)."""
         if slot not in mm_cache:
-            from .row_format import encode_value_key
-            from ..core.column import _jax_to_logical
             vs, ms = sorted_col(slot)
-            vkey, eff = encode_value_key(PrimitiveColumn(
-                vs, _jax_to_logical(vs.dtype), None, _canonical=True))
-            if ms is None:
-                msk = jnp.ones(vs.shape, jnp.bool_) if eff is None else eff
-            else:
-                msk = ms if eff is None else (ms & eff)
+            msk = jnp.ones(vs.shape, jnp.bool_) if ms is None else ms
             null_last = (~msk).astype(jnp.uint64)
-            _, _, _, v_final = jax.lax.sort(
-                (gid, null_last, vkey, vs), num_keys=3, is_stable=False)
+            if jnp.issubdtype(vs.dtype, jnp.floating):
+                from .row_format import _float_keys_native
+                nan_key, vkey = _float_keys_native(vs, False)
+                ops_ = (gid, null_last, nan_key, vkey, vs)
+                v_final = jax.lax.sort(ops_, num_keys=4,
+                                       is_stable=False)[-1]
+            else:
+                from .row_format import encode_value_key
+                from ..core.column import _jax_to_logical
+                vkey, _ = encode_value_key(PrimitiveColumn(
+                    vs, _jax_to_logical(vs.dtype), None, _canonical=True))
+                v_final = jax.lax.sort(
+                    (gid, null_last, vkey, vs), num_keys=3,
+                    is_stable=False)[-1]
             mm_cache[slot] = v_final
         return mm_cache[slot]
 

@@ -62,6 +62,23 @@ class SortField:
 
 
 def _float_total_order_bits(f64: jnp.ndarray) -> jnp.ndarray:
+    """IEEE totalOrder bits of f64 as u64 (arrow-row fixed.rs float map).
+
+    The axon TPU backend cannot compile f64->u64 bitcast-convert
+    (measured), so on TPU the bitcast runs on HOST via numpy — correct
+    but a device round-trip.  Hot device paths avoid this entirely by
+    using native float sort keys (_float_keys_native); this function
+    remains for u64-keyed consumers (row materialization, join hashing,
+    comparators).  Inside a trace on TPU it cannot run: those paths are
+    eager by design.
+    """
+    from .. import config
+    import numpy as _np
+    if config.on_tpu() and not isinstance(f64, jax.core.Tracer):
+        host = _np.asarray(f64).view(_np.uint64)
+        neg = host >> _np.uint64(63) == 1
+        out = _np.where(neg, ~host, host | _np.uint64(0x8000000000000000))
+        return jnp.asarray(out)
     bits = jax_bitcast_u64(f64)
     neg = bits >> jnp.uint64(63) == jnp.uint64(1)
     return jnp.where(neg, ~bits, bits | _SIGN64)
@@ -361,9 +378,30 @@ def key_parts(c: Column):
     return (c.values, None, None, c.validity)
 
 
+def _float_keys_native(vals, descending):
+    """Float sort keys WITHOUT 64-bit float bitcasts (the axon TPU
+    backend's X64 rewriter cannot compile f64->u64 bitcast-convert or
+    frexp — measured): a NaN-class u64 key (NaN above everything, per
+    totalOrder / pyarrow) + the native float value, which lax.sort
+    orders directly.  NaN slots in the value key are normalized to 0 so
+    run-boundary equality compares don't split the NaN group.
+    Deviation from the bit encoding: -0.0 ties +0.0 and NaN payloads
+    collapse — observable only through exotic bit patterns."""
+    v = vals.astype(jnp.float64)
+    isnan = jnp.isnan(v)
+    nan_key = isnan.astype(jnp.uint64) if not descending \
+        else (~isnan).astype(jnp.uint64)
+    vclean = jnp.where(isnan, jnp.float64(0.0), v)
+    vkey = -vclean if descending else vclean
+    return nan_key, vkey
+
+
 def encode_keys_traced(kinds, opts, parts) -> List[jnp.ndarray]:
-    """Traced equivalent of encode_keys: uint64 key stack, most
-    significant first.  kinds/opts are static; parts are arrays."""
+    """Traced equivalent of encode_keys: key stack for lax.sort, most
+    significant first.  kinds/opts are static; parts are arrays.  Keys
+    are u64 except float columns, which contribute (nan_class u64,
+    native float) pairs — 64-bit float bitcasts do not compile on this
+    TPU backend."""
     keys: List[jnp.ndarray] = []
     for kind, (descending, nulls_first), \
             (vals, ranks, entry_valid, validity) in zip(kinds, opts,
@@ -374,7 +412,16 @@ def encode_keys_traced(kinds, opts, parts) -> List[jnp.ndarray]:
                 ev = jnp.take(entry_valid, vals, mode="clip")
                 validity = ev if validity is None else (validity & ev)
         elif kind == "float":
-            vkey = _float_total_order_bits(vals.astype(jnp.float64))
+            nan_key, vkey = _float_keys_native(vals, descending)
+            if validity is not None:
+                null_key = validity.astype(jnp.uint64) if nulls_first \
+                    else (~validity).astype(jnp.uint64)
+                keys.append(null_key)
+                nan_key = jnp.where(validity, nan_key, jnp.uint64(0))
+                vkey = jnp.where(validity, vkey, jnp.float64(0.0))
+            keys.append(nan_key)
+            keys.append(vkey)
+            continue
         elif kind == "uint":
             vkey = vals.astype(jnp.uint64)
         else:

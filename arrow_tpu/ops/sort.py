@@ -91,32 +91,45 @@ def rank(col: Column, options: SortOptions = SortOptions()
          ) -> jnp.ndarray:
     """'max'-method 1-based rank, nulls ranked by their sort position
     (arrow-ord/src/rank.rs:54: equal values get the highest of their
-    ranks).  Returns a uint32 tensor."""
-    keys = encode_keys([col], [options])
-    # fold (null_key, value_key) into one order key via sorted position:
-    idx = lexsort_indices_from_keys(keys)
-    n = len(col)
-    # position of each element in sorted order
-    pos = jnp.zeros((n,), jnp.uint32).at[idx].set(
-        jnp.arange(n, dtype=jnp.uint32))
-    # max rank among equal keys: compare neighboring sorted keys
-    stacked = [k[idx.astype(jnp.int64)] for k in keys]
-    if len(stacked) == 1:
-        eq_prev = stacked[0][1:] == stacked[0][:-1]
-    else:
-        eq_prev = jnp.ones((n - 1,), jnp.bool_)
-        for k in stacked:
-            eq_prev = jnp.logical_and(eq_prev, k[1:] == k[:-1])
-    # run-id per sorted slot, then max position within run + 1
+    ranks).  Returns a uint32 tensor.  One jitted scatter-free stage
+    (scatter + segment_max measure 0.005-0.014 Grows/s on v5e)."""
+    from .row_format import key_kind, key_parts
+    return _rank_stage((key_kind(col),),
+                       ((options.descending, options.nulls_first),),
+                       (key_parts(col),))
+
+
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "opts"))
+def _rank_stage(kinds, opts, parts):
+    from .row_format import encode_keys_traced
+    keys = encode_keys_traced(kinds, opts, parts)
+    n = keys[0].shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys),
+                              is_stable=True)
+    idx = sorted_ops[-1]
+    eq_prev = jnp.ones((n - 1,), jnp.bool_)
+    for k in sorted_ops[:-1]:
+        eq_prev = jnp.logical_and(eq_prev, k[1:] == k[:-1])
     run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), ~eq_prev])
-    run_id = jnp.cumsum(run_start) - 1
-    # last position of each run = segment max of (arange+1)
-    import jax
-    seg_max = jax.ops.segment_max(jnp.arange(1, n + 1, dtype=jnp.uint32),
-                                  run_id, num_segments=n,
-                                  indices_are_sorted=True)
-    rank_sorted = seg_max[run_id]
-    return rank_sorted[pos.astype(jnp.int64)]
+    run_id = (jnp.cumsum(run_start.astype(jnp.int32)) - 1)
+    # run-start positions via partition-sort; next start = run's max rank
+    _, starts_raw = jax.lax.sort((~run_start, iota), num_keys=1,
+                                 is_stable=True)
+    num_runs = jnp.sum(run_start, dtype=jnp.int32)
+    slots = jnp.arange(n, dtype=jnp.int32)
+    starts_ext = jnp.where(slots < num_runs, starts_raw, jnp.int32(n))
+    rank_sorted = starts_ext[jnp.minimum(run_id + 1, n - 1)]
+    rank_sorted = jnp.where(run_id + 1 >= num_runs, jnp.int32(n),
+                            rank_sorted).astype(jnp.uint32)
+    # inverse permutation without scatter: sort ranks by original index
+    _, rank_orig = jax.lax.sort((idx, rank_sorted), num_keys=1,
+                                is_stable=True)
+    return rank_orig
 
 
 @dataclass
@@ -144,14 +157,23 @@ def partition(columns: Sequence[Column]) -> Partitions:
         return Partitions(np.array([0]))
     change = jnp.zeros((n - 1,), jnp.bool_)
     for col in columns:
-        vkey, validity = encode_value_key(col)
+        if isinstance(col, PrimitiveColumn) and col.dtype.is_floating:
+            # native float equality with a NaN class (f64 bitcasts do
+            # not compile on this TPU backend); NaNs compare equal
+            v64 = col.values.astype(jnp.float64)
+            isnan = jnp.isnan(v64)
+            vclean = jnp.where(isnan, jnp.float64(0.0), v64)
+            vneq = (vclean[1:] != vclean[:-1]) | (isnan[1:] != isnan[:-1])
+            validity = col.validity
+        else:
+            vkey, validity = encode_value_key(col)
+            vneq = vkey[1:] != vkey[:-1]
         if validity is None:
-            neq = vkey[1:] != vkey[:-1]
+            neq = vneq
         else:
             v = validity
             both_valid = v[1:] & v[:-1]
-            neq = jnp.where(both_valid, vkey[1:] != vkey[:-1],
-                            v[1:] != v[:-1])
+            neq = jnp.where(both_valid, vneq, v[1:] != v[:-1])
         change = jnp.logical_or(change, neq)
     (pos,) = np.nonzero(np.asarray(change))
     boundaries = np.concatenate([[0], pos + 1, [n]])

@@ -106,16 +106,26 @@ def local_group_aggregate(key: jnp.ndarray, valid: jnp.ndarray,
         if op in ("min", "max"):
             cache_key = id(arr)
             if cache_key not in mm_cache:
-                from ..ops.row_format import encode_value_key
-                from ..core.column import PrimitiveColumn, _jax_to_logical
-                vkey, eff = encode_value_key(PrimitiveColumn(
-                    a, _jax_to_logical(a.dtype), None, _canonical=True))
-                msk = in_cap if eff is None else (in_cap & eff)
-                null_last = (~msk).astype(jnp.uint64)
-                _, _, _, v_final = jax.lax.sort(
-                    (gid.astype(jnp.int32), null_last, vkey, a),
-                    num_keys=3, is_stable=False)
-                nonnull = diff_sums(msk.astype(jnp.int64))
+                null_last = (~in_cap).astype(jnp.uint64)
+                if jnp.issubdtype(a.dtype, jnp.floating):
+                    # native float keys + NaN class (f64 bitcasts do
+                    # not compile on this TPU backend)
+                    from ..ops.row_format import _float_keys_native
+                    nan_key, vkey = _float_keys_native(a, False)
+                    v_final = jax.lax.sort(
+                        (gid.astype(jnp.int32), null_last, nan_key,
+                         vkey, a), num_keys=4, is_stable=False)[-1]
+                else:
+                    from ..ops.row_format import encode_value_key
+                    from ..core.column import PrimitiveColumn, \
+                        _jax_to_logical
+                    vkey, _ = encode_value_key(PrimitiveColumn(
+                        a, _jax_to_logical(a.dtype), None,
+                        _canonical=True))
+                    v_final = jax.lax.sort(
+                        (gid.astype(jnp.int32), null_last, vkey, a),
+                        num_keys=3, is_stable=False)[-1]
+                nonnull = diff_sums(in_cap.astype(jnp.int64))
                 mm_cache[cache_key] = (v_final, nonnull)
             v_final, nonnull = mm_cache[cache_key]
             if op == "min":
