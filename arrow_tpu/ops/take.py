@@ -202,9 +202,82 @@ def _take_list(values: ListColumn, indices: PrimitiveColumn) -> ListColumn:
                       _gather_validity(values, indices))
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _take_stage(plan, idx, idx_valid, buffers):
+    """All single-tensor gathers of a batch in ONE XLA program (eager
+    per-column gathers cost a full dispatch each through the remote-TPU
+    tunnel).  plan[i] marks whether buffers[i] is a validity mask (they
+    AND with the index validity)."""
+    outs = []
+    for is_validity, buf in zip(plan, buffers):
+        g = jnp.take(buf, idx, mode="clip")
+        if is_validity:
+            g = g if idx_valid is None else (g & idx_valid)
+        outs.append(g)
+    return tuple(outs)
+
+
 def take_table(table: Table, indices, *, check_bounds: bool = False) -> Table:
-    """take_record_batch (take.rs:964): one index column over all columns."""
+    """take_record_batch (take.rs:964): one index column over all
+    columns.  Primitive/dictionary buffers ride one fused gather
+    program; other layouts fall back to per-column take."""
     indices = as_datum(indices)
-    cols = tuple(take(c, indices, check_bounds=check_bounds)
-                 for c in table.columns)
-    return Table(cols, table.schema, _validated=True)
+    if check_bounds:
+        cols = tuple(take(c, indices, check_bounds=True)
+                     for c in table.columns)
+        return Table(cols, table.schema, _validated=True)
+
+    idx = indices.values
+    plan = []          # (is_validity,) per buffer
+    buffers = []
+    recipe = []        # per column: ("fused", kind, has_valid) | ("take",)
+    for c in table.columns:
+        if isinstance(c, PrimitiveColumn):
+            buffers.append(c.values)
+            plan.append(False)
+            buffers.append(c.is_valid_mask() if c.validity is not None
+                           else None)
+            recipe.append(("fused", "prim", c.validity is not None))
+        elif isinstance(c, DictionaryColumn):
+            buffers.append(c.codes)
+            plan.append(False)
+            buffers.append(c.is_valid_mask() if c.validity is not None
+                           else None)
+            recipe.append(("fused", "dict", c.validity is not None))
+        else:
+            recipe.append(("take",))
+            continue
+        if buffers[-1] is None:
+            buffers.pop()
+        else:
+            plan.append(True)
+
+    outs = _take_stage(tuple(plan), idx, indices.validity,
+                       tuple(buffers)) if buffers else ()
+    cols = []
+    k = 0
+    for r, c in zip(recipe, table.columns):
+        if r[0] == "take":
+            cols.append(take(c, indices))
+            continue
+        _, kind, has_valid = r
+        vals = outs[k]
+        k += 1
+        validity = None
+        if has_valid:
+            validity = outs[k]
+            k += 1
+        elif indices.validity is not None:
+            validity = indices.validity
+        if kind == "prim":
+            cols.append(PrimitiveColumn(vals, c.dtype, validity,
+                                        _canonical=validity is None))
+        else:
+            cols.append(DictionaryColumn(vals, c.values, validity,
+                                         _canonical=validity is None))
+    return Table(tuple(cols), table.schema, _validated=True)
