@@ -83,6 +83,11 @@ def lexsort(columns: Sequence[SortColumn],
 
 def sort_table(table: Table, by: Sequence[Tuple[str, SortOptions]],
                limit: Optional[int] = None) -> Table:
+    """Sort a batch: fused key-encode+sort for the indices, then one
+    fused gather program for all columns (take_table).  NOTE: carrying
+    payloads as extra lax.sort operands was measured 4.7x SLOWER at
+    10M x 3 columns (3610 vs 775 ms) — the sort moves payload bytes
+    through every merge pass, while a gather moves them once."""
     cols = [SortColumn(table.column(name), opt) for name, opt in by]
     return take_table(table, lexsort_to_indices(cols, limit))
 
