@@ -21,7 +21,10 @@ Dispatch groups (of the reference's 213 match arms, the families are):
   list casts                   list <-> large_list <-> fixed_size_list,
                                child casts (cast/list.rs)
 
-Out-of-scope this round: interval casts, map casts (cast/map.rs).
+  map casts                    map <-> map (entry casts),
+                               map <-> list<struct> (cast/map.rs)
+
+Out-of-scope this round: interval casts.
 """
 
 from __future__ import annotations
@@ -76,6 +79,11 @@ def can_cast(from_dt: dt.DataType, to_dt: dt.DataType) -> bool:
     lists = ("list", "large_list", "fixed_size_list")
     if from_dt.name in lists and to_dt.name in lists:
         return can_cast(from_dt.value_type, to_dt.value_type)
+    if from_dt.name == "map" and to_dt.name == "map":
+        return True
+    if (from_dt.name == "map" and to_dt.name in lists) or \
+            (from_dt.name in lists and to_dt.name == "map"):
+        return True
     return False
 
 
@@ -116,6 +124,9 @@ def cast(col: Column, to: dt.DataType,
     from ..core.nested import FixedSizeListColumn
     if from_dt.is_decimal or to.is_decimal:
         return _cast_decimal(col, to, options)
+    from ..core.nested import MapColumn
+    if isinstance(col, MapColumn) or to.name == "map":
+        return _cast_map(col, to, options)
     if isinstance(col, (ListColumn, FixedSizeListColumn)) or \
             to.name in ("list", "large_list", "fixed_size_list"):
         return _cast_list(col, to, options)
@@ -541,5 +552,49 @@ def _cast_list(col: Column, to: dt.DataType,
             to.name == "fixed_size_list" and to.list_size == col.list_size:
         child = cast(col.child, to.value_type, options)
         return FixedSizeListColumn(child, col.list_size, col.validity)
+
+    raise ArrowNotImplementedError(f"cast {from_dt!r} -> {to!r}")
+
+
+# ---- map casts (cast/map.rs) ----------------------------------------------------
+
+def _cast_map(col: Column, to: dt.DataType,
+              options: CastOptions) -> Column:
+    from ..core.column import ListColumn, StructColumn
+    from ..core.nested import MapColumn
+    from_dt = col.dtype
+
+    def cast_entries(entries: StructColumn, kv: dt.DataType
+                     ) -> StructColumn:
+        kf, vf = kv.fields
+        keys = entries.children[0]
+        items = entries.children[1]
+        if keys.dtype != kf.dtype:
+            keys = cast(keys, kf.dtype, options)
+        if items.dtype != vf.dtype:
+            items = cast(items, vf.dtype, options)
+        return StructColumn((keys, items), kv.fields, entries.validity)
+
+    if isinstance(col, MapColumn) and to.name == "map":
+        return MapColumn(col.offsets, cast_entries(col.entries,
+                                                   to.value_type),
+                         col.validity)
+
+    if isinstance(col, MapColumn) and to.name in ("list", "large_list"):
+        if to.value_type.name != "struct":
+            raise ArrowNotImplementedError(f"cast {from_dt!r} -> {to!r}")
+        entries = cast_entries(col.entries, dt.struct(
+            to.value_type.fields))
+        out = ListColumn(col.offsets, entries, col.validity)
+        out.dtype = to
+        return out
+
+    if isinstance(col, ListColumn) and to.name == "map":
+        child = col.child
+        if not isinstance(child, StructColumn) or len(child.fields) != 2:
+            raise ArrowNotImplementedError(
+                "map cast needs list<struct<2 fields>>")
+        return MapColumn(col.offsets, cast_entries(child, to.value_type),
+                         col.validity)
 
     raise ArrowNotImplementedError(f"cast {from_dt!r} -> {to!r}")

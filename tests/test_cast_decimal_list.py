@@ -112,3 +112,24 @@ def test_can_cast_matrix():
     assert can_cast(dt.decimal32(5, 1), dt.utf8)
     assert can_cast(dt.list_(dt.int64), dt.large_list(dt.float64))
     assert not can_cast(dt.decimal128(10, 2), dt.list_(dt.int64))
+
+
+def test_map_casts():
+    arr = pa.array([[("a", 1)], None, [("b", 2), ("c", 3)]],
+                   pa.map_(pa.string(), pa.int64()))
+    col = column_from_pyarrow(arr)
+    # map -> map (item cast)
+    out = cast(col, dt.map_(dt.utf8, dt.float64))
+    got = column_to_pyarrow(out)
+    assert got.type == pa.map_(pa.string(), pa.float64())
+    assert got.to_pylist() == [[("a", 1.0)], None, [("b", 2.0), ("c", 3.0)]]
+    # map -> list<struct>
+    lst = cast(col, dt.list_(dt.struct([
+        dt.Field("key", dt.utf8, nullable=False),
+        dt.Field("value", dt.int64)])))
+    assert column_to_pyarrow(lst).to_pylist() == \
+        [[{"key": "a", "value": 1}], None,
+         [{"key": "b", "value": 2}, {"key": "c", "value": 3}]]
+    # list<struct> -> map
+    back = cast(lst, dt.map_(dt.utf8, dt.int64))
+    assert column_to_pyarrow(back).equals(arr)
