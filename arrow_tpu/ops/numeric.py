@@ -19,9 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from .. import dtypes as dt
-from ..core.column import PrimitiveColumn
+from ..core.column import Column, PrimitiveColumn
 from ..core.datum import Datum, as_datum
-from ..errors import ArithmeticOverflow, ArrowTypeError, DivideByZero
+from ..errors import (ArithmeticOverflow, ArrowInvalid,
+                      ArrowTypeError, DivideByZero)
 from .arity import binary, binary_with_flag, check_flag, unary
 
 __all__ = [
@@ -97,6 +98,8 @@ def _mul_overflows(l, r, p):
 # ---- checked ops (the reference's default: add/sub/mul/div/rem) -------------
 
 def add(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
+    if _any_decimal(lhs, rhs):
+        return _decimal_arith("add", lhs, rhs)
     out_dt, _ = _resolve("add", lhs, rhs)
     if _is_int(out_dt):
         def fn(l, r):
@@ -110,6 +113,8 @@ def add(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
 
 
 def sub(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
+    if _any_decimal(lhs, rhs):
+        return _decimal_arith("sub", lhs, rhs)
     out_dt, _ = _resolve("sub", lhs, rhs)
     if _is_int(out_dt):
         def fn(l, r):
@@ -123,6 +128,8 @@ def sub(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
 
 
 def mul(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
+    if _any_decimal(lhs, rhs):
+        return _decimal_arith("mul", lhs, rhs)
     out_dt, _ = _resolve("mul", lhs, rhs)
     if _is_int(out_dt):
         def fn(l, r):
@@ -136,6 +143,8 @@ def mul(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
 
 
 def div(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
+    if _any_decimal(lhs, rhs):
+        return _decimal_arith("div", lhs, rhs)
     out_dt, _ = _resolve("div", lhs, rhs)
     if _is_int(out_dt):
         def fn(l, r):
@@ -205,3 +214,100 @@ def neg_wrapping(col):
     col = as_datum(col)
     return unary(col, lambda v: jnp.zeros_like(v) - v
                  if jnp.issubdtype(v.dtype, jnp.integer) else jnp.negative(v))
+
+
+# ---- decimal arithmetic (arrow-arith numeric.rs decimal cases; result
+# type promotion and truncation-toward-zero division match Arrow) ------------
+
+def _any_decimal(lhs, rhs) -> bool:
+    return _dtype_of(lhs).is_decimal or _dtype_of(rhs).is_decimal
+
+
+def _dec_parts(x):
+    """(unscaled python ints, validity np-or-None, precision, scale)."""
+    import numpy as np
+    from ..core.nested import DecimalColumn
+    col = as_datum(x)
+    d = col.dtype
+    if not d.is_decimal:
+        raise ArrowTypeError(f"decimal arithmetic with {d!r}")
+    if isinstance(col, DecimalColumn):
+        raw = col.to_pyints()
+        ints = [0 if v is None else v for v in raw]
+    else:
+        ints = [int(v) for v in np.asarray(col.values)]
+    valid = None if col.validity is None else np.asarray(col.validity)
+    return ints, valid, d.precision, d.scale, len(col)
+
+
+def _dec_result_type(op, p1, s1, p2, s2):
+    if op in ("add", "sub"):
+        s = max(s1, s2)
+        p = max(p1 - s1, p2 - s2) + s + 1
+    elif op == "mul":
+        s = s1 + s2
+        p = p1 + p2 + 1
+    else:                                    # div
+        s = max(4, s1 + p2 - s2 + 1)
+        p = p1 - s1 + s2 + s
+    if p > 76:
+        raise ArrowInvalid(f"decimal precision out of range: {p}")
+    return p, s
+
+
+def _decimal_arith(op, lhs, rhs) -> Column:
+    import numpy as np
+    import jax.numpy as jnp
+    from ..core.nested import DecimalColumn
+    li, lv, p1, s1, n1 = _dec_parts(lhs)
+    ri, rv, p2, s2, n2 = _dec_parts(rhs)
+    if n1 != n2:
+        raise ArrowInvalid("decimal arithmetic length mismatch")
+    p, s = _dec_result_type(op, p1, s1, p2, s2)
+    out = []
+    dbz = False
+    for a, b in zip(li, ri):
+        if op == "add":
+            out.append(a * 10 ** (s - s1) + b * 10 ** (s - s2))
+        elif op == "sub":
+            out.append(a * 10 ** (s - s1) - b * 10 ** (s - s2))
+        elif op == "mul":
+            out.append(a * b)                # scales add up exactly
+        else:
+            if b == 0:
+                dbz = True
+                out.append(0)
+            else:
+                num = a * 10 ** (s - s1 + s2)
+                q = abs(num) // abs(b)       # truncate toward zero
+                out.append(q if (num >= 0) == (b >= 0) else -q)
+    valid = None
+    if lv is not None or rv is not None:
+        valid = np.ones(n1, bool)
+        if lv is not None:
+            valid &= lv
+        if rv is not None:
+            valid &= rv
+    if dbz:
+        # division by zero on a VALID slot raises (checked semantics)
+        bad = np.asarray([b == 0 for b in ri])
+        live = bad if valid is None else (bad & valid)
+        if live.any():
+            raise DivideByZero("decimal divide by zero")
+    # storage width: at least the wider input (Arrow keeps decimal128
+    # for decimal128 inputs even when the result precision fits less),
+    # widened further if the result precision demands it
+    rank_of = {"decimal32": 1, "decimal64": 2, "decimal128": 3,
+               "decimal256": 4}
+    need = 1 if p <= 9 else 2 if p <= 18 else 3 if p <= 38 else 4
+    rank = max(need, rank_of[_dtype_of(lhs).name],
+               rank_of[_dtype_of(rhs).name])
+    ctor = [dt.decimal32, dt.decimal64, dt.decimal128,
+            dt.decimal256][rank - 1]
+    out_dt = ctor(p, s)
+    v = None if valid is None else jnp.asarray(valid)
+    if out_dt.name in ("decimal32", "decimal64"):
+        phys = np.int32 if out_dt.name == "decimal32" else np.int64
+        return PrimitiveColumn(jnp.asarray(np.asarray(out, phys)),
+                               out_dt, v)
+    return DecimalColumn.from_pyints(out, out_dt, v)

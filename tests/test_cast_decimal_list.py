@@ -133,3 +133,40 @@ def test_map_casts():
     # list<struct> -> map
     back = cast(lst, dt.map_(dt.utf8, dt.int64))
     assert column_to_pyarrow(back).equals(arr)
+
+
+def test_decimal_arithmetic_matches_pyarrow():
+    from arrow_tpu.ops import numeric as num
+    a = pa.array([Decimal("1.25"), None, Decimal("-3.5")],
+                 pa.decimal128(10, 2))
+    b = pa.array([Decimal("2.5"), Decimal("1"), Decimal("0.5")],
+                 pa.decimal128(8, 1))
+    ca, cb = column_from_pyarrow(a), column_from_pyarrow(b)
+    for op, pcop in (("add", pc.add), ("sub", pc.subtract),
+                     ("mul", pc.multiply), ("div", pc.divide)):
+        got = column_to_pyarrow(getattr(num, op)(ca, cb))
+        want = pcop(a, b)
+        assert got.type == want.type, (op, got.type, want.type)
+        assert got.to_pylist() == want.to_pylist(), op
+
+
+def test_decimal_div_truncates_and_dbz():
+    from arrow_tpu.ops import numeric as num
+    from arrow_tpu.errors import DivideByZero
+    a = pa.array([Decimal("2"), Decimal("-1")], pa.decimal128(3, 0))
+    b = pa.array([Decimal("3"), Decimal("3")], pa.decimal128(3, 0))
+    got = column_to_pyarrow(num.div(column_from_pyarrow(a),
+                                    column_from_pyarrow(b)))
+    assert [str(x) for x in got.to_pylist()] == ["0.6666", "-0.3333"]
+    z = pa.array([Decimal("0"), Decimal("1")], pa.decimal128(3, 0))
+    with pytest.raises(DivideByZero):
+        num.div(column_from_pyarrow(a), column_from_pyarrow(z))
+
+
+def test_decimal_small_width_arith():
+    from arrow_tpu.ops import numeric as num
+    a = pa.array([Decimal("1.5")], pa.decimal64(5, 1))
+    b = pa.array([Decimal("2.5")], pa.decimal64(5, 1))
+    out = num.add(column_from_pyarrow(a), column_from_pyarrow(b))
+    assert out.dtype.name == "decimal64"           # keeps input width
+    assert column_to_pyarrow(out).to_pylist() == [Decimal("4.0")]
