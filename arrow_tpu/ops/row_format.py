@@ -351,23 +351,27 @@ def _decode_key(key: jnp.ndarray, validity: jnp.ndarray, src: Column
 
 def key_kind(c: Column) -> str:
     """Static tag for the traced key encoder."""
+    from ..core.nested import DecimalColumn
     if isinstance(c, DictionaryColumn):
         return "dict"
     if isinstance(c, StringColumn):
         return "dict"            # host dictionary-encode in key_parts
+    if isinstance(c, DecimalColumn):
+        return f"dec{c.limbs.shape[1]}"     # dec2 / dec4 limb keys
     if isinstance(c, PrimitiveColumn):
         d = c.dtype
         if d.is_floating:
             return "float"
         if d.is_boolean or d.is_unsigned_integer:
             return "uint"
-        return "int"
+        return "int"             # incl. decimal32/64 storage ints
     raise ArrowNotImplementedError(f"sort key of {type(c)}")
 
 
 def key_parts(c: Column):
     """(values, ranks, entry_valid, validity) arrays for one key column;
     dictionary/string value ranks are computed on host here (small)."""
+    from ..core.nested import DecimalColumn
     if isinstance(c, StringColumn):
         from .strings import dictionary_encode
         c = dictionary_encode(c)
@@ -375,6 +379,8 @@ def key_parts(c: Column):
         ranks, dict_null = dictionary_value_ranks(c.values)
         entry_valid = jnp.asarray(~dict_null) if dict_null.any() else None
         return (c.codes, jnp.asarray(ranks), entry_valid, c.validity)
+    if isinstance(c, DecimalColumn):
+        return (c.limbs, None, None, c.validity)
     return (c.values, None, None, c.validity)
 
 
@@ -421,6 +427,27 @@ def encode_keys_traced(kinds, opts, parts) -> List[jnp.ndarray]:
                 vkey = jnp.where(validity, vkey, jnp.float64(0.0))
             keys.append(nan_key)
             keys.append(vkey)
+            continue
+        elif kind.startswith("dec"):
+            # decimal128/256: lexicographic u64 limb keys, most
+            # significant limb first with its two's-complement sign bit
+            # flipped (limbs are little-endian u64 planes)
+            nlimb = int(kind[3:])
+            limb_keys = []
+            for j in range(nlimb - 1, -1, -1):
+                k = vals[:, j]
+                if j == nlimb - 1:
+                    k = k ^ _SIGN64
+                limb_keys.append(k)
+            if descending:
+                limb_keys = [~k for k in limb_keys]
+            if validity is not None:
+                null_key = validity.astype(jnp.uint64) if nulls_first \
+                    else (~validity).astype(jnp.uint64)
+                keys.append(null_key)
+                limb_keys = [jnp.where(validity, k, jnp.uint64(0))
+                             for k in limb_keys]
+            keys.extend(limb_keys)
             continue
         elif kind == "uint":
             vkey = vals.astype(jnp.uint64)

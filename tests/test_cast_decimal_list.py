@@ -170,3 +170,19 @@ def test_decimal_small_width_arith():
     out = num.add(column_from_pyarrow(a), column_from_pyarrow(b))
     assert out.dtype.name == "decimal64"           # keeps input width
     assert column_to_pyarrow(out).to_pylist() == [Decimal("4.0")]
+
+
+def test_sort_decimal_columns():
+    from arrow_tpu.ops.sort import sort_to_indices, SortOptions
+    arr = pa.array([Decimal(10**30), None, Decimal(-5), Decimal(0),
+                    Decimal(-10**30)], pa.decimal256(76, 0))
+    col = column_from_pyarrow(arr)
+    idx = np.asarray(sort_to_indices(col).values)
+    assert list(idx) == [1, 4, 2, 3, 0]        # nulls first, ascending
+    idx_d = np.asarray(sort_to_indices(
+        col, SortOptions(descending=True, nulls_first=False)).values)
+    assert list(idx_d) == [0, 3, 2, 4, 1]
+    # decimal64 storage sorts through the int path
+    small = column_from_pyarrow(pa.array(
+        [Decimal("2.5"), Decimal("-1.5")], pa.decimal64(10, 1)))
+    assert list(np.asarray(sort_to_indices(small).values)) == [1, 0]
