@@ -36,6 +36,8 @@ def _dispatch(op: str, lhs: Datum, rhs: Datum) -> PrimitiveColumn:
     if _is_stringy(lhs) or _is_stringy(rhs):
         from . import strings
         return strings.compare(op, lhs, rhs)
+    if _is_decimal(lhs) or _is_decimal(rhs):
+        return _compare_decimal(op, lhs, rhs)
     lhs, rhs = as_datum(lhs), as_datum(rhs)
     lv, rv, mask, n, ldt, rdt = broadcast_pair(lhs, rhs)
     if ldt != rdt and not (ldt.is_numeric and rdt.is_numeric
@@ -97,3 +99,80 @@ def _mask(x, n):
     if isinstance(x, Scalar):
         return jnp.full((n,), x.valid, jnp.bool_)
     return vd.make_mask(n, x.validity)
+
+
+# ---- decimal comparison (cmp.rs decimal arms) ---------------------------------
+
+def _is_decimal(x: Datum) -> bool:
+    return isinstance(x, Column) and x.dtype.is_decimal
+
+
+def _compare_decimal(op: str, lhs: Column, rhs: Column
+                     ) -> PrimitiveColumn:
+    """Compare decimals of any widths/scales: rescale to the common
+    scale, then compare — decimal32/64 on device ints, decimal128/256
+    lexicographically over u64 limb planes on device."""
+    from ..core.nested import DecimalColumn
+    from .cast import cast, CastOptions
+    ld, rd = lhs.dtype, rhs.dtype
+    if not (ld.is_decimal and rd.is_decimal):
+        raise ArrowTypeError(f"cannot compare {ld!r} with {rd!r}")
+    s_ = max(ld.scale, rd.scale)
+    # rescale both sides losslessly to the common scale; width grows as
+    # needed so no value can overflow during the rescale
+    def rescaled(c):
+        d = c.dtype
+        p = d.precision + (s_ - d.scale)
+        if p > 76:
+            raise ArrowTypeError("decimal comparison scale overflow")
+        ctor = dt.decimal32 if p <= 9 else dt.decimal64 if p <= 18 \
+            else dt.decimal128 if p <= 38 else dt.decimal256
+        return cast(c, ctor(p, s_), CastOptions(safe=False))
+    lc, rc = rescaled(lhs), rescaled(rhs)
+    mask = vd.union(lc.validity, rc.validity)
+
+    def limbs_of(c, k):
+        if isinstance(c, DecimalColumn):
+            lb = c.limbs
+            if lb.shape[1] < k:      # widen with sign extension
+                import jax.numpy as _j
+                sign = (lb[:, -1] >> _j.uint64(63)).astype(_j.uint64)
+                ext = _j.where(sign[:, None] == 1,
+                               _j.uint64(0xFFFFFFFFFFFFFFFF),
+                               _j.uint64(0)) * _j.ones(
+                    (lb.shape[0], k - lb.shape[1]), _j.uint64)
+                lb = _j.concatenate([lb, ext], axis=1)
+            return lb
+        import jax
+        import jax.numpy as _j
+        v = c.values.astype(_j.int64)
+        lb = jax.lax.bitcast_convert_type(v, _j.uint64)[:, None]
+        if k > 1:
+            sign = (lb[:, 0] >> _j.uint64(63))
+            ext = _j.where(sign[:, None] == 1,
+                           _j.uint64(0xFFFFFFFFFFFFFFFF), _j.uint64(0)) \
+                * _j.ones((lb.shape[0], k - 1), _j.uint64)
+            lb = _j.concatenate([lb, ext], axis=1)
+        return lb
+
+    if isinstance(lc, DecimalColumn) or isinstance(rc, DecimalColumn):
+        k = max(lc.limbs.shape[1] if isinstance(lc, DecimalColumn) else 1,
+                rc.limbs.shape[1] if isinstance(rc, DecimalColumn) else 1)
+        la, ra = limbs_of(lc, k), limbs_of(rc, k)
+        # lexicographic from the top limb: top compares signed, lower
+        # limbs unsigned — flip the top limb's sign bit and compare the
+        # whole stack unsigned
+        flip = jnp.uint64(1) << jnp.uint64(63)
+        la = la.at[:, -1].set(la[:, -1] ^ flip)
+        ra = ra.at[:, -1].set(ra[:, -1] ^ flip)
+        eq_mask = jnp.all(la == ra, axis=1)
+        lt_mask = jnp.zeros(la.shape[:1], jnp.bool_)
+        tied = jnp.ones(la.shape[:1], jnp.bool_)
+        for j in range(k - 1, -1, -1):
+            lt_mask = lt_mask | (tied & (la[:, j] < ra[:, j]))
+            tied = tied & (la[:, j] == ra[:, j])
+        out = {"eq": eq_mask, "neq": ~eq_mask, "lt": lt_mask,
+               "lt_eq": lt_mask | eq_mask,
+               "gt": ~(lt_mask | eq_mask), "gt_eq": ~lt_mask}[op]
+        return PrimitiveColumn(out, dt.bool_, mask)
+    return PrimitiveColumn(_OPS[op](lc.values, rc.values), dt.bool_, mask)

@@ -186,3 +186,20 @@ def test_sort_decimal_columns():
     small = column_from_pyarrow(pa.array(
         [Decimal("2.5"), Decimal("-1.5")], pa.decimal64(10, 1)))
     assert list(np.asarray(sort_to_indices(small).values)) == [1, 0]
+
+
+def test_decimal_compare():
+    from arrow_tpu.ops import cmp as C
+    a = pa.array([Decimal("1.25"), Decimal("-3"), None, Decimal(10**30)],
+                 pa.decimal256(76, 2))
+    b = pa.array([Decimal("1.3"), Decimal("-3.0"), Decimal("0"),
+                  Decimal(-10**30)], pa.decimal128(38, 1))
+    ca, cb = column_from_pyarrow(a), column_from_pyarrow(b)
+    got_lt = C.lt(ca, cb).to_pylist()
+    assert got_lt == [True, False, None, False]
+    got_eq = C.eq(ca, cb).to_pylist()
+    assert got_eq == [False, True, None, False]
+    # small widths on the device-int path
+    sa = column_from_pyarrow(pa.array([Decimal("2.5")], pa.decimal64(5, 1)))
+    sb = column_from_pyarrow(pa.array([Decimal("2.50")], pa.decimal32(5, 2)))
+    assert C.eq(sa, sb).to_pylist() == [True]
