@@ -39,6 +39,8 @@ def _valid_count(col: Column) -> int:
 
 def sum_(col: PrimitiveColumn) -> Scalar:
     """Wrapping sum (aggregate.rs sum_array)."""
+    if col.dtype.is_decimal:
+        return _decimal_reduce(col, "sum")
     if not col.dtype.is_numeric:
         raise ArrowTypeError(f"sum of {col.dtype!r}")
     if _valid_count(col) == 0:
@@ -87,6 +89,8 @@ def min_max(col: Column):
 
 
 def _extremum(col: Column, want_max: bool) -> Scalar:
+    if col.dtype.is_decimal:
+        return _decimal_reduce(col, "max" if want_max else "min")
     if _valid_count(col) == 0:
         if col.dtype.is_primitive:
             return Scalar(0, col.dtype, valid=False)
@@ -149,3 +153,23 @@ def bool_or(col: PrimitiveColumn) -> Scalar:
         return Scalar(False, dt.bool_, valid=False)
     vals = jnp.where(col.is_valid_mask(), col.values, False)
     return Scalar(jnp.any(vals), dt.bool_)
+
+
+def _decimal_reduce(col, op: str) -> Scalar:
+    """Decimal whole-array reductions (aggregate.rs decimal arms):
+    host-exact python ints at any width; result keeps the input type."""
+    from ..core.nested import DecimalColumn
+    import numpy as np
+    if isinstance(col, DecimalColumn):
+        vals = [v for v in col.to_pyints() if v is not None]
+    else:
+        raw = np.asarray(col.values)
+        valid = None if col.validity is None else np.asarray(col.validity)
+        vals = [int(x) for i, x in enumerate(raw)
+                if valid is None or valid[i]]
+    if not vals:
+        return _PyScalar(None, col.dtype)
+    r = {"sum": sum, "min": min, "max": max}[op](vals)
+    from decimal import Decimal
+    out = Decimal(r).scaleb(-col.dtype.scale)
+    return _PyScalar(out, col.dtype)

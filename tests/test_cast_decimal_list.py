@@ -203,3 +203,19 @@ def test_decimal_compare():
     sa = column_from_pyarrow(pa.array([Decimal("2.5")], pa.decimal64(5, 1)))
     sb = column_from_pyarrow(pa.array([Decimal("2.50")], pa.decimal32(5, 2)))
     assert C.eq(sa, sb).to_pylist() == [True]
+
+
+def test_decimal_aggregates():
+    from arrow_tpu.ops import aggregate as agg
+    arr = pa.array([Decimal("1.25"), None, Decimal("-3.50"),
+                    Decimal(10**30)], pa.decimal256(76, 2))
+    col = column_from_pyarrow(arr)
+    assert agg.sum_(col).as_py() == Decimal(10**30) + Decimal("-2.25")
+    assert agg.min_(col).as_py() == Decimal("-3.50")
+    assert agg.max_(col).as_py() == Decimal(10**30)
+    small = column_from_pyarrow(pa.array([Decimal("2.5"), Decimal("1.0")],
+                                         pa.decimal64(5, 1)))
+    assert agg.sum_(small).as_py() == Decimal("3.5")
+    empty = column_from_pyarrow(pa.array([None, None],
+                                         pa.decimal128(10, 2)))
+    assert not agg.sum_(empty).valid
