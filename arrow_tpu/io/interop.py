@@ -469,13 +469,21 @@ def table_from_pyarrow(batch) -> Table:
     else:
         cols = [column_from_pyarrow(batch.column(i))
                 for i in range(batch.num_columns)]
-    fields = tuple(dt.Field(f.name, dtype_from_pyarrow(f.type), f.nullable)
+    def md_of(f):
+        if not f.metadata:
+            return ()
+        return tuple(sorted((k.decode() if isinstance(k, bytes) else k,
+                             v.decode() if isinstance(v, bytes) else v)
+                            for k, v in f.metadata.items()))
+    fields = tuple(dt.Field(f.name, dtype_from_pyarrow(f.type),
+                            f.nullable, metadata=md_of(f))
                    for f in batch.schema)
     return Table(cols, dt.Schema(fields))
 
 
 def table_to_pyarrow(table: Table) -> pa.RecordBatch:
     arrays = [column_to_pyarrow(c) for c in table.columns]
-    fields = [pa.field(f.name, a.type, f.nullable)
+    fields = [pa.field(f.name, a.type, f.nullable,
+                       metadata=dict(f.metadata) if f.metadata else None)
               for f, a in zip(table.schema.fields, arrays)]
     return pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))

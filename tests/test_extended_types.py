@@ -271,3 +271,22 @@ def test_filter_new_layouts():
     keep = at.column(np.array([True, False, True]))
     assert column_to_pyarrow(filter_kernel(col, keep)).to_pylist() == \
         [b"aa", b"cc"]
+
+
+def test_extension_field_metadata_roundtrip():
+    """Canonical extension types ride field metadata across the pyarrow
+    boundary (arrow-schema extension/mod.rs:188 model)."""
+    import arrow_tpu as at
+    from arrow_tpu.io.interop import table_from_pyarrow, table_to_pyarrow
+    u = dt.uuid()
+    col = at.FixedSizeBinaryColumn(
+        jnp.asarray(np.frombuffer(b"0123456789abcdef" * 2, np.uint8)
+                    .reshape(2, 16)))
+    t = at.Table([col], dt.Schema((dt.Field("id", u.storage,
+                                            metadata=u.field_metadata()),)))
+    rb = table_to_pyarrow(t)
+    assert rb.schema.field("id").metadata[b"ARROW:extension:name"] == \
+        b"arrow.uuid"
+    back = table_from_pyarrow(rb)
+    assert dict(back.schema.field("id").metadata)[
+        "ARROW:extension:name"] == "arrow.uuid"
