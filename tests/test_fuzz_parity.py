@@ -1,0 +1,142 @@
+"""Randomized cross-implementation parity (the Archery tier-3 role,
+SURVEY.md §4): random mixed-type batches run through the engine's
+operators and through pyarrow.compute, outputs compared exactly.
+Seeds are fixed — failures reproduce."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import jax.numpy as jnp
+
+import arrow_tpu as at
+from arrow_tpu.io.interop import (column_from_pyarrow, column_to_pyarrow,
+                                  table_from_pyarrow, table_to_pyarrow)
+from arrow_tpu.ops.sort import sort_to_indices, SortOptions
+from arrow_tpu.ops.filter import filter as filter_kernel
+from arrow_tpu.ops.take import take
+from arrow_tpu.ops.cast import cast
+from arrow_tpu import dtypes as dt
+
+
+def _random_array(rng, n, kind):
+    null = rng.random(n) < rng.choice([0.0, 0.1, 0.5])
+    if kind == "i64":
+        vals = rng.integers(-10**12, 10**12, n)
+        arr = pa.array(vals, pa.int64(), mask=null)
+    elif kind == "i32":
+        arr = pa.array(rng.integers(-2**31, 2**31, n), pa.int32(),
+                       mask=null)
+    elif kind == "f64":
+        vals = rng.normal(0, 1e6, n)
+        vals[rng.random(n) < 0.05] = np.inf
+        vals[rng.random(n) < 0.05] = -np.inf
+        arr = pa.array(vals, pa.float64(), mask=null)
+    elif kind == "bool":
+        arr = pa.array(rng.random(n) < 0.5, pa.bool_(), mask=null)
+    elif kind == "str":
+        words = [f"w{i}" for i in range(17)] + [""]
+        arr = pa.array([words[i] for i in rng.integers(0, 18, n)],
+                       pa.string(), mask=null)
+    elif kind == "ts":
+        arr = pa.array(rng.integers(0, 2**40, n), pa.int64(),
+                       mask=null).cast(pa.timestamp("us"))
+    return arr
+
+
+KINDS = ["i64", "i32", "f64", "bool", "str", "ts"]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_sort_parity(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 400))
+    kind = KINDS[seed % len(KINDS)]
+    arr = _random_array(rng, n, kind)
+    col = column_from_pyarrow(arr)
+    for desc in (False, True):
+        for nf in (True, False):
+            ours = np.asarray(sort_to_indices(
+                col, SortOptions(descending=desc, nulls_first=nf)).values)
+            order = "descending" if desc else "ascending"
+            place = "at_start" if nf else "at_end"
+            want = pc.sort_indices(
+                arr, sort_keys=[("x", order)],
+                null_placement=place).to_numpy()
+            # both stable -> identical permutations
+            assert (ours == want).all(), (kind, n, desc, nf)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_filter_take_parity(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(1, 300))
+    kind = KINDS[seed % len(KINDS)]
+    arr = _random_array(rng, n, kind)
+    col = column_from_pyarrow(arr)
+    keep = rng.random(n) < 0.5
+    ours = column_to_pyarrow(filter_kernel(
+        col, at.column(keep))).to_pylist()
+    want = arr.filter(pa.array(keep)).to_pylist()
+    assert ours == want, (kind, n)
+
+    idx = rng.integers(0, n, int(rng.integers(1, 200)))
+    ours = column_to_pyarrow(take(col, at.column(idx))).to_pylist()
+    want = arr.take(pa.array(idx)).to_pylist()
+    assert ours == want, (kind, n)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_cast_parity(seed):
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(1, 300))
+    pairs = [("i64", dt.float64, pa.float64()),
+             ("i32", dt.int64, pa.int64()),
+             ("f64", dt.float32, pa.float32()),
+             ("ts", dt.date32, pa.date32())]
+    kind, to_dt, to_pa = pairs[seed % len(pairs)]
+    arr = _random_array(rng, n, kind)
+    ours = column_to_pyarrow(cast(column_from_pyarrow(arr), to_dt))
+    want = pc.cast(arr, to_pa)
+    assert ours.to_pylist() == want.to_pylist(), (kind, n)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_table_roundtrip(seed):
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(1, 500))
+    arrays = {f"c{i}": _random_array(rng, n, k)
+              for i, k in enumerate(KINDS)}
+    rb = pa.record_batch(list(arrays.values()), names=list(arrays))
+    back = table_to_pyarrow(table_from_pyarrow(rb))
+    assert back.equals(rb), n
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_group_by_parity(seed):
+    from arrow_tpu.ops.groupby import group_by, AggSpec
+    rng = np.random.default_rng(400 + seed)
+    n = int(rng.integers(2, 500))
+    keys = pa.array(rng.integers(0, 9, n),
+                    mask=rng.random(n) < 0.1)
+    vals = pa.array(rng.integers(-1000, 1000, n),
+                    mask=rng.random(n) < 0.2)
+    rb = pa.record_batch([keys, vals], names=["k", "v"])
+    t = table_from_pyarrow(rb)
+    ours = group_by(t, ["k"], [AggSpec("v", "sum"), AggSpec("v", "count"),
+                               AggSpec("v", "min"), AggSpec("v", "max"),
+                               AggSpec("v", "mean")]).to_pydict()
+    want_tbl = pa.table(rb).group_by("k").aggregate(
+        [("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max"),
+         ("v", "mean")]).sort_by([("k", "ascending")])
+    want = {c: want_tbl.column(c).to_pylist()
+            for c in want_tbl.column_names}
+    # pyarrow sorts nulls last in sort_by; our group order is nulls first
+    def rot(lst):
+        return lst[-1:] + lst[:-1] if want["k"][-1] is None else lst
+    has_null_key = want["k"][-1] is None
+    for col_ours, col_pa in (("k", "k"), ("v_sum", "v_sum"),
+                             ("v_count", "v_count"), ("v_min", "v_min"),
+                             ("v_max", "v_max"), ("v_mean", "v_mean")):
+        w = rot(want[col_pa]) if has_null_key else want[col_pa]
+        assert ours[col_ours] == w, (seed, col_ours, ours[col_ours], w)
