@@ -351,7 +351,10 @@ def _decode_key(key: jnp.ndarray, validity: jnp.ndarray, src: Column
 
 def key_kind(c: Column) -> str:
     """Static tag for the traced key encoder."""
-    from ..core.nested import DecimalColumn
+    from ..core.nested import DecimalColumn, RunEndColumn
+    if isinstance(c, RunEndColumn):
+        from .ree import run_end_decode
+        return key_kind(run_end_decode(c))
     if isinstance(c, DictionaryColumn):
         return "dict"
     if isinstance(c, StringColumn):
@@ -371,7 +374,10 @@ def key_kind(c: Column) -> str:
 def key_parts(c: Column):
     """(values, ranks, entry_valid, validity) arrays for one key column;
     dictionary/string value ranks are computed on host here (small)."""
-    from ..core.nested import DecimalColumn
+    from ..core.nested import DecimalColumn, RunEndColumn
+    if isinstance(c, RunEndColumn):
+        from .ree import run_end_decode
+        c = run_end_decode(c)      # logical rows; runs re-expand
     if isinstance(c, StringColumn):
         from .strings import dictionary_encode
         c = dictionary_encode(c)

@@ -290,3 +290,12 @@ def test_extension_field_metadata_roundtrip():
     back = table_from_pyarrow(rb)
     assert dict(back.schema.field("id").metadata)[
         "ARROW:extension:name"] == "arrow.uuid"
+
+
+def test_sort_run_end_column():
+    from arrow_tpu.ops.sort import sort_to_indices
+    col = column_from_pyarrow(pa.RunEndEncodedArray.from_arrays(
+        pa.array([2, 4, 6], pa.int32()),
+        pa.array([30, 10, 20], pa.int64())))
+    idx = np.asarray(sort_to_indices(col).values)
+    assert list(idx) == [2, 3, 4, 5, 0, 1]   # 10s, 20s, 30s (stable)
