@@ -107,5 +107,25 @@ tfr = at.Table.from_pydict({"k": at.column(np.arange(9) * 1.5),
 check("join FLOAT keys", lambda: joinm.join(tfl, tfr, ["k"]))
 check("group_by f64 mean", lambda: gbm.group_by(
     tl, ["k"], [gbm.AggSpec("v", "mean"), gbm.AggSpec("v", "sum")]))
+
+# decimals / intervals / run-end (host+device mixed paths)
+import pyarrow as pa
+from decimal import Decimal
+from arrow_tpu.io.interop import column_from_pyarrow
+dec = column_from_pyarrow(pa.array([Decimal("1.25"), None, Decimal(10**30)],
+                                   pa.decimal256(50, 2)))
+dec2 = column_from_pyarrow(pa.array([Decimal("1.3"), Decimal("0"),
+                                     Decimal("-1")], pa.decimal128(38, 1)))
+check("decimal sort", lambda: sortm.sort_to_indices(dec))
+check("decimal cmp", lambda: cmp.lt(dec, dec2))
+check("decimal arith", lambda: numeric.add(dec, dec2))
+check("decimal agg", lambda: aggregate.sum_(dec))
+mdn = pa.scalar((1, 2, 3_600_000_000_000),
+                pa.month_day_nano_interval()).as_py()
+iv = column_from_pyarrow(pa.array([mdn] * n, pa.month_day_nano_interval()))
+check("add_interval", lambda: temporal.add_interval(ts, iv))
+ree = column_from_pyarrow(pa.RunEndEncodedArray.from_arrays(
+    pa.array([2, 5], pa.int32()), pa.array([7, 3], pa.int64())))
+check("ree sort", lambda: sortm.sort_to_indices(ree))
 print("smoke done", flush=True)
 sys.exit(1 if FAILURES else 0)
