@@ -470,27 +470,40 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start, arrays):
     def minmax_sorted(slot):
         """Values re-ordered by (gid, valid-first, value order) so each
         group's min sits at its run start and max at
-        start + valid_count - 1.  Float values sort by native float keys
-        with a NaN-class key (64-bit float bitcasts do not compile on
-        this TPU backend)."""
+        start + valid_count - 1.  Operand diet: gid rides as i32 and
+        null/NaN classes ride 1-byte keys (nulls sort last within the
+        group) — multi-operand sorts move every byte
+        through every merge pass, so fewer/narrower keys matter.
+        Floats sort by native float keys (64-bit float bitcasts do not
+        compile on this TPU backend); their NaN/null classes fold into
+        a single small key."""
         if slot not in mm_cache:
             vs, ms = sorted_col(slot)
-            msk = jnp.ones(vs.shape, jnp.bool_) if ms is None else ms
-            null_last = (~msk).astype(jnp.uint64)
+            gid32 = gid.astype(jnp.int32)
             if jnp.issubdtype(vs.dtype, jnp.floating):
                 from .row_format import _float_keys_native
                 nan_key, vkey = _float_keys_native(vs, False)
-                ops_ = (gid, null_last, nan_key, vkey, vs)
-                v_final = jax.lax.sort(ops_, num_keys=4,
-                                       is_stable=False)[-1]
+                cls = nan_key if ms is None else \
+                    jnp.where(ms, nan_key, jnp.uint64(2))
+                v_final = jax.lax.sort(
+                    (gid32, cls.astype(jnp.uint8), vkey, vs),
+                    num_keys=3, is_stable=False)[-1]
             else:
                 from .row_format import encode_value_key
                 from ..core.column import _jax_to_logical
                 vkey, _ = encode_value_key(PrimitiveColumn(
                     vs, _jax_to_logical(vs.dtype), None, _canonical=True))
-                v_final = jax.lax.sort(
-                    (gid, null_last, vkey, vs), num_keys=3,
-                    is_stable=False)[-1]
+                if ms is None:
+                    v_final = jax.lax.sort(
+                        (gid32, vkey, vs), num_keys=2,
+                        is_stable=False)[-1]
+                else:
+                    # 1-byte null class: folding nulls into the value
+                    # key would tie them with genuine MAX values
+                    cls = (~ms).astype(jnp.uint8)
+                    v_final = jax.lax.sort(
+                        (gid32, cls, vkey, vs), num_keys=3,
+                        is_stable=False)[-1]
             mm_cache[slot] = v_final
         return mm_cache[slot]
 

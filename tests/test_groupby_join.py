@@ -169,3 +169,21 @@ def test_join_zipf_skew():
     rt = pa.table({"k": build_keys,
                    "rv": build_keys * 10})
     _join_golden(lt, rt, ["k"], "inner", "inner")
+
+
+def test_group_by_minmax_at_int64_extremes(rng):
+    """Nulls must not tie with genuine i64::MAX values in the min/max
+    secondary sort."""
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu.ops.groupby import group_by, AggSpec
+    imax, imin = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+    keys = np.array([1, 1, 1, 2, 2], np.int64)
+    vals = np.array([imax, 5, 0, imin, 7], np.int64)
+    valid = np.array([True, True, False, True, True])
+    t = at.Table.from_pydict({"k": at.column(keys),
+                              "v": at.column(vals, validity=valid)})
+    d = group_by(t, ["k"], [AggSpec("v", "min"),
+                            AggSpec("v", "max")]).to_pydict()
+    assert d["v_max"] == [imax, 7]
+    assert d["v_min"] == [5, imin]
