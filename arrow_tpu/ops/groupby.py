@@ -151,15 +151,17 @@ def _discover_stage(kinds, parts):
     keys = encode_keys_traced(kinds, ((False, True),) * len(kinds),
                               parts)
     n = keys[0].shape[0]
-    iota = jnp.arange(n, dtype=jnp.int64)
+    # 32-bit row index + group ids: multi-operand sorts move every byte
+    # through every merge pass, and n < 2^31 always holds on one chip
+    iota = jnp.arange(n, dtype=jnp.uint32)
     sorted_ops = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys),
                               is_stable=True)
-    order = sorted_ops[-1]
+    order = sorted_ops[-1].astype(jnp.int64)
     neq = jnp.zeros((n - 1,), jnp.bool_)
     for k in sorted_ops[:-1]:
         neq = jnp.logical_or(neq, k[1:] != k[:-1])
     run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
-    gid = jnp.cumsum(run_start.astype(jnp.int64)) - 1
+    gid = (jnp.cumsum(run_start.astype(jnp.int32)) - 1).astype(jnp.int64)
     return order, gid, run_start, gid[-1] + 1
 
 
