@@ -19,6 +19,9 @@ from .filter import (  # noqa: F401
 from .concat import (  # noqa: F401
     concat, concat_tables, interleave, interleave_tables,
 )
+# reference-crate names (concat.rs:470, interleave.rs:359)
+concat_batches = concat_tables
+interleave_record_batch = interleave_tables
 from .select_misc import zip_, nullif, shift, union_extract  # noqa: F401
 from .ree import run_end_encode, run_end_decode  # noqa: F401
 from .ord import make_comparator, make_lexicographic_comparator  # noqa: F401
