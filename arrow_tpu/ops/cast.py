@@ -24,7 +24,10 @@ Dispatch groups (of the reference's 213 match arms, the families are):
   map casts                    map <-> map (entry casts),
                                map <-> list<struct> (cast/map.rs)
 
-Out-of-scope this round: interval casts.
+  interval casts               the reference's narrow matrix
+                               (mod.rs:283-298): interval unit widening to
+                               month_day_nano, duration <-> month_day_nano,
+                               int64/int32 reinterpret, utf8 parse
 """
 
 from __future__ import annotations
@@ -58,6 +61,22 @@ def can_cast(from_dt: dt.DataType, to_dt: dt.DataType) -> bool:
         return True
     if from_dt.is_null or to_dt.is_null:
         return True
+    if from_dt.name == "interval" or to_dt.name == "interval":
+        # the reference's narrow interval matrix (cast/mod.rs:283-298)
+        if from_dt.name == "interval" and to_dt.name == "interval":
+            return to_dt.unit == "month_day_nano"
+        if from_dt.name == "interval":
+            if to_dt.is_string:
+                return True                   # display.rs:699-846
+            if to_dt == dt.int64:
+                return from_dt.unit in ("year_month", "day_time")
+            return to_dt.name == "duration" and \
+                from_dt.unit == "month_day_nano"
+        if from_dt.is_string:
+            return True                       # parse_interval (parse.rs)
+        if from_dt == dt.int32:
+            return to_dt.unit == "year_month"
+        return from_dt.name == "duration" and to_dt.unit == "month_day_nano"
     prim = lambda d: d.is_numeric or d.is_boolean or d.is_temporal
     if prim(from_dt) and prim(to_dt):
         return True
@@ -130,6 +149,8 @@ def cast(col: Column, to: dt.DataType,
     if isinstance(col, (ListColumn, FixedSizeListColumn)) or \
             to.name in ("list", "large_list", "fixed_size_list"):
         return _cast_list(col, to, options)
+    if from_dt.name == "interval" or to.name == "interval":
+        return _cast_interval(col, to, options)
 
     if isinstance(col, StringColumn):
         return _cast_from_string(col, to, options)
@@ -249,6 +270,252 @@ def _cast_primitive(col: PrimitiveColumn, to: dt.DataType,
                                col.validity, to, options)
 
     raise ArrowNotImplementedError(f"cast {from_dt!r} -> {to!r}")
+
+
+# ---- interval casts (cast/mod.rs:283-298, 365-500) ----------------------------
+
+def _cast_interval(col: Column, to: dt.DataType,
+                   options: CastOptions) -> Column:
+    """The reference's narrow interval matrix: unit widening to
+    month_day_nano (mod.rs:365-392), duration <-> month_day_nano
+    (mod.rs:395-500, zero months/days required going out), int64/int32
+    reinterprets, and utf8 parse (parse.rs parse_interval)."""
+    from ..core.nested import IntervalMDNColumn
+    f = col.dtype
+    if not can_cast(f, to):
+        raise ArrowNotImplementedError(f"cast {f!r} -> {to!r}")
+
+    if isinstance(col, StringColumn):
+        return _parse_interval_strings(col, to, options)
+
+    if to.is_string:
+        return _interval_to_string(col, to)
+
+    if isinstance(col, IntervalMDNColumn):
+        if to.name == "interval":            # mdn -> mdn handled by cast()
+            return col
+        # mdn -> duration: only zero months/days convert; division
+        # truncates toward zero (Rust / semantics, mod.rs:408)
+        scale = _UNIT_NS[to.unit]
+        n = col.nanos
+        bad = (col.months != 0) | (col.days != 0)
+        q = jnp.where(n < 0, -((-n) // scale), n // scale)
+        return _apply_failures(jnp.where(bad, 0, q), bad,
+                               col.validity, to, options)
+
+    assert isinstance(col, PrimitiveColumn), type(col)
+    v = col.values
+    if f.name == "duration":                 # -> interval[mdn]
+        scale = _UNIT_NS[f.unit]
+        x = v.astype(jnp.int64)
+        hi, lo = (2 ** 63 - 1) // scale, -((2 ** 63) // scale)
+        bad = (x > hi) | (x < lo)            # checked_mul (mod.rs:460)
+        ns = jnp.where(bad, 0, x) * scale
+        validity = col.validity
+        if options.safe:
+            validity = vd.union(validity, jnp.logical_not(bad))
+        else:
+            eff = bad if validity is None else jnp.logical_and(bad, validity)
+            if bool(jnp.any(eff)):
+                raise CastError("duration -> interval[mdn] overflow")
+        z = jnp.zeros(v.shape, jnp.int32)
+        return IntervalMDNColumn(z, z, ns, validity)
+
+    if f.name == "interval":
+        if to == dt.int64:                   # reinterpret storage
+            return PrimitiveColumn(v.astype(jnp.int64), to, col.validity,
+                                   _canonical=True)
+        if f.unit == "year_month":           # months, 0 days, 0 ns
+            z = jnp.zeros(v.shape, jnp.int32)
+            return IntervalMDNColumn(v.astype(jnp.int32), z,
+                                     jnp.zeros(v.shape, jnp.int64),
+                                     col.validity)
+        # day_time (days<<32 | millis) -> days, ms * 1e6 nanoseconds
+        x = v.astype(jnp.int64)
+        days = (x >> 32).astype(jnp.int32)
+        ms = x.astype(jnp.int32)             # truncating convert = low word
+        return IntervalMDNColumn(jnp.zeros(v.shape, jnp.int32), days,
+                                 ms.astype(jnp.int64) * 1_000_000,
+                                 col.validity)
+
+    assert f == dt.int32 and to.unit == "year_month"
+    return PrimitiveColumn(v, to, col.validity, _canonical=True)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (Rust / semantics)."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _fmt_clock(parts: list, total: int, unit_per_sec: int, digits: int):
+    """Shared hours/mins/secs tail (display.rs Milliseconds/Nanoseconds
+    formatters): skip zero groups, '{sign}{secs}.{frac:0N} secs'."""
+    secs = _tdiv(total, unit_per_sec)
+    mins = _tdiv(secs, 60)
+    hours = _tdiv(mins, 60)
+    secs -= mins * 60
+    mins -= hours * 60
+    frac = total - _tdiv(total, unit_per_sec) * unit_per_sec
+    if hours:
+        parts.append(f"{hours} hours")
+    if mins:
+        parts.append(f"{mins} mins")
+    if secs or frac:
+        sign = "-" if (secs < 0 or frac < 0) else ""
+        parts.append(f"{sign}{abs(secs)}.{abs(frac):0{digits}d} secs")
+
+
+def _interval_to_string(col: Column, to: dt.DataType) -> StringColumn:
+    """display.rs:699-846 interval formatting."""
+    from ..core.nested import IntervalMDNColumn
+    unit = col.dtype.unit
+    n = len(col)
+    mask = np.asarray(col.is_valid_mask())
+    out = []
+    if isinstance(col, IntervalMDNColumn):
+        months = np.asarray(col.months)
+        days = np.asarray(col.days)
+        nanos = np.asarray(col.nanos)
+        for i in range(n):
+            if not mask[i]:
+                out.append(None)
+                continue
+            parts = []
+            if months[i]:
+                parts.append(f"{months[i]} mons")
+            if days[i]:
+                parts.append(f"{days[i]} days")
+            if nanos[i]:
+                _fmt_clock(parts, int(nanos[i]), 1_000_000_000, 9)
+            out.append(" ".join(parts))
+    elif unit == "year_month":
+        v = np.asarray(col.values)
+        for i in range(n):
+            if not mask[i]:
+                out.append(None)
+                continue
+            years = int(v[i]) // 12          # f64 floor in the reference
+            out.append(f"{years} years {int(v[i]) - years * 12} mons")
+    else:                                     # day_time: days<<32 | millis
+        x = np.asarray(col.values).astype(np.int64)
+        days = (x >> 32).astype(np.int32)
+        ms = x.astype(np.int32)
+        for i in range(n):
+            if not mask[i]:
+                out.append(None)
+                continue
+            parts = []
+            if days[i]:
+                parts.append(f"{days[i]} days")
+            if ms[i]:
+                _fmt_clock(parts, int(ms[i]), 1_000, 3)
+            out.append(" ".join(parts))
+    return StringColumn.from_pylist(out, to)
+
+
+_INTERVAL_UNIT_FACTORS = {
+    "year": ("months", 12), "years": ("months", 12),
+    "mon": ("months", 1), "mons": ("months", 1),
+    "month": ("months", 1), "months": ("months", 1),
+    "week": ("days", 7), "weeks": ("days", 7),
+    "day": ("days", 1), "days": ("days", 1),
+    "hour": ("nanos", 3_600_000_000_000), "hours": ("nanos", 3_600_000_000_000),
+    "minute": ("nanos", 60_000_000_000), "minutes": ("nanos", 60_000_000_000),
+    "second": ("nanos", 1_000_000_000), "seconds": ("nanos", 1_000_000_000),
+    "millisecond": ("nanos", 1_000_000), "milliseconds": ("nanos", 1_000_000),
+    "microsecond": ("nanos", 1_000), "microseconds": ("nanos", 1_000),
+    "nanosecond": ("nanos", 1), "nanoseconds": ("nanos", 1),
+}
+
+
+def _parse_one_interval(s: str):
+    """Postgres-flavoured interval text -> (months, days, nanos) or None.
+    Subset of parse.rs parse_interval: '<n> <unit>' pairs plus an
+    optional trailing [-]HH:MM:SS[.fff] clock."""
+    parts = s.strip().split()
+    if not parts:
+        return None
+    months = days = nanos = 0
+    i = 0
+    while i < len(parts):
+        tok = parts[i]
+        if ":" in tok:                       # clock tail
+            if i != len(parts) - 1:
+                return None
+            neg = tok.startswith("-")
+            hms = tok.lstrip("+-").split(":")
+            if len(hms) not in (2, 3):
+                return None
+            try:
+                h = int(hms[0]); m = int(hms[1])
+                sec = float(hms[2]) if len(hms) == 3 else 0.0
+            except ValueError:
+                return None
+            t = h * 3_600_000_000_000 + m * 60_000_000_000 \
+                + round(sec * 1e9)
+            nanos += -t if neg else t
+            i += 1
+            continue
+        if i + 1 >= len(parts):
+            return None
+        unit = parts[i + 1].lower().rstrip(",")
+        if unit not in _INTERVAL_UNIT_FACTORS:
+            return None
+        field, mult = _INTERVAL_UNIT_FACTORS[unit]
+        try:
+            qty = float(tok) if "." in tok else int(tok)
+        except ValueError:
+            return None
+        amt = qty * mult
+        if field == "months":
+            whole = int(amt)
+            months += whole
+            days += round((amt - whole) * 30)  # fractional month -> days
+        elif field == "days":
+            whole = int(amt)
+            days += whole
+            nanos += round((amt - whole) * 86_400_000_000_000)
+        else:
+            nanos += round(amt)
+        i += 2
+    return months, days, nanos
+
+
+def _parse_interval_strings(col: StringColumn, to: dt.DataType,
+                            options: CastOptions) -> Column:
+    from ..core.nested import IntervalMDNColumn
+    vals = col.to_pylist_host()
+    n = len(vals)
+    months = np.zeros(n, np.int32)
+    days = np.zeros(n, np.int32)
+    nanos = np.zeros(n, np.int64)
+    ok = np.zeros(n, bool)
+    for i, s in enumerate(vals):
+        if s is None:
+            continue
+        r = _parse_one_interval(s)
+        if r is None:
+            if not options.safe:
+                raise CastError(f"cannot parse interval {s!r}")
+            continue
+        ok[i] = True
+        months[i], days[i], nanos[i] = r
+    validity = vd.union(col.validity, jnp.asarray(ok))
+    if to.unit == "month_day_nano":
+        return IntervalMDNColumn(jnp.asarray(months), jnp.asarray(days),
+                                 jnp.asarray(nanos), validity)
+    if to.unit == "year_month":
+        bad = ok & ((days != 0) | (nanos != 0))
+        return _apply_failures(jnp.asarray(months), jnp.asarray(bad),
+                               validity, to, options)
+    # day_time: days<<32 | millis
+    bad = ok & ((months != 0) | (nanos % 1_000_000 != 0))
+    ms = (nanos // 1_000_000).astype(np.int64)
+    bad |= ok & ((ms > 2 ** 31 - 1) | (ms < -2 ** 31))
+    packed = (days.astype(np.int64) << 32) | (ms & 0xFFFFFFFF)
+    return _apply_failures(jnp.asarray(packed), jnp.asarray(bad),
+                           validity, to, options)
 
 
 # ---- string paths (host; cf. cast/parse.rs and display.rs) --------------------

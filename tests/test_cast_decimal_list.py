@@ -4,6 +4,7 @@ pyarrow.compute.cast is the behavior oracle."""
 from decimal import Decimal
 
 import numpy as np
+import jax.numpy as jnp
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -219,3 +220,106 @@ def test_decimal_aggregates():
     empty = column_from_pyarrow(pa.array([None, None],
                                          pa.decimal128(10, 2)))
     assert not agg.sum_(empty).valid
+
+
+# ---- interval casts (cast/mod.rs:283-298, display.rs:699-846) -----------------
+
+class TestIntervalCasts:
+    def _mdn(self, rows):
+        from arrow_tpu.core.nested import IntervalMDNColumn
+        import jax.numpy as jnp
+        m, d, ns = zip(*rows)
+        return IntervalMDNColumn(jnp.asarray(m, jnp.int32),
+                                 jnp.asarray(d, jnp.int32),
+                                 jnp.asarray(ns, jnp.int64))
+
+    def test_year_month_to_mdn(self):
+        c = at.PrimitiveColumn(jnp.asarray([14, -3], jnp.int32),
+                               dt.interval("year_month"))
+        out = cast(c, dt.interval("month_day_nano"))
+        assert [int(x) for x in np.asarray(out.months)] == [14, -3]
+        assert np.asarray(out.days).tolist() == [0, 0]
+        assert np.asarray(out.nanos).tolist() == [0, 0]
+
+    def test_day_time_to_mdn(self):
+        packed = (np.int64(3) << 32) | np.int64(1500)   # 3 days, 1500 ms
+        c = at.PrimitiveColumn(jnp.asarray([packed], jnp.int64),
+                               dt.interval("day_time"))
+        out = cast(c, dt.interval("month_day_nano"))
+        assert int(np.asarray(out.days)[0]) == 3
+        assert int(np.asarray(out.nanos)[0]) == 1500 * 10**6
+
+    def test_duration_roundtrip_mdn(self):
+        c = at.PrimitiveColumn(jnp.asarray([5, -7], jnp.int64),
+                               dt.duration("ms"))
+        mdn = cast(c, dt.interval("month_day_nano"))
+        assert np.asarray(mdn.nanos).tolist() == [5 * 10**6, -7 * 10**6]
+        back = cast(mdn, dt.duration("us"))
+        assert np.asarray(back.values).tolist() == [5000, -7000]
+
+    def test_mdn_to_duration_nonzero_months_nulls(self):
+        mdn = self._mdn([(1, 0, 10**9), (0, 0, 10**9)])
+        out = cast(mdn, dt.duration("s"))
+        assert out.to_pylist()[0] is None
+        assert out.to_pylist()[1] is not None
+        with pytest.raises(at.CastError):
+            cast(mdn, dt.duration("s"), CastOptions(safe=False))
+
+    def test_interval_to_int64_and_back(self):
+        c = at.PrimitiveColumn(jnp.asarray([25], jnp.int32),
+                               dt.interval("year_month"))
+        out = cast(c, dt.int64)
+        assert np.asarray(out.values).tolist() == [25]
+        back = cast(at.PrimitiveColumn(jnp.asarray([25], jnp.int32),
+                                       dt.int32), dt.interval("year_month"))
+        assert back.dtype == dt.interval("year_month")
+
+    def test_interval_display(self):
+        c = at.PrimitiveColumn(jnp.asarray([14, -3], jnp.int32),
+                               dt.interval("year_month"))
+        assert cast(c, dt.utf8).to_pylist() == \
+            ["1 years 2 mons", "-1 years 9 mons"]
+        mdn = self._mdn([(1, 2, 3_661_000_000_500),
+                         (0, 0, -500_000_000)])
+        got = cast(mdn, dt.utf8).to_pylist()
+        assert got[0] == "1 mons 2 days 1 hours 1 mins 1.000000500 secs"
+        assert got[1] == "-0.500000000 secs"
+
+    def test_parse_interval_strings(self):
+        s = at.column(["1 year 2 months", "3 days 04:05:06.5",
+                       "250 milliseconds", "garbage"])
+        out = cast(s, dt.interval("month_day_nano"))
+        vals = list(zip(np.asarray(out.months).tolist(),
+                        np.asarray(out.days).tolist(),
+                        np.asarray(out.nanos).tolist()))
+        assert vals[0] == (14, 0, 0)
+        assert vals[1] == (0, 3, (4 * 3600 + 5 * 60 + 6) * 10**9 + 5 * 10**8)
+        assert vals[2] == (0, 0, 250 * 10**6)
+        assert np.asarray(out.validity).tolist() == [True, True, True, False]
+        with pytest.raises(at.CastError):
+            cast(s, dt.interval("month_day_nano"), CastOptions(safe=False))
+
+    def test_parse_to_year_month_and_day_time(self):
+        s = at.column(["2 years", "1 day"])
+        ym = cast(s, dt.interval("year_month"))
+        vals = np.asarray(ym.values).tolist()
+        valid = np.asarray(ym.is_valid_mask()).tolist()
+        assert vals[0] == 24 and valid == [True, False]  # days -> null
+        dtc = cast(s, dt.interval("day_time"))
+        x = np.asarray(dtc.values).astype(np.int64)
+        assert (int(x[1]) >> 32) == 1
+        assert np.asarray(dtc.is_valid_mask()).tolist() == [False, True]
+
+    def test_can_cast_matrix(self):
+        from arrow_tpu.ops.cast import can_cast
+        assert can_cast(dt.interval("year_month"), dt.int64)
+        assert can_cast(dt.interval("day_time"), dt.int64)
+        assert not can_cast(dt.interval("month_day_nano"), dt.int64)
+        assert can_cast(dt.int32, dt.interval("year_month"))
+        assert not can_cast(dt.int32, dt.interval("day_time"))
+        assert can_cast(dt.duration("s"), dt.interval("month_day_nano"))
+        assert can_cast(dt.interval("month_day_nano"), dt.duration("ns"))
+        assert not can_cast(dt.interval("year_month"), dt.duration("s"))
+        assert can_cast(dt.utf8, dt.interval("month_day_nano"))
+        assert can_cast(dt.interval("day_time"), dt.utf8)
+        assert not can_cast(dt.float64, dt.interval("month_day_nano"))
