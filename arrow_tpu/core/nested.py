@@ -413,6 +413,56 @@ class IntervalMDNColumn(Column):
                                  self.nanos[s], v)
 
 
+@jax.tree_util.register_pytree_node_class
+class ListViewColumn(Column):
+    """ListView / LargeListView (arrow-array/src/array/list_view_array.rs):
+    independent offsets + sizes over a shared child — element i is
+    child[offsets[i] : offsets[i] + sizes[i]].  Views may overlap, be
+    out of order, or leave child gaps, which makes take/slice O(selected)
+    index arithmetic instead of child copies."""
+
+    def __init__(self, offsets: jnp.ndarray, sizes: jnp.ndarray,
+                 child: Column, validity: vd.Mask = None,
+                 dtype: dt.DataType = None):
+        self.offsets = offsets
+        self.sizes = sizes
+        self.child = child
+        self.validity = validity
+        self.dtype = dtype if dtype is not None \
+            else dt.list_view(child.dtype)
+        assert self.dtype.name in ("list_view", "large_list_view")
+
+    def tree_flatten(self):
+        if self.validity is None:
+            return (self.offsets, self.sizes, self.child), \
+                (False, self.dtype)
+        return (self.offsets, self.sizes, self.child, self.validity), \
+            (True, self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        has_v, dtype = aux
+        obj = cls.__new__(cls)
+        obj.offsets, obj.sizes, obj.child = children[:3]
+        obj.validity = children[3] if has_v else None
+        obj.dtype = dtype
+        return obj
+
+    def __len__(self):
+        return int(self.offsets.shape[0])
+
+    def with_validity(self, validity):
+        return ListViewColumn(self.offsets, self.sizes, self.child,
+                              validity, self.dtype)
+
+    def slice(self, offset, length):
+        s = slice(offset, offset + length)
+        v = self.validity[s] if self.validity is not None else None
+        # views: the child is untouched; only the view arrays narrow
+        return ListViewColumn(self.offsets[s], self.sizes[s], self.child,
+                              v, self.dtype)
+
+
 def _take_rows(col: Column, idx) -> Column:
     """Host-index gather used by RunEndColumn.slice (small physical runs)."""
     from ..ops.take import take as take_kernel

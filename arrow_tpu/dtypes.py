@@ -34,7 +34,8 @@ __all__ = [
     "binary_view", "fixed_size_binary", "date32", "date64",
     "timestamp", "time32", "time64", "duration", "interval",
     "decimal32", "decimal64", "decimal128", "decimal256",
-    "dictionary", "list_", "large_list", "struct", "fixed_size_list",
+    "dictionary", "list_", "large_list", "list_view", "large_list_view",
+    "struct", "fixed_size_list",
     "map_", "union", "run_end_encoded",
     "Field", "Schema", "ExtensionType",
     "uuid", "json_", "bool8", "fixed_shape_tensor", "opaque",
@@ -116,7 +117,8 @@ class DataType:
 
     @property
     def is_nested(self) -> bool:
-        return self.name in ("list", "large_list", "fixed_size_list",
+        return self.name in ("list", "large_list", "list_view",
+                             "large_list_view", "fixed_size_list",
                              "struct", "map", "union", "run_end_encoded")
 
     @property
@@ -185,7 +187,8 @@ class DataType:
             return f"fixed_size_binary({self.list_size})"
         if self.name == "dictionary":
             return f"dictionary<{self.index_type!r}, {self.value_type!r}>"
-        if self.name in ("list", "large_list"):
+        if self.name in ("list", "large_list", "list_view",
+                         "large_list_view"):
             return f"{self.name}<{self.value_type!r}>"
         if self.name == "fixed_size_list":
             return f"fixed_size_list<{self.value_type!r}, {self.list_size}>"
@@ -304,6 +307,16 @@ def large_list(value_type: DataType) -> DataType:
     """LargeList: 64-bit offsets at the boundary; device representation is
     identical to list (offsets are already int64 tensors on device)."""
     return DataType("large_list", value_type=value_type)
+
+
+def list_view(value_type: DataType) -> DataType:
+    """ListView: offsets + sizes layout (datatype.rs ListView; arrays may
+    share/overlap child ranges and need not be in order)."""
+    return DataType("list_view", value_type=value_type)
+
+
+def large_list_view(value_type: DataType) -> DataType:
+    return DataType("large_list_view", value_type=value_type)
 
 
 def union(fields, mode: str = "sparse", type_ids=None) -> DataType:

@@ -69,6 +69,10 @@ def dtype_from_pyarrow(t: pa.DataType) -> dt.DataType:
         return dt.list_(dtype_from_pyarrow(t.value_type))
     if pa.types.is_large_list(t):
         return dt.large_list(dtype_from_pyarrow(t.value_type))
+    if pa.types.is_list_view(t):
+        return dt.list_view(dtype_from_pyarrow(t.value_type))
+    if pa.types.is_large_list_view(t):
+        return dt.large_list_view(dtype_from_pyarrow(t.value_type))
     if pa.types.is_fixed_size_list(t):
         return dt.fixed_size_list(dtype_from_pyarrow(t.value_type),
                                   t.list_size)
@@ -125,6 +129,10 @@ def dtype_to_pyarrow(d: dt.DataType) -> pa.DataType:
         return pa.list_(dtype_to_pyarrow(d.value_type))
     if d.name == "large_list":
         return pa.large_list(dtype_to_pyarrow(d.value_type))
+    if d.name == "list_view":
+        return pa.list_view(dtype_to_pyarrow(d.value_type))
+    if d.name == "large_list_view":
+        return pa.large_list_view(dtype_to_pyarrow(d.value_type))
     if d.name == "fixed_size_list":
         return pa.list_(dtype_to_pyarrow(d.value_type), d.list_size)
     if d.name == "map":
@@ -246,6 +254,16 @@ def column_from_pyarrow(arr) -> Column:
             lc.dtype = ldt
         return lc
 
+    if ldt.name in ("list_view", "large_list_view"):
+        a = arr if arr.offset == 0 else pa.concat_arrays([arr])
+        off_np = np.int64 if ldt.name == "large_list_view" else np.int32
+        offs = np.frombuffer(a.buffers()[1], off_np)[: len(a)].copy()
+        sizes = np.frombuffer(a.buffers()[2], off_np)[: len(a)].copy()
+        from ..core.nested import ListViewColumn
+        return ListViewColumn(jnp.asarray(offs), jnp.asarray(sizes),
+                              column_from_pyarrow(a.values),
+                              _validity_of(arr), ldt)
+
     if ldt.name == "fixed_size_list":
         a = arr if arr.offset == 0 else pa.concat_arrays([arr])
         child = column_from_pyarrow(a.values)
@@ -364,6 +382,17 @@ def column_to_pyarrow(col: Column) -> pa.Array:
         indices = pa.array(np.asarray(col.codes), mask=_mask_arg(col))
         return pa.DictionaryArray.from_arrays(indices,
                                               column_to_pyarrow(col.values))
+
+    from ..core.nested import ListViewColumn
+    if isinstance(col, ListViewColumn):
+        large = col.dtype.name == "large_list_view"
+        off_np = np.int64 if large else np.int32
+        cls_ = pa.LargeListViewArray if large else pa.ListViewArray
+        m = _mask_arg(col)
+        return cls_.from_arrays(
+            np.asarray(col.offsets, off_np), np.asarray(col.sizes, off_np),
+            column_to_pyarrow(col.child),
+            mask=None if m is None else pa.array(m))
 
     if isinstance(col, ListColumn):
         large = col.dtype.name == "large_list"

@@ -95,7 +95,8 @@ def can_cast(from_dt: dt.DataType, to_dt: dt.DataType) -> bool:
     if to_dt.is_decimal:
         return (from_dt.is_integer or from_dt.is_floating
                 or from_dt.is_boolean or from_dt.is_string)
-    lists = ("list", "large_list", "fixed_size_list")
+    lists = ("list", "large_list", "fixed_size_list", "list_view",
+             "large_list_view")
     if from_dt.name in lists and to_dt.name in lists:
         return can_cast(from_dt.value_type, to_dt.value_type)
     if from_dt.name == "map" and to_dt.name == "map":
@@ -146,8 +147,11 @@ def cast(col: Column, to: dt.DataType,
     from ..core.nested import MapColumn
     if isinstance(col, MapColumn) or to.name == "map":
         return _cast_map(col, to, options)
-    if isinstance(col, (ListColumn, FixedSizeListColumn)) or \
-            to.name in ("list", "large_list", "fixed_size_list"):
+    from ..core.nested import ListViewColumn
+    if isinstance(col, (ListColumn, FixedSizeListColumn,
+                        ListViewColumn)) or \
+            to.name in ("list", "large_list", "fixed_size_list",
+                        "list_view", "large_list_view"):
         return _cast_list(col, to, options)
     if from_dt.name == "interval" or to.name == "interval":
         return _cast_interval(col, to, options)
@@ -769,8 +773,43 @@ def _cast_decimal(col: Column, to: dt.DataType,
 def _cast_list(col: Column, to: dt.DataType,
                options: CastOptions) -> Column:
     from ..core.column import ListColumn
-    from ..core.nested import FixedSizeListColumn
+    from ..core.nested import FixedSizeListColumn, ListViewColumn
     from_dt = col.dtype
+
+    if isinstance(col, ListViewColumn):
+        # view -> offset layout: materialize the child in view order
+        # (cast/list.rs list_view casts); view -> view just retags
+        if to.name in ("list_view", "large_list_view"):
+            child = cast(col.child, to.value_type, options) \
+                if col.child.dtype != to.value_type else col.child
+            return ListViewColumn(col.offsets, col.sizes, child,
+                                  col.validity, to)
+        offs = np.asarray(col.offsets).astype(np.int64)
+        lens = np.asarray(col.sizes).astype(np.int64)
+        new_offs = np.zeros(len(col) + 1, np.int64)
+        np.cumsum(lens, out=new_offs[1:])
+        total = int(new_offs[-1])
+        src = np.repeat(offs - new_offs[:-1], lens) \
+            + np.arange(total, dtype=np.int64)
+        from .take import take as take_kernel
+        child = take_kernel(col.child, PrimitiveColumn(
+            jnp.asarray(src), dt.int64))
+        as_list = ListColumn(jnp.asarray(new_offs.astype(np.int32)),
+                             child, col.validity)
+        return cast(as_list, to, options) if to != as_list.dtype else \
+            as_list
+
+    if to.name in ("list_view", "large_list_view"):
+        # offset layout -> view: zero-copy offsets[:-1] + diffs
+        if isinstance(col, FixedSizeListColumn):
+            col = _cast_list(col, dt.list_(col.child.dtype), options)
+        assert isinstance(col, ListColumn), type(col)
+        child = cast(col.child, to.value_type, options) \
+            if col.child.dtype != to.value_type else col.child
+        off_t = jnp.int64 if to.name == "large_list_view" else jnp.int32
+        return ListViewColumn(col.offsets[:-1].astype(off_t),
+                              jnp.diff(col.offsets).astype(off_t),
+                              child, col.validity, to)
 
     if isinstance(col, ListColumn) and to.name in ("list", "large_list"):
         child = cast(col.child, to.value_type, options) \

@@ -151,8 +151,9 @@ def _discover_stage(kinds, parts):
     keys = encode_keys_traced(kinds, ((False, True),) * len(kinds),
                               parts)
     n = keys[0].shape[0]
-    # 32-bit row index + group ids: multi-operand sorts move every byte
-    # through every merge pass, and n < 2^31 always holds on one chip
+    # one multi-key sort (measured: beats LSD single-key passes at all
+    # scales, see row_format.lexsort_order_traced); the sorted key
+    # operands come out of the same sort, so boundaries need no gathers
     iota = jnp.arange(n, dtype=jnp.uint32)
     sorted_ops = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys),
                               is_stable=True)
@@ -470,44 +471,54 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start, arrays):
     mm_cache = {}
 
     def minmax_sorted(slot):
-        """Values re-ordered by (gid, valid-first, value order) so each
+        """Values re-ordered by (gid, valid-first, value) so each
         group's min sits at its run start and max at
-        start + valid_count - 1.  Operand diet: gid rides as i32 and
-        null/NaN classes ride 1-byte keys (nulls sort last within the
-        group) — multi-operand sorts move every byte
-        through every merge pass, so fewer/narrower keys matter.
-        Floats sort by native float keys (64-bit float bitcasts do not
-        compile on this TPU backend); their NaN/null classes fold into
-        a single small key."""
+        start + valid_count - 1.  Operand diet (multi-operand sorts
+        move every byte through every merge pass — measured):
+          * the VALUE is its own sort key: lax.sort orders native ints
+            and floats directly, so no u64 order-key and no separate
+            payload ride along (floats: NaN slots zero out of the value
+            and ride the class key instead — 64-bit float bitcasts do
+            not compile on this TPU backend);
+          * the 2-bit class (0 valid, 1 NaN, 2 null; nulls last within
+            the group) packs into the gid key's low bits while
+            n < 2^29, collapsing to TWO sort operands total.
+        Returns (sorted_values, class_source, packed, isfloat); decode
+        happens after the num_groups-sized gathers in mm_pick."""
         if slot not in mm_cache:
             vs, ms = sorted_col(slot)
             gid32 = gid.astype(jnp.int32)
-            if jnp.issubdtype(vs.dtype, jnp.floating):
-                from .row_format import _float_keys_native
-                nan_key, vkey = _float_keys_native(vs, False)
-                cls = nan_key if ms is None else \
-                    jnp.where(ms, nan_key, jnp.uint64(2))
-                v_final = jax.lax.sort(
-                    (gid32, cls.astype(jnp.uint8), vkey, vs),
-                    num_keys=3, is_stable=False)[-1]
+            isfloat = bool(jnp.issubdtype(vs.dtype, jnp.floating))
+            if isfloat:
+                isnan = jnp.isnan(vs)
+                vals = jnp.where(isnan, jnp.zeros((), vs.dtype), vs)
+                cls = isnan.astype(jnp.int32) if ms is None else \
+                    jnp.where(ms, isnan.astype(jnp.int32), 2)
             else:
-                from .row_format import encode_value_key
-                from ..core.column import _jax_to_logical
-                vkey, _ = encode_value_key(PrimitiveColumn(
-                    vs, _jax_to_logical(vs.dtype), None, _canonical=True))
-                if ms is None:
-                    v_final = jax.lax.sort(
-                        (gid32, vkey, vs), num_keys=2,
-                        is_stable=False)[-1]
-                else:
-                    # 1-byte null class: folding nulls into the value
-                    # key would tie them with genuine MAX values
-                    cls = (~ms).astype(jnp.uint8)
-                    v_final = jax.lax.sort(
-                        (gid32, cls, vkey, vs), num_keys=3,
-                        is_stable=False)[-1]
-            mm_cache[slot] = v_final
+                vals = vs
+                cls = None if ms is None else (~ms).astype(jnp.int32)
+            if cls is None:
+                s = jax.lax.sort((gid32, vals), num_keys=2,
+                                 is_stable=False)
+                mm_cache[slot] = (s[1], None, False, isfloat)
+            elif n < 2 ** 29:
+                packed = (gid32 << 2) | cls
+                s = jax.lax.sort((packed, vals), num_keys=2,
+                                 is_stable=False)
+                mm_cache[slot] = (s[1], s[0], True, isfloat)
+            else:
+                s = jax.lax.sort((gid32, cls.astype(jnp.uint8), vals),
+                                 num_keys=3, is_stable=False)
+                mm_cache[slot] = (s[2], s[1], False, isfloat)
         return mm_cache[slot]
+
+    def mm_pick(slot, idx):
+        svals, csrc, packed, isfloat = minmax_sorted(slot)
+        v = svals[idx]
+        if isfloat:
+            c = (csrc[idx] & 3) if packed else csrc[idx].astype(jnp.int32)
+            v = jnp.where(c == 1, jnp.array(jnp.nan, v.dtype), v)
+        return v
 
     pallas_cache = {}
 
@@ -572,12 +583,11 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start, arrays):
             else:
                 outs.append((s_, gvalid))
             continue
-        v_final = minmax_sorted(slot)
         if op == "min":
-            outs.append((v_final[starts], gvalid))
+            outs.append((mm_pick(slot, starts), gvalid))
         else:
             pos = starts + jnp.maximum(nonnull, 1) - 1
-            outs.append((v_final[pos], gvalid))
+            outs.append((mm_pick(slot, pos), gvalid))
     return tuple(outs), first_idx
 
 

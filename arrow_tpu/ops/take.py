@@ -88,7 +88,17 @@ def _take_impl(values: Column, indices: PrimitiveColumn) -> Column:
 
     from ..core.nested import (DecimalColumn, FixedSizeBinaryColumn,
                                FixedSizeListColumn, IntervalMDNColumn,
-                               MapColumn, RunEndColumn, UnionColumn)
+                               ListViewColumn, MapColumn, RunEndColumn,
+                               UnionColumn)
+
+    if isinstance(values, ListViewColumn):
+        # the view-layout payoff: take gathers offsets+sizes only, the
+        # child is shared untouched (list_view_array.rs semantics)
+        return ListViewColumn(
+            jnp.take(values.offsets, idx, mode="clip"),
+            jnp.take(values.sizes, idx, mode="clip"),
+            values.child, _gather_validity(values, indices),
+            values.dtype)
 
     if isinstance(values, FixedSizeBinaryColumn):
         return FixedSizeBinaryColumn(

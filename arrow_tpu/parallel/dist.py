@@ -106,34 +106,41 @@ def local_group_aggregate(key: jnp.ndarray, valid: jnp.ndarray,
         if op in ("min", "max"):
             cache_key = id(arr)
             if cache_key not in mm_cache:
-                null_last = (~in_cap).astype(jnp.uint64)
+                # operand diet (same design as groupby.minmax_sorted):
+                # the native value is its own sort key and the 2-bit
+                # class (0 valid, 1 NaN, 2 null) packs into the gid
+                # key's low bits (gid < n rows; shard sizes beyond
+                # 2^29 rows would need the 3-operand fallback)
+                assert n < 2 ** 29, "shard too large for packed gid|cls"
                 if jnp.issubdtype(a.dtype, jnp.floating):
-                    # native float keys + NaN class (f64 bitcasts do
-                    # not compile on this TPU backend)
-                    from ..ops.row_format import _float_keys_native
-                    nan_key, vkey = _float_keys_native(a, False)
-                    v_final = jax.lax.sort(
-                        (gid.astype(jnp.int32), null_last, nan_key,
-                         vkey, a), num_keys=4, is_stable=False)[-1]
+                    isnan = jnp.isnan(a)
+                    vals = jnp.where(isnan, jnp.zeros((), a.dtype), a)
+                    cls = jnp.where(in_cap, isnan.astype(jnp.int32), 2)
+                    isfloat = True
                 else:
-                    from ..ops.row_format import encode_value_key
-                    from ..core.column import PrimitiveColumn, \
-                        _jax_to_logical
-                    vkey, _ = encode_value_key(PrimitiveColumn(
-                        a, _jax_to_logical(a.dtype), None,
-                        _canonical=True))
-                    v_final = jax.lax.sort(
-                        (gid.astype(jnp.int32), null_last, vkey, a),
-                        num_keys=3, is_stable=False)[-1]
+                    vals = a
+                    cls = (~in_cap).astype(jnp.int32)
+                    isfloat = False
+                packed = (gid.astype(jnp.int32) << 2) | cls
+                s = jax.lax.sort((packed, vals), num_keys=2,
+                                 is_stable=False)
                 nonnull = diff_sums(in_cap.astype(jnp.int64))
-                mm_cache[cache_key] = (v_final, nonnull)
-            v_final, nonnull = mm_cache[cache_key]
+                mm_cache[cache_key] = (s[1], s[0], nonnull, isfloat)
+            v_final, ckey, nonnull, isfloat = mm_cache[cache_key]
+
+            def pick(idx):
+                v = v_final[idx]
+                if isfloat:
+                    v = jnp.where((ckey[idx] & 3) == 1,
+                                  jnp.array(jnp.nan, v.dtype), v)
+                return v
+
             if op == "min":
-                outs.append(v_final[starts_c])
+                outs.append(pick(starts_c))
             else:
                 pos = jnp.minimum(starts_c + jnp.maximum(nonnull, 1) - 1,
                                   n - 1).astype(jnp.int32)
-                outs.append(v_final[pos])
+                outs.append(pick(pos))
             continue
         raise ValueError(f"unknown aggregate {op}")
     return group_keys, group_valid, outs

@@ -299,3 +299,99 @@ def test_sort_run_end_column():
         pa.array([30, 10, 20], pa.int64())))
     idx = np.asarray(sort_to_indices(col).values)
     assert list(idx) == [2, 3, 4, 5, 0, 1]   # 10s, 20s, 30s (stable)
+
+
+# ---- ListView / LargeListView (list_view_array.rs) ---------------------------
+
+class TestListView:
+    def _col(self):
+        a = pa.array([[1, 2], None, [3], []], pa.list_view(pa.int64()))
+        return column_from_pyarrow(a), a
+
+    def test_roundtrip(self):
+        c, a = self._col()
+        assert column_to_pyarrow(c).to_pylist() == a.to_pylist()
+        b = pa.array([[1.5], [2.5, 3.5]], pa.large_list_view(pa.float64()))
+        cb = column_from_pyarrow(b)
+        assert cb.dtype.name == "large_list_view"
+        assert column_to_pyarrow(cb).to_pylist() == b.to_pylist()
+
+    def test_take_shares_child(self):
+        from arrow_tpu.ops.take import take
+        c, _ = self._col()
+        out = take(c, at.column(np.asarray([2, 0, 0], np.int64)))
+        assert column_to_pyarrow(out).to_pylist() == [[3], [1, 2], [1, 2]]
+        assert out.child is c.child          # no child copy
+
+    def test_slice_is_view(self):
+        c, _ = self._col()
+        s = c.slice(1, 2)
+        assert column_to_pyarrow(s).to_pylist() == [None, [3]]
+        assert s.child is c.child
+
+    def test_casts(self):
+        from arrow_tpu.ops.cast import cast, can_cast
+        c, _ = self._col()
+        l = cast(c, dt.list_(dt.int64))
+        assert column_to_pyarrow(l).to_pylist() == [[1, 2], None, [3], []]
+        lf = cast(c, dt.list_(dt.float64))
+        assert column_to_pyarrow(lf).to_pylist() == \
+            [[1.0, 2.0], None, [3.0], []]
+        v = cast(l, dt.list_view(dt.int64))
+        assert column_to_pyarrow(v).to_pylist() == [[1, 2], None, [3], []]
+        lv = cast(l, dt.large_list_view(dt.int64))
+        assert column_to_pyarrow(lv).type == pa.large_list_view(pa.int64())
+        assert can_cast(dt.list_view(dt.int64), dt.large_list(dt.float64))
+
+    def test_out_of_order_overlapping_views(self):
+        # views may overlap and be out of order (list_view_array.rs)
+        from arrow_tpu.core.nested import ListViewColumn
+        import jax.numpy as jnp
+        child = at.column(np.asarray([10, 20, 30, 40], np.int64))
+        c = ListViewColumn(jnp.asarray([2, 0, 1], jnp.int32),
+                           jnp.asarray([2, 3, 1], jnp.int32), child)
+        assert column_to_pyarrow(c).to_pylist() == \
+            [[30, 40], [10, 20, 30], [20]]
+        from arrow_tpu.ops.cast import cast
+        assert column_to_pyarrow(
+            cast(c, dt.list_(dt.int64))).to_pylist() == \
+            [[30, 40], [10, 20, 30], [20]]
+
+
+# ---- parse_data_type (datatype_parse.rs) -------------------------------------
+
+class TestTypeParser:
+    def test_simple_and_parameterized(self):
+        from arrow_tpu.typeparse import parse_data_type as p
+        assert p("Int32") == dt.int32
+        assert p("Timestamp(Nanosecond, None)") == dt.timestamp("ns")
+        assert p('Timestamp(Millisecond, Some("+08:00"))') == \
+            dt.timestamp("ms", "+08:00")
+        assert p("Dictionary(Int32, Utf8)") == \
+            dt.dictionary(dt.int32, dt.utf8)
+        assert p("List(FixedSizeBinary(2))") == \
+            dt.list_(dt.fixed_size_binary(2))
+        assert p("Struct(a Int32, b Utf8)") == dt.struct(
+            [dt.Field("a", dt.int32), dt.Field("b", dt.utf8)])
+        assert p("Decimal128(38, 10)") == dt.decimal128(38, 10)
+        assert p("Decimal64(10, -2)") == dt.decimal64(10, -2)
+        assert p("Interval(MonthDayNano)") == dt.interval("month_day_nano")
+        assert p("ListView(Int64)") == dt.list_view(dt.int64)
+        assert p("LargeListView(Utf8)") == dt.large_list_view(dt.utf8)
+        assert p("FixedSizeList(3, Float32)") == \
+            dt.fixed_size_list(dt.float32, 3)
+        assert p("Duration(Microsecond)") == dt.duration("us")
+        assert p("Time64(Nanosecond)") == dt.time64("ns")
+        assert p("Struct()") == dt.struct([])
+
+    def test_round_trips_whitespace(self):
+        from arrow_tpu.typeparse import parse_data_type as p
+        assert p("  List( Int8 ) ") == dt.list_(dt.int8)
+
+    def test_errors(self):
+        from arrow_tpu.typeparse import parse_data_type as p
+        for bad in ("NotAType", "Int32, Int64", "Timestamp(Bogus, None)",
+                    "List(", "Decimal128(1)", "Timestamp(Nanosecond)",
+                    ""):
+            with pytest.raises(at.ArrowInvalid):
+                p(bad)
