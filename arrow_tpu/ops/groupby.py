@@ -40,6 +40,10 @@ __all__ = ["group_by", "AggSpec", "segment_aggregate"]
 
 _AGG_OPS = ("sum", "count", "count_all", "min", "max", "mean")
 
+# fused-agg plans whose compile crashed the remote AOT compiler (see
+# group_by's fallback); keyed (plan, num_groups, n)
+_FUSED_CRASHED = set()
+
 
 @dataclass(frozen=True)
 class AggSpec:
@@ -87,8 +91,8 @@ def group_by(table: Table, keys: Sequence[str],
     for c in key_cols:
         kinds.append(key_kind(c))
         parts.append(key_parts(c))
-    order, gid, run_start, ng = _discover_stage(tuple(kinds),
-                                                tuple(parts))
+    order, gid, run_start, starts_raw, ng = _discover_stage(
+        tuple(kinds), tuple(parts))
     num_groups = int(ng)  # host sync (output cardinality)
 
     # 4: one fused jitted stage computes run starts, representative
@@ -117,9 +121,34 @@ def group_by(table: Table, keys: Sequence[str],
             raise ArrowNotImplementedError(f"{a.op} over {type(src)}")
 
     from .. import config
-    outs, first_idx = _agg_stage(
-        tuple(plan), num_groups, config.use_pallas(),
-        order, gid, run_start, tuple(arrays))
+    sig = (tuple(plan), num_groups, n)
+    try:
+        if sig in _FUSED_CRASHED:
+            raise jax.errors.JaxRuntimeError("remote_compile (cached)")
+        outs, first_idx = _agg_stage(
+            tuple(plan), num_groups, config.use_pallas(),
+            order, gid, run_start, starts_raw, tuple(arrays))
+    except jax.errors.JaxRuntimeError as e:
+        if "remote_compile" not in str(e):
+            raise
+        # the tunnel's AOT compiler SIGSEGVs on some large fused
+        # programs (measured: 6 aggregates over 10M x 200k groups
+        # compile per-slot but crash fused).  Fall back to one stage
+        # per source slot — min/max of a slot still share their sort —
+        # and remember the crashing shape so later calls skip the
+        # doomed compile attempt.
+        _FUSED_CRASHED.add(sig)
+        by_slot = {}
+        for i, item in enumerate(plan):
+            by_slot.setdefault(item[1], []).append(i)
+        outs = [None] * len(plan)
+        for idxs in by_slot.values():
+            o, first_idx = _agg_stage(
+                tuple(plan[i] for i in idxs), num_groups,
+                config.use_pallas(), order, gid, run_start,
+                starts_raw, tuple(arrays))
+            for i, out in zip(idxs, o):
+                outs[i] = out
 
     rep = PrimitiveColumn(first_idx.astype(jnp.int64), dt.int64)
     out_cols: List[Column] = [take_kernel(c, rep) for c in key_cols]
@@ -163,7 +192,13 @@ def _discover_stage(kinds, parts):
         neq = jnp.logical_or(neq, k[1:] != k[:-1])
     run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
     gid = (jnp.cumsum(run_start.astype(jnp.int32)) - 1).astype(jnp.int64)
-    return order, gid, run_start, gid[-1] + 1
+    # run-start positions via partition-sort (nonzero lowers poorly);
+    # computed HERE once so _agg_stage calls (possibly several under the
+    # compiler-crash fallback) don't each re-sort 10M rows
+    _, starts_raw = jax.lax.sort(
+        (~run_start, jnp.arange(n, dtype=jnp.int64)), num_keys=1,
+        is_stable=True)
+    return order, gid, run_start, starts_raw, gid[-1] + 1
 
 
 
@@ -416,7 +451,8 @@ def _agg_dtype(src: dt.DataType, op: str) -> dt.DataType:
 
 @functools.partial(jax.jit, static_argnames=("plan", "num_groups",
                                              "pallas"))
-def _agg_stage(plan, num_groups, pallas, order, gid, run_start, arrays):
+def _agg_stage(plan, num_groups, pallas, order, gid, run_start,
+               starts_raw, arrays):
     """All aggregates of one group_by in a single XLA program.
 
     plan: static tuple of (op, slot, kind) per aggregate; arrays: per
@@ -433,11 +469,7 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start, arrays):
     Returns ([(values, group_valid)] per agg, first_idx).
     """
     n = gid.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int64)
-    # run-start positions via partition-sort (nonzero lowers poorly)
-    _, starts = jax.lax.sort((~run_start, iota), num_keys=1,
-                             is_stable=True)
-    starts = starts[:num_groups]
+    starts = starts_raw[:num_groups]
     first_idx = order[starts]
     nxt = jnp.concatenate([starts[1:], jnp.array([n], jnp.int64)])
     counts_all = nxt - starts
