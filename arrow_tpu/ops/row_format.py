@@ -427,74 +427,138 @@ def _int_key_native(vals, signed: bool):
     return jax.lax.bitcast_convert_type(vals, ut) ^ jnp.asarray(sign, ut)
 
 
-def encode_keys_traced(kinds, opts, parts) -> List[jnp.ndarray]:
-    """Traced equivalent of encode_keys: key stack for lax.sort, most
-    significant first.  kinds/opts are static; parts are arrays.
+def _encode_one_traced(kind, opt, part) -> List[jnp.ndarray]:
+    """One column's ordered key group, most significant first.
 
     Operand diet (every key byte rides every merge pass — measured):
     value keys keep their source width (i32 -> u32, not u64), null and
     NaN class keys are u8, dictionary ranks are u32 (codes are i32, so
     vocabularies fit), and float columns sort by NATIVE float keys
-    (64-bit float bitcasts do not compile on this TPU backend)."""
+    (64-bit float bitcasts do not compile on this TPU backend).
+
+    The value keys are INVERTIBLE given the sorted class keys —
+    decode_sorted_group below recovers values/codes/validity from the
+    sorted key group, which lets sort_table skip the output gather for
+    key columns entirely."""
+    (descending, nulls_first) = opt
+    (vals, ranks, entry_valid, validity) = part
     keys: List[jnp.ndarray] = []
-    for kind, (descending, nulls_first), \
-            (vals, ranks, entry_valid, validity) in zip(kinds, opts,
-                                                        parts):
-        if kind == "dict":
-            vkey = jnp.take(ranks.astype(jnp.uint32), vals, mode="clip")
-            if entry_valid is not None:
-                ev = jnp.take(entry_valid, vals, mode="clip")
-                validity = ev if validity is None else (validity & ev)
-        elif kind == "float":
-            isnan = jnp.isnan(vals)
-            nan_key = isnan.astype(jnp.uint8) if not descending \
-                else (~isnan).astype(jnp.uint8)
-            vclean = jnp.where(isnan, jnp.zeros((), vals.dtype), vals)
-            vkey = -vclean if descending else vclean
-            if validity is not None:
-                null_key = validity.astype(jnp.uint8) if nulls_first \
-                    else (~validity).astype(jnp.uint8)
-                keys.append(null_key)
-                nan_key = jnp.where(validity, nan_key, jnp.uint8(0))
-                vkey = jnp.where(validity, vkey,
-                                 jnp.zeros((), vkey.dtype))
-            keys.append(nan_key)
-            keys.append(vkey)
-            continue
-        elif kind.startswith("dec"):
-            # decimal128/256: lexicographic u64 limb keys, most
-            # significant limb first with its two's-complement sign bit
-            # flipped (limbs are little-endian u64 planes)
-            nlimb = int(kind[3:])
-            limb_keys = []
-            for j in range(nlimb - 1, -1, -1):
-                k = vals[:, j]
-                if j == nlimb - 1:
-                    k = k ^ _SIGN64
-                limb_keys.append(k)
-            if descending:
-                limb_keys = [~k for k in limb_keys]
-            if validity is not None:
-                null_key = validity.astype(jnp.uint8) if nulls_first \
-                    else (~validity).astype(jnp.uint8)
-                keys.append(null_key)
-                limb_keys = [jnp.where(validity, k, jnp.uint64(0))
-                             for k in limb_keys]
-            keys.extend(limb_keys)
-            continue
-        elif kind == "uint":
-            vkey = _int_key_native(vals, False)
-        else:
-            vkey = _int_key_native(vals, True)
-        if descending:
-            vkey = ~vkey
+    if kind == "float":
+        isnan = jnp.isnan(vals)
+        nan_key = isnan.astype(jnp.uint8) if not descending \
+            else (~isnan).astype(jnp.uint8)
+        vclean = jnp.where(isnan, jnp.zeros((), vals.dtype), vals)
+        vkey = -vclean if descending else vclean
         if validity is not None:
             null_key = validity.astype(jnp.uint8) if nulls_first \
                 else (~validity).astype(jnp.uint8)
             keys.append(null_key)
+            nan_key = jnp.where(validity, nan_key, jnp.uint8(0))
             vkey = jnp.where(validity, vkey, jnp.zeros((), vkey.dtype))
+        keys.append(nan_key)
         keys.append(vkey)
+        return keys
+    if kind.startswith("dec"):
+        # decimal128/256: lexicographic u64 limb keys, most
+        # significant limb first with its two's-complement sign bit
+        # flipped (limbs are little-endian u64 planes)
+        nlimb = int(kind[3:])
+        limb_keys = []
+        for j in range(nlimb - 1, -1, -1):
+            k = vals[:, j]
+            if j == nlimb - 1:
+                k = k ^ _SIGN64
+            limb_keys.append(k)
+        if descending:
+            limb_keys = [~k for k in limb_keys]
+        if validity is not None:
+            null_key = validity.astype(jnp.uint8) if nulls_first \
+                else (~validity).astype(jnp.uint8)
+            keys.append(null_key)
+            limb_keys = [jnp.where(validity, k, jnp.uint64(0))
+                         for k in limb_keys]
+        keys.extend(limb_keys)
+        return keys
+    if kind == "dict":
+        vkey = jnp.take(ranks.astype(jnp.uint32), vals, mode="clip")
+        if entry_valid is not None:
+            ev = jnp.take(entry_valid, vals, mode="clip")
+            validity = ev if validity is None else (validity & ev)
+    elif kind == "uint":
+        vkey = _int_key_native(vals, False)
+    else:
+        vkey = _int_key_native(vals, True)
+    if descending:
+        vkey = ~vkey
+    if validity is not None:
+        null_key = validity.astype(jnp.uint8) if nulls_first \
+            else (~validity).astype(jnp.uint8)
+        keys.append(null_key)
+        vkey = jnp.where(validity, vkey, jnp.zeros((), vkey.dtype))
+    keys.append(vkey)
     return keys
+
+
+def encode_key_groups_traced(kinds, opts, parts) -> List[List[jnp.ndarray]]:
+    """Per-column key groups (encode_keys_traced flattens these)."""
+    return [_encode_one_traced(k, o, p)
+            for k, o, p in zip(kinds, opts, parts)]
+
+
+def encode_keys_traced(kinds, opts, parts) -> List[jnp.ndarray]:
+    """Traced equivalent of encode_keys: key stack for lax.sort, most
+    significant first.  kinds/opts are static; parts are arrays."""
+    return [k for g in encode_key_groups_traced(kinds, opts, parts)
+            for k in g]
+
+
+def group_has_null_key(kind, part) -> bool:
+    """Static structure of one key group: whether it leads with a u8
+    null-class key (decides decode layout)."""
+    (vals, ranks, entry_valid, validity) = part
+    if kind == "dict":
+        return validity is not None or entry_valid is not None
+    return validity is not None
+
+
+def decode_sorted_group(kind, opt, has_null, group, out_dtype=None,
+                        inv_slots=None):
+    """Inverse of _encode_one_traced AFTER sorting: recover
+    (values-or-codes, validity-or-None) from one column's sorted key
+    group.  For dict columns, `inv_slots` maps rank -> dictionary slot
+    and codes come back; for the rest `out_dtype` is the physical value
+    dtype.  Null rows decode to canonical zero-slot values under a False
+    validity bit."""
+    (descending, nulls_first) = opt
+    validity = None
+    if has_null:
+        nk = group[0]
+        validity = (nk == 1) if nulls_first else (nk == 0)
+        group = group[1:]
+    if kind == "float":
+        nan_k, vkey = group
+        nan_flag = (nan_k == (0 if descending else 1))
+        if validity is not None:
+            nan_flag = jnp.logical_and(nan_flag, validity)
+        v = -vkey if descending else vkey
+        v = jnp.where(nan_flag, jnp.array(jnp.nan, v.dtype), v)
+        return v.astype(out_dtype), validity
+    if kind == "dict":
+        vkey = group[0]
+        codes = jnp.take(inv_slots, vkey.astype(jnp.int32), mode="clip")
+        return codes.astype(out_dtype), validity
+    vkey = group[0]
+    if descending:
+        vkey = ~vkey
+    if out_dtype == jnp.bool_:
+        return vkey.astype(jnp.bool_), validity
+    if kind == "uint":
+        return vkey.astype(out_dtype), validity
+    ut, sign = _UNSIGNED_BY_WIDTH[vkey.dtype.itemsize]
+    st = {1: jnp.int8, 2: jnp.int16, 4: jnp.int32, 8: jnp.int64}[
+        vkey.dtype.itemsize]
+    v = jax.lax.bitcast_convert_type(vkey ^ jnp.asarray(sign, ut), st)
+    return v.astype(out_dtype), validity
 
 
 def lexsort_order_traced(keys):

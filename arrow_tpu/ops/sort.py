@@ -23,6 +23,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,13 +86,125 @@ def lexsort(columns: Sequence[SortColumn],
 
 def sort_table(table: Table, by: Sequence[Tuple[str, SortOptions]],
                limit: Optional[int] = None) -> Table:
-    """Sort a batch: fused key-encode+sort for the indices, then one
-    fused gather program for all columns (take_table).  NOTE: carrying
-    payloads as extra lax.sort operands was measured 4.7x SLOWER at
-    10M x 3 columns (3610 vs 775 ms) — the sort moves payload bytes
-    through every merge pass, while a gather moves them once."""
-    cols = [SortColumn(table.column(name), opt) for name, opt in by]
-    return take_table(table, lexsort_to_indices(cols, limit))
+    """Sort a batch.
+
+    Key columns are DECODED from the sorted key bits themselves — the
+    order keys in row_format are invertible, so a key column's output
+    costs zero gathers.  Only non-key (or non-decodable) columns ride a
+    fused take_table gather.  This matters at scale: at 100M rows a
+    random gather costs ~1.9 s/column on v5e while the decode is an
+    elementwise pass fused into the sort program; the all-keys
+    sort_table (BASELINE config 3) drops from 5.3 s to the sort cost
+    alone.  NOTE: carrying payloads as extra lax.sort operands was
+    measured 4.7x SLOWER at 10M x 3 columns (3610 vs 775 ms) — the
+    sort moves payload bytes through every merge pass."""
+    from ..core.column import DictionaryColumn
+    from .row_format import key_kind, key_parts, group_has_null_key
+
+    by = list(by)
+    decode_pos = {}              # table column name -> by position
+    for pos, (name, opt) in enumerate(by):
+        col = table.column(name)
+        if name in decode_pos:
+            continue
+        if isinstance(col, DictionaryColumn):
+            decode_pos[name] = pos
+        elif isinstance(col, PrimitiveColumn) and (
+                col.dtype.is_numeric or col.dtype.is_boolean
+                or col.dtype.is_temporal) and \
+                col.dtype.name != "interval":
+            decode_pos[name] = pos
+    if not decode_pos:
+        cols = [SortColumn(table.column(name), opt) for name, opt in by]
+        return take_table(table, lexsort_to_indices(cols, limit))
+
+    other_names = [n for n in table.schema.names if n not in decode_pos]
+    kinds, opts, parts, invs, metas = [], [], [], [], []
+    for name, opt in by:
+        col = table.column(name)
+        kinds.append(key_kind(col))
+        opts.append((opt.descending, opt.nulls_first))
+        p = key_parts(col)
+        parts.append(p)
+        if kinds[-1] == "dict":
+            ranks, entry_valid = p[1], p[2]
+            vocab = int(ranks.shape[0])
+            # rank -> slot; null slots masked out of the argsort so a
+            # valid rank never resolves to a null dictionary entry
+            r = ranks
+            if entry_valid is not None:
+                r = jnp.where(entry_valid, r,
+                              jnp.asarray(np.uint64(2**64 - 1)))
+            invs.append(jnp.argsort(r).astype(jnp.int32))
+            metas.append(np.dtype(col.codes.dtype).name)
+        else:
+            invs.append(None)
+            metas.append(np.dtype(col.values.dtype).name)
+    has_nulls = tuple(group_has_null_key(k, p)
+                      for k, p in zip(kinds, parts))
+
+    need_idx = bool(other_names)
+    sorted_groups, idx = _sort_decode_stage(
+        tuple(kinds), tuple(opts), has_nulls, tuple(metas), need_idx,
+        limit, tuple(parts), tuple(invs))
+
+    out_cols, fields = [], []
+    gathered = None
+    if need_idx:
+        sub = table.select(other_names)
+        gathered = dict(zip(other_names, take_table(
+            sub, PrimitiveColumn(idx, dt.uint32)).columns))
+    for name in table.schema.names:
+        f = table.schema.field(name)
+        if name in decode_pos:
+            col = table.column(name)
+            vals, validity = sorted_groups[decode_pos[name]]
+            if isinstance(col, DictionaryColumn):
+                out = DictionaryColumn(vals, col.values, validity,
+                                       _canonical=True)
+            else:
+                out = PrimitiveColumn(vals, col.dtype, validity,
+                                      _canonical=True)
+            out_cols.append(out)
+        else:
+            out_cols.append(gathered[name])
+        fields.append(f)
+    return Table(tuple(out_cols), dt.Schema(tuple(fields)))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kinds", "opts", "has_nulls", "metas", "need_idx", "limit"))
+def _sort_decode_stage(kinds, opts, has_nulls, metas, need_idx, limit,
+                       parts, invs):
+    """One XLA program: encode keys, ONE multi-key sort, decode every
+    key group back to values/codes/validity, optional row indices for
+    the non-key gather."""
+    from .row_format import (encode_key_groups_traced,
+                             decode_sorted_group)
+    groups = encode_key_groups_traced(kinds, opts, parts)
+    flat = [k for g in groups for k in g]
+    n = flat[0].shape[0]
+    ops_ = tuple(flat)
+    if need_idx:
+        ops_ = ops_ + (jnp.arange(n, dtype=jnp.uint32),)
+    s = jax.lax.sort(ops_, num_keys=len(flat), is_stable=True)
+    idx = s[-1] if need_idx else None
+    outs = []
+    i = 0
+    for kind, opt, hn, meta, g, inv in zip(kinds, opts, has_nulls,
+                                           metas, groups, invs):
+        sg = s[i:i + len(g)]
+        i += len(g)
+        vals, validity = decode_sorted_group(
+            kind, opt, hn, list(sg), out_dtype=np.dtype(meta),
+            inv_slots=inv)
+        if limit is not None:
+            vals = vals[:limit]
+            validity = None if validity is None else validity[:limit]
+        outs.append((vals, validity))
+    if need_idx and limit is not None:
+        idx = idx[:limit]
+    return outs, idx
 
 
 def rank(col: Column, options: SortOptions = SortOptions()
@@ -102,10 +217,6 @@ def rank(col: Column, options: SortOptions = SortOptions()
     return _rank_stage((key_kind(col),),
                        ((options.descending, options.nulls_first),),
                        (key_parts(col),))
-
-
-import functools
-import jax
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "opts"))

@@ -232,3 +232,90 @@ def test_row_format_varlen_descending():
     assert [vals[i] for i in order] == ["b", "ab", "a", None]
     back, = conv.convert_rows(rows, [col])
     assert back.to_pylist() == vals
+
+
+from arrow_tpu.io.interop import table_from_pyarrow, table_to_pyarrow
+from arrow_tpu.ops.sort import sort_table
+import pyarrow.compute as pc
+
+
+class TestSortTableDecode:
+    """sort_table's key-decode path: key columns are recovered from the
+    sorted key bits (row_format.decode_sorted_group), not gathered."""
+
+    def _make(self, n=800, seed=3):
+        rng = np.random.default_rng(seed)
+        null = rng.random(n) < 0.15
+        rb = pa.record_batch([
+            pa.array(rng.integers(-100, 100, n), pa.int64(), mask=null),
+            pa.array([f"w{i % 7}" for i in range(n)],
+                     pa.string()).dictionary_encode(),
+            pa.array(rng.normal(size=n), pa.float64()),
+            pa.array(rng.integers(0, 2, n) > 0, pa.bool_()),
+            pa.array(rng.integers(0, 1000, n), pa.uint16()),
+        ], names=["k", "d", "f", "b", "u"])
+        return table_from_pyarrow(rb), rb
+
+    @pytest.mark.parametrize("desc,nf", [(False, True), (True, False),
+                                         (True, True), (False, False)])
+    def test_all_key_parity(self, desc, nf):
+        t, rb = self._make()
+        keys = [("k", SortOptions(descending=desc, nulls_first=nf)),
+                ("d", SortOptions()), ("f", SortOptions()),
+                ("b", SortOptions()), ("u", SortOptions())]
+        got = table_to_pyarrow(sort_table(t, keys))
+        tbl = pa.table(rb).set_column(
+            1, "d", pa.table(rb).column("d").cast(pa.string()))
+        order = "descending" if desc else "ascending"
+        place = "at_start" if nf else "at_end"
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("k", order)] + [(c, "ascending")
+                                             for c in "dfbu"],
+            null_placement=place)
+        want = tbl.take(idx)
+        for c in ("k", "f", "b", "u"):
+            assert got.column(c).to_pylist() == \
+                want.column(c).to_pylist(), (c, desc, nf)
+        assert got.column("d").cast(pa.string()).to_pylist() == \
+            want.column("d").to_pylist()
+
+    def test_nonkey_columns_ride_gather(self):
+        t, rb = self._make()
+        got = table_to_pyarrow(sort_table(t, [("k", SortOptions())]))
+        idx = pc.sort_indices(pa.table(rb),
+                              sort_keys=[("k", "ascending")],
+                              null_placement="at_start")
+        want = pa.table(rb).take(idx)
+        for c in ("k", "f", "b", "u"):
+            assert got.column(c).to_pylist() == want.column(c).to_pylist()
+
+    def test_limit(self):
+        t, rb = self._make()
+        got = table_to_pyarrow(sort_table(
+            t, [("f", SortOptions())], limit=17))
+        assert got.num_rows == 17
+        idx = pc.sort_indices(pa.table(rb),
+                              sort_keys=[("f", "ascending")])[:17]
+        want = pa.table(rb).take(idx)
+        assert got.column("f").to_pylist() == want.column("f").to_pylist()
+        assert got.column("k").to_pylist() == want.column("k").to_pylist()
+
+    def test_float_nan_and_temporal(self):
+        vals = [3.5, float("nan"), -0.0, float("inf"), None,
+                float("-inf"), 1.0]
+        rb = pa.record_batch([
+            pa.array(vals, pa.float64()),
+            pa.array(list(range(7)), pa.int64()).cast(
+                pa.timestamp("us")),
+        ], names=["f", "ts"])
+        t = table_from_pyarrow(rb)
+        got = table_to_pyarrow(sort_table(
+            t, [("f", SortOptions()), ("ts", SortOptions())]))
+        # ascending totalOrder: -inf < -0.0 < 1.0 < 3.5 < inf < NaN,
+        # nulls first
+        fl = got.column("f").to_pylist()
+        assert fl[0] is None and fl[1] == float("-inf")
+        assert np.isnan(fl[-1]) and fl[-2] == float("inf")
+        assert got.column("ts").to_pylist() == \
+            [pa.table(rb).column("ts").to_pylist()[i]
+             for i in [4, 5, 2, 6, 0, 3, 1]]
