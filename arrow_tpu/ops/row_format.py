@@ -545,6 +545,8 @@ def decode_sorted_group(kind, opt, has_null, group, out_dtype=None,
         return v.astype(out_dtype), validity
     if kind == "dict":
         vkey = group[0]
+        if descending:
+            vkey = ~vkey
         codes = jnp.take(inv_slots, vkey.astype(jnp.int32), mode="clip")
         return codes.astype(out_dtype), validity
     vkey = group[0]

@@ -58,9 +58,63 @@ def sort_to_indices(col: Column, options: SortOptions = SortOptions(),
     return PrimitiveColumn(idx, dt.uint32)
 
 
+def _decodable(col: Column) -> bool:
+    """Whether a column's sorted key bits decode straight back to the
+    column (sort output needs no gather; see _sort_decode_stage)."""
+    from ..core.column import DictionaryColumn
+    if isinstance(col, DictionaryColumn):
+        return True
+    return isinstance(col, PrimitiveColumn) and (
+        col.dtype.is_numeric or col.dtype.is_boolean
+        or col.dtype.is_temporal) and col.dtype.name != "interval"
+
+
+def _decode_sort(cols, opts, limit, need_idx):
+    """Shared driver for the key-decode sort: returns
+    ([(values, validity)] per column, idx-or-None)."""
+    from .row_format import key_kind, key_parts, group_has_null_key
+    from ..core.column import DictionaryColumn
+    kinds, kopts, parts, invs, metas = [], [], [], [], []
+    for col, opt in zip(cols, opts):
+        kinds.append(key_kind(col))
+        kopts.append((opt.descending, opt.nulls_first))
+        p = key_parts(col)
+        parts.append(p)
+        if kinds[-1] == "dict":
+            ranks, entry_valid = p[1], p[2]
+            # rank -> slot; null slots masked out of the argsort so a
+            # valid rank never resolves to a null dictionary entry
+            r = ranks
+            if entry_valid is not None:
+                r = jnp.where(entry_valid, r,
+                              jnp.asarray(np.uint64(2**64 - 1)))
+            invs.append(jnp.argsort(r).astype(jnp.int32))
+            metas.append(np.dtype(col.codes.dtype).name)
+        else:
+            invs.append(None)
+            metas.append(np.dtype(col.values.dtype).name)
+    has_nulls = tuple(group_has_null_key(k, p)
+                      for k, p in zip(kinds, parts))
+    return _sort_decode_stage(
+        tuple(kinds), tuple(kopts), has_nulls, tuple(metas), need_idx,
+        limit, tuple(parts), tuple(invs))
+
+
+def _rebuild_sorted(col: Column, vals, validity) -> Column:
+    from ..core.column import DictionaryColumn
+    if isinstance(col, DictionaryColumn):
+        return DictionaryColumn(vals, col.values, validity,
+                                _canonical=True)
+    return PrimitiveColumn(vals, col.dtype, validity, _canonical=True)
+
+
 def sort(col: Column, options: SortOptions = SortOptions(),
          limit: Optional[int] = None) -> Column:
-    """sort kernel (sort.rs:57): take by sorted indices."""
+    """sort kernel (sort.rs:57): decode from the sorted key bits when
+    the column supports it (no gather), else take by sorted indices."""
+    if _decodable(col):
+        groups, _ = _decode_sort([col], [options], limit, False)
+        return _rebuild_sorted(col, *groups[0])
     return take_kernel(col, sort_to_indices(col, options, limit))
 
 
@@ -80,6 +134,12 @@ def lexsort_to_indices(columns: Sequence[SortColumn],
 
 def lexsort(columns: Sequence[SortColumn],
             limit: Optional[int] = None) -> List[Column]:
+    if all(_decodable(c.column) for c in columns):
+        groups, _ = _decode_sort([c.column for c in columns],
+                                 [c.options for c in columns],
+                                 limit, False)
+        return [_rebuild_sorted(c.column, *g)
+                for c, g in zip(columns, groups)]
     idx = lexsort_to_indices(columns, limit)
     return [take_kernel(c.column, idx) for c in columns]
 
@@ -98,55 +158,20 @@ def sort_table(table: Table, by: Sequence[Tuple[str, SortOptions]],
     alone.  NOTE: carrying payloads as extra lax.sort operands was
     measured 4.7x SLOWER at 10M x 3 columns (3610 vs 775 ms) — the
     sort moves payload bytes through every merge pass."""
-    from ..core.column import DictionaryColumn
-    from .row_format import key_kind, key_parts, group_has_null_key
-
     by = list(by)
     decode_pos = {}              # table column name -> by position
     for pos, (name, opt) in enumerate(by):
-        col = table.column(name)
-        if name in decode_pos:
-            continue
-        if isinstance(col, DictionaryColumn):
-            decode_pos[name] = pos
-        elif isinstance(col, PrimitiveColumn) and (
-                col.dtype.is_numeric or col.dtype.is_boolean
-                or col.dtype.is_temporal) and \
-                col.dtype.name != "interval":
+        if name not in decode_pos and _decodable(table.column(name)):
             decode_pos[name] = pos
     if not decode_pos:
         cols = [SortColumn(table.column(name), opt) for name, opt in by]
         return take_table(table, lexsort_to_indices(cols, limit))
 
     other_names = [n for n in table.schema.names if n not in decode_pos]
-    kinds, opts, parts, invs, metas = [], [], [], [], []
-    for name, opt in by:
-        col = table.column(name)
-        kinds.append(key_kind(col))
-        opts.append((opt.descending, opt.nulls_first))
-        p = key_parts(col)
-        parts.append(p)
-        if kinds[-1] == "dict":
-            ranks, entry_valid = p[1], p[2]
-            vocab = int(ranks.shape[0])
-            # rank -> slot; null slots masked out of the argsort so a
-            # valid rank never resolves to a null dictionary entry
-            r = ranks
-            if entry_valid is not None:
-                r = jnp.where(entry_valid, r,
-                              jnp.asarray(np.uint64(2**64 - 1)))
-            invs.append(jnp.argsort(r).astype(jnp.int32))
-            metas.append(np.dtype(col.codes.dtype).name)
-        else:
-            invs.append(None)
-            metas.append(np.dtype(col.values.dtype).name)
-    has_nulls = tuple(group_has_null_key(k, p)
-                      for k, p in zip(kinds, parts))
-
     need_idx = bool(other_names)
-    sorted_groups, idx = _sort_decode_stage(
-        tuple(kinds), tuple(opts), has_nulls, tuple(metas), need_idx,
-        limit, tuple(parts), tuple(invs))
+    sorted_groups, idx = _decode_sort(
+        [table.column(name) for name, _ in by],
+        [opt for _, opt in by], limit, need_idx)
 
     out_cols, fields = [], []
     gathered = None
@@ -155,20 +180,12 @@ def sort_table(table: Table, by: Sequence[Tuple[str, SortOptions]],
         gathered = dict(zip(other_names, take_table(
             sub, PrimitiveColumn(idx, dt.uint32)).columns))
     for name in table.schema.names:
-        f = table.schema.field(name)
+        fields.append(table.schema.field(name))
         if name in decode_pos:
-            col = table.column(name)
-            vals, validity = sorted_groups[decode_pos[name]]
-            if isinstance(col, DictionaryColumn):
-                out = DictionaryColumn(vals, col.values, validity,
-                                       _canonical=True)
-            else:
-                out = PrimitiveColumn(vals, col.dtype, validity,
-                                      _canonical=True)
-            out_cols.append(out)
+            out_cols.append(_rebuild_sorted(
+                table.column(name), *sorted_groups[decode_pos[name]]))
         else:
             out_cols.append(gathered[name])
-        fields.append(f)
     return Table(tuple(out_cols), dt.Schema(tuple(fields)))
 
 
