@@ -34,7 +34,7 @@ from .sort import (  # noqa: F401
 )
 from .aggregate import (  # noqa: F401
     sum_, sum_checked, min_, max_, min_max, count, count_nulls,
-    bool_and, bool_or,
+    bool_and, bool_or, bit_and, bit_or, bit_xor,
 )
 from .cast import cast, can_cast, CastOptions  # noqa: F401
 from .temporal import (  # noqa: F401

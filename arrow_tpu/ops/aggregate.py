@@ -30,7 +30,8 @@ from ..core.datum import Scalar
 from ..errors import ArithmeticOverflow, ArrowTypeError
 
 __all__ = ["sum_", "sum_checked", "min_", "max_", "count", "count_nulls",
-           "bool_and", "bool_or", "min_max"]
+           "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
+           "min_max"]
 
 
 def _valid_count(col: Column) -> int:
@@ -153,6 +154,39 @@ def bool_or(col: PrimitiveColumn) -> Scalar:
         return Scalar(False, dt.bool_, valid=False)
     vals = jnp.where(col.is_valid_mask(), col.values, False)
     return Scalar(jnp.any(vals), dt.bool_)
+
+
+def _bit_reduce(col: PrimitiveColumn, op: str) -> Scalar:
+    """bit_and / bit_or / bit_xor over non-null values
+    (aggregate.rs:719-752); null rows contribute the identity."""
+    if not col.dtype.is_integer:
+        raise ArrowTypeError(f"{op} on non-integer {col.dtype!r}")
+    if _valid_count(col) == 0:
+        return Scalar(0, col.dtype, valid=False)
+    v = col.values
+    if op == "bit_and":
+        ident = jnp.asarray(-1, v.dtype) if col.dtype.is_signed_integer \
+            else jnp.asarray(np.iinfo(np.dtype(v.dtype)).max, v.dtype)
+        fn = jnp.bitwise_and
+    else:
+        ident = jnp.zeros((), v.dtype)
+        fn = jnp.bitwise_or if op == "bit_or" else jnp.bitwise_xor
+    if col.validity is not None:
+        v = jnp.where(col.is_valid_mask(), v, ident)
+    out = jax.lax.reduce(v, ident, lambda a, b: fn(a, b), (0,))
+    return Scalar(out, col.dtype)
+
+
+def bit_and(col: PrimitiveColumn) -> Scalar:
+    return _bit_reduce(col, "bit_and")
+
+
+def bit_or(col: PrimitiveColumn) -> Scalar:
+    return _bit_reduce(col, "bit_or")
+
+
+def bit_xor(col: PrimitiveColumn) -> Scalar:
+    return _bit_reduce(col, "bit_xor")
 
 
 def _decimal_reduce(col, op: str) -> Scalar:

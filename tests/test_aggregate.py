@@ -85,3 +85,22 @@ def test_string_min_max_golden():
     d = at.column(arr.dictionary_encode())
     assert ops.min_(d).as_py() == "apple"
     assert ops.max_(d).as_py() == "zebra"
+
+
+def test_bit_aggregates():
+    """bit_and/bit_or/bit_xor (aggregate.rs:719-752)."""
+    from arrow_tpu.ops.aggregate import bit_and, bit_or, bit_xor
+    from arrow_tpu.io.interop import column_from_pyarrow
+    c = column_from_pyarrow(pa.array([0b1101, 0b1011, None], pa.int64()))
+    assert bit_and(c).as_py() == 0b1001
+    assert bit_or(c).as_py() == 0b1111
+    assert bit_xor(c).as_py() == 0b0110
+    u = column_from_pyarrow(pa.array([3, 5, 6], pa.uint8()))
+    assert bit_and(u).as_py() == 0
+    assert bit_or(u).as_py() == 7
+    assert bit_xor(u).as_py() == 0
+    empty = column_from_pyarrow(pa.array([None, None], pa.int32()))
+    assert not bit_and(empty).valid
+    assert not bit_xor(empty).valid
+    with pytest.raises(at.ArrowTypeError):
+        bit_and(column_from_pyarrow(pa.array([1.5], pa.float64())))
