@@ -242,12 +242,20 @@ class MinMaxCol:
 
 def grouped_aggregate(codes: jnp.ndarray, num_groups: int,
                       sum_cols: Sequence[SumCol] = (),
-                      mm_cols: Sequence[MinMaxCol] = ()):
+                      mm_cols: Sequence[MinMaxCol] = (),
+                      decode: bool = True):
     """All grouped aggregates in one fused kernel pass.
 
     Returns (sums, counts, minmaxes): sums[i]/counts[i] are i64 (G,) for
     sum_cols[i]; minmaxes[j] is an (min, max) pair (entries None when not
     requested) decoded to mm_cols[j].values.dtype.
+
+    decode=False returns minmaxes[j] as the RAW order planes
+    (mn_hi, mn_lo, mx_hi, mx_lo) — i32-comparable, with empty-group
+    identities still distinguishable from real extremes; chunked
+    callers merge partials in this encoded space (decoded floats
+    collapse NaN and the beyond-NaN identities together) and decode
+    once at the end via groupminmax.decode_order_value.
     """
     if num_groups > G_MAX:
         raise ValueError(f"grouped_aggregate: num_groups > {G_MAX}")
@@ -288,6 +296,8 @@ def grouped_aggregate(codes: jnp.ndarray, num_groups: int,
         num_groups=num_groups, n_sum=len(sum_cols), n_mm=len(mm_cols),
         mm_want=mm_want, interpret=interpret_mode())
 
+    if not decode:
+        return sums, counts, [tuple(m) for m in mms]
     minmaxes = []
     for j, c in enumerate(mm_cols):
         mn_hi, mn_lo, mx_hi, mx_lo = mms[j]

@@ -83,6 +83,9 @@ def group_by(table: Table, keys: Sequence[str],
     if fast is not None:
         return fast
 
+    if n > _SORT_AGG_CHUNK:
+        return _group_by_chunked(table, keys, aggs, n)
+
     # 1-3: group discovery — key encode, stable lexsort, run boundaries,
     # dense group ids — fused into ONE jitted program (eager per-op
     # dispatch through the remote-TPU tunnel costs ~100x the kernels).
@@ -220,9 +223,9 @@ def _pallas_agg_ok(src: Column, op: str) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "g_total",
-                                             "mm_want"))
+                                             "mm_want", "decode"))
 def _fast_agg_stage(sizes, g_total, mm_want, key_parts, sum_parts,
-                    mm_parts):
+                    mm_parts, decode=True):
     """Device stage of the dictionary fast path, one XLA program:
     mixed-radix combined codes, limb-plane prep, and the fused Pallas
     grouped-aggregation kernel (eager prep measured ~100 ms extra per
@@ -241,7 +244,79 @@ def _fast_agg_stage(sizes, g_total, mm_want, key_parts, sum_parts,
     mm_cols = [MinMaxCol(v, m, want_min=w[0], want_max=w[1])
                for (v, m), w in zip(mm_parts, mm_want)]
     return grouped_aggregate(combined, g_total, sum_cols=sum_cols,
-                             mm_cols=mm_cols)
+                             mm_cols=mm_cols, decode=decode)
+
+
+# the fused stage materializes ~10 limb/class planes of the input
+# (8-bit bf16 sum limbs + (hi, lo) i32 order planes), so HBM footprint
+# is ~6x the raw column bytes; chunk beyond this many rows and merge the
+# tiny per-group partials (sums/counts add exactly — wrapping i64 is
+# associative — min/max combine with totalOrder semantics)
+_FAST_AGG_CHUNK = 64_000_000
+
+
+def _fast_agg_driver(sizes, g_total, mm_want, key_parts, sum_parts,
+                     mm_parts, n: int):
+    if n <= _FAST_AGG_CHUNK:
+        return _fast_agg_stage(sizes, g_total, mm_want, key_parts,
+                               sum_parts, mm_parts)
+    import math
+    k = math.ceil(n / _FAST_AGG_CHUNK)
+    q = math.ceil(n / k)
+
+    def sl(a, s, e):
+        return None if a is None else a[s:e]
+
+    acc = None
+    for i in range(k):
+        s, e = i * q, min(n, (i + 1) * q)
+        part = _fast_agg_stage(
+            sizes, g_total, mm_want,
+            tuple((sl(c, s, e), sl(v, s, e)) for c, v in key_parts),
+            tuple((sl(v, s, e), sl(m, s, e)) for v, m in sum_parts),
+            tuple((sl(v, s, e), sl(m, s, e)) for v, m in mm_parts),
+            decode=False)
+        acc = part if acc is None else _merge_fast_agg(acc, part)
+    dtypes = tuple(np.dtype(v.dtype).name for v, _ in mm_parts)
+    return _finalize_fast_agg(acc, mm_want, dtypes)
+
+
+@jax.jit
+def _merge_fast_agg(a, b):
+    """Combine two per-group partial aggregate sets (tiny, G-sized).
+    min/max merge in the kernel's ENCODED (hi, lo) i32 order space —
+    decoded floats collapse NaN with the beyond-NaN empty-group
+    identities, which breaks the merge (measured)."""
+    sums = [x + y for x, y in zip(a[0], b[0])]
+    counts = [x + y for x, y in zip(a[1], b[1])]
+
+    def less(ah, al, bh, bl):
+        return (ah < bh) | ((ah == bh) & (al < bl))
+
+    def pick(cond, ah, al, bh, bl):
+        return jnp.where(cond, ah, bh), jnp.where(cond, al, bl)
+
+    mms = []
+    for (anh, anl, axh, axl), (bnh, bnl, bxh, bxl) in zip(a[2], b[2]):
+        mnh, mnl = pick(less(anh, anl, bnh, bnl), anh, anl, bnh, bnl)
+        mxh, mxl = pick(less(axh, axl, bxh, bxl), bxh, bxl, axh, axl)
+        mms.append((mnh, mnl, mxh, mxl))
+    return sums, counts, mms
+
+
+@functools.partial(jax.jit, static_argnames=("mm_want", "dtypes"))
+def _finalize_fast_agg(acc, mm_want, dtypes):
+    from ..kernels.groupminmax import decode_order_value
+    sums, counts, mms_enc = acc
+    mms = []
+    for (mnh, mnl, mxh, mxl), want, dt_name in zip(mms_enc, mm_want,
+                                                   dtypes):
+        mn = decode_order_value(mnh, mnl, np.dtype(dt_name)) \
+            if want[0] else None
+        mx = decode_order_value(mxh, mxl, np.dtype(dt_name)) \
+            if want[1] else None
+        mms.append((mn, mx))
+    return sums, counts, mms
 
 
 def _pallas_agg_from_codes(src: Column, a: AggSpec, codes, num_groups: int
@@ -359,9 +434,9 @@ def _dictionary_fast_path(table: Table, key_cols, keys, aggs
                 w[1] = True
 
     key_parts = tuple((c.codes, c.validity) for c in key_cols)
-    sums, counts, mms = _fast_agg_stage(
+    sums, counts, mms = _fast_agg_driver(
         tuple(sizes), g_total, tuple(tuple(w) for w in mm_want),
-        key_parts, tuple(sum_parts), tuple(mm_parts))
+        key_parts, tuple(sum_parts), tuple(mm_parts), n)
     occupancy = counts[0]
     occupied = occupancy > 0
 
@@ -439,6 +514,94 @@ def _empty_agg(table: Table, a: AggSpec):
     out_dt = _agg_dtype(src.dtype, a.op)
     return (PrimitiveColumn(jnp.zeros((0,), out_dt.to_jax()), out_dt),
             dt.Field(a.out_name, out_dt))
+
+
+# sort-path HBM budget: the discover sort + agg stage hold several
+# n-sized operands (keys, order, gid, per-column sorts); past this many
+# rows, run two-level partial/final aggregation instead
+_SORT_AGG_CHUNK = 150_000_000
+
+
+def _group_by_chunked(table: Table, keys, aggs, n: int) -> Table:
+    """Two-level grouped aggregation for inputs past the single-program
+    HBM budget (the DataFusion partial/final AggregateMode shape): each
+    row chunk aggregates locally with DECOMPOSED aggregates (mean ->
+    sum + count), the small per-chunk group tables concatenate, and one
+    final group_by merges them (sum/count -> sum, min -> min,
+    max -> max).  Integer sums stay exact (wrapping addition is
+    associative mod 2^w); float sums compose chunk prefix-sum
+    differences — same deterministic-semantics class as the unchunked
+    path."""
+    import math
+    from .concat import concat_tables
+    k = math.ceil(n / _SORT_AGG_CHUNK)
+    q = math.ceil(n / k)
+
+    partial_specs = []
+    merge_plan = []   # (out_name, kind, part names...)
+    seen = {}
+
+    def add_partial(col, op):
+        key = (col, op)
+        if key not in seen:
+            seen[key] = f"__p{len(partial_specs)}"
+            partial_specs.append(AggSpec(col, op, seen[key]))
+        return seen[key]
+
+    for a in aggs:
+        if a.op == "mean":
+            s = add_partial(a.column, "sum")
+            c = add_partial(a.column, "count")
+            merge_plan.append((a.out_name, "mean", s, c))
+        elif a.op in ("count", "count_all"):
+            merge_plan.append((a.out_name, "recount",
+                               add_partial(a.column, a.op)))
+        else:
+            merge_plan.append((a.out_name, a.op,
+                               add_partial(a.column, a.op)))
+
+    parts = [group_by(table.slice(i * q, min(q, n - i * q)), keys,
+                      partial_specs) for i in range(k)]
+    merged = concat_tables(parts)
+
+    final_specs = []
+    for name, kind, *pnames in merge_plan:
+        if kind == "mean":
+            final_specs.append(AggSpec(pnames[0], "sum", name + "#s"))
+            final_specs.append(AggSpec(pnames[1], "sum", name + "#c"))
+        elif kind == "recount":
+            final_specs.append(AggSpec(pnames[0], "sum", name))
+        else:
+            final_specs.append(AggSpec(pnames[0], kind, name))
+    out = group_by(merged, keys, final_specs)
+
+    out_cols = list(out.columns[:len(keys)])
+    fields = [out.schema.field(kname) for kname in keys]
+    for a, (name, kind, *pnames) in zip(aggs, merge_plan):
+        src = table.column(a.column)
+        out_dt = _agg_dtype(src.dtype, a.op)
+        if kind == "mean":
+            s_col = out.column(name + "#s")
+            c_col = out.column(name + "#c")
+            m = s_col.values.astype(jnp.float64) / \
+                jnp.maximum(c_col.values, 1).astype(jnp.float64)
+            gvalid = c_col.values > 0
+            mask = None if bool(jnp.all(gvalid)) else gvalid
+            out_cols.append(PrimitiveColumn(m, dt.float64, mask))
+            fields.append(dt.Field(name, dt.float64))
+        elif kind == "recount":
+            c = out.column(name)
+            out_cols.append(PrimitiveColumn(
+                vd.canonicalize(c.values, c.validity), dt.int64,
+                _canonical=True))
+            fields.append(dt.Field(name, dt.int64, nullable=False))
+        else:
+            c = out.column(name)
+            out_cols.append(PrimitiveColumn(
+                c.values.astype(out_dt.to_jax()), out_dt, c.validity,
+                _canonical=True))
+            fields.append(dt.Field(name, out_dt))
+    return Table(tuple(out_cols), dt.Schema(tuple(fields)))
 
 
 def _agg_dtype(src: dt.DataType, op: str) -> dt.DataType:

@@ -187,3 +187,33 @@ def test_group_by_minmax_at_int64_extremes(rng):
                             AggSpec("v", "max")]).to_pydict()
     assert d["v_max"] == [imax, 7]
     assert d["v_min"] == [5, imin]
+
+
+def test_group_by_chunked_two_level(monkeypatch):
+    """>150M-row inputs run partial/final two-level aggregation; the
+    output matches the single-pass plan (forced via a tiny chunk)."""
+    from arrow_tpu.ops import groupby as gb
+    from arrow_tpu.ops.groupby import group_by, AggSpec
+    from arrow_tpu.io.interop import table_from_pyarrow
+    rng = np.random.default_rng(7)
+    n = 5000
+    rb = pa.record_batch([
+        pa.array(rng.integers(0, 40, n), mask=rng.random(n) < 0.1),
+        pa.array(rng.integers(-100, 100, n), mask=rng.random(n) < 0.2),
+        pa.array(rng.normal(size=n), pa.float64()),
+    ], names=["k", "v", "f"])
+    t = table_from_pyarrow(rb)
+    specs = [AggSpec("v", "sum"), AggSpec("v", "count"),
+             AggSpec("v", "min"), AggSpec("v", "max"),
+             AggSpec("v", "mean"), AggSpec("f", "sum"),
+             AggSpec("f", "min"), AggSpec("k", "count_all")]
+    whole = group_by(t, ["k"], specs).to_pydict()
+    monkeypatch.setattr(gb, "_SORT_AGG_CHUNK", 700)
+    chunked = group_by(t, ["k"], specs).to_pydict()
+    for k in whole:
+        for a, b in zip(whole[k], chunked[k]):
+            if isinstance(a, float):
+                assert (np.isnan(a) and np.isnan(b)) or \
+                    abs(a - b) <= 1e-9 * max(1, abs(a)), (k, a, b)
+            else:
+                assert a == b, (k, a, b)

@@ -209,3 +209,40 @@ def test_group_by_float_minmax_fast_path(rng, monkeypatch):
     monkeypatch.setenv("ARROW_TPU_USE_PALLAS", "1")
     got = group_by(t, ["k"], aggs).to_pydict()
     assert got == ref
+
+
+def test_fast_agg_chunked_matches_unchunked(monkeypatch):
+    """The >64M-row chunked dictionary fast path merges per-group
+    partials in the kernel's encoded order space (decoded floats
+    collapse NaN with empty-group identities — measured bug)."""
+    import jax.numpy as jnp
+    from arrow_tpu.ops import groupby as gb
+    from arrow_tpu.ops.groupby import group_by, AggSpec
+    monkeypatch.setenv("ARROW_TPU_USE_PALLAS", "1")
+    codes = np.array([0] * 8 + [1] * 8 + [2] * 8, np.int32)
+    vals = np.full(24, np.nan)
+    vals[:8] = np.arange(8)
+    vals[16:] = [1.5] + [np.nan] * 7
+    t = at.Table.from_pydict({
+        "g": at.DictionaryColumn(jnp.asarray(codes),
+                                 at.column(["a", "b", "c"])),
+        "v": at.column(jnp.asarray(vals, dtype=jnp.float32)),
+        "w": at.column(jnp.asarray(np.arange(24, dtype=np.int64) * 3)),
+    })
+    specs = [AggSpec("v", "min"), AggSpec("v", "max"),
+             AggSpec("w", "sum"), AggSpec("w", "min"),
+             AggSpec("w", "max"), AggSpec("v", "count")]
+    monkeypatch.setattr(gb, "_FAST_AGG_CHUNK", 8)
+    chunked = group_by(t, ["g"], specs).to_pydict()
+    monkeypatch.setattr(gb, "_FAST_AGG_CHUNK", 10 ** 9)
+    whole = group_by(t, ["g"], specs).to_pydict()
+    for k in chunked:
+        for a, b in zip(chunked[k], whole[k]):
+            if isinstance(a, float) and np.isnan(a):
+                assert np.isnan(b), k
+            else:
+                assert a == b, k
+    # NaN-only group stays NaN; group absent from later chunks keeps
+    # its real extremes
+    assert chunked["v_min"][0] == 0.0 and chunked["v_max"][0] == 7.0
+    assert np.isnan(chunked["v_min"][1])
