@@ -189,19 +189,21 @@ def _discover_stage(kinds, parts):
     iota = jnp.arange(n, dtype=jnp.uint32)
     sorted_ops = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys),
                               is_stable=True)
-    order = sorted_ops[-1].astype(jnp.int64)
+    # order/gid/starts ride i32: n < 2^31 always holds on one chip and
+    # three n-sized i64 arrays cost ~2.4 GB at a 150M-row chunk
+    order = sorted_ops[-1].astype(jnp.int32)
     neq = jnp.zeros((n - 1,), jnp.bool_)
     for k in sorted_ops[:-1]:
         neq = jnp.logical_or(neq, k[1:] != k[:-1])
     run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
-    gid = (jnp.cumsum(run_start.astype(jnp.int32)) - 1).astype(jnp.int64)
+    gid = jnp.cumsum(run_start.astype(jnp.int32)) - 1
     # run-start positions via partition-sort (nonzero lowers poorly);
     # computed HERE once so _agg_stage calls (possibly several under the
     # compiler-crash fallback) don't each re-sort 10M rows
     _, starts_raw = jax.lax.sort(
-        (~run_start, jnp.arange(n, dtype=jnp.int64)), num_keys=1,
+        (~run_start, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
         is_stable=True)
-    return order, gid, run_start, starts_raw, gid[-1] + 1
+    return order, gid, run_start, starts_raw, (gid[-1] + 1).astype(jnp.int64)
 
 
 
@@ -518,8 +520,9 @@ def _empty_agg(table: Table, a: AggSpec):
 
 # sort-path HBM budget: the discover sort + agg stage hold several
 # n-sized operands (keys, order, gid, per-column sorts); past this many
-# rows, run two-level partial/final aggregation instead
-_SORT_AGG_CHUNK = 150_000_000
+# rows, run two-level partial/final aggregation instead (sized so a
+# chunk's pipeline fits beside a ~8 GB resident input on 16 GB HBM)
+_SORT_AGG_CHUNK = 125_000_000
 
 
 def _group_by_chunked(table: Table, keys, aggs, n: int) -> Table:
@@ -634,8 +637,8 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start,
     n = gid.shape[0]
     starts = starts_raw[:num_groups]
     first_idx = order[starts]
-    nxt = jnp.concatenate([starts[1:], jnp.array([n], jnp.int64)])
-    counts_all = nxt - starts
+    nxt = jnp.concatenate([starts[1:], jnp.array([n], starts.dtype)])
+    counts_all = (nxt - starts).astype(jnp.int64)
 
     def diff_sums(contrib):
         cs = jnp.cumsum(contrib)
@@ -682,7 +685,7 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start,
         happens after the num_groups-sized gathers in mm_pick."""
         if slot not in mm_cache:
             vs, ms = sorted_col(slot)
-            gid32 = gid.astype(jnp.int32)
+            gid32 = gid
             isfloat = bool(jnp.issubdtype(vs.dtype, jnp.floating))
             if isfloat:
                 isnan = jnp.isnan(vs)
