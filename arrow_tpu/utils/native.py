@@ -62,6 +62,14 @@ def _load() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int32, u8, u8,
                                        i32p, u8p, u8p]
     lib.decode_varlen_rows.restype = i64
+    u64 = ctypes.c_uint64
+    u64p = ctypes.POINTER(u64)
+    lib.xxhash64.argtypes = [u8p, i64, u64]
+    lib.xxhash64.restype = u64
+    lib.xxhash64_fixed.argtypes = [u8p, i64, i64, u64, u64p]
+    lib.xxhash64_varlen.argtypes = [i32p, u8p, i64, u64, u64p]
+    lib.sbbf_insert.argtypes = [u8p, i64, u64p, i64]
+    lib.sbbf_check.argtypes = [u8p, i64, u64p, i64, u8p]
     _lib = lib
     return _lib
 

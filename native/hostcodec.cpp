@@ -213,4 +213,134 @@ int64_t compact64(const uint64_t* src, const uint8_t* keep, int64_t n,
     return k;
 }
 
+// ---- xxHash64 (parquet bloom filters use seed 0) -----------------------------
+// Spec: https://github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md
+
+static const uint64_t XXP1 = 11400714785074694791ULL;
+static const uint64_t XXP2 = 14029467366897019727ULL;
+static const uint64_t XXP3 = 1609587929392839161ULL;
+static const uint64_t XXP4 = 9650029242287828579ULL;
+static const uint64_t XXP5 = 2870177450012600261ULL;
+
+static inline uint64_t xx_rotl(uint64_t x, int r) {
+    return (x << r) | (x >> (64 - r));
+}
+
+static inline uint64_t xx_round(uint64_t acc, uint64_t input) {
+    acc += input * XXP2;
+    acc = xx_rotl(acc, 31);
+    return acc * XXP1;
+}
+
+static inline uint64_t xx_merge(uint64_t acc, uint64_t val) {
+    acc ^= xx_round(0, val);
+    return acc * XXP1 + XXP4;
+}
+
+static inline uint64_t xx_read64(const uint8_t* p) {
+    uint64_t v;
+    __builtin_memcpy(&v, p, 8);
+    return v;
+}
+
+static inline uint32_t xx_read32(const uint8_t* p) {
+    uint32_t v;
+    __builtin_memcpy(&v, p, 4);
+    return v;
+}
+
+uint64_t xxhash64(const uint8_t* data, int64_t len, uint64_t seed) {
+    const uint8_t* p = data;
+    const uint8_t* end = data + len;
+    uint64_t h;
+    if (len >= 32) {
+        uint64_t v1 = seed + XXP1 + XXP2, v2 = seed + XXP2;
+        uint64_t v3 = seed, v4 = seed - XXP1;
+        do {
+            v1 = xx_round(v1, xx_read64(p)); p += 8;
+            v2 = xx_round(v2, xx_read64(p)); p += 8;
+            v3 = xx_round(v3, xx_read64(p)); p += 8;
+            v4 = xx_round(v4, xx_read64(p)); p += 8;
+        } while (p + 32 <= end);
+        h = xx_rotl(v1, 1) + xx_rotl(v2, 7) + xx_rotl(v3, 12)
+            + xx_rotl(v4, 18);
+        h = xx_merge(h, v1); h = xx_merge(h, v2);
+        h = xx_merge(h, v3); h = xx_merge(h, v4);
+    } else {
+        h = seed + XXP5;
+    }
+    h += (uint64_t)len;
+    while (p + 8 <= end) {
+        h ^= xx_round(0, xx_read64(p));
+        h = xx_rotl(h, 27) * XXP1 + XXP4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        h ^= (uint64_t)xx_read32(p) * XXP1;
+        h = xx_rotl(h, 23) * XXP2 + XXP3;
+        p += 4;
+    }
+    while (p < end) {
+        h ^= (uint64_t)(*p) * XXP5;
+        h = xx_rotl(h, 11) * XXP1;
+        ++p;
+    }
+    h ^= h >> 33;
+    h *= XXP2;
+    h ^= h >> 29;
+    h *= XXP3;
+    h ^= h >> 32;
+    return h;
+}
+
+// Hash n fixed-width elements (parquet plain encoding = raw LE bytes).
+void xxhash64_fixed(const uint8_t* data, int64_t n, int64_t width,
+                    uint64_t seed, uint64_t* out) {
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = xxhash64(data + i * width, width, seed);
+}
+
+// Hash n variable-length byte strings given int32 offsets.
+void xxhash64_varlen(const int32_t* offsets, const uint8_t* data,
+                     int64_t n, uint64_t seed, uint64_t* out) {
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = xxhash64(data + offsets[i],
+                          offsets[i + 1] - offsets[i], seed);
+}
+
+// ---- split-block bloom filter (parquet SBBF) ---------------------------------
+
+static const uint32_t SBBF_SALT[8] = {
+    0x47b6137bU, 0x44974d91U, 0x8824ad5bU, 0xa2b7289dU,
+    0x705495c7U, 0x2df1424bU, 0x9efc4947U, 0x5c6bfb31U};
+
+static inline uint32_t* sbbf_block(uint8_t* bitset, int64_t num_blocks,
+                                   uint64_t hash) {
+    uint64_t idx = (((hash >> 32) * (uint64_t)num_blocks) >> 32);
+    return (uint32_t*)(bitset + idx * 32);
+}
+
+void sbbf_insert(uint8_t* bitset, int64_t num_blocks,
+                 const uint64_t* hashes, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t* b = sbbf_block(bitset, num_blocks, hashes[i]);
+        uint32_t key = (uint32_t)hashes[i];
+        for (int j = 0; j < 8; ++j)
+            b[j] |= 1U << ((key * SBBF_SALT[j]) >> 27);
+    }
+}
+
+void sbbf_check(const uint8_t* bitset, int64_t num_blocks,
+                const uint64_t* hashes, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint32_t* b = sbbf_block((uint8_t*)bitset, num_blocks,
+                                       hashes[i]);
+        uint32_t key = (uint32_t)hashes[i];
+        uint8_t hit = 1;
+        for (int j = 0; j < 8; ++j)
+            hit &= (b[j] >> ((key * SBBF_SALT[j]) >> 27)) & 1U;
+        out[i] = hit;
+    }
+}
+
 }  // extern "C"
