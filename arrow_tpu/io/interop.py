@@ -96,7 +96,18 @@ def dtype_from_pyarrow(t: pa.DataType) -> dt.DataType:
         return dt.run_end_encoded(dtype_from_pyarrow(t.run_end_type),
                                   dtype_from_pyarrow(t.value_type))
     if pa.types.is_interval(t):
-        return dt.interval("month_day_nano")
+        # dispatch the concrete unit: handing a 4/8-byte buffer to the
+        # 16-byte MDN struct parser would read garbage (ADVICE r1).
+        # pyarrow 25 exposes no Python constructors for the
+        # months/day-time units, so match on the C++ type id.
+        import pyarrow.lib as _palib
+        if t.id == _palib.Type_INTERVAL_MONTH_DAY_NANO:
+            return dt.interval("month_day_nano")
+        if t.id == _palib.Type_INTERVAL_MONTHS:
+            return dt.interval("year_month")
+        if t.id == _palib.Type_INTERVAL_DAY_TIME:
+            return dt.interval("day_time")
+        raise ArrowNotImplementedError(f"interval type {t}")
     raise ArrowNotImplementedError(f"pyarrow type {t}")
 
 
@@ -121,7 +132,9 @@ def dtype_to_pyarrow(d: dt.DataType) -> pa.DataType:
     if d.name == "interval":
         if d.unit == "month_day_nano":
             return pa.month_day_nano_interval()
-        raise ArrowNotImplementedError(f"pyarrow has no {d!r}")
+        # pyarrow 25 has no Python constructor for months/day-time
+        # intervals; the native IPC writer handles them instead
+        raise ArrowNotImplementedError(f"pyarrow cannot build {d!r}")
     if d.name == "dictionary":
         return pa.dictionary(dtype_to_pyarrow(d.index_type),
                              dtype_to_pyarrow(d.value_type))
@@ -221,6 +234,22 @@ def column_from_pyarrow(arr) -> Column:
         phys = np.int32 if ldt.name == "decimal32" else np.int64
         raw = np.frombuffer(a.buffers()[1], phys)[: len(a)].copy()
         return PrimitiveColumn(jnp.asarray(raw), ldt, _validity_of(arr))
+
+    if ldt.name == "interval" and ldt.unit == "year_month":
+        a = arr if arr.offset == 0 else pa.concat_arrays([arr])
+        raw = np.frombuffer(a.buffers()[1], np.int32)[: len(a)].copy()
+        return PrimitiveColumn(jnp.asarray(raw), ldt, _validity_of(arr))
+
+    if ldt.name == "interval" and ldt.unit == "day_time":
+        # pyarrow buffer is [i32 days][i32 millis]; engine packing is
+        # i64 days<<32 | millis (dtypes.py to_jax)
+        a = arr if arr.offset == 0 else pa.concat_arrays([arr])
+        raw = np.frombuffer(
+            a.buffers()[1],
+            np.dtype([("d", "<i4"), ("ms", "<i4")]))[: len(a)]
+        packed = ((raw["d"].astype(np.int64) << 32)
+                  | (raw["ms"].astype(np.int64) & 0xFFFFFFFF))
+        return PrimitiveColumn(jnp.asarray(packed), ldt, _validity_of(arr))
 
     if ldt.name == "interval" and ldt.unit == "month_day_nano":
         a = arr if arr.offset == 0 else pa.concat_arrays([arr])

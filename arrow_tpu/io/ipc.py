@@ -1,74 +1,381 @@
-"""Arrow IPC file/stream interchange (the arrow-ipc role).
+"""Arrow IPC stream/file interchange — native implementation.
 
 The engine's wire/spill/checkpoint format IS the Arrow IPC format
-(SURVEY.md §5 checkpoint/resume: IPC file w/ footer for random access).
-Host-side encode/decode uses the Arrow C++ implementation via pyarrow —
-byte-compatible with the reference's arrow-ipc by construction (both pass
-the cross-implementation golden suite) — and bridges directly to device
-tables.
+(SURVEY.md §5 checkpoint/resume).  Round 1 delegated encode/decode to
+pyarrow; this is the round-2 native rewrite: flatbuffers metadata
+(io/ipc_format.py over io/fb.py), buffer-level body encode/decode for
+every column layout, dictionary batches with replacement/delta handling,
+ZSTD/LZ4 buffer compression, the random-access File format with footer,
+and a push-based StreamDecoder.
 
-Push-based incremental decoding (the reference's StreamDecoder,
-arrow-ipc/src/reader/stream.rs:35) is provided by StreamDecoder below:
-feed arbitrary byte chunks, batches pop out as they complete — the shape
-needed by the Flight ingress path.
+Reference behaviors re-designed (not ported):
+  stream/file writer   arrow-ipc/src/writer.rs:934,1186 (FileWriter,
+                       StreamWriter), encoded_batch writer.rs:477,
+                       encode_dictionaries writer.rs:417
+  stream/file reader   arrow-ipc/src/reader.rs:1153,1330, read_record_batch
+                       reader.rs:638, FileDecoder reader.rs:836
+  push decoder         arrow-ipc/src/reader/stream.rs:35
+  compression framing  arrow-ipc/src/compression.rs:27
+
+pyarrow appears NOWHERE in this path; tests use it as the byte-level
+oracle only.
 """
 
 from __future__ import annotations
 
 import io as _io
-from typing import Iterator, List, Optional
+import os
+import struct
+from typing import Dict, Iterator, List, Optional, Tuple
 
-import pyarrow as pa
-
+from ..core.column import (Column, DictionaryColumn, ListColumn,
+                           StructColumn)
 from ..core.table import Table
 from ..errors import ArrowInvalid
-from .interop import table_from_pyarrow, table_to_pyarrow
+from .. import dtypes as dt
+from . import ipc_format as fmt
 
 __all__ = ["write_file", "read_file", "write_stream", "read_stream",
            "FileWriter", "StreamWriter", "StreamDecoder",
            "serialize_table", "deserialize_table"]
 
+_MAGIC = b"ARROW1"
+_CONT = 0xFFFFFFFF
 
-# ---- whole-file convenience --------------------------------------------------
+_CODECS = {None: None, "zstd": fmt.COMPRESS_ZSTD,
+           "lz4": fmt.COMPRESS_LZ4}
 
-def write_file(path_or_sink, tables, compression: Optional[str] = None):
-    """IPC file format w/ footer (arrow-ipc/src/writer.rs:934).
-    compression: None | 'lz4' | 'zstd' (writer.rs compression.rs:27)."""
+
+def _frame(meta: bytes) -> bytes:
+    """Encapsulated message framing: 0xFFFFFFFF continuation + i32 length
+    + metadata, padded to 8 bytes."""
+    pad = -(len(meta)) % 8
+    meta = meta + bytes(pad)
+    return struct.pack("<Ii", _CONT, len(meta)) + meta
+
+
+def _collect_dict_columns(col: Column, out: List[Column]) -> None:
+    """Dictionary columns in schema preorder (matches the dictionary-id
+    assignment order of ipc_format._write_schema_with_seq_ids)."""
+    from ..core.nested import (FixedSizeListColumn, MapColumn,
+                               RunEndColumn, UnionColumn, ListViewColumn)
+    if isinstance(col, DictionaryColumn):
+        out.append(col)
+        return
+    if isinstance(col, (ListColumn, ListViewColumn, FixedSizeListColumn)):
+        _collect_dict_columns(col.child, out)
+    elif isinstance(col, MapColumn):
+        _collect_dict_columns(col.entries, out)
+    elif isinstance(col, StructColumn):
+        for c in col.children:
+            _collect_dict_columns(c, out)
+    elif isinstance(col, UnionColumn):
+        for c in col.children:
+            _collect_dict_columns(c, out)
+    elif isinstance(col, RunEndColumn):
+        _collect_dict_columns(col.values, out)
+
+
+def _table_dict_columns(table: Table) -> List[Column]:
+    out: List[Column] = []
+    for col in table.columns:
+        _collect_dict_columns(col, out)
+    return out
+
+
+class StreamWriter:
+    """IPC stream writer (writer.rs:1186): schema message up front, then
+    dictionary batches as needed, then record batches."""
+
+    def __init__(self, sink, schema_table, compression: Optional[str] = None,
+                 *, _file_mode: bool = False):
+        self._sink = sink
+        self._codec = _CODECS[compression]
+        schema = schema_table.schema if isinstance(schema_table, Table) \
+            else schema_table
+        self._schema = schema
+        self._file_mode = _file_mode
+        self._dict_blocks: List[Tuple[int, int, int]] = []
+        self._batch_blocks: List[Tuple[int, int, int]] = []
+        self._written_dicts: Dict[int, int] = {}   # id -> id(values obj)
+        self._pos = 0
+        if _file_mode:
+            self._emit(_MAGIC + b"\x00\x00")
+        self._emit(_frame(fmt.write_schema_message(schema)))
+
+    def _emit(self, b: bytes) -> None:
+        self._sink.write(b)
+        self._pos += len(b)
+
+    def _emit_message(self, meta: bytes, body: bytes,
+                      blocks: Optional[list]) -> None:
+        framed = _frame(meta)
+        if blocks is not None:
+            blocks.append((self._pos, len(framed), len(body)))
+        self._emit(framed)
+        self._emit(body)
+
+    def write(self, table: Table) -> None:
+        if tuple(f.dtype for f in table.schema.fields) != \
+                tuple(f.dtype for f in self._schema.fields):
+            raise ArrowInvalid("batch schema does not match stream schema")
+        for dict_id, col in enumerate(_table_dict_columns(table)):
+            values = col.values
+            prev = self._written_dicts.get(dict_id)
+            if prev == id(values):
+                continue
+            if prev is not None and self._file_mode:
+                raise ArrowInvalid(
+                    "IPC file format does not support dictionary "
+                    "replacement; write a stream instead")
+            meta, body = fmt.encode_dictionary_batch(
+                dict_id, values, self._codec)
+            self._emit_message(meta, body, self._dict_blocks)
+            self._written_dicts[dict_id] = id(values)
+        meta, body = fmt.encode_record_batch(table, self._codec)
+        self._emit_message(meta, body, self._batch_blocks)
+
+    def close(self) -> None:
+        self._emit(struct.pack("<Ii", _CONT, 0))    # EOS
+        if self._file_mode:
+            self._emit_footer()
+
+    def _emit_footer(self) -> None:
+        from .fb import Builder
+        b = Builder()
+        sch_off = fmt._write_schema_with_seq_ids(b, self._schema)
+
+        def blocks_vec(blocks):
+            raw = b"".join(
+                struct.pack("<qiiq", off, mlen, 0, blen)[:24]
+                for off, mlen, blen in blocks)
+            # Block struct: i64 offset, i32 metaDataLength, 4B pad,
+            # i64 bodyLength -> 24 bytes, align 8
+            return b.vector_bytes(raw, len(blocks), 8)
+
+        dicts_off = blocks_vec(self._dict_blocks)
+        recs_off = blocks_vec(self._batch_blocks)
+        b.start_table()
+        b.add_scalar(0, "i16", fmt.MetadataV5)
+        b.add_offset(1, sch_off)
+        b.add_offset(2, dicts_off)
+        b.add_offset(3, recs_off)
+        footer = b.finish(b.end_table())
+        self._emit(footer)
+        self._emit(struct.pack("<i", len(footer)))
+        self._emit(_MAGIC)
+
+
+class FileWriter(StreamWriter):
+    """IPC file format (writer.rs:934): magic + stream + Footer."""
+
+    def __init__(self, sink, schema_table, compression: Optional[str] = None):
+        super().__init__(sink, schema_table, compression, _file_mode=True)
+
+
+# ---- push-based stream decoding ---------------------------------------------
+
+class StreamDecoder:
+    """Incremental IPC stream decoder (reader/stream.rs:35): feed bytes in
+    arbitrary chunk sizes; completed batches pop out of next_batch()."""
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._schema: Optional[dt.Schema] = None
+        self._dict_fields: Dict[int, dt.Field] = {}
+        self._dict_id_of: Dict[int, int] = {}
+        self._dictionaries: Dict[int, Column] = {}
+        self._batches: List[Table] = []
+        self._eos = False
+
+    @property
+    def schema(self) -> Optional[dt.Schema]:
+        return self._schema
+
+    def feed(self, data: bytes) -> None:
+        self._buf.extend(data)
+        self._drain()
+
+    def _drain(self) -> None:
+        while True:
+            got = self._try_consume()
+            if not got:
+                return
+
+    def _try_consume(self) -> bool:
+        b = self._buf
+        if len(b) < 8:
+            return False
+        cont, length = struct.unpack_from("<Ii", b, 0)
+        if cont != _CONT:
+            # legacy pre-0.15 framing: bare i32 length
+            length = struct.unpack_from("<i", b, 0)[0]
+            header = 4
+        else:
+            header = 8
+        if length == 0:
+            self._eos = True
+            del b[:header]
+            return len(b) >= 8
+        if len(b) < header + length:
+            return False
+        meta = bytes(b[header:header + length])
+        _, msg, body_len = fmt.parse_message(meta)
+        total = header + length + body_len
+        if len(b) < total:
+            return False
+        body = bytes(b[header + length:total])
+        del b[:total]
+        self._consume(meta, body)
+        return True
+
+    def _consume(self, meta: bytes, body: bytes) -> None:
+        tag, msg, _ = fmt.parse_message(meta)
+        if tag == fmt.H_SCHEMA:
+            schema, dict_ids = fmt.read_schema(meta)
+            self._schema = schema
+            self._dict_fields = {i: f for i, f in dict_ids}
+            self._dict_id_of = {ordinal: i
+                                for ordinal, (i, _) in enumerate(dict_ids)}
+            return
+        if tag == fmt.H_DICTIONARY_BATCH:
+            fmt.decode_dictionary_batch(meta, body, self._dict_fields,
+                                        self._dictionaries)
+            return
+        if tag == fmt.H_RECORD_BATCH:
+            if self._schema is None:
+                raise ArrowInvalid("record batch before schema")
+            self._batches.append(fmt.decode_record_batch(
+                self._schema, meta, body, self._dictionaries,
+                self._dict_id_of))
+            return
+        raise ArrowInvalid(f"unsupported IPC message tag {tag}")
+
+    def next_batch(self) -> Optional[Table]:
+        if self._batches:
+            return self._batches.pop(0)
+        return None
+
+
+# ---- whole-file / whole-stream convenience ----------------------------------
+
+def write_stream(sink, tables, compression: Optional[str] = None) -> None:
+    tables = [tables] if isinstance(tables, Table) else list(tables)
+    if not tables:
+        raise ArrowInvalid("write_stream of zero batches")
+    w = StreamWriter(sink, tables[0], compression)
+    for t in tables:
+        w.write(t)
+    w.close()
+
+
+def read_stream(source) -> List[Table]:
+    data = source.read() if hasattr(source, "read") else bytes(source)
+    dec = StreamDecoder()
+    dec.feed(data)
+    out = []
+    while True:
+        t = dec.next_batch()
+        if t is None:
+            break
+        out.append(t)
+    return out
+
+
+def write_file(path_or_sink, tables, compression: Optional[str] = None
+               ) -> None:
+    """IPC file format w/ footer (arrow-ipc/src/writer.rs:934)."""
     tables = [tables] if isinstance(tables, Table) else list(tables)
     if not tables:
         raise ArrowInvalid("write_file of zero batches")
-    batches = [table_to_pyarrow(t) for t in tables]
-    options = pa.ipc.IpcWriteOptions(compression=compression)
-    with pa.OSFile(path_or_sink, "wb") if isinstance(path_or_sink, str) \
-            else _nullctx(path_or_sink) as sink:
-        with pa.ipc.new_file(sink, batches[0].schema, options=options) as w:
-            for b in batches:
-                w.write_batch(b)
+    own = isinstance(path_or_sink, str)
+    sink = open(path_or_sink, "wb") if own else path_or_sink
+    try:
+        w = FileWriter(sink, tables[0], compression)
+        for t in tables:
+            w.write(t)
+        w.close()
+    finally:
+        if own:
+            sink.close()
+
+
+def _read_footer(data: bytes):
+    """-> (schema, dict_ids, dict_blocks, batch_blocks)."""
+    if data[:6] != _MAGIC or data[-6:] != _MAGIC:
+        raise ArrowInvalid("not an Arrow IPC file (bad magic)")
+    (flen,) = struct.unpack_from("<i", data, len(data) - 10)
+    footer = data[len(data) - 10 - flen: len(data) - 10]
+    from .fb import Table as FTable
+    ft = FTable.root(footer)
+    sch = ft.table(1)
+    dict_ids: List[Tuple[int, dt.Field]] = []
+    fields = tuple(fmt._read_field(f, dict_ids)
+                   for f in sch.vector_tables(1))
+    md = sch.vector_tables(2)
+    metadata = tuple((kv.string(0) or "", kv.string(1) or "")
+                     for kv in md) if md else ()
+    schema = dt.Schema(fields, metadata)
+
+    def blocks(slot):
+        return ft.vector_structs(slot, "<qi4xq", 24)
+
+    return schema, dict_ids, blocks(2), blocks(3)
+
+
+class FileReader:
+    """Random-access IPC file reader (reader.rs:1153 FileReader /
+    reader.rs:836 FileDecoder)."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        (self.schema, dict_ids, dict_blocks,
+         batch_blocks) = _read_footer(data)
+        self._dict_fields = {i: f for i, f in dict_ids}
+        self._dict_id_of = {ordinal: i
+                            for ordinal, (i, _) in enumerate(dict_ids)}
+        self._dictionaries: Dict[int, Column] = {}
+        self._batch_blocks = batch_blocks
+        for off, mlen, blen in dict_blocks:
+            meta, body = self._message_at(off, mlen, blen)
+            fmt.decode_dictionary_batch(meta, body, self._dict_fields,
+                                        self._dictionaries)
+
+    def _message_at(self, off: int, mlen: int, blen: int
+                    ) -> Tuple[bytes, bytes]:
+        raw = self._data[off: off + mlen]
+        cont, length = struct.unpack_from("<Ii", raw, 0)
+        hdr = 8 if cont == _CONT else 4
+        if cont != _CONT:
+            length = struct.unpack_from("<i", raw, 0)[0]
+        meta = raw[hdr:hdr + length]
+        body = self._data[off + mlen: off + mlen + blen]
+        return meta, body
+
+    @property
+    def num_record_batches(self) -> int:
+        return len(self._batch_blocks)
+
+    def get_batch(self, i: int) -> Table:
+        off, mlen, blen = self._batch_blocks[i]
+        meta, body = self._message_at(off, mlen, blen)
+        return fmt.decode_record_batch(self.schema, meta, body,
+                                       self._dictionaries,
+                                       self._dict_id_of)
 
 
 def read_file(path_or_source) -> List[Table]:
     """FileReader (arrow-ipc/src/reader.rs:1153): random-access footer
-    format; zero-copy mmap when given a path."""
-    src = pa.memory_map(path_or_source, "r") \
-        if isinstance(path_or_source, str) else path_or_source
-    with pa.ipc.open_file(src) as r:
-        return [table_from_pyarrow(r.get_batch(i))
-                for i in range(r.num_record_batches)]
-
-
-def write_stream(sink, tables, compression: Optional[str] = None):
-    """Stream format (StreamWriter, writer.rs:1186)."""
-    tables = [tables] if isinstance(tables, Table) else list(tables)
-    batches = [table_to_pyarrow(t) for t in tables]
-    options = pa.ipc.IpcWriteOptions(compression=compression)
-    with pa.ipc.new_stream(sink, batches[0].schema, options=options) as w:
-        for b in batches:
-            w.write_batch(b)
-
-
-def read_stream(source) -> List[Table]:
-    with pa.ipc.open_stream(source) as r:
-        return [table_from_pyarrow(b) for b in r]
+    format."""
+    if isinstance(path_or_source, str):
+        with open(path_or_source, "rb") as f:
+            data = f.read()
+    elif hasattr(path_or_source, "read"):
+        data = path_or_source.read()
+    else:
+        data = bytes(path_or_source)
+    r = FileReader(data)
+    return [r.get_batch(i) for i in range(r.num_record_batches)]
 
 
 def serialize_table(table: Table, compression: Optional[str] = None
@@ -80,146 +387,8 @@ def serialize_table(table: Table, compression: Optional[str] = None
 
 
 def deserialize_table(data: bytes) -> Table:
-    tables = read_stream(pa.py_buffer(data))
+    tables = read_stream(data)
     if len(tables) == 1:
         return tables[0]
     from ..ops.concat import concat_tables
     return concat_tables(tables)
-
-
-class _nullctx:
-    def __init__(self, obj):
-        self.obj = obj
-
-    def __enter__(self):
-        return self.obj
-
-    def __exit__(self, *a):
-        return False
-
-
-# ---- incremental writers ------------------------------------------------------
-
-class StreamWriter:
-    """Push batches to a sink as IPC stream messages."""
-
-    def __init__(self, sink, schema_table: Table,
-                 compression: Optional[str] = None):
-        self._schema = table_to_pyarrow(schema_table.slice(0, 0)).schema
-        self._w = pa.ipc.new_stream(
-            sink, self._schema,
-            options=pa.ipc.IpcWriteOptions(compression=compression))
-
-    def write(self, table: Table):
-        self._w.write_batch(table_to_pyarrow(table))
-
-    def close(self):
-        self._w.close()
-
-
-FileWriter = StreamWriter  # file-format variant kept simple for now
-
-
-# ---- push-based stream decoding ------------------------------------------------
-
-class StreamDecoder:
-    """Incremental IPC stream decoder (reader/stream.rs:35): feed bytes in
-    arbitrary chunk sizes; completed RecordBatches become available via
-    next_batch().  Parses the 8-byte encapsulation headers
-    (continuation 0xFFFFFFFF + i32 length) to frame messages, then hands
-    framed bytes to the Arrow decoder."""
-
-    def __init__(self):
-        self._buf = bytearray()
-        self._schema: Optional[pa.Schema] = None
-        self._batches: List[Table] = []
-        self._dict_memo = []  # raw dictionary message buffers, in order
-
-    def feed(self, data: bytes) -> None:
-        self._buf.extend(data)
-        self._drain()
-
-    def _drain(self):
-        while True:
-            msg_len = self._peek_message_len()
-            if msg_len is None or len(self._buf) < msg_len:
-                return
-            raw = bytes(self._buf[:msg_len])
-            del self._buf[:msg_len]
-            self._consume_message(raw)
-
-    def _peek_message_len(self) -> Optional[int]:
-        import struct
-        b = self._buf
-        if len(b) < 8:
-            return None
-        cont, length = struct.unpack_from("<Ii", b, 0)
-        if cont != 0xFFFFFFFF:
-            # legacy (pre-0.15) framing: i32 length only
-            length = struct.unpack_from("<i", b, 0)[0]
-            header = 4
-        else:
-            header = 8
-        if length == 0:  # end-of-stream marker
-            return header
-        if len(b) < header + length:
-            return None
-        return header + length + _message_body_length(
-            bytes(b[header:header + length]))
-
-    def _consume_message(self, raw: bytes):
-        # raw = header + metadata + body
-        import struct
-        cont = struct.unpack_from("<I", raw, 0)[0]
-        off = 8 if cont == 0xFFFFFFFF else 4
-        meta_len = struct.unpack_from("<i", raw, off - 4)[0]
-        if meta_len == 0:
-            return  # EOS
-        msg = pa.ipc.read_message(pa.py_buffer(raw))
-        if self._schema is None:
-            # first message must be the schema
-            reader = pa.ipc.open_stream(pa.py_buffer(raw))
-            self._schema = reader.schema
-            self._sbytes = raw
-            return
-        if str(msg.type).startswith("dictionary"):
-            self._dict_memo.append(raw)
-            return
-        if str(msg.type) == "record batch":
-            # decode with schema + accumulated dictionaries
-            stream = self._sbytes + b"".join(self._dict_memo) + raw
-            reader = pa.ipc.open_stream(pa.py_buffer(stream))
-            batches = list(reader)
-            self._batches.append(table_from_pyarrow(batches[-1]))
-
-    def next_batch(self) -> Optional[Table]:
-        if self._batches:
-            return self._batches.pop(0)
-        return None
-
-    @property
-    def schema(self):
-        return self._schema
-
-
-def _message_body_length(metadata: bytes) -> int:
-    """Extract Message.bodyLength from the metadata flatbuffer.
-
-    Minimal flatbuffer walk (format/Message.fbs): root table, field id 3
-    (bodyLength, long).  Avoids a dependency on the flatbuffers package.
-    """
-    import struct
-
-    root = struct.unpack_from("<i", metadata, 0)[0]
-    vtable_off = root - struct.unpack_from("<i", metadata, root)[0]
-    vtable_len = struct.unpack_from("<H", metadata, vtable_off)[0]
-    # field order in Message.fbs: version(0), header(1,2: type+offset),
-    # bodyLength... vtable slots: [version, header_type, header,
-    # bodyLength, custom_metadata]
-    slot = 4 + 2 * 3  # 4 bytes header + slot index 3
-    if slot + 2 > vtable_len:
-        return 0
-    field_off = struct.unpack_from("<H", metadata, vtable_off + slot)[0]
-    if field_off == 0:
-        return 0
-    return struct.unpack_from("<q", metadata, root + field_off)[0]

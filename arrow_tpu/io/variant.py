@@ -128,7 +128,9 @@ class VariantBuilder:
             ow = _min_width(offs[-1])
             iw = _min_width(max((i for i, _ in items), default=0) + 1)
             large = len(items) > 255
-            head = 2 | ((iw - 1) << 2) | ((ow - 1) << 4) \
+            # spec layout (parquet-variant builder.rs object_header):
+            # field-offset width in bits 2-3, field-id width in bits 4-5
+            head = 2 | ((ow - 1) << 2) | ((iw - 1) << 4) \
                 | ((1 if large else 0) << 6)
             out = bytearray([head])
             out += _pack_uint(len(items), 4 if large else 1)
@@ -224,9 +226,9 @@ def _parse_value(buf: bytes, i: int, keys: List[str]) -> Tuple[Any, int]:
             v, _ = _parse_value(buf, base + offs[j], keys)
             out.append(v)
         return out, base + offs[n]
-    # object
-    iw = ((head >> 2) & 3) + 1
-    ow = ((head >> 4) & 3) + 1
+    # object: offset width bits 2-3, id width bits 4-5 (spec order)
+    ow = ((head >> 2) & 3) + 1
+    iw = ((head >> 4) & 3) + 1
     large = (head >> 6) & 1
     i += 1
     n = _read_uint(buf, i, 4 if large else 1)

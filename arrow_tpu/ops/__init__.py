@@ -43,7 +43,11 @@ from .temporal import (  # noqa: F401
     add_interval, sub_interval,
 )
 from .bitwise import (  # noqa: F401
-    bit_and, bit_or, bit_xor, bit_not, shift_left, shift_right,
+    # elementwise bitwise kernels use the reference's bitwise_* names
+    # (arrow-arith/src/bitwise.rs) so they no longer shadow the
+    # whole-array bit_and/bit_or/bit_xor aggregates imported above
+    bitwise_and, bitwise_or, bitwise_xor, bitwise_not,
+    bitwise_shift_left, bitwise_shift_right,
 )
 from .coalesce import BatchCoalescer  # noqa: F401
 from .groupby import group_by, AggSpec, segment_aggregate  # noqa: F401

@@ -10,35 +10,35 @@ from ..core.datum import Datum
 from ..errors import ArrowTypeError
 from .arity import binary, unary
 
-__all__ = ["bit_and", "bit_or", "bit_xor", "bit_not",
-           "shift_left", "shift_right"]
+__all__ = ["bitwise_and", "bitwise_or", "bitwise_xor", "bitwise_not",
+           "bitwise_shift_left", "bitwise_shift_right"]
 
 
 def _check_int(col):
     pass  # dtype agreement enforced by the arity template
 
 
-def bit_and(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
+def bitwise_and(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
     return binary(lhs, rhs, jnp.bitwise_and)
 
 
-def bit_or(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
+def bitwise_or(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
     return binary(lhs, rhs, jnp.bitwise_or)
 
 
-def bit_xor(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
+def bitwise_xor(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
     return binary(lhs, rhs, jnp.bitwise_xor)
 
 
-def bit_not(col) -> PrimitiveColumn:
+def bitwise_not(col) -> PrimitiveColumn:
     from ..core.datum import as_datum
     col = as_datum(col)
     if not col.dtype.is_integer:
-        raise ArrowTypeError(f"bit_not of {col.dtype!r}")
+        raise ArrowTypeError(f"bitwise_not of {col.dtype!r}")
     return unary(col, jnp.invert)
 
 
-def shift_left(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
+def bitwise_shift_left(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
     """Wrapping shift (bitwise.rs bitwise_shift_left: shift amount is taken
     modulo the bit width, Rust wrapping_shl semantics)."""
     def fn(l, r):
@@ -47,7 +47,7 @@ def shift_left(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
     return binary(lhs, rhs, fn)
 
 
-def shift_right(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
+def bitwise_shift_right(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
     def fn(l, r):
         bits = l.dtype.itemsize * 8
         return jnp.right_shift(l, (r % bits).astype(l.dtype))

@@ -45,6 +45,37 @@ _AGG_OPS = ("sum", "count", "count_all", "min", "max", "mean")
 _FUSED_CRASHED = set()
 
 
+def float_group_sums(contrib, diff_fn):
+    """IEEE-honest float grouped sums on the cumsum+boundary-diff plan.
+
+    A raw prefix sum poisons every group after the first non-finite value
+    (NaN propagates; +inf then -inf gives inf-inf = NaN at the boundary
+    diff), so non-finite contributions are zeroed out of the cumsum and
+    re-injected per group from dedicated flag counts.  Sequential-sum
+    semantics (the pyarrow oracle): any NaN -> NaN, +inf and -inf
+    together -> NaN, else a lone infinity wins, else the finite sum.
+    The fixup (three more int32 boundary-diffs) only runs when a
+    non-finite value is present (lax.cond).
+
+    contrib: f64 contributions in group-sorted order, excluded rows
+    already zeroed.  diff_fn: per-group boundary-diff reduction.
+    """
+    finite = jnp.isfinite(contrib)
+    safe_sums = diff_fn(jnp.where(finite, contrib,
+                                  jnp.zeros((), contrib.dtype)))
+
+    def fixup(s):
+        has_nan = diff_fn(jnp.isnan(contrib).astype(jnp.int32)) > 0
+        has_pinf = diff_fn((contrib == jnp.inf).astype(jnp.int32)) > 0
+        has_ninf = diff_fn((contrib == -jnp.inf).astype(jnp.int32)) > 0
+        s = jnp.where(has_pinf, jnp.array(jnp.inf, s.dtype), s)
+        s = jnp.where(has_ninf, jnp.array(-jnp.inf, s.dtype), s)
+        return jnp.where(has_nan | (has_pinf & has_ninf),
+                         jnp.array(jnp.nan, s.dtype), s)
+
+    return jax.lax.cond(jnp.all(finite), lambda s: s, fixup, safe_sums)
+
+
 @dataclass(frozen=True)
 class AggSpec:
     column: str
@@ -768,9 +799,11 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start,
                 # last XLA scatter in group_by is gone): the engine's
                 # float-sum order is the prefix-sum difference —
                 # deterministic, within ~1e-12 relative of sequential
-                # accumulation, and ~30x faster than segment_sum on v5e
-                s_ = diff_sums(contrib.astype(jnp.float64)) \
-                    .astype(vs.dtype)
+                # accumulation, and ~30x faster than segment_sum on v5e.
+                # Non-finite inputs take the float_group_sums fixup so a
+                # NaN/inf in one group cannot poison later groups.
+                s_ = float_group_sums(contrib.astype(jnp.float64),
+                                      diff_sums).astype(vs.dtype)
             else:
                 s_ = diff_sums(contrib.astype(jnp.int64)) \
                     .astype(vs.dtype)

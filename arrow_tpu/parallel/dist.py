@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import shard_axis
 from .partition import bucketize, exchange, hash_u64, repartition_arrays
+from ..ops.groupby import float_group_sums
 
 __all__ = ["local_group_aggregate", "dist_group_by", "dist_join_unique",
            "dist_join_skew", "dist_sort", "dist_sum"]
@@ -97,8 +98,8 @@ def local_group_aggregate(key: jnp.ndarray, valid: jnp.ndarray,
         if op == "sum":
             contrib = jnp.where(in_cap, a, jnp.zeros((), a.dtype))
             if jnp.issubdtype(a.dtype, jnp.floating):
-                outs.append(diff_sums(contrib.astype(jnp.float64))
-                            .astype(a.dtype))
+                outs.append(float_group_sums(contrib.astype(jnp.float64),
+                                             diff_sums).astype(a.dtype))
             else:
                 outs.append(diff_sums(contrib.astype(jnp.int64))
                             .astype(a.dtype))

@@ -60,19 +60,19 @@ def test_bitwise_golden():
     a = create_primitive_array(500, 0.1, np.int64, seed=1)
     b = create_primitive_array(500, 0.1, np.int64, seed=2)
     ca, cb = at.column(a), at.column(b)
-    assert_column_equals_pa(ops.bit_and(ca, cb), pc.bit_wise_and(a, b))
-    assert_column_equals_pa(ops.bit_or(ca, cb), pc.bit_wise_or(a, b))
-    assert_column_equals_pa(ops.bit_xor(ca, cb), pc.bit_wise_xor(a, b))
-    assert_column_equals_pa(ops.bit_not(ca), pc.bit_wise_not(a))
+    assert_column_equals_pa(ops.bitwise_and(ca, cb), pc.bit_wise_and(a, b))
+    assert_column_equals_pa(ops.bitwise_or(ca, cb), pc.bit_wise_or(a, b))
+    assert_column_equals_pa(ops.bitwise_xor(ca, cb), pc.bit_wise_xor(a, b))
+    assert_column_equals_pa(ops.bitwise_not(ca), pc.bit_wise_not(a))
 
 
 def test_shifts():
     a = at.column([1, 2, -8, None])
     s = at.column([3, 1, 1, 2])
-    assert ops.shift_left(a, s).to_pylist() == [8, 4, -16, None]
-    assert ops.shift_right(a, s).to_pylist() == [0, 1, -4, None]
+    assert ops.bitwise_shift_left(a, s).to_pylist() == [8, 4, -16, None]
+    assert ops.bitwise_shift_right(a, s).to_pylist() == [0, 1, -4, None]
     # wrapping shift amount (Rust wrapping_shl): 65 % 64 == 1
-    w = ops.shift_left(at.column([1, 1]), at.column([65, 64]))
+    w = ops.bitwise_shift_left(at.column([1, 1]), at.column([65, 64]))
     assert w.to_pylist() == [2, 1]
 
 

@@ -30,6 +30,35 @@ def test_known_bytes():
     assert b._encode("ab") == bytes([(2 << 2) | 1]) + b"ab"
 
 
+def test_object_header_spec_bits():
+    # Spec (parquet-variant builder.rs object_header): basic_type 2 in
+    # the low bits, field-OFFSET width in bits 2-3, field-ID width in
+    # bits 4-5, large flag bit 6.  Regression for the r1 swap: when the
+    # two widths differ, a spec reader must agree with us byte-for-byte.
+    b = VariantBuilder()
+    # >255 distinct small values: iw=2 (ids up to ~300), ow=2 as well —
+    # force differing widths with one long value so offsets exceed 255
+    # while ids stay 1-byte.
+    obj = {"k%d" % i: i % 5 for i in range(10)}
+    obj["long"] = "x" * 300   # pushes offset width to 2, id width stays 1
+    m, v = b.build(obj)
+    head = v[0]
+    assert head & 3 == 2
+    ow = ((head >> 2) & 3) + 1
+    iw = ((head >> 4) & 3) + 1
+    assert (ow, iw) == (2, 1)
+    assert parse_variant(m, v) == obj
+    # hand-built spec bytes: object {a: int8 7} with ow=1, iw=1
+    # metadata: version 1, ow=1, 1 key "a"
+    md = bytes([0x01, 1, 0, 1]) + b"a"
+    val = bytes([2 | (0 << 2) | (0 << 4),  # ow=1, iw=1, small
+                 1,                        # n fields
+                 0,                        # field id 0
+                 0, 2,                     # offsets 0, 2
+                 (3 << 2), 7])             # int8 7
+    assert parse_variant(md, val) == {"a": 7}
+
+
 def test_nested_roundtrip():
     v = {"a": [1, 2.5, "three", None], "b": {"c": True, "d": [[]]},
          "e": Decimal("-0.01")}
