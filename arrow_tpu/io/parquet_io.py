@@ -7,9 +7,11 @@ batch size; and ArrowWriter (arrow_writer/mod.rs:131) with
 WriterProperties (file/properties.rs:156): compression, row-group size,
 dictionary control, statistics.
 
-The container codec is Arrow C++ (pyarrow.parquet) — byte-compatible with
-the reference's parquet crate by the cross-implementation test suite; the
-decoded columns upload straight to device tables.
+The READ path is fully native (io/parquet_native.py: thrift footer,
+page decode in C++ hostcodec, level assembly) — pyarrow appears nowhere
+in it.  The write path still delegates the container codec to Arrow C++
+(pyarrow.parquet), byte-compatible with the reference by the
+cross-implementation suite; a native writer is the remaining step.
 """
 
 from __future__ import annotations
@@ -82,33 +84,44 @@ class ParquetReaderBuilder:
         return self
 
     def build(self) -> Iterator[Table]:
-        f = pq.ParquetFile(self.path)
+        from .parquet_native import ParquetFile
+        f = ParquetFile(self.path)
         remaining = self.limit
         to_skip = self.offset
-        for batch in f.iter_batches(batch_size=self.batch_size,
-                                    row_groups=self.row_groups,
-                                    columns=self.columns):
-            t = table_from_pyarrow(batch)
-            if self.row_filter is not None:
-                from ..ops.filter import filter_table
-                t = filter_table(t, self.row_filter(t))
-            if to_skip:
-                drop = min(to_skip, t.num_rows)
-                t = t.slice(drop, t.num_rows - drop)
-                to_skip -= drop
-                if t.num_rows == 0:
-                    continue
-            if remaining is not None:
-                if remaining <= 0:
-                    return
-                if t.num_rows > remaining:
-                    t = t.slice(0, remaining)
-                remaining -= t.num_rows
-            yield t
+        groups = self.row_groups if self.row_groups is not None \
+            else range(len(f.row_groups))
+        for gi in groups:
+            rg_table = f.read_row_group(gi, columns=self.columns)
+            for start in range(0, max(rg_table.num_rows, 1),
+                               self.batch_size):
+                if start >= rg_table.num_rows and rg_table.num_rows > 0:
+                    break
+                t = rg_table.slice(start, min(self.batch_size,
+                                              rg_table.num_rows - start))
+                if self.row_filter is not None:
+                    from ..ops.filter import filter_table
+                    t = filter_table(t, self.row_filter(t))
+                if to_skip:
+                    drop = min(to_skip, t.num_rows)
+                    t = t.slice(drop, t.num_rows - drop)
+                    to_skip -= drop
+                    if t.num_rows == 0:
+                        continue
+                if remaining is not None:
+                    if remaining <= 0:
+                        return
+                    if t.num_rows > remaining:
+                        t = t.slice(0, remaining)
+                    remaining -= t.num_rows
+                yield t
+                if rg_table.num_rows == 0:
+                    break
 
 
 def read_parquet(path, columns: Optional[Sequence[str]] = None) -> Table:
-    return table_from_pyarrow(pq.read_table(path, columns=columns))
+    """Whole-file native read (no pyarrow in this path)."""
+    from .parquet_native import read_parquet_native
+    return read_parquet_native(path, columns=columns)
 
 
 class ParquetWriter:
@@ -148,7 +161,31 @@ def write_parquet(path, table: Table,
     w.close()
 
 
-def read_metadata(path):
-    """Footer metadata incl. per-column statistics
-    (file/metadata/mod.rs:176)."""
-    return pq.read_metadata(path)
+class ParquetMetadata:
+    """Native footer metadata view (file/metadata/mod.rs:176)."""
+
+    def __init__(self, pf):
+        self._pf = pf
+        self.num_rows = pf.num_rows
+        self.num_row_groups = len(pf.row_groups)
+        self.created_by = pf.created_by
+        self.schema = pf.schema
+
+    def row_group_num_rows(self, i: int) -> int:
+        return self._pf.row_groups[i].get(3, 0)
+
+    def column_statistics(self, rg: int, col: int):
+        """-> {min, max, null_count, distinct_count} raw thrift values
+        (Statistics, format.rs field ids 1-6)."""
+        md = self._pf.row_groups[rg].get(1, [])[col].get(3, {})
+        st = md.get(12)
+        if st is None:
+            return None
+        return {"min": st.get(6, st.get(2)), "max": st.get(5, st.get(1)),
+                "null_count": st.get(3), "distinct_count": st.get(4)}
+
+
+def read_metadata(path) -> ParquetMetadata:
+    """Footer metadata incl. per-column statistics — parsed natively."""
+    from .parquet_native import ParquetFile
+    return ParquetMetadata(ParquetFile(path))

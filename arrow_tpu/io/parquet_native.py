@@ -1,0 +1,846 @@
+"""Native Parquet reader: thrift footer, page decode, record assembly.
+
+Round-2 replacement for the pyarrow-delegated codec.  Re-designs (not
+ports) the reference's read path:
+
+  footer/metadata     parquet/src/file/metadata/mod.rs:176 (thrift
+                      compact parse via io/thrift.py)
+  column chunk io     parquet/src/file/serialized_reader.rs:95
+  page decoding       parquet/src/encodings/decoding.rs, rle.rs (hot
+                      loops in native/hostcodec.cpp)
+  level assembly      parquet/src/arrow/array_reader (def/rep levels ->
+                      validity masks and list offsets)
+
+Engine-specific design: pages decode into numpy host buffers, then hop to
+device as whole columns (one upload per column, not per page); validity
+is the engine's dense bool mask; dictionary-encoded chunks can stay
+dictionary-encoded (the engine's hot compute representation) instead of
+being materialized.
+
+Supported: all physical types, PLAIN / RLE_DICTIONARY / PLAIN_DICTIONARY
+/ DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
+BYTE_STREAM_SPLIT encodings, v1+v2 data pages, snappy/gzip/zstd/lz4_raw
+/uncompressed codecs, arbitrary struct nesting, one repeated level
+(list<T>, list<struct>, map).  Not yet: deep nested lists, encryption.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import dtypes as dt
+from ..core.column import (Column, DictionaryColumn, ListColumn,
+                           NullColumn, PrimitiveColumn, StringColumn,
+                           StructColumn)
+from ..core.nested import (DecimalColumn, FixedSizeBinaryColumn,
+                           MapColumn)
+from ..core.table import Table
+from ..errors import ArrowInvalid, ArrowNotImplementedError
+from ..utils import native as nt
+from .thrift import CompactReader
+
+__all__ = ["ParquetFile", "read_parquet_native"]
+
+_MAGIC = b"PAR1"
+
+# physical types (format.rs Type)
+PT_BOOLEAN, PT_INT32, PT_INT64, PT_INT96, PT_FLOAT, PT_DOUBLE, \
+    PT_BYTE_ARRAY, PT_FLBA = range(8)
+
+# encodings
+ENC_PLAIN, _, ENC_PLAIN_DICT, ENC_RLE, ENC_BIT_PACKED, \
+    ENC_DELTA_BINARY_PACKED, ENC_DELTA_LENGTH_BA, ENC_DELTA_BA, \
+    ENC_RLE_DICT, ENC_BYTE_STREAM_SPLIT = range(10)
+
+# codecs
+CODEC_UNCOMPRESSED, CODEC_SNAPPY, CODEC_GZIP, CODEC_LZO, CODEC_BROTLI, \
+    CODEC_LZ4, CODEC_ZSTD, CODEC_LZ4_RAW = range(8)
+
+# page types
+PAGE_DATA, PAGE_INDEX, PAGE_DICT, PAGE_DATA_V2 = range(4)
+
+_PHYS_NP = {PT_INT32: np.int32, PT_INT64: np.int64,
+            PT_FLOAT: np.float32, PT_DOUBLE: np.float64}
+
+
+def _decompress(codec: int, data: bytes, ulen: int) -> bytes:
+    if codec == CODEC_UNCOMPRESSED:
+        return data
+    if codec == CODEC_SNAPPY:
+        return nt.snappy_decompress(data, ulen)
+    if codec == CODEC_GZIP:
+        import zlib
+        return zlib.decompress(data, 31)
+    if codec == CODEC_ZSTD:
+        import zstandard
+        return zstandard.ZstdDecompressor().decompress(
+            data, max_output_size=ulen)
+    if codec == CODEC_LZ4_RAW:
+        lib = nt._req_lib()
+        src = np.frombuffer(data, np.uint8)
+        out = np.zeros(max(ulen, 1), np.uint8)
+        n = lib.lz4_block_decompress(nt._u8(src), len(src), nt._u8(out),
+                                     ulen)
+        if n != ulen:
+            raise ArrowInvalid("bad LZ4_RAW page")
+        return out[:ulen].tobytes()
+    raise ArrowNotImplementedError(f"parquet codec {codec}")
+
+
+# ---------------------------------------------------------------------------
+# Schema tree
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SchemaNode:
+    """One SchemaElement with resolved children (metadata/mod.rs schema
+    tree role)."""
+    name: str
+    repetition: int            # 0 required, 1 optional, 2 repeated
+    physical: Optional[int]    # None for groups
+    type_length: int
+    converted: Optional[int]
+    logical: Optional[dict]    # {field_id: struct} of LogicalType
+    scale: Optional[int]
+    precision: Optional[int]
+    children: List["SchemaNode"] = field(default_factory=list)
+    # assigned during resolution
+    max_def: int = 0
+    max_rep: int = 0
+    leaf_index: Optional[int] = None
+
+    @property
+    def is_leaf(self) -> bool:
+        return self.physical is not None
+
+
+def _parse_schema(elems: List[dict]) -> SchemaNode:
+    pos = [0]
+
+    def take() -> SchemaNode:
+        e = elems[pos[0]]
+        pos[0] += 1
+        node = SchemaNode(
+            name=e.get(4, b"").decode("utf-8"),
+            repetition=e.get(3, 0),
+            physical=e.get(1),
+            type_length=e.get(2, 0),
+            converted=e.get(6),
+            logical=e.get(10),
+            scale=e.get(7),
+            precision=e.get(8),
+        )
+        nch = e.get(5, 0) or 0
+        if nch:
+            node.physical = None
+            node.children = [take() for _ in range(nch)]
+        return node
+
+    root = take()
+    counter = [0]
+
+    def resolve(n: SchemaNode, max_def: int, max_rep: int):
+        if n.repetition == 1:
+            max_def += 1
+        elif n.repetition == 2:
+            max_def += 1
+            max_rep += 1
+        n.max_def, n.max_rep = max_def, max_rep
+        if n.is_leaf:
+            n.leaf_index = counter[0]
+            counter[0] += 1
+        for c in n.children:
+            resolve(c, max_def, max_rep)
+
+    for c in root.children:
+        resolve(c, 0, 0)
+    return root
+
+
+def _logical_dtype(n: SchemaNode) -> dt.DataType:
+    """Leaf SchemaNode -> arrow dtype (schema/types.rs conversion role)."""
+    p = n.physical
+    lt = n.logical or {}
+    ct = n.converted
+
+    def decimal():
+        prec, sc = n.precision or 38, n.scale or 0
+        if 5 in lt:
+            prec = lt[5].get(2, prec)
+            sc = lt[5].get(1, sc)
+        return dt.decimal128(prec, sc) if prec <= 38 \
+            else dt.decimal256(prec, sc)
+
+    if p == PT_BOOLEAN:
+        return dt.bool_
+    if p == PT_INT32:
+        if 10 in lt:     # INTEGER
+            bits = lt[10].get(1, 32)
+            signed = lt[10].get(2, True)
+            return getattr(dt, ("int" if signed else "uint") + str(bits))
+        if 6 in lt or ct == 6:
+            return dt.date32
+        if 7 in lt:      # TIME
+            return dt.time32("ms")
+        if ct == 7:
+            return dt.time32("ms")
+        if 5 in lt or ct == 5:
+            return decimal()
+        if ct in (11, 12, 13):
+            return {11: dt.uint8, 12: dt.uint16, 13: dt.uint32}[ct]
+        if ct in (15, 16, 17):
+            return {15: dt.int8, 16: dt.int16, 17: dt.int32}[ct]
+        return dt.int32
+    if p == PT_INT64:
+        if 10 in lt:
+            signed = lt[10].get(2, True)
+            return dt.int64 if signed else dt.uint64
+        if 8 in lt:      # TIMESTAMP
+            unit = {1: "ms", 2: "us", 3: "ns"}[
+                next(iter(lt[8].get(2, {1: {}})))]
+            utc = lt[8].get(1, False)
+            return dt.timestamp(unit, "UTC" if utc else None)
+        if ct == 9:
+            return dt.timestamp("ms")
+        if ct == 10:
+            return dt.timestamp("us")
+        if 7 in lt:
+            unit = {2: "us", 3: "ns"}.get(
+                next(iter(lt[7].get(2, {2: {}}))), "us")
+            return dt.time64(unit)
+        if ct == 8:
+            return dt.time64("us")
+        if 5 in lt or ct == 5:
+            return decimal()
+        if ct == 14:
+            return dt.uint64
+        return dt.int64
+    if p == PT_INT96:
+        return dt.timestamp("ns")
+    if p == PT_FLOAT:
+        return dt.float32
+    if p == PT_DOUBLE:
+        return dt.float64
+    if p == PT_BYTE_ARRAY:
+        if 5 in lt or ct == 5:
+            return decimal()
+        if 1 in lt or 4 in lt or 12 in lt or ct in (0, 4, 19):
+            return dt.utf8
+        return dt.binary
+    if p == PT_FLBA:
+        if 5 in lt or ct == 5:
+            return decimal()
+        if 15 in lt:     # FLOAT16
+            return dt.float16
+        return dt.fixed_size_binary(n.type_length)
+    raise ArrowNotImplementedError(f"parquet physical type {p}")
+
+
+def _node_dtype(n: SchemaNode) -> dt.DataType:
+    """Any SchemaNode -> arrow dtype (groups included)."""
+    if n.is_leaf:
+        return _logical_dtype(n)
+    lt = n.logical or {}
+    ct = n.converted
+    if 3 in lt or ct == 3:           # LIST
+        mid = n.children[0]
+        elem = mid.children[0] if mid.children else mid
+        return dt.list_(_node_dtype(elem))
+    if 2 in lt or ct in (1, 2):      # MAP
+        kv = n.children[0]
+        return dt.map_(_node_dtype(kv.children[0]),
+                       _node_dtype(kv.children[1]))
+    if n.repetition == 2:            # legacy repeated group = list<struct>
+        return dt.list_(dt.struct([dt.Field(c.name, _node_dtype(c),
+                                            c.repetition != 0)
+                                   for c in n.children]))
+    return dt.struct([dt.Field(c.name, _node_dtype(c),
+                               c.repetition != 0) for c in n.children])
+
+
+# ---------------------------------------------------------------------------
+# Page decode
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _LeafData:
+    """Decoded column chunk for one leaf: flat (rep, def, values)."""
+    node: SchemaNode
+    defs: Optional[np.ndarray]         # uint32[n_slots] or None
+    reps: Optional[np.ndarray]
+    values: object                     # np array | (offsets, data) | dict form
+    dictionary: Optional[object] = None   # decoded dict values
+    indices: Optional[np.ndarray] = None  # dict indices (when kept encoded)
+
+
+def _decode_plain(node: SchemaNode, data: bytes, count: int):
+    p = node.physical
+    if p in _PHYS_NP:
+        return np.frombuffer(data, _PHYS_NP[p], count)
+    if p == PT_BOOLEAN:
+        bits = np.frombuffer(data, np.uint8)
+        return np.unpackbits(bits, count=count,
+                             bitorder="little").astype(np.bool_)
+    if p == PT_BYTE_ARRAY:
+        return nt.plain_byte_array_decode(data, count)
+    if p == PT_FLBA:
+        w = node.type_length
+        return np.frombuffer(data, np.uint8, count * w).reshape(count, w)
+    if p == PT_INT96:
+        raw = np.frombuffer(data, np.uint8, count * 12).reshape(count, 12)
+        nanos = raw[:, :8].copy().view(np.int64).ravel()
+        jday = raw[:, 8:].copy().view(np.int32).ravel()
+        return (jday.astype(np.int64) - 2440588) * 86400_000_000_000 \
+            + nanos
+    raise ArrowNotImplementedError(f"PLAIN decode of physical {p}")
+
+
+def _decode_values(node: SchemaNode, enc: int, data: bytes, count: int,
+                   dictionary):
+    """-> values (np array or (offsets, data)), or ('dict', indices)."""
+    if count == 0:
+        return _empty_values(node)
+    if enc == ENC_PLAIN:
+        return _decode_plain(node, data, count)
+    if enc in (ENC_PLAIN_DICT, ENC_RLE_DICT):
+        bit_width = data[0]
+        idx = nt.rle_bp_decode(data[1:], bit_width, count)
+        return ("dict", idx)
+    if enc == ENC_RLE:
+        # RLE as a VALUES encoding: booleans (v2 pages), u32 length
+        # prefix then the rle/bit-packed payload at bit width 1
+        if node.physical != PT_BOOLEAN:
+            raise ArrowNotImplementedError("RLE values for non-boolean")
+        (ln,) = struct.unpack_from("<I", data, 0)
+        return nt.rle_bp_decode(data[4:4 + ln], 1, count).astype(np.bool_)
+    if enc == ENC_DELTA_BINARY_PACKED:
+        vals, _ = nt.delta_binary_packed_decode(data, count)
+        if node.physical == PT_INT32:
+            return vals.astype(np.int32)
+        return vals
+    if enc == ENC_DELTA_LENGTH_BA:
+        lens, consumed = nt.delta_binary_packed_decode(data, count)
+        offsets = np.zeros(count + 1, np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        payload = np.frombuffer(data, np.uint8,
+                                int(offsets[-1]), consumed)
+        return offsets, payload
+    if enc == ENC_DELTA_BA:
+        plens, c1 = nt.delta_binary_packed_decode(data, count)
+        slens, c2 = nt.delta_binary_packed_decode(data[c1:], count)
+        suffixes = data[c1 + c2: c1 + c2 + int(slens.sum())]
+        return nt.delta_byte_array_build(plens, slens, suffixes)
+    if enc == ENC_BYTE_STREAM_SPLIT:
+        p = node.physical
+        if p in (PT_FLOAT, PT_DOUBLE, PT_INT32, PT_INT64):
+            w = {PT_FLOAT: 4, PT_INT32: 4, PT_DOUBLE: 8, PT_INT64: 8}[p]
+            npdt = _PHYS_NP[p]
+        elif p == PT_FLBA:
+            w = node.type_length
+            npdt = None
+        else:
+            raise ArrowNotImplementedError("BYTE_STREAM_SPLIT type")
+        planes = np.frombuffer(data, np.uint8, w * count) \
+            .reshape(w, count)
+        inter = np.ascontiguousarray(planes.T)
+        if npdt is None:
+            return inter
+        return inter.view(npdt).ravel()
+    raise ArrowNotImplementedError(f"parquet encoding {enc}")
+
+
+def _empty_values(node: SchemaNode):
+    p = node.physical
+    if p in _PHYS_NP:
+        return np.zeros(0, _PHYS_NP[p])
+    if p == PT_BOOLEAN:
+        return np.zeros(0, np.bool_)
+    if p in (PT_BYTE_ARRAY,):
+        return np.zeros(1, np.int32), np.zeros(0, np.uint8)
+    if p == PT_FLBA:
+        return np.zeros((0, node.type_length), np.uint8)
+    if p == PT_INT96:
+        return np.zeros(0, np.int64)
+    return np.zeros(0, np.int64)
+
+
+def _read_column_chunk(data: bytes, chunk_meta: dict, node: SchemaNode
+                       ) -> _LeafData:
+    """Decode every page of one column chunk (serialized_reader.rs:95 +
+    column/reader.rs roles)."""
+    md = chunk_meta[3]                    # ColumnMetaData
+    codec = md.get(4, 0)
+    num_values = md.get(5, 0)
+    data_off = md.get(9)
+    dict_off = md.get(11)
+    total = md.get(7)
+    start = data_off if dict_off is None else min(data_off, dict_off)
+    pos = start
+    end = start + total
+
+    dictionary = None
+    defs = np.zeros(num_values, np.uint32) if node.max_def else None
+    reps = np.zeros(num_values, np.uint32) if node.max_rep else None
+    chunks = []                          # per-page values
+    dict_idx_chunks = []
+    slots_read = 0
+    nonnull_read = 0
+
+    while slots_read < num_values and pos < end:
+        r = CompactReader(data, pos)
+        header = r.read_struct()
+        page_type = header.get(1)
+        ulen = header.get(2)
+        clen = header.get(3)
+        body = data[r.pos: r.pos + clen]
+        pos = r.pos + clen
+
+        if page_type == PAGE_DICT:
+            dph = header.get(7, {})
+            dcount = dph.get(1, 0)
+            raw = _decompress(codec, body, ulen)
+            dictionary = _decode_plain(node, raw, dcount)
+            continue
+        if page_type == PAGE_DATA:
+            dph = header.get(5, {})
+            n = dph.get(1, 0)
+            enc = dph.get(2, ENC_PLAIN)
+            raw = _decompress(codec, body, ulen)
+            off = 0
+            if node.max_rep:
+                (ln,) = struct.unpack_from("<I", raw, off)
+                reps[slots_read:slots_read + n] = nt.rle_bp_decode(
+                    raw[off + 4: off + 4 + ln],
+                    _bit_width(node.max_rep), n)
+                off += 4 + ln
+            if node.max_def:
+                (ln,) = struct.unpack_from("<I", raw, off)
+                defs[slots_read:slots_read + n] = nt.rle_bp_decode(
+                    raw[off + 4: off + 4 + ln],
+                    _bit_width(node.max_def), n)
+                off += 4 + ln
+                nn = int((defs[slots_read:slots_read + n]
+                          == node.max_def).sum())
+            else:
+                nn = n
+            vals = _decode_values(node, enc, raw[off:], nn, dictionary)
+        elif page_type == PAGE_DATA_V2:
+            dph = header.get(8, {})
+            n = dph.get(1, 0)
+            enc = dph.get(4, ENC_PLAIN)
+            dl_len = dph.get(5, 0)
+            rl_len = dph.get(6, 0)
+            compressed = dph.get(7, True)
+            off = 0
+            if node.max_rep:
+                reps[slots_read:slots_read + n] = nt.rle_bp_decode(
+                    body[off:off + rl_len], _bit_width(node.max_rep), n)
+            off += rl_len
+            if node.max_def:
+                defs[slots_read:slots_read + n] = nt.rle_bp_decode(
+                    body[off:off + dl_len], _bit_width(node.max_def), n)
+                nn = int((defs[slots_read:slots_read + n]
+                          == node.max_def).sum())
+            else:
+                nn = n
+            off += dl_len
+            payload = body[off:]
+            if compressed and codec != CODEC_UNCOMPRESSED:
+                payload = _decompress(codec, payload,
+                                      ulen - rl_len - dl_len)
+            vals = _decode_values(node, enc, payload, nn, dictionary)
+        else:
+            continue                     # index page etc.
+
+        if isinstance(vals, tuple) and isinstance(vals[0], str):
+            dict_idx_chunks.append(vals[1])
+        else:
+            chunks.append(vals)
+        slots_read += n
+        nonnull_read += nn
+
+    ld = _LeafData(node, defs, reps, None, dictionary=dictionary)
+    if dict_idx_chunks and not chunks:
+        ld.indices = np.concatenate(dict_idx_chunks) \
+            if len(dict_idx_chunks) > 1 else dict_idx_chunks[0]
+    else:
+        ld.values = _concat_values(node, chunks, dict_idx_chunks,
+                                   dictionary)
+    return ld
+
+
+def _bit_width(v: int) -> int:
+    return max(1, int(v).bit_length()) if v else 0
+
+
+def _concat_values(node: SchemaNode, chunks, dict_idx_chunks, dictionary):
+    """Merge per-page value arrays (materializing dict pages if a chunk
+    mixes dictionary and plain pages)."""
+    mats = []
+    for c in chunks:
+        mats.append(c)
+    for idx in dict_idx_chunks:
+        mats.append(_take_values(node, dictionary, idx))
+    if not mats:
+        return _empty_values(node)
+    if len(mats) == 1:
+        return mats[0]
+    if isinstance(mats[0], tuple):     # (offsets, data) byte arrays
+        offs_list, data_list = zip(*mats)
+        total = np.zeros(sum(len(o) - 1 for o in offs_list) + 1, np.int32)
+        datas = []
+        base = 0
+        k = 1
+        for o, d in mats:
+            cnt = len(o) - 1
+            total[k:k + cnt] = np.asarray(o[1:], np.int64) + base
+            base += int(o[-1])
+            k += cnt
+            datas.append(np.asarray(d, np.uint8)[:int(o[-1])])
+        return total, np.concatenate(datas) if datas \
+            else np.zeros(0, np.uint8)
+    return np.concatenate(mats)
+
+
+def _take_values(node: SchemaNode, dictionary, idx: np.ndarray):
+    if dictionary is None:
+        raise ArrowInvalid("dictionary-encoded page without dictionary")
+    if isinstance(dictionary, tuple):  # byte arrays
+        offs, data = dictionary
+        offs64 = np.asarray(offs, np.int64)
+        lens = (offs64[1:] - offs64[:-1])[idx]
+        out_offs = np.zeros(len(idx) + 1, np.int32)
+        np.cumsum(lens, out=out_offs[1:])
+        out = np.zeros(int(out_offs[-1]), np.uint8)
+        starts = offs64[:-1][idx]
+        for i in range(len(idx)):      # host loop; dict pages are small
+            out[out_offs[i]:out_offs[i + 1]] = \
+                data[starts[i]:starts[i] + lens[i]]
+        return out_offs, out
+    return np.asarray(dictionary)[idx]
+
+
+# ---------------------------------------------------------------------------
+# Record assembly (leaf data -> engine columns)
+# ---------------------------------------------------------------------------
+
+def _build_column(node: SchemaNode, leaf_map: Dict[int, _LeafData],
+                  n_rows: int, as_dictionary: set,
+                  axis_def: int = 0, axis_rep: int = 0) -> Column:
+    """Recursive column build from decoded leaves.
+
+    axis_def/axis_rep: the def/rep thresholds defining the CURRENT axis
+    (0/0 = row axis; mid.max_def/mid.max_rep = the element axis of the
+    enclosing repeated group).  A leaf slot participates in this axis iff
+    its def level >= axis_def; structs pass the axis through unchanged,
+    repeated groups switch to the element axis.
+    """
+    if node.is_leaf:
+        ld = leaf_map[node.leaf_index]
+        return _build_leaf(node, ld, n_rows, node.name in as_dictionary,
+                           axis_def)
+
+    lt = node.logical or {}
+    ct = node.converted
+    is_list = 3 in lt or ct == 3
+    is_map = 2 in lt or ct in (1, 2)
+
+    if is_list or is_map:
+        if axis_rep:
+            raise ArrowNotImplementedError(
+                "nested repeated levels (list<list<...>>) not supported "
+                "yet by the native parquet reader")
+        mid = node.children[0]         # repeated group
+        # list offsets from any descendant leaf's rep/def levels
+        leaf = _first_leaf(mid)
+        ld = leaf_map[leaf.leaf_index]
+        defs = ld.defs
+        reps = ld.reps
+        n_slots = len(defs)
+        new_rec = reps <= axis_rep if reps is not None \
+            else np.ones(n_slots, bool)
+        rec_of_slot = np.cumsum(new_rec) - 1
+        list_def = node.max_def        # def >= this => list non-null
+        has_elem = defs >= list_def + 1
+        counts = np.bincount(rec_of_slot[has_elem], minlength=n_rows)
+        offsets = np.zeros(n_rows + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        validity = None
+        if node.max_def > axis_def:    # an optional ancestor or self
+            first_slot = np.zeros(n_rows, np.int64)
+            first_slot[rec_of_slot[new_rec]] = np.nonzero(new_rec)[0]
+            valid = defs[first_slot] >= list_def
+            if not valid.all():
+                validity = jnp.asarray(valid)
+        n_elems = int(offsets[-1])
+        if is_map:
+            kv = mid
+            entries = StructColumn(
+                tuple(_build_column(c, leaf_map, n_elems, as_dictionary,
+                                    kv.max_def, kv.max_rep)
+                      for c in kv.children),
+                tuple(dt.Field(c.name, _node_dtype(c),
+                               c.repetition != 0) for c in kv.children))
+            return MapColumn(jnp.asarray(offsets), entries, validity)
+        elem = mid.children[0] if mid.children else mid
+        child = _build_column(elem, leaf_map, n_elems, as_dictionary,
+                              mid.max_def, mid.max_rep)
+        return ListColumn(jnp.asarray(offsets), child, validity)
+
+    # struct: children stay on the SAME axis
+    children = tuple(_build_column(c, leaf_map, n_rows, as_dictionary,
+                                   axis_def, axis_rep)
+                     for c in node.children)
+    validity = None
+    if node.repetition == 1:
+        leaf = _first_leaf(node)
+        ld = leaf_map[leaf.leaf_index]
+        if ld.defs is not None:
+            defs = ld.defs
+            on_axis = defs >= axis_def if axis_def else slice(None)
+            valid = defs[on_axis] >= node.max_def
+            if not valid.all():
+                validity = jnp.asarray(valid)
+    return StructColumn(children,
+                        tuple(dt.Field(c.name, _node_dtype(c),
+                                       c.repetition != 0)
+                              for c in node.children), validity)
+
+
+def _first_leaf(n: SchemaNode) -> SchemaNode:
+    while not n.is_leaf:
+        n = n.children[0]
+    return n
+
+
+def _build_leaf(node: SchemaNode, ld: _LeafData, n_rows: int,
+                keep_dict: bool, axis_def: int) -> Column:
+    d = _logical_dtype(node)
+    defs = ld.defs
+    # restrict slots to the current axis (the element axis of the
+    # enclosing repeated group, when any)
+    if axis_def and defs is not None:
+        defs = defs[ld.defs >= axis_def]
+    valid = None
+    if defs is not None:
+        # value present iff def == max_def: covers the leaf's own
+        # optionality AND null ancestors (struct) between it and the axis
+        valid_np = defs >= node.max_def
+        if not valid_np.all():
+            valid = valid_np
+    n = n_rows
+
+    if ld.indices is not None and keep_dict:
+        idx_full = np.zeros(n, np.int32)
+        mask = valid if valid is not None else np.ones(n, bool)
+        idx_full[mask] = ld.indices.astype(np.int32)
+        values_col = _values_to_column(node, ld.dictionary, d)
+        return DictionaryColumn(
+            jnp.asarray(idx_full),
+            values_col,
+            jnp.asarray(mask) if valid is not None else None)
+
+    if ld.indices is not None:
+        ld.values = _take_values(node, ld.dictionary, ld.indices)
+        ld.indices = None
+
+    return _scatter_leaf(node, ld.values, valid, n, d)
+
+
+def _values_to_column(node: SchemaNode, values, d: dt.DataType) -> Column:
+    """Dictionary values -> engine column (no nulls in parquet dicts)."""
+    if isinstance(values, tuple):
+        offs, data = values
+        return StringColumn(jnp.asarray(np.asarray(offs, np.int32)),
+                            jnp.asarray(np.asarray(data, np.uint8)),
+                            d if d.name in ("utf8", "binary") else dt.utf8)
+    return _scatter_leaf(node, values, None, len(values), d)
+
+
+def _scatter_leaf(node: SchemaNode, values, valid: Optional[np.ndarray],
+                  n: int, d: dt.DataType) -> Column:
+    """Expand non-null values onto the n-slot axis and wrap as Column."""
+    vmask = None if valid is None else jnp.asarray(valid)
+
+    if isinstance(values, tuple):      # byte arrays -> StringColumn
+        offs, data = values
+        offs = np.asarray(offs, np.int64)
+        if d.is_decimal:
+            return _decimal_from_bytes(offs, data, valid, n, d)
+        if valid is None:
+            out_offs = offs.astype(np.int32)
+        else:
+            lens = np.zeros(n, np.int64)
+            lens[valid] = offs[1:] - offs[:-1]
+            out_offs = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=out_offs[1:])
+            out_offs = out_offs.astype(np.int32)
+        return StringColumn(jnp.asarray(out_offs),
+                            jnp.asarray(np.asarray(data, np.uint8)),
+                            d, vmask)
+
+    vals = np.asarray(values)
+    if node.physical == PT_FLBA and vals.ndim == 2:
+        if d.name == "float16":
+            flat = vals.copy().view(np.float16).ravel()
+            return _scatter_prim(flat, valid, n, d, vmask)
+        if d.is_decimal:
+            return _decimal_from_flba(vals, valid, n, d)
+        full = np.zeros((n, vals.shape[1]), np.uint8)
+        full[valid if valid is not None else slice(None)] = vals
+        return FixedSizeBinaryColumn(jnp.asarray(full), vmask)
+    return _scatter_prim(vals, valid, n, d, vmask)
+
+
+def _scatter_prim(vals: np.ndarray, valid, n: int, d: dt.DataType,
+                  vmask) -> Column:
+    target = d.to_numpy()
+    if valid is None:
+        out = vals.astype(target, copy=False)
+    else:
+        out = np.zeros(n, target)
+        out[valid] = vals.astype(target, copy=False)
+    return PrimitiveColumn(jnp.asarray(out), d, vmask,
+                           _canonical=vmask is None)
+
+
+def _decimal_from_bytes(offs, data, valid, n, d) -> Column:
+    """Big-endian two's complement byte arrays -> decimal limbs."""
+    k = 2 if d.name == "decimal128" else 4
+    limbs = np.zeros((n, k), np.uint64)
+    data = np.asarray(data, np.uint8)
+    rows = np.nonzero(valid)[0] if valid is not None else range(n)
+    for j, i in enumerate(rows):
+        raw = bytes(data[offs[j]:offs[j + 1]])
+        v = int.from_bytes(raw, "big", signed=True) if raw else 0
+        limbs[i] = _int_to_limbs(v, k)
+    return DecimalColumn(jnp.asarray(limbs), d,
+                         jnp.asarray(valid) if valid is not None else None)
+
+
+def _decimal_from_flba(vals, valid, n, d) -> Column:
+    k = 2 if d.name == "decimal128" else 4
+    limbs = np.zeros((n, k), np.uint64)
+    rows = np.nonzero(valid)[0] if valid is not None else range(n)
+    for j, i in enumerate(rows):
+        v = int.from_bytes(bytes(vals[j]), "big", signed=True)
+        limbs[i] = _int_to_limbs(v, k)
+    return DecimalColumn(jnp.asarray(limbs), d,
+                         jnp.asarray(valid) if valid is not None else None)
+
+
+def _int_to_limbs(v: int, k: int) -> np.ndarray:
+    mask = (1 << 64) - 1
+    u = v & ((1 << (64 * k)) - 1)
+    return np.array([(u >> (64 * i)) & mask for i in range(k)], np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# File reader
+# ---------------------------------------------------------------------------
+
+class ParquetFile:
+    """Native parquet file reader (ParquetRecordBatchReaderBuilder +
+    SerializedFileReader roles)."""
+
+    def __init__(self, source):
+        if isinstance(source, str):
+            with open(source, "rb") as f:
+                self._data = f.read()
+        elif hasattr(source, "read"):
+            self._data = source.read()
+        else:
+            self._data = bytes(source)
+        data = self._data
+        if data[:4] != _MAGIC or data[-4:] != _MAGIC:
+            raise ArrowInvalid("not a parquet file (bad magic)")
+        (flen,) = struct.unpack_from("<i", data, len(data) - 8)
+        footer = data[len(data) - 8 - flen: len(data) - 8]
+        self.metadata = CompactReader(footer).read_struct()
+        self.root = _parse_schema(self.metadata[2])
+        self.num_rows = self.metadata.get(3, 0)
+        self.row_groups = self.metadata.get(4, [])
+        self.created_by = (self.metadata.get(6) or b"").decode(
+            "utf-8", "replace")
+
+    @property
+    def schema(self) -> dt.Schema:
+        return dt.Schema(tuple(
+            dt.Field(c.name, _node_dtype(c), c.repetition != 0)
+            for c in self.root.children))
+
+    def key_value_metadata(self) -> Dict[str, bytes]:
+        out = {}
+        for kv in self.metadata.get(5, []) or []:
+            out[kv.get(1, b"").decode("utf-8")] = kv.get(2)
+        return out
+
+    def _leaves(self) -> List[SchemaNode]:
+        out = []
+
+        def walk(n):
+            if n.is_leaf:
+                out.append(n)
+            for c in n.children:
+                walk(c)
+
+        for c in self.root.children:
+            walk(c)
+        return out
+
+    def read_row_group(self, rg_index: int,
+                       columns: Optional[Sequence[str]] = None,
+                       as_dictionary: Sequence[str] = ()) -> Table:
+        rg = self.row_groups[rg_index]
+        n_rows = rg.get(3, 0)
+        leaves = self._leaves()
+        chunks = rg.get(1, [])
+        fields = self.root.children
+        if columns is not None:
+            fields = [f for f in fields if f.name in set(columns)]
+        wanted_roots = {id(f) for f in fields}
+        # decode only leaves under projected roots
+        root_of: Dict[int, SchemaNode] = {}
+        for f in self.root.children:
+            for leaf in _leaves_under(f):
+                root_of[leaf.leaf_index] = f
+        leaf_map: Dict[int, _LeafData] = {}
+        for li, (leaf, chunk) in enumerate(zip(leaves, chunks)):
+            if id(root_of[leaf.leaf_index]) not in wanted_roots:
+                continue
+            leaf_map[leaf.leaf_index] = _read_column_chunk(
+                self._data, chunk, leaf)
+        cols = tuple(_build_column(f, leaf_map, n_rows,
+                                   set(as_dictionary))
+                     for f in fields)
+        schema = dt.Schema(tuple(dt.Field(f.name, c.dtype,
+                                          f.repetition != 0)
+                                 for f, c in zip(fields, cols)))
+        return Table(cols, schema)
+
+    def read(self, columns: Optional[Sequence[str]] = None,
+             as_dictionary: Sequence[str] = ()) -> Table:
+        parts = [self.read_row_group(i, columns, as_dictionary)
+                 for i in range(len(self.row_groups))]
+        if len(parts) == 1:
+            return parts[0]
+        from ..ops.concat import concat_tables
+        return concat_tables(parts)
+
+
+def _leaves_under(n: SchemaNode) -> List[SchemaNode]:
+    if n.is_leaf:
+        return [n]
+    out = []
+    for c in n.children:
+        out.extend(_leaves_under(c))
+    return out
+
+
+def read_parquet_native(source, columns=None, as_dictionary=()) -> Table:
+    return ParquetFile(source).read(columns, as_dictionary)

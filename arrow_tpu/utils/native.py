@@ -30,12 +30,17 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO):
+    src = os.path.join(_NATIVE_DIR, "hostcodec.cpp")
+    stale = not os.path.exists(_SO) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_SO))
+    if stale:
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                           capture_output=True, timeout=120)
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s", "-B"],
+                           check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_SO):
+                return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -70,6 +75,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.xxhash64_varlen.argtypes = [i32p, u8p, i64, u64, u64p]
     lib.sbbf_insert.argtypes = [u8p, i64, u64p, i64]
     lib.sbbf_check.argtypes = [u8p, i64, u64p, i64, u8p]
+    lib.xxhash32.argtypes = [u8p, i64, ctypes.c_uint32]
+    lib.xxhash32.restype = ctypes.c_uint32
+    lib.lz4_frame_compress.argtypes = [u8p, i64, u8p, i64]
+    lib.lz4_frame_compress.restype = i64
+    lib.lz4_frame_decompress.argtypes = [u8p, i64, u8p, i64]
+    lib.lz4_frame_decompress.restype = i64
     _lib = lib
     return _lib
 
@@ -252,3 +263,162 @@ def decode_varlen_rows(rows: np.ndarray, cell_offset: int, nblocks: int,
         out_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         _u8(out_data), _u8(out_valid))
     return out_offsets, out_data[:total], out_valid
+
+
+def lz4_frame_compress(data: bytes) -> bytes:
+    """LZ4 frame (single frame; Arrow IPC LZ4_FRAME buffer codec)."""
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("lz4 requires the native hostcodec")
+    src = np.frombuffer(data, np.uint8)
+    cap = len(data) + len(data) // 200 + 64
+    out = np.zeros(cap, np.uint8)
+    n = lib.lz4_frame_compress(_u8(src), len(src), _u8(out), cap)
+    if n < 0:
+        raise ValueError("lz4 frame compression overflow")
+    return out[:n].tobytes()
+
+
+def lz4_frame_decompress(data: bytes, uncompressed_len: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("lz4 requires the native hostcodec")
+    src = np.frombuffer(data, np.uint8)
+    out = np.zeros(max(uncompressed_len, 1), np.uint8)
+    n = lib.lz4_frame_decompress(_u8(src), len(src), _u8(out),
+                                 uncompressed_len)
+    if n != uncompressed_len:
+        raise ValueError(
+            f"lz4 frame decompressed to {n}, expected {uncompressed_len}")
+    return out[:uncompressed_len].tobytes()
+
+
+def _bind_parquet(lib):
+    if getattr(lib, "_pq_bound", False):
+        return
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.c_int64
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.rle_bp_decode.argtypes = [u8p, i64, ctypes.c_int32, i64, u32p]
+    lib.rle_bp_decode.restype = i64
+    lib.rle_bp_encode.argtypes = [u32p, i64, ctypes.c_int32, u8p, i64]
+    lib.rle_bp_encode.restype = i64
+    lib.plain_byte_array_decode.argtypes = [u8p, i64, i64, i32p, u8p, i64]
+    lib.plain_byte_array_decode.restype = i64
+    lib.delta_binary_packed_decode.argtypes = [u8p, i64, i64, i64p]
+    lib.delta_binary_packed_decode.restype = i64
+    lib.delta_byte_array_build.argtypes = [i64p, i64p, u8p, i64, i64,
+                                           i32p, u8p, i64]
+    lib.delta_byte_array_build.restype = i64
+    lib.snappy_decompress.argtypes = [u8p, i64, u8p, i64]
+    lib.snappy_decompress.restype = i64
+    lib.snappy_compress.argtypes = [u8p, i64, u8p, i64]
+    lib.snappy_compress.restype = i64
+    lib._pq_bound = True
+
+
+def _req_lib():
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native hostcodec unavailable")
+    _bind_parquet(lib)
+    return lib
+
+
+def rle_bp_decode(data: bytes, bit_width: int, count: int) -> np.ndarray:
+    """RLE/bit-packed hybrid -> uint32[count] (parquet encodings/rle.rs)."""
+    lib = _req_lib()
+    src = np.frombuffer(data, np.uint8)
+    out = np.zeros(count, np.uint32)
+    consumed = lib.rle_bp_decode(
+        _u8(src), len(src), bit_width, count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if consumed < 0:
+        raise ValueError("malformed RLE/bit-packed data")
+    return out
+
+
+def rle_bp_encode(vals: np.ndarray, bit_width: int) -> bytes:
+    lib = _req_lib()
+    vals = np.ascontiguousarray(vals, np.uint32)
+    cap = len(vals) * ((bit_width + 7) // 8 + 1) + 64
+    out = np.zeros(cap, np.uint8)
+    n = lib.rle_bp_encode(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(vals), bit_width, _u8(out), cap)
+    if n < 0:
+        raise ValueError("rle encode overflow")
+    return out[:n].tobytes()
+
+
+def plain_byte_array_decode(data: bytes, count: int):
+    """u32-length-prefixed byte arrays -> (int32 offsets[count+1], u8 data)."""
+    lib = _req_lib()
+    src = np.frombuffer(data, np.uint8)
+    offsets = np.zeros(count + 1, np.int32)
+    out = np.zeros(max(len(src), 1), np.uint8)
+    total = lib.plain_byte_array_decode(
+        _u8(src), len(src), count,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8(out), len(out))
+    if total < 0:
+        raise ValueError("malformed PLAIN byte-array page")
+    return offsets, out[:total]
+
+
+def delta_binary_packed_decode(data: bytes, count: int):
+    """-> (int64 values[count], bytes consumed)."""
+    lib = _req_lib()
+    src = np.frombuffer(data, np.uint8)
+    out = np.zeros(max(count, 1), np.int64)
+    consumed = lib.delta_binary_packed_decode(
+        _u8(src), len(src), count,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if consumed < 0:
+        raise ValueError("malformed DELTA_BINARY_PACKED page")
+    return out[:count], int(consumed)
+
+
+def delta_byte_array_build(prefix_lens: np.ndarray, suffix_lens: np.ndarray,
+                           suffixes: bytes):
+    """-> (int32 offsets, u8 data) from incremental-encoded strings."""
+    lib = _req_lib()
+    count = len(prefix_lens)
+    pl = np.ascontiguousarray(prefix_lens, np.int64)
+    sl = np.ascontiguousarray(suffix_lens, np.int64)
+    suf = np.frombuffer(suffixes, np.uint8)
+    cap = int(pl.sum() + sl.sum()) + 1
+    offsets = np.zeros(count + 1, np.int32)
+    data = np.zeros(cap, np.uint8)
+    total = lib.delta_byte_array_build(
+        pl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _u8(suf), len(suf), count,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8(data), cap)
+    if total < 0:
+        raise ValueError("malformed DELTA_BYTE_ARRAY page")
+    return offsets, data[:total]
+
+
+def snappy_decompress(data: bytes, uncompressed_len: int) -> bytes:
+    lib = _req_lib()
+    src = np.frombuffer(data, np.uint8)
+    out = np.zeros(max(uncompressed_len, 1), np.uint8)
+    n = lib.snappy_decompress(_u8(src), len(src), _u8(out),
+                              uncompressed_len)
+    if n != uncompressed_len:
+        raise ValueError(
+            f"snappy decompressed to {n}, expected {uncompressed_len}")
+    return out[:uncompressed_len].tobytes()
+
+
+def snappy_compress(data: bytes) -> bytes:
+    lib = _req_lib()
+    src = np.frombuffer(data, np.uint8)
+    cap = len(data) + len(data) // 4 + 64
+    out = np.zeros(cap, np.uint8)
+    n = lib.snappy_compress(_u8(src), len(src), _u8(out), cap)
+    return out[:n].tobytes()
