@@ -1,11 +1,16 @@
 """Avro -> Table reader (the arrow-avro role: decode-only, SURVEY.md §2.3).
 
-Pure-Python object-container-file reader built from the Avro 1.11 spec:
-magic 'Obj\\x01', metadata map (avro.schema JSON + avro.codec), 16-byte sync
-marker, then blocks of (row_count, byte_size, payload, sync).  Supported
-schema subset: records of boolean/int/long/float/double/string/bytes/enum
-and ["null", T] unions; codecs null and deflate (zlib).  Column batches
-build host-side, then upload to device.
+Object-container-file reader built from the Avro 1.11 spec: magic
+'Obj\\x01', metadata map (avro.schema JSON + avro.codec), 16-byte sync
+marker, then blocks of (row_count, byte_size, payload, sync).
+
+r2 coverage (arrow-avro codec.rs / reader/block.rs parity): nested
+records (struct), arrays (list), maps, fixed, enums, ["null", T]
+unions; logical types date/time-millis/time-micros/timestamp-millis/
+timestamp-micros/uuid; codecs null, deflate, and snappy (native
+hostcodec codec + CRC32 check); reader-vs-writer schema resolution
+(field defaults, int->long->float->double and string<->bytes
+promotions).  Column batches build host-side, then upload to device.
 """
 
 from __future__ import annotations
@@ -87,8 +92,33 @@ def _decode_value(cur: _Cursor, schema):
                     for f in schema["fields"]}
         if t == "enum":
             return schema["symbols"][cur.vlq_long()]
-        if t in ("map", "array"):
-            raise ArrowNotImplementedError(f"avro {t}")
+        if t == "array":
+            out = []
+            while True:
+                n = cur.vlq_long()
+                if n == 0:
+                    break
+                if n < 0:          # negative count: byte size follows
+                    cur.vlq_long()
+                    n = -n
+                for _ in range(n):
+                    out.append(_decode_value(cur, schema["items"]))
+            return out
+        if t == "map":
+            out = []
+            while True:
+                n = cur.vlq_long()
+                if n == 0:
+                    break
+                if n < 0:
+                    cur.vlq_long()
+                    n = -n
+                for _ in range(n):
+                    k = cur.string().decode()
+                    out.append((k, _decode_value(cur, schema["values"])))
+            return out
+        if t == "fixed":
+            return cur.read(schema["size"])
         schema = t
     if schema == "null":
         return None
@@ -112,6 +142,15 @@ _AVRO_TO_DT = {"boolean": dt.bool_, "int": dt.int32, "long": dt.int64,
                "string": dt.utf8, "bytes": dt.binary}
 
 
+_LOGICAL_DT = {
+    "date": dt.date32, "time-millis": dt.time32("ms"),
+    "time-micros": dt.time64("us"),
+    "timestamp-millis": dt.timestamp("ms"),
+    "timestamp-micros": dt.timestamp("us"),
+    "uuid": dt.utf8,
+}
+
+
 def _field_dtype(schema) -> dt.DataType:
     if isinstance(schema, list):
         non_null = [s for s in schema if s != "null"]
@@ -119,15 +158,120 @@ def _field_dtype(schema) -> dt.DataType:
             raise ArrowNotImplementedError("multi-branch avro union")
         return _field_dtype(non_null[0])
     if isinstance(schema, dict):
-        if schema["type"] == "enum":
+        lt = schema.get("logicalType")
+        if lt in _LOGICAL_DT:
+            return _LOGICAL_DT[lt]
+        t = schema["type"]
+        if t == "enum":
             return dt.dictionary(dt.int32, dt.utf8)
-        return _field_dtype(schema["type"])
+        if t == "array":
+            return dt.list_(_field_dtype(schema["items"]))
+        if t == "map":
+            return dt.map_(dt.utf8, _field_dtype(schema["values"]))
+        if t == "record":
+            return dt.struct([dt.Field(f["name"],
+                                       _field_dtype(f["type"]))
+                              for f in schema["fields"]])
+        if t == "fixed":
+            return dt.fixed_size_binary(schema["size"])
+        return _field_dtype(t)
     if schema in _AVRO_TO_DT:
         return _AVRO_TO_DT[schema]
     raise ArrowNotImplementedError(f"avro type {schema}")
 
 
-def read_avro(source, batch_size: Optional[int] = None) -> Table:
+def _build_column(vals, d: dt.DataType) -> Column:
+    """Recursive host-side assembly via the engine's builders."""
+    from ..core import builders as bl
+    if d.is_dictionary:
+        from ..ops.strings import dictionary_encode
+        return dictionary_encode(StringColumn.from_pylist(
+            ["" if v is None else v for v in vals]))
+    if d.name == "list":
+        import jax.numpy as jnp
+        offs = [0]
+        flat = []
+        valid = []
+        for v in vals:
+            if v is None:
+                valid.append(False)
+            else:
+                flat.extend(v)
+                valid.append(True)
+            offs.append(len(flat))
+        child = _build_column(flat, d.value_type)
+        validity = None if all(valid) else jnp.asarray(
+            np.asarray(valid, bool))
+        from ..core.column import ListColumn
+        return ListColumn(jnp.asarray(np.asarray(offs, np.int32)), child,
+                          validity)
+    if d.name == "map":
+        import jax.numpy as jnp
+        from ..core.column import StructColumn
+        from ..core.nested import MapColumn
+        offs = [0]
+        keys: List[str] = []
+        items = []
+        valid = []
+        for v in vals:
+            if v is None:
+                valid.append(False)
+            else:
+                for k, it in v:
+                    keys.append(k)
+                    items.append(it)
+                valid.append(True)
+            offs.append(len(keys))
+        kcol = StringColumn.from_pylist(keys)
+        icol = _build_column(items, d.value_type.fields[1].dtype)
+        entries = StructColumn((kcol, icol), d.value_type.fields)
+        validity = None if all(valid) else jnp.asarray(
+            np.asarray(valid, bool))
+        return MapColumn(jnp.asarray(np.asarray(offs, np.int32)),
+                         entries, validity)
+    if d.name == "struct":
+        import jax.numpy as jnp
+        from ..core.column import StructColumn
+        valid = [v is not None for v in vals]
+        children = tuple(
+            _build_column([None if v is None else v.get(f.name)
+                           for v in vals], f.dtype)
+            for f in d.fields)
+        validity = None if all(valid) else jnp.asarray(
+            np.asarray(valid, bool))
+        return StructColumn(children, tuple(d.fields), validity)
+    if d.name == "fixed_size_binary":
+        from ..core.builders import FixedSizeBinaryBuilder
+        b = FixedSizeBinaryBuilder(d.list_size)
+        for v in vals:
+            b.append(v)
+        return b.finish()
+    return column(vals, dtype=d)
+
+
+def _resolve_value(v, writer_schema, reader_schema):
+    """Schema resolution promotions (arrow-avro codec.rs resolution):
+    int->long->float->double, string<->bytes."""
+    wd = writer_schema if isinstance(writer_schema, str) else None
+    rd = reader_schema if isinstance(reader_schema, str) else None
+    if v is None or wd is None or rd is None or wd == rd:
+        return v
+    if wd in ("int", "long") and rd in ("long", "float", "double"):
+        return float(v) if rd in ("float", "double") else int(v)
+    if wd == "float" and rd == "double":
+        return v
+    if wd == "string" and rd == "bytes":
+        return v.encode("utf-8")
+    if wd == "bytes" and rd == "string":
+        return v.decode("utf-8")
+    return v
+
+
+def read_avro(source, batch_size: Optional[int] = None,
+              reader_schema: Optional[dict] = None) -> Table:
+    """reader_schema: optional Avro schema dict for reader-vs-writer
+    resolution (missing fields take their defaults; promoted types
+    convert)."""
     if isinstance(source, str):
         with open(source, "rb") as f:
             data = f.read()
@@ -151,6 +295,21 @@ def read_avro(source, batch_size: Optional[int] = None) -> Table:
         payload = cur.read(size)
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)
+        elif codec == "snappy":
+            # snappy block + 4-byte big-endian CRC32 of the raw bytes
+            from ..utils import native as nt
+            crc = struct.unpack(">I", payload[-4:])[0]
+            # snappy header carries the uncompressed length varint
+            ulen = 0
+            shift = 0
+            for b in payload:
+                ulen |= (b & 0x7F) << shift
+                if not (b & 0x80):
+                    break
+                shift += 7
+            payload = nt.snappy_decompress(payload[:-4], ulen)
+            if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+                raise ArrowInvalid("avro snappy block CRC mismatch")
         elif codec != "null":
             raise ArrowNotImplementedError(f"avro codec {codec}")
         block = _Cursor(payload)
@@ -159,21 +318,29 @@ def read_avro(source, batch_size: Optional[int] = None) -> Table:
                          for f in fields})
         if cur.read(16) != sync:
             raise ArrowInvalid("avro sync marker mismatch")
-    cols = {}
+    writer_by_name = {f["name"]: f for f in fields}
+    out_fields_src = reader_schema["fields"] if reader_schema else fields
+    cols = []
     out_fields = []
-    for f in fields:
+    for f in out_fields_src:
         name = f["name"]
         d = _field_dtype(f["type"])
-        vals = [r[name] for r in rows]
-        if d.is_dictionary:
-            from ..ops.strings import dictionary_encode
-            col = dictionary_encode(StringColumn.from_pylist(
-                [v for v in vals]))
+        wf = writer_by_name.get(name)
+        if wf is None:
+            if "default" in f:
+                vals = [f["default"]] * len(rows)
+            else:
+                raise ArrowInvalid(
+                    f"reader field {name!r} missing and has no default")
         else:
-            col = column(vals, dtype=d)
-        cols[name] = col
+            vals = [r[name] for r in rows]
+            if reader_schema is not None:
+                vals = [_resolve_value(v, wf["type"], f["type"])
+                        for v in vals]
+        col = _build_column(vals, d)
+        cols.append(col)
         out_fields.append(dt.Field(name, col.dtype))
-    return Table(list(cols.values()), dt.Schema(tuple(out_fields)))
+    return Table(tuple(cols), dt.Schema(tuple(out_fields)))
 
 
 class ReaderBuilder:

@@ -1,60 +1,238 @@
-"""CSV read/write (the arrow-csv role).
+"""CSV read/write — native typed parser (the arrow-csv role).
 
-ReaderBuilder with schema inference (arrow-csv/src/reader/mod.rs:309,410),
-a push-based Decoder (reader/mod.rs:555), and a WriterBuilder
-(writer.rs:191).  Bulk parsing delegates to the Arrow C++ CSV reader
-(pyarrow) — the same division as the reference, where hot parsing is native
-code under a thin builder API; the push Decoder frames lines incrementally
-and parses completed chunks.
+Round-2 native rewrite: the indexing pass (RFC 4180 quotes) and every
+typed field parser run in C (native/hostcodec.cpp csv_* functions) —
+re-designing the reference's own typed parser rather than delegating to
+Arrow C++:
+
+  ReaderBuilder + schema inference   arrow-csv/src/reader/mod.rs:309,410
+  push Decoder                       reader/mod.rs:555
+  WriterBuilder                      arrow-csv/src/writer.rs:191
+
+Inference probes each column with the typed parsers in the reference's
+order (bool -> int64 -> float64 -> date32 -> timestamp -> utf8); a
+column is a type iff every non-empty sampled field parses.
 """
 
 from __future__ import annotations
 
 import io as _io
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
 
-import pyarrow as pa
-import pyarrow.csv as pacsv
+import jax.numpy as jnp
+import numpy as np
 
 from .. import dtypes as dt
+from ..core.column import Column, PrimitiveColumn, StringColumn
 from ..core.table import Table
 from ..errors import ArrowInvalid
-from .interop import dtype_to_pyarrow, table_from_pyarrow, table_to_pyarrow
+from ..utils import native as nt
 
 __all__ = ["ReaderBuilder", "Decoder", "WriterBuilder", "read_csv",
            "write_csv", "infer_schema"]
 
-
-def infer_schema(source, max_records: Optional[int] = 1000) -> dt.Schema:
-    """Schema inference (reader/mod.rs:410 infer_schema)."""
-    tbl = _read_pa(source)
-    from .interop import dtype_from_pyarrow
-    return dt.Schema(tuple(
-        dt.Field(f.name, dtype_from_pyarrow(f.type), f.nullable)
-        for f in tbl.schema))
+_UNIT_SCALE = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
 
 
-def _read_pa(source, schema: Optional[dt.Schema] = None,
-             has_header: bool = True, delimiter: str = ","):
-    parse = pacsv.ParseOptions(delimiter=delimiter)
-    convert = None
-    read = pacsv.ReadOptions(autogenerate_column_names=not has_header)
-    if schema is not None:
-        convert = pacsv.ConvertOptions(column_types={
-            f.name: dtype_to_pyarrow(f.dtype) for f in schema.fields})
+def _as_bytes(source) -> bytes:
     if isinstance(source, bytes):
-        source = _io.BytesIO(source)
-    elif isinstance(source, str) and "\n" in source:
-        source = _io.BytesIO(source.encode())
-    return pacsv.read_csv(source, read_options=read, parse_options=parse,
-                          convert_options=convert)
+        return source
+    if isinstance(source, str):
+        if "\n" in source or "," in source and not _looks_path(source):
+            return source.encode("utf-8")
+        with open(source, "rb") as f:
+            return f.read()
+    if hasattr(source, "read"):
+        data = source.read()
+        return data.encode("utf-8") if isinstance(data, str) else data
+    raise ArrowInvalid(f"cannot read CSV from {type(source)}")
+
+
+def _looks_path(s: str) -> bool:
+    import os
+    return os.path.exists(s)
+
+
+class _Indexed:
+    """Field bounds for a CSV byte buffer."""
+
+    def __init__(self, data: bytes, delimiter: str = ",",
+                 quote: str = '"'):
+        lib = nt.csv_lib()
+        self.data = np.frombuffer(data, np.uint8)
+        cap = max(len(data) // 2 + 16, 64)
+        while True:
+            starts = np.zeros(cap, np.int64)
+            ends = np.zeros(cap, np.int64)
+            escaped = np.zeros(cap, np.uint8)
+            nrows = np.zeros(1, np.int64)
+            ncols = np.zeros(1, np.int64)
+            nf = lib.csv_index(
+                nt._u8(self.data), len(self.data),
+                ord(delimiter), ord(quote),
+                nt._i64p(starts), nt._i64p(ends), nt._u8(escaped), cap,
+                nt._i64p(nrows), nt._i64p(ncols))
+            if nf == -1:
+                cap *= 2
+                continue
+            if nf == -2:
+                raise ArrowInvalid(
+                    "ragged CSV: rows have differing field counts")
+            break
+        self.n_fields = int(nf)
+        self.n_rows = int(nrows[0])
+        self.n_cols = int(ncols[0])
+        self.starts = starts[:self.n_fields]
+        self.ends = ends[:self.n_fields]
+        self.escaped = escaped[:self.n_fields]
+
+    def column_bounds(self, col: int, row0: int, nrows: int):
+        idx = (np.arange(row0, row0 + nrows) * self.n_cols + col)
+        return (np.ascontiguousarray(self.starts[idx]),
+                np.ascontiguousarray(self.ends[idx]),
+                np.ascontiguousarray(self.escaped[idx]))
+
+
+def _try_parse(kind: str, data: np.ndarray, starts, ends,
+               unit: str = "us"):
+    """-> (values, valid) or None when some field fails to parse."""
+    lib = nt.csv_lib()
+    n = len(starts)
+    valid = np.zeros(n, np.uint8)
+    if kind == "int64":
+        out = np.zeros(n, np.int64)
+        bad = lib.csv_parse_i64(nt._u8(data), nt._i64p(starts),
+                                nt._i64p(ends), n, nt._i64p(out),
+                                nt._u8(valid))
+    elif kind == "float64":
+        out = np.zeros(n, np.float64)
+        bad = lib.csv_parse_f64(nt._u8(data), nt._i64p(starts),
+                                nt._i64p(ends), n,
+                                out.ctypes.data_as(
+                                    __import__("ctypes").POINTER(
+                                        __import__("ctypes").c_double)),
+                                nt._u8(valid))
+    elif kind == "bool":
+        out = np.zeros(n, np.uint8)
+        bad = lib.csv_parse_bool(nt._u8(data), nt._i64p(starts),
+                                 nt._i64p(ends), n, nt._u8(out),
+                                 nt._u8(valid))
+        out = out.astype(np.bool_)
+    elif kind in ("date32", "timestamp"):
+        out = np.zeros(n, np.int64)
+        scale = 86_400 * 1_000_000_000 if kind == "date32" \
+            else _UNIT_SCALE[unit]
+        bad = lib.csv_parse_timestamp(
+            nt._u8(data), nt._i64p(starts), nt._i64p(ends), n, scale,
+            1 if kind == "date32" else 0, nt._i64p(out), nt._u8(valid))
+        if kind == "date32":
+            out = out.astype(np.int32)
+    else:
+        raise ArrowInvalid(kind)
+    if bad >= 0:
+        return None
+    return out, valid.astype(bool)
+
+
+def _parse_column(idx: _Indexed, col: int, row0: int, nrows: int,
+                  d: dt.DataType) -> Column:
+    starts, ends, escaped = idx.column_bounds(col, row0, nrows)
+    name = d.name
+    if name in ("utf8", "large_utf8", "binary", "large_binary"):
+        lib = nt.csv_lib()
+        offs = np.zeros(nrows + 1, np.int64)
+        cap = int((ends - starts).sum()) + 1
+        out = np.zeros(cap, np.uint8)
+        lib.csv_extract(nt._u8(idx.data), nt._i64p(starts),
+                        nt._i64p(ends), nt._u8(escaped), nrows,
+                        ord('"'), nt._i64p(offs), nt._u8(out))
+        # empty fields are empty strings, not null (reference behavior)
+        return StringColumn(jnp.asarray(offs.astype(np.int32)),
+                            jnp.asarray(out[:int(offs[-1])]), d)
+    kind = {"bool": "bool", "int64": "int64", "int32": "int64",
+            "int16": "int64", "int8": "int64", "uint8": "int64",
+            "uint16": "int64", "uint32": "int64", "uint64": "int64",
+            "float64": "float64", "float32": "float64",
+            "date32": "date32", "timestamp": "timestamp"}.get(name)
+    if kind is None:
+        raise ArrowInvalid(f"CSV parse into {d!r} unsupported")
+    r = _try_parse(kind, idx.data, starts, ends,
+                   d.unit if name == "timestamp" else "us")
+    if r is None:
+        raise ArrowInvalid(f"column {col}: unparseable as {d!r}")
+    vals, valid = r
+    vals = vals.astype(d.to_numpy(), copy=False)
+    mask = None if valid.all() else jnp.asarray(valid)
+    return PrimitiveColumn(jnp.asarray(vals), d, mask,
+                           _canonical=mask is None)
+
+
+_INFER_ORDER = ("bool", "int64", "float64", "date32", "timestamp")
+_INFER_DT = {"bool": dt.bool_, "int64": dt.int64, "float64": dt.float64,
+             "date32": dt.date32, "timestamp": dt.timestamp("us")}
+
+
+def _infer_column(idx: _Indexed, col: int, row0: int, nrows: int,
+                  sample: int) -> dt.DataType:
+    m = min(nrows, sample)
+    starts, ends, _ = idx.column_bounds(col, row0, m)
+    nonempty = starts < ends
+    if not nonempty.any():
+        return dt.utf8
+    for kind in _INFER_ORDER:
+        if _try_parse(kind, idx.data, starts, ends) is not None:
+            return _INFER_DT[kind]
+    return dt.utf8
+
+
+def _header_names(idx: _Indexed) -> List[str]:
+    starts, ends, escaped = idx.column_bounds(0, 0, 1)
+    data = idx.data.tobytes()
+    names = []
+    for c in range(idx.n_cols):
+        i = c    # row 0, column c
+        s, e = int(idx.starts[i]), int(idx.ends[i])
+        names.append(data[s:e].decode("utf-8"))
+    return names
+
+
+def infer_schema(source, max_records: Optional[int] = 1000,
+                 has_header: bool = True, delimiter: str = ",") \
+        -> dt.Schema:
+    """Schema inference (reader/mod.rs:410 infer_schema)."""
+    idx = _Indexed(_as_bytes(source), delimiter)
+    row0 = 1 if has_header else 0
+    nrows = idx.n_rows - row0
+    names = _header_names(idx) if has_header else \
+        [f"column_{i + 1}" for i in range(idx.n_cols)]
+    sample = max_records if max_records is not None else nrows
+    return dt.Schema(tuple(
+        dt.Field(names[c], _infer_column(idx, c, row0, nrows, sample))
+        for c in range(idx.n_cols)))
 
 
 def read_csv(source, schema: Optional[dt.Schema] = None,
              has_header: bool = True, delimiter: str = ",") -> Table:
-    return table_from_pyarrow(_read_pa(source, schema, has_header,
-                                       delimiter))
+    data = _as_bytes(source)
+    idx = _Indexed(data, delimiter)
+    row0 = 1 if has_header else 0
+    nrows = idx.n_rows - row0
+    if has_header:
+        names = _header_names(idx)
+    else:
+        names = [f"column_{i + 1}" for i in range(idx.n_cols)]
+    if schema is None:
+        fields = [dt.Field(names[c],
+                           _infer_column(idx, c, row0, nrows, 1000))
+                  for c in range(idx.n_cols)]
+    else:
+        by_name = {f.name: f for f in schema.fields}
+        fields = [by_name.get(names[c], dt.Field(names[c], dt.utf8))
+                  for c in range(idx.n_cols)]
+    cols = tuple(_parse_column(idx, c, row0, nrows, f.dtype)
+                 for c, f in enumerate(fields))
+    return Table(cols, dt.Schema(tuple(fields)))
 
 
 @dataclass
@@ -107,14 +285,47 @@ class Decoder:
 
 @dataclass
 class WriterBuilder:
-    """CSV writer (writer.rs:191)."""
+    """CSV writer (writer.rs:191) — vectorized host formatting."""
     include_header: bool = True
     delimiter: str = ","
 
     def write(self, sink, table: Table) -> None:
-        opts = pacsv.WriteOptions(include_header=self.include_header,
-                                  delimiter=self.delimiter)
-        pacsv.write_csv(table_to_pyarrow(table), sink, opts)
+        own = isinstance(sink, str)
+        out = open(sink, "wb") if own else sink
+        try:
+            if self.include_header:
+                out.write((self.delimiter.join(
+                    _quote(n, self.delimiter)
+                    for n in table.column_names) + "\n").encode())
+            cols = [_format_column(c) for c in table.columns]
+            delim = self.delimiter.encode()
+            for i in range(table.num_rows):
+                out.write(delim.join(col[i] for col in cols))
+                out.write(b"\n")
+        finally:
+            if own:
+                out.close()
+
+
+def _quote(v: str, delim: str) -> str:
+    if any(ch in v for ch in (delim, '"', "\n", "\r")):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
+def _format_column(col: Column) -> List[bytes]:
+    """Per-row CSV cell bytes (nulls -> empty; ArrayFormatter for the
+    value text, writer.rs formatting semantics)."""
+    from ..utils.display import ArrayFormatter, FormatOptions
+    fmt = ArrayFormatter(col, FormatOptions(null=""))
+    vals = col.to_pylist()
+    out = []
+    for i, v in enumerate(vals):
+        if v is None:
+            out.append(b"")
+        else:
+            out.append(_quote(fmt.value(i), ",").encode("utf-8"))
+    return out
 
 
 def write_csv(sink_or_path, table: Table, include_header: bool = True):

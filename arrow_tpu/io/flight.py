@@ -1,59 +1,307 @@
-"""Flight RPC ingress/egress (the arrow-flight role).
+"""Flight RPC ingress/egress — own gRPC protocol layer (no pyarrow).
 
-The reference's arrow-flight is the wire between processes (SURVEY.md §3.4);
-in this engine intra-mesh exchange is in-program collectives
-(arrow_tpu.parallel), and Flight remains exactly what the survey prescribes:
-the HOST boundary — feeding device tables to/from external processes over
-gRPC with IPC-framed payloads split near the ~2MB gRPC sweet spot
-(arrow-flight/src/encode.rs:148).
+The reference's arrow-flight is the wire between processes (SURVEY.md
+§3.4); in this engine intra-mesh exchange is in-program collectives
+(arrow_tpu.parallel) and Flight is the HOST boundary.  Round 1 delegated
+transport to pyarrow.flight; this round-2 rewrite speaks the protocol
+itself: hand-rolled protobuf for format/Flight.proto messages (io/pb.py),
+grpcio generic handlers for the FlightService methods, and the engine's
+own native IPC encoder for payloads.
 
-Server: FlightServer registers named tables (or producer callables) and
-serves do_get / do_put / do_exchange / list_flights.
-Client: FlightTableClient mirrors the mid-level FlightClient (client.rs:70).
-Transport is pyarrow.flight (gRPC); payload encode/decode goes through the
-interop bridge so data lands as device tables.
+Reference behaviors re-designed:
+  service surface    arrow-flight/src/arrow.flight.protocol.rs:861-992
+                     (handshake/list_flights/get_flight_info/get_schema/
+                      do_get/do_put/do_exchange/do_action/list_actions)
+  stream encode      arrow-flight/src/encode.rs:269 (FlightDataEncoder,
+                     ~2MB batch splitting at encode.rs:148)
+  stream decode      arrow-flight/src/decode.rs:83 (FlightRecordBatchStream)
+
+Interops with pyarrow.flight peers (tested both directions).
 """
 
 from __future__ import annotations
 
+import struct
 import threading
-from typing import Callable, Dict, Iterator, List, Optional, Union
+from concurrent import futures
+from typing import Callable, Dict, Iterator, List, Optional, Tuple, Union
 
-import pyarrow as pa
-import pyarrow.flight as fl
+import grpc
 
+from ..core.column import Column
 from ..core.table import Table
 from ..errors import ArrowInvalid
-from .interop import table_from_pyarrow, table_to_pyarrow
+from .. import dtypes as dt
+from . import ipc_format as fmt
+from .ipc import _table_dict_columns
+from . import pb
 
-__all__ = ["FlightServer", "FlightTableClient", "MAX_FLIGHT_DATA_SIZE"]
+__all__ = ["FlightServer", "FlightTableClient", "MAX_FLIGHT_DATA_SIZE",
+           "FlightDescriptor", "FlightInfo"]
 
 MAX_FLIGHT_DATA_SIZE = 2 * 1024 * 1024  # encode.rs:148 default target
 
+_SVC = "/arrow.flight.protocol.FlightService/"
+_GRPC_OPTS = [("grpc.max_receive_message_length", 64 * 1024 * 1024),
+              ("grpc.max_send_message_length", 64 * 1024 * 1024)]
 
-def _split_batches(table: Table) -> List[pa.RecordBatch]:
-    """Split to ~MAX_FLIGHT_DATA_SIZE chunks (FlightDataEncoder,
-    encode.rs:269)."""
-    batch = table_to_pyarrow(table)
-    nbytes = sum(c.nbytes for c in batch.columns) or 1
-    if nbytes <= MAX_FLIGHT_DATA_SIZE:
-        return [batch]
-    rows_per = max(int(batch.num_rows * MAX_FLIGHT_DATA_SIZE / nbytes), 1)
-    return [batch.slice(i, min(rows_per, batch.num_rows - i))
-            for i in range(0, batch.num_rows, rows_per)]
+DESCRIPTOR_UNKNOWN, DESCRIPTOR_PATH, DESCRIPTOR_CMD = 0, 1, 2
 
 
-class FlightServer(fl.FlightServerBase):
-    """Serves registered tables; accepts uploads (do_put) and echoes
-    transformed streams (do_exchange)."""
+# ---------------------------------------------------------------------------
+# Flight.proto messages
+# ---------------------------------------------------------------------------
+
+class FlightDescriptor:
+    __slots__ = ("type", "cmd", "path")
+
+    def __init__(self, dtype: int = DESCRIPTOR_UNKNOWN,
+                 cmd: bytes = b"", path: Tuple[str, ...] = ()):
+        self.type = dtype
+        self.cmd = cmd
+        self.path = tuple(path)
+
+    @classmethod
+    def for_path(cls, *path: str) -> "FlightDescriptor":
+        return cls(DESCRIPTOR_PATH, b"", path)
+
+    @classmethod
+    def for_command(cls, cmd: bytes) -> "FlightDescriptor":
+        return cls(DESCRIPTOR_CMD, cmd, ())
+
+    def encode(self) -> bytes:
+        out = pb.varint_field(1, self.type)
+        if self.cmd:
+            out += pb.field(2, self.cmd)
+        for p in self.path:
+            out += pb.field(3, p)
+        return out
+
+    @classmethod
+    def decode(cls, raw: bytes) -> "FlightDescriptor":
+        f = pb.parse_fields(raw)
+        return cls(pb.first(f, 1, 0), pb.first_bytes(f, 2),
+                   tuple(v.decode() for v in f.get(3, [])))
+
+
+class FlightInfo:
+    __slots__ = ("schema_bytes", "descriptor", "endpoints",
+                 "total_records", "total_bytes")
+
+    def __init__(self, schema_bytes: bytes, descriptor: FlightDescriptor,
+                 endpoints, total_records: int = -1,
+                 total_bytes: int = -1):
+        self.schema_bytes = schema_bytes
+        self.descriptor = descriptor
+        self.endpoints = list(endpoints)   # [(ticket_bytes, [uri, ...])]
+        self.total_records = total_records
+        self.total_bytes = total_bytes
+
+    def encode(self) -> bytes:
+        out = pb.field(1, self.schema_bytes)
+        out += pb.field(2, self.descriptor.encode())
+        for ticket, locs in self.endpoints:
+            ep = pb.field(1, pb.field(1, ticket))
+            for uri in locs:
+                ep += pb.field(2, pb.field(1, uri))
+            out += pb.field(3, ep)
+        out += pb.varint_field(4, self.total_records)
+        out += pb.varint_field(5, self.total_bytes)
+        return out
+
+    @classmethod
+    def decode(cls, raw: bytes) -> "FlightInfo":
+        f = pb.parse_fields(raw)
+        eps = []
+        for ep_raw in f.get(3, []):
+            ef = pb.parse_fields(ep_raw)
+            ticket = pb.parse_fields(pb.first_bytes(ef, 1)).get(1, [b""])[0]
+            locs = [pb.first_str(pb.parse_fields(l), 1)
+                    for l in ef.get(2, [])]
+            eps.append((ticket, locs))
+        tr = pb.first(f, 4, -1)
+        tb = pb.first(f, 5, -1)
+        # int64 two's complement
+        if tr >= 1 << 63:
+            tr -= 1 << 64
+        if tb >= 1 << 63:
+            tb -= 1 << 64
+        return cls(pb.first_bytes(f, 1),
+                   FlightDescriptor.decode(pb.first_bytes(f, 2)),
+                   eps, tr, tb)
+
+
+def _flight_data(data_header: bytes = b"", data_body: bytes = b"",
+                 descriptor: Optional[FlightDescriptor] = None,
+                 app_metadata: bytes = b"") -> bytes:
+    out = b""
+    if descriptor is not None:
+        out += pb.field(1, descriptor.encode())
+    if data_header:
+        out += pb.field(2, data_header)
+    if app_metadata:
+        out += pb.field(3, app_metadata)
+    if data_body:
+        out += pb.field(1000, data_body)
+    return out
+
+
+def _parse_flight_data(raw: bytes):
+    f = pb.parse_fields(raw)
+    desc_raw = pb.first(f, 1)
+    return (FlightDescriptor.decode(desc_raw)
+            if desc_raw is not None else None,
+            pb.first_bytes(f, 2), pb.first_bytes(f, 3),
+            pb.first_bytes(f, 1000))
+
+
+# ---------------------------------------------------------------------------
+# Table <-> FlightData streams (encode.rs:269 / decode.rs:83 roles)
+# ---------------------------------------------------------------------------
+
+def schema_ipc_bytes(schema: dt.Schema) -> bytes:
+    """Encapsulated IPC schema message (SchemaAsIpc role)."""
+    meta = fmt.write_schema_message(schema)
+    pad = -len(meta) % 8
+    return struct.pack("<Ii", 0xFFFFFFFF, len(meta) + pad) \
+        + meta + bytes(pad)
+
+
+def _strip_framing(header: bytes) -> bytes:
+    """data_header may arrive bare or with encapsulation framing."""
+    if len(header) >= 8:
+        cont, ln = struct.unpack_from("<Ii", header, 0)
+        if cont == 0xFFFFFFFF:
+            return header[8:8 + ln]
+    return header
+
+
+def _split_tables(table: Table) -> List[Table]:
+    """Split near MAX_FLIGHT_DATA_SIZE (FlightDataEncoder encode.rs:148)."""
+    nbytes = _approx_bytes(table)
+    if nbytes <= MAX_FLIGHT_DATA_SIZE or table.num_rows <= 1:
+        return [table]
+    rows_per = max(int(table.num_rows * MAX_FLIGHT_DATA_SIZE / nbytes), 1)
+    return [table.slice(i, min(rows_per, table.num_rows - i))
+            for i in range(0, table.num_rows, rows_per)]
+
+
+def _approx_bytes(table: Table) -> int:
+    import numpy as np
+    total = 0
+    for col in table.columns:
+        for leaf in _tensors_of(col):
+            total += leaf.size * leaf.dtype.itemsize
+    return total or 1
+
+
+def _tensors_of(col):
+    import jax
+    return [x for x in jax.tree_util.tree_leaves(col)
+            if hasattr(x, "size") and hasattr(x, "dtype")]
+
+
+def encode_flight_stream(tables, descriptor: Optional[FlightDescriptor]
+                         = None) -> Iterator[bytes]:
+    """tables -> FlightData protobuf messages (schema, dictionaries,
+    record batches; ~2MB splits)."""
+    tables = [tables] if isinstance(tables, Table) else list(tables)
+    if not tables:
+        return
+    schema = tables[0].schema
+    yield _flight_data(
+        data_header=fmt.write_schema_message(schema),
+        descriptor=descriptor)
+    written: Dict[int, int] = {}
+    for t in tables:
+        for part in _split_tables(t):
+            for dict_id, col in enumerate(_table_dict_columns(part)):
+                if written.get(dict_id) == id(col.values):
+                    continue
+                meta, body = fmt.encode_dictionary_batch(dict_id,
+                                                         col.values)
+                yield _flight_data(meta, body)
+                written[dict_id] = id(col.values)
+            meta, body = fmt.encode_record_batch(part)
+            yield _flight_data(meta, body)
+
+
+class FlightStreamDecoder:
+    """FlightData messages -> Tables (FlightRecordBatchStream role)."""
+
+    def __init__(self):
+        self.schema: Optional[dt.Schema] = None
+        self.descriptor: Optional[FlightDescriptor] = None
+        self._dict_fields: Dict[int, dt.Field] = {}
+        self._dict_id_of: Dict[int, int] = {}
+        self._dicts: Dict[int, Column] = {}
+
+    def feed(self, raw: bytes) -> Optional[Table]:
+        desc, header, _, body = _parse_flight_data(raw)
+        if desc is not None and self.descriptor is None:
+            self.descriptor = desc
+        header = _strip_framing(header)
+        if not header:
+            return None
+        tag, msg, _ = fmt.parse_message(header)
+        if tag == fmt.H_SCHEMA:
+            schema, dict_ids = fmt.read_schema(header)
+            self.schema = schema
+            self._dict_fields = {i: f for i, f in dict_ids}
+            self._dict_id_of = {k: i for k, (i, _) in enumerate(dict_ids)}
+            return None
+        if tag == fmt.H_DICTIONARY_BATCH:
+            fmt.decode_dictionary_batch(header, body, self._dict_fields,
+                                        self._dicts)
+            return None
+        if tag == fmt.H_RECORD_BATCH:
+            if self.schema is None:
+                raise ArrowInvalid("record batch before schema")
+            return fmt.decode_record_batch(self.schema, header, body,
+                                           self._dicts, self._dict_id_of)
+        raise ArrowInvalid(f"unexpected Flight message tag {tag}")
+
+    def decode_all(self, raws) -> List[Table]:
+        out = []
+        for raw in raws:
+            t = self.feed(raw)
+            if t is not None:
+                out.append(t)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Server
+# ---------------------------------------------------------------------------
+
+class FlightServer:
+    """FlightService over grpcio generic handlers (the
+    arrow.flight.protocol.rs:861 service surface, hand-rolled)."""
 
     def __init__(self, location: str = "grpc://0.0.0.0:0",
                  exchange_fn: Optional[Callable[[Table], Table]] = None):
-        super().__init__(location)
         self._tables: Dict[str, Table] = {}
         self._producers: Dict[str, Callable[[], Iterator[Table]]] = {}
         self._exchange_fn = exchange_fn or (lambda t: t)
         self._lock = threading.Lock()
+        host_port = location.split("://", 1)[-1]
+        self._server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=8),
+            options=_GRPC_OPTS)
+        self._server.add_generic_rpc_handlers([_Handlers(self)])
+        self.port = self._server.add_insecure_port(host_port)
+        self._server.start()
+
+    @property
+    def uri(self) -> str:
+        return f"grpc://localhost:{self.port}"
+
+    def shutdown(self) -> None:
+        self._server.stop(grace=None)
+
+    # FlightServerBase-compat aliases
+    def serve(self):
+        self._server.wait_for_termination()
 
     # -- registration ---------------------------------------------------------
     def register(self, name: str, table: Table) -> None:
@@ -69,103 +317,235 @@ class FlightServer(fl.FlightServerBase):
         with self._lock:
             return self._tables[name]
 
-    @property
-    def uri(self) -> str:
-        return f"grpc://localhost:{self.port}"
+    # -- handler hooks (overridable; flightsql.py overrides these) -----------
+    def handshake(self, payloads: Iterator[bytes]) -> Iterator[bytes]:
+        for p in payloads:
+            yield p                   # echo
 
-    # -- FlightService handlers (arrow.flight.protocol.rs:861-992) -------------
-    def list_flights(self, context, criteria):
+    def list_flights(self) -> Iterator[FlightInfo]:
         with self._lock:
             names = list(self._tables) + list(self._producers)
         for name in names:
-            desc = fl.FlightDescriptor.for_path(name.encode())
-            yield self.get_flight_info(context, desc)
+            yield self.get_flight_info(FlightDescriptor.for_path(name))
 
-    def get_flight_info(self, context, descriptor):
-        name = descriptor.path[0].decode()
+    def get_flight_info(self, descriptor: FlightDescriptor) -> FlightInfo:
+        name = descriptor.path[0] if descriptor.path else ""
         with self._lock:
             t = self._tables.get(name)
-        schema = table_to_pyarrow(t.slice(0, 0)).schema if t is not None \
-            else pa.schema([])
-        endpoint = fl.FlightEndpoint(name.encode(), [self.uri])
-        return fl.FlightInfo(schema, descriptor, [endpoint],
-                             t.num_rows if t is not None else -1, -1)
+        schema = t.schema if t is not None else dt.Schema(())
+        return FlightInfo(schema_ipc_bytes(schema), descriptor,
+                          [(name.encode(), [self.uri])],
+                          t.num_rows if t is not None else -1, -1)
 
-    def do_get(self, context, ticket):
-        name = ticket.ticket.decode()
+    def get_schema(self, descriptor: FlightDescriptor) -> bytes:
+        return self.get_flight_info(descriptor).schema_bytes
+
+    def do_get(self, ticket: bytes) -> Iterator[Table]:
+        name = ticket.decode()
         with self._lock:
             producer = self._producers.get(name)
             table = self._tables.get(name)
         if producer is not None:
-            def gen():
-                for t in producer():
-                    for b in _split_batches(t):
-                        yield b
-            first = producer()
-            schema = table_to_pyarrow(next(iter(first)).slice(0, 0)).schema
-            return fl.GeneratorStream(schema, gen())
+            yield from producer()
+            return
         if table is None:
-            raise fl.FlightServerError(f"unknown ticket {name!r}")
-        batches = _split_batches(table)
-        return fl.RecordBatchStream(
-            pa.Table.from_batches(batches))
+            raise KeyError(f"unknown ticket {name!r}")
+        yield table
 
-    def do_put(self, context, descriptor, reader, writer):
-        name = descriptor.path[0].decode()
-        batches = [chunk.data for chunk in reader]
-        tbl = pa.Table.from_batches(batches).combine_chunks()
-        self.register(name, table_from_pyarrow(tbl))
+    def do_put(self, descriptor: FlightDescriptor,
+               tables: List[Table]) -> None:
+        name = descriptor.path[0]
+        from ..ops.concat import concat_tables
+        self.register(name, tables[0] if len(tables) == 1
+                      else concat_tables(tables))
 
-    def do_exchange(self, context, descriptor, reader, writer):
-        started = False
-        for chunk in reader:
-            t = table_from_pyarrow(chunk.data)
-            out = self._exchange_fn(t)
-            out_b = table_to_pyarrow(out)
-            if not started:
-                writer.begin(out_b.schema)
-                started = True
-            writer.write_batch(out_b)
+    def do_action(self, action_type: str, body: bytes) -> Iterator[bytes]:
+        raise KeyError(f"unknown action {action_type!r}")
 
+    def list_actions(self) -> List[Tuple[str, str]]:
+        return []
+
+
+class _Handlers(grpc.GenericRpcHandler):
+    """Raw-bytes gRPC plumbing for FlightServer."""
+
+    def __init__(self, server: FlightServer):
+        self._s = server
+
+    def service(self, details):
+        if not details.method.startswith(_SVC):
+            return None
+        name = details.method[len(_SVC):]
+        s = self._s
+
+        def _err(context, e):
+            context.abort(grpc.StatusCode.INTERNAL, repr(e))
+
+        if name == "Handshake":
+            def handshake(req_iter, context):
+                def payloads():
+                    for raw in req_iter:
+                        f = pb.parse_fields(raw)
+                        yield pb.first_bytes(f, 2)
+                for p in s.handshake(payloads()):
+                    yield pb.field(2, p)
+            return grpc.stream_stream_rpc_method_handler(handshake)
+
+        if name == "ListFlights":
+            def list_flights(raw, context):
+                for info in s.list_flights():
+                    yield info.encode()
+            return grpc.unary_stream_rpc_method_handler(list_flights)
+
+        if name == "GetFlightInfo":
+            def get_info(raw, context):
+                try:
+                    return s.get_flight_info(
+                        FlightDescriptor.decode(raw)).encode()
+                except Exception as e:       # noqa: BLE001
+                    _err(context, e)
+            return grpc.unary_unary_rpc_method_handler(get_info)
+
+        if name == "GetSchema":
+            def get_schema(raw, context):
+                try:
+                    return pb.field(
+                        1, s.get_schema(FlightDescriptor.decode(raw)))
+                except Exception as e:       # noqa: BLE001
+                    _err(context, e)
+            return grpc.unary_unary_rpc_method_handler(get_schema)
+
+        if name == "DoGet":
+            def do_get(raw, context):
+                f = pb.parse_fields(raw)
+                ticket = pb.first_bytes(f, 1)
+                try:
+                    tables = list(s.do_get(ticket))
+                except Exception as e:       # noqa: BLE001
+                    _err(context, e)
+                    return
+                yield from encode_flight_stream(tables)
+            return grpc.unary_stream_rpc_method_handler(do_get)
+
+        if name == "DoPut":
+            def do_put(req_iter, context):
+                dec = FlightStreamDecoder()
+                tables = dec.decode_all(req_iter)
+                try:
+                    s.do_put(dec.descriptor, tables)
+                except Exception as e:       # noqa: BLE001
+                    _err(context, e)
+                    return
+                yield b""                   # one empty PutResult
+            return grpc.stream_stream_rpc_method_handler(do_put)
+
+        if name == "DoExchange":
+            def do_exchange(req_iter, context):
+                dec = FlightStreamDecoder()
+                outs = []
+                for raw in req_iter:
+                    t = dec.feed(raw)
+                    if t is not None:
+                        outs.append(s._exchange_fn(t))
+                yield from encode_flight_stream(outs)
+            return grpc.stream_stream_rpc_method_handler(do_exchange)
+
+        if name == "DoAction":
+            def do_action(raw, context):
+                f = pb.parse_fields(raw)
+                atype = pb.first_str(f, 1)
+                body = pb.first_bytes(f, 2)
+                try:
+                    for result in s.do_action(atype, body):
+                        yield pb.field(1, result)
+                except KeyError as e:
+                    context.abort(grpc.StatusCode.NOT_FOUND, str(e))
+                except Exception as e:       # noqa: BLE001
+                    _err(context, e)
+            return grpc.unary_stream_rpc_method_handler(do_action)
+
+        if name == "ListActions":
+            def list_actions(raw, context):
+                for atype, desc in s.list_actions():
+                    yield pb.field(1, atype) + pb.field(2, desc)
+            return grpc.unary_stream_rpc_method_handler(list_actions)
+
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Client
+# ---------------------------------------------------------------------------
 
 class FlightTableClient:
     """Mid-level client (arrow-flight/src/client.rs:70): typed tables in
-    and out."""
+    and out, over our own protobuf/gRPC plumbing."""
 
     def __init__(self, uri: str):
-        self._c = fl.connect(uri)
+        host_port = uri.split("://", 1)[-1]
+        self._channel = grpc.insecure_channel(host_port,
+                                              options=_GRPC_OPTS)
+
+    def _method(self, kind: str, name: str):
+        fn = getattr(self._channel, kind)
+        return fn(_SVC + name)
 
     def do_get(self, name: str) -> Table:
-        reader = self._c.do_get(fl.Ticket(name.encode()))
-        tbl = reader.read_all().combine_chunks()
-        return table_from_pyarrow(tbl)
+        tables = self.do_get_stream(name)
+        if len(tables) == 1:
+            return tables[0]
+        from ..ops.concat import concat_tables
+        return concat_tables(tables)
+
+    def do_get_stream(self, name: str) -> List[Table]:
+        stream = self._method("unary_stream", "DoGet")(
+            pb.field(1, name.encode()))
+        return FlightStreamDecoder().decode_all(stream)
+
+    def do_get_ticket(self, ticket: bytes) -> List[Table]:
+        stream = self._method("unary_stream", "DoGet")(
+            pb.field(1, ticket))
+        return FlightStreamDecoder().decode_all(stream)
 
     def do_put(self, name: str, table: Table) -> None:
-        desc = fl.FlightDescriptor.for_path(name.encode())
-        batches = _split_batches(table)
-        writer, _ = self._c.do_put(desc, batches[0].schema)
-        for b in batches:
-            writer.write_batch(b)
-        writer.close()
+        desc = FlightDescriptor.for_path(name)
+        msgs = list(encode_flight_stream(table, descriptor=desc))
+        results = self._method("stream_stream", "DoPut")(iter(msgs))
+        list(results)                  # drain PutResults
 
     def do_exchange(self, name: str, tables) -> List[Table]:
-        desc = fl.FlightDescriptor.for_path(name.encode())
-        writer, reader = self._c.do_exchange(desc)
-        tables = [tables] if isinstance(tables, Table) else list(tables)
-        out: List[Table] = []
-        writer.begin(table_to_pyarrow(tables[0].slice(0, 0)).schema)
-        for t in tables:
-            for b in _split_batches(t):
-                writer.write_batch(b)
-        writer.done_writing()
-        for chunk in reader:
-            out.append(table_from_pyarrow(chunk.data))
-        writer.close()
-        return out
+        desc = FlightDescriptor.for_path(name)
+        msgs = list(encode_flight_stream(tables, descriptor=desc))
+        stream = self._method("stream_stream", "DoExchange")(iter(msgs))
+        return FlightStreamDecoder().decode_all(stream)
+
+    def get_flight_info(self, descriptor: FlightDescriptor) -> FlightInfo:
+        raw = self._method("unary_unary", "GetFlightInfo")(
+            descriptor.encode())
+        return FlightInfo.decode(raw)
+
+    def do_action(self, action_type: str, body: bytes = b""
+                  ) -> List[bytes]:
+        stream = self._method("unary_stream", "DoAction")(
+            pb.field(1, action_type) + (pb.field(2, body) if body
+                                        else b""))
+        return [pb.first_bytes(pb.parse_fields(r), 1) for r in stream]
 
     def list_flights(self) -> List[str]:
-        return [fi.descriptor.path[0].decode()
-                for fi in self._c.list_flights()]
+        stream = self._method("unary_stream", "ListFlights")(b"")
+        out = []
+        for raw in stream:
+            info = FlightInfo.decode(raw)
+            if info.descriptor.path:
+                out.append(info.descriptor.path[0])
+        return out
+
+    def handshake(self, payload: bytes = b"") -> bytes:
+        stream = self._method("stream_stream", "Handshake")(
+            iter([pb.field(2, payload)]))
+        for raw in stream:
+            return pb.first_bytes(pb.parse_fields(raw), 2)
+        return b""
 
     def close(self):
-        self._c.close()
+        self._channel.close()

@@ -23,73 +23,20 @@ import threading
 import uuid as _uuid
 from typing import Callable, Dict, List, Optional, Tuple
 
-import pyarrow as pa
-import pyarrow.flight as fl
-
 from ..core.table import Table
 from ..errors import ArrowInvalid
-from .flight import FlightServer, _split_batches
-from .interop import table_from_pyarrow, table_to_pyarrow
+from .flight import (FlightDescriptor, FlightInfo, FlightServer,
+                     FlightTableClient, DESCRIPTOR_CMD, schema_ipc_bytes)
 
 __all__ = ["FlightSQLServer", "FlightSQLClient", "simple_sql_executor"]
 
 _TYPE_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
 
 
-# ---- minimal protobuf wire codec ---------------------------------------------
+# ---- protobuf wire codec shared with the Flight layer (io/pb.py) ------------
 
-def _varint(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
-def _read_varint(buf: bytes, i: int) -> Tuple[int, int]:
-    shift = n = 0
-    while True:
-        b = buf[i]
-        i += 1
-        n |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return n, i
-        shift += 7
-
-
-def _field(tag: int, payload: bytes) -> bytes:
-    """Length-delimited field (wire type 2)."""
-    return _varint((tag << 3) | 2) + _varint(len(payload)) + payload
-
-
-def _parse_fields(buf: bytes) -> Dict[int, List]:
-    """Parse a message into {field_tag: [values]}; length-delimited
-    fields come back as bytes, varints as int."""
-    out: Dict[int, List] = {}
-    i = 0
-    while i < len(buf):
-        key, i = _read_varint(buf, i)
-        tag, wt = key >> 3, key & 7
-        if wt == 2:
-            ln, i = _read_varint(buf, i)
-            val = buf[i:i + ln]
-            i += ln
-        elif wt == 0:
-            val, i = _read_varint(buf, i)
-        elif wt == 1:
-            val = struct.unpack("<q", buf[i:i + 8])[0]
-            i += 8
-        elif wt == 5:
-            val = struct.unpack("<i", buf[i:i + 4])[0]
-            i += 4
-        else:
-            raise ArrowInvalid(f"unsupported wire type {wt}")
-        out.setdefault(tag, []).append(val)
-    return out
+from .pb import (varint as _varint, field as _field,
+                 parse_fields as _parse_fields)
 
 
 def _any_pack(msg_name: str, payload: bytes) -> bytes:
@@ -250,80 +197,76 @@ class FlightSQLServer(FlightServer):
                 "table_type": column(["TABLE"] * len(names))})
         raise ArrowInvalid(f"unsupported FlightSQL command {name}")
 
-    # -- Flight overrides --------------------------------------------------
-    def get_flight_info(self, context, descriptor):
-        if descriptor.descriptor_type == fl.DescriptorType.CMD:
-            table = self._table_for_cmd(descriptor.command)
-            batch = table_to_pyarrow(table)
-            ticket = fl.Ticket(descriptor.command)
-            ep = fl.FlightEndpoint(ticket, [self.uri])
-            return fl.FlightInfo(batch.schema, descriptor, [ep],
-                                 table.num_rows, -1)
-        return super().get_flight_info(context, descriptor)
+    # -- Flight hook overrides (native FlightServer surface) ---------------
+    def get_flight_info(self, descriptor: FlightDescriptor) -> FlightInfo:
+        if descriptor.type == DESCRIPTOR_CMD:
+            table = self._table_for_cmd(descriptor.cmd)
+            return FlightInfo(schema_ipc_bytes(table.schema), descriptor,
+                              [(descriptor.cmd, [self.uri])],
+                              table.num_rows, -1)
+        return super().get_flight_info(descriptor)
 
-    def do_get(self, context, ticket):
-        raw = ticket.ticket
-        if raw.startswith(b"\n") and _TYPE_PREFIX.encode() in raw:
-            table = self._table_for_cmd(raw)
-            batches = _split_batches(table)
-            return fl.GeneratorStream(batches[0].schema, iter(batches))
-        return super().do_get(context, ticket)
+    def do_get(self, ticket: bytes):
+        if ticket.startswith(b"\n") and _TYPE_PREFIX.encode() in ticket:
+            yield self._table_for_cmd(ticket)
+            return
+        yield from super().do_get(ticket)
 
-    def do_action(self, context, action):
-        if action.type == "CreatePreparedStatement":
-            name, body = _any_unpack(action.body.to_pybytes())
-            f = _parse_fields(body)
+    def do_action(self, action_type: str, body: bytes):
+        if action_type == "CreatePreparedStatement":
+            name, inner = _any_unpack(body)
+            f = _parse_fields(inner)
             query = f[1][0].decode()
             handle = _uuid.uuid4().bytes
             with self._plock:
                 self._prepared[handle] = query
-            # ActionCreatePreparedStatementResult{handle=1}
-            result = _any_pack("ActionCreatePreparedStatementResult",
-                               _field(1, handle))
-            return iter([fl.Result(result)])
-        if action.type == "ClosePreparedStatement":
-            name, body = _any_unpack(action.body.to_pybytes())
-            f = _parse_fields(body)
+            yield _any_pack("ActionCreatePreparedStatementResult",
+                            _field(1, handle))
+            return
+        if action_type == "ClosePreparedStatement":
+            name, inner = _any_unpack(body)
+            f = _parse_fields(inner)
             with self._plock:
                 self._prepared.pop(f[1][0], None)
-            return iter([])
-        return super().do_action(context, action) \
-            if hasattr(super(), "do_action") else iter([])
+            return
+        yield from super().do_action(action_type, body)
 
 
 # ---- client --------------------------------------------------------------------
 
 class FlightSQLClient:
     """FlightSQL client (sql/client.rs): execute / prepared statements /
-    catalog metadata over any FlightSQL-speaking server."""
+    catalog metadata over any FlightSQL-speaking server — on the
+    engine's own Flight transport."""
 
     def __init__(self, uri: str):
-        self._client = fl.connect(uri)
+        self._client = FlightTableClient(uri)
 
     def _get(self, cmd: bytes) -> Table:
         info = self._client.get_flight_info(
-            fl.FlightDescriptor.for_command(cmd))
-        ticket = info.endpoints[0].ticket
-        reader = self._client.do_get(ticket)
-        return table_from_pyarrow(reader.read_all())
+            FlightDescriptor.for_command(cmd))
+        ticket = info.endpoints[0][0]
+        tables = self._client.do_get_ticket(ticket)
+        if len(tables) == 1:
+            return tables[0]
+        from ..ops.concat import concat_tables
+        return concat_tables(tables)
 
     def execute(self, query: str) -> Table:
         return self._get(cmd_statement_query(query))
 
     def prepare(self, query: str) -> bytes:
-        action = fl.Action("CreatePreparedStatement",
-                           action_create_prepared(query))
-        results = list(self._client.do_action(action))
-        name, body = _any_unpack(results[0].body.to_pybytes())
+        results = self._client.do_action("CreatePreparedStatement",
+                                         action_create_prepared(query))
+        name, body = _any_unpack(results[0])
         return _parse_fields(body)[1][0]
 
     def execute_prepared(self, handle: bytes) -> Table:
         return self._get(cmd_prepared_statement_query(handle))
 
     def close_prepared(self, handle: bytes) -> None:
-        action = fl.Action("ClosePreparedStatement",
-                           action_close_prepared(handle))
-        list(self._client.do_action(action))
+        self._client.do_action("ClosePreparedStatement",
+                               action_close_prepared(handle))
 
     def get_catalogs(self) -> Table:
         return self._get(cmd_get_catalogs())

@@ -1,10 +1,14 @@
-"""JSON read/write (the arrow-json role).
+"""JSON read/write (the arrow-json role) — native tape reader.
 
-Reader: line-delimited JSON -> Table (arrow-json two-phase tape+decoder,
-reader/tape.rs — bulk parse delegated to the Arrow C++ reader), plus a
-from-python-objects decode path (the reference's serde path,
-reader/mod.rs:177).  Writer: LineDelimited and JsonArray formats
-(writer/mod.rs:154,171).
+Reader: a C tape tokenizer (native/hostcodec.cpp json_tape, the
+arrow-json reader/tape.rs re-design) turns the byte buffer into a flat
+token tape; column assembly walks the tape with numpy (records, keys,
+and value tokens located by vectorized depth/prefix arithmetic), reusing
+the CSV typed parsers for numbers/timestamps and the C unescaper for
+strings.  Supports line-delimited and JSON-array inputs, nested structs
+and lists of primitives; `schema` casts the assembled columns.  Writer:
+LineDelimited and JsonArray formats (writer/mod.rs:154,171).
+pyarrow appears nowhere in this path.
 """
 
 from __future__ import annotations
@@ -14,40 +18,249 @@ import json
 import math
 from typing import Iterable, List, Optional
 
-import pyarrow as pa
-import pyarrow.json as pajson
+import jax.numpy as jnp
+import numpy as np
 
 from .. import dtypes as dt
+from ..core.column import (Column, ListColumn, NullColumn,
+                           PrimitiveColumn, StringColumn, StructColumn)
 from ..core.table import Table
 from ..errors import ArrowInvalid
-from .interop import dtype_to_pyarrow, table_from_pyarrow
+from ..utils import native as nt
 
 __all__ = ["read_json", "read_json_objects", "write_json", "WriterBuilder"]
 
 
+class _Tape:
+    def __init__(self, data: bytes):
+        self.raw = np.frombuffer(data, np.uint8)
+        self.types, self.starts, self.ends, self.escs = nt.json_tape(data)
+        delta = np.zeros(len(self.types), np.int64)
+        delta[(self.types == 0) | (self.types == 2)] = 1
+        delta[(self.types == 1) | (self.types == 3)] = -1
+        self.depth_after = np.cumsum(delta)
+        self.depth_before = self.depth_after - delta
+        self._match = None
+
+    def match(self) -> np.ndarray:
+        """Matching-close token index for every container open."""
+        if self._match is None:
+            m = np.full(len(self.types), -1, np.int64)
+            stack = []
+            for i, t in enumerate(self.types):
+                if t in (0, 2):
+                    stack.append(i)
+                elif t in (1, 3):
+                    m[stack.pop()] = i
+            self._match = m
+        return self._match
+
+    def text(self, i: int) -> str:
+        return self.raw[self.starts[i]:self.ends[i]].tobytes() \
+            .decode("utf-8")
+
+
+def _strings_from_tokens(tape: _Tape, toks: np.ndarray,
+                         present: np.ndarray) -> StringColumn:
+    sel = toks[present]
+    offs_u, data_u = nt.json_unescape(tape.raw, tape.starts[sel],
+                                      tape.ends[sel], tape.escs[sel])
+    n = len(toks)
+    lens = np.zeros(n, np.int64)
+    lens[present] = offs_u[1:] - offs_u[:-1]
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    mask = None if present.all() else jnp.asarray(present)
+    return StringColumn(jnp.asarray(offs.astype(np.int32)),
+                        jnp.asarray(data_u), dt.utf8, mask)
+
+
+def _column_from_tokens(tape: _Tape, toks: np.ndarray) -> Column:
+    """Build a column from per-row value-token indices (-1 = missing)."""
+    n = len(toks)
+    present = toks >= 0
+    if not present.any():
+        return NullColumn(n)
+    ttypes = np.where(present, tape.types[np.maximum(toks, 0)], 9)
+    is_null = (ttypes == 9) | ~present
+    val = ~is_null
+
+    kinds = set(np.unique(ttypes[val]).tolist())
+    lib = nt.csv_lib()
+
+    if kinds <= {6}:                       # numbers
+        sel = toks[val]
+        starts = np.ascontiguousarray(tape.starts[sel])
+        ends = np.ascontiguousarray(tape.ends[sel])
+        m = len(starts)
+        out_i = np.zeros(m, np.int64)
+        ok = np.zeros(m, np.uint8)
+        bad = lib.csv_parse_i64(nt._u8(tape.raw), nt._i64p(starts),
+                                nt._i64p(ends), m, nt._i64p(out_i),
+                                nt._u8(ok))
+        if bad < 0:
+            full = np.zeros(n, np.int64)
+            full[val] = out_i
+            mask = None if val.all() else jnp.asarray(val)
+            return PrimitiveColumn(jnp.asarray(full), dt.int64, mask,
+                                   _canonical=mask is None)
+        import ctypes as _ct
+        out_f = np.zeros(m, np.float64)
+        bad = lib.csv_parse_f64(
+            nt._u8(tape.raw), nt._i64p(starts), nt._i64p(ends), m,
+            out_f.ctypes.data_as(_ct.POINTER(_ct.c_double)), nt._u8(ok))
+        if bad >= 0:
+            raise ArrowInvalid("unparseable JSON number")
+        full = np.zeros(n, np.float64)
+        full[val] = out_f
+        mask = None if val.all() else jnp.asarray(val)
+        return PrimitiveColumn(jnp.asarray(full), dt.float64, mask,
+                               _canonical=mask is None)
+
+    if kinds <= {7, 8}:                    # booleans
+        full = np.zeros(n, np.bool_)
+        full[val] = ttypes[val] == 7
+        mask = None if val.all() else jnp.asarray(val)
+        return PrimitiveColumn(jnp.asarray(full), dt.bool_, mask,
+                               _canonical=mask is None)
+
+    if kinds <= {5}:                       # strings
+        # inference keeps strings as Utf8 (arrow-rs infer_json_schema
+        # semantics); a user schema converts via cast (utf8->timestamp)
+        return _strings_from_tokens(tape, toks, val)
+
+    if kinds <= {0}:                       # nested objects -> struct
+        return _struct_from_tokens(tape, toks, val)
+
+    if kinds <= {2}:                       # arrays -> list
+        return _list_from_tokens(tape, toks, val)
+
+    # mixed scalars: raw token text as utf8
+    return _strings_from_tokens(tape, toks, val)
+
+
+def _struct_from_tokens(tape: _Tape, toks: np.ndarray,
+                        val: np.ndarray) -> Column:
+    match = tape.match()
+    opens = toks[val]
+    names: List[str] = []
+    by_name = {}
+    # keys directly inside each object: depth == depth(open)+1
+    for row, o in zip(np.nonzero(val)[0], opens):
+        end = match[o]
+        d = tape.depth_after[o]
+        k = o + 1
+        while k < end:
+            if tape.types[k] == 4 and tape.depth_before[k] == d:
+                name = tape.text(k)
+                if name not in by_name:
+                    by_name[name] = np.full(len(toks), -1, np.int64)
+                    names.append(name)
+                by_name[name][row] = k + 1
+            k += 1
+    children = tuple(_column_from_tokens(tape, by_name[nm])
+                     for nm in names)
+    fields = tuple(dt.Field(nm, c.dtype) for nm, c in zip(names, children))
+    mask = None if val.all() else jnp.asarray(val)
+    if not names:
+        children = (NullColumn(len(toks)),)
+        fields = (dt.Field("", dt.null),)
+    return StructColumn(children, fields, mask)
+
+
+def _list_from_tokens(tape: _Tape, toks: np.ndarray,
+                      val: np.ndarray) -> Column:
+    match = tape.match()
+    elem_toks = []
+    counts = np.zeros(len(toks), np.int64)
+    for row, o in zip(np.nonzero(val)[0], toks[val]):
+        end = match[o]
+        d = tape.depth_after[o]
+        k = o + 1
+        cnt = 0
+        while k < end:
+            if tape.depth_before[k] == d and tape.types[k] != 4:
+                if tape.types[k] in (0, 2):
+                    elem_toks.append(k)
+                    k = match[k] + 1
+                    cnt += 1
+                    continue
+                elem_toks.append(k)
+                cnt += 1
+            k += 1
+        counts[row] = cnt
+    offsets = np.zeros(len(toks) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    child = _column_from_tokens(
+        tape, np.asarray(elem_toks, np.int64)
+        if elem_toks else np.zeros(0, np.int64))
+    mask = None if val.all() else jnp.asarray(val)
+    return ListColumn(jnp.asarray(offsets.astype(np.int32)), child, mask)
+
+
+def _as_bytes(source) -> bytes:
+    if isinstance(source, bytes):
+        return source
+    if isinstance(source, str):
+        stripped = source.lstrip()
+        if stripped.startswith("{") or stripped.startswith("["):
+            return source.encode("utf-8")
+        with open(source, "rb") as f:
+            return f.read()
+    if hasattr(source, "read"):
+        data = source.read()
+        return data.encode("utf-8") if isinstance(data, str) else data
+    raise ArrowInvalid(f"cannot read JSON from {type(source)}")
+
+
 def read_json(source, schema: Optional[dt.Schema] = None) -> Table:
-    """Line-delimited JSON -> Table."""
-    if isinstance(source, str) and "\n" in source or isinstance(source, str) \
-            and source.lstrip().startswith("{"):
-        source = _io.BytesIO(source.encode())
-    elif isinstance(source, bytes):
-        source = _io.BytesIO(source)
-    opts = None
+    """Line-delimited JSON (or a JSON array of objects) -> Table."""
+    data = _as_bytes(source)
+    tape = _Tape(data)
+    types, db = tape.types, tape.depth_before
+    # records: top-level objects, or objects at depth 1 of one top array
+    rec = (types == 0) & (db == 0)
+    if not rec.any() and len(types) and types[0] == 2:
+        rec = (types == 0) & (db == 1)
+    rec_starts = np.nonzero(rec)[0]
+    n = len(rec_starts)
+    key_depth = tape.depth_after[rec_starts[0]] if n else 1
+    key_pos = np.nonzero((types == 4) & (db == key_depth))[0]
+    rec_of_key = np.searchsorted(rec_starts, key_pos, side="right") - 1
+    names: List[str] = []
+    cols = {}
+    for kp, r in zip(key_pos, rec_of_key):
+        name = tape.text(kp)
+        if name not in cols:
+            cols[name] = np.full(n, -1, np.int64)
+            names.append(name)
+        cols[name][r] = kp + 1
+    columns = tuple(_column_from_tokens(tape, cols[nm]) for nm in names)
+    fields = tuple(dt.Field(nm, c.dtype) for nm, c in zip(names, columns))
+    t = Table(columns, dt.Schema(fields))
     if schema is not None:
-        opts = pajson.ParseOptions(explicit_schema=pa.schema(
-            [pa.field(f.name, dtype_to_pyarrow(f.dtype)) for f in schema]))
-    return table_from_pyarrow(pajson.read_json(source, parse_options=opts))
+        from ..ops.cast import cast
+        by = {f.name: f for f in schema.fields}
+        out_cols, out_fields = [], []
+        for f, c in zip(t.schema.fields, t.columns):
+            tgt = by.get(f.name)
+            if tgt is not None and tgt.dtype != c.dtype:
+                c = cast(c, tgt.dtype)
+                f = tgt
+            out_cols.append(c)
+            out_fields.append(dt.Field(f.name, c.dtype, f.nullable))
+        t = Table(tuple(out_cols), dt.Schema(tuple(out_fields)))
+    return t
 
 
 def read_json_objects(objs: Iterable[dict],
                       schema: Optional[dt.Schema] = None) -> Table:
-    """Decode from python mappings (the serde::Serialize decode path)."""
-    pa_schema = None
-    if schema is not None:
-        pa_schema = pa.schema([pa.field(f.name, dtype_to_pyarrow(f.dtype))
-                               for f in schema])
-    tbl = pa.Table.from_pylist(list(objs), schema=pa_schema)
-    return table_from_pyarrow(tbl)
+    """Decode from python mappings (the serde::Serialize decode path,
+    reader/mod.rs:177) — serialized through the same native tape."""
+    payload = "\n".join(json.dumps(o) for o in objs)
+    if not payload:
+        return Table((), dt.Schema(()))
+    return read_json(payload.encode("utf-8"), schema)
 
 
 class WriterBuilder:

@@ -7,11 +7,13 @@ batch size; and ArrowWriter (arrow_writer/mod.rs:131) with
 WriterProperties (file/properties.rs:156): compression, row-group size,
 dictionary control, statistics.
 
-The READ path is fully native (io/parquet_native.py: thrift footer,
-page decode in C++ hostcodec, level assembly) — pyarrow appears nowhere
-in it.  The write path still delegates the container codec to Arrow C++
-(pyarrow.parquet), byte-compatible with the reference by the
-cross-implementation suite; a native writer is the remaining step.
+Both paths are native by default: READ via io/parquet_native.py
+(thrift footer, C++ page decode, level assembly) and WRITE via
+io/parquet_writer.py (thrift metadata, PLAIN/RLE-dict pages, snappy,
+statistics, bloom filters).  The pyarrow writer remains only as an
+automatic fallback for types the native writer does not cover yet
+(views, unions, REE, maps, deep list nesting, page index) — each
+fallback is an explicit code path, not a hidden delegate.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ class WriterProperties:
     write_page_index: bool = False
     write_page_checksum: bool = False
     sorting_columns: Optional[tuple] = None   # ((name, descending), ...)
+    bloom_filter_columns: tuple = ()          # native writer sbbf
 
 
 @dataclass
@@ -154,8 +157,41 @@ class ParquetWriter:
         self._w.close()
 
 
+def _native_writable(schema: dt.Schema) -> bool:
+    from .parquet_writer import _logical_fields
+    def ok(d: dt.DataType) -> bool:
+        if d.name == "struct":
+            return all(ok(f.dtype) for f in d.fields)
+        if d.name in ("list", "large_list"):
+            v = d.value_type
+            return v.name not in ("struct", "list", "large_list", "map",
+                                  "dictionary") and ok(v)
+        if d.name == "dictionary":
+            return d.value_type.name in ("utf8", "binary")
+        try:
+            _logical_fields(d)
+            return True
+        except Exception:            # noqa: BLE001
+            return False
+    return all(ok(f.dtype) for f in schema.fields)
+
+
 def write_parquet(path, table: Table,
                   properties: WriterProperties = WriterProperties()):
+    """Native writer by default; Arrow C++ fallback for types/features
+    the native writer does not cover (page index, sorting columns)."""
+    props = properties
+    needs_pa = (props.write_page_index or props.write_page_checksum
+                or props.sorting_columns
+                or not _native_writable(table.schema))
+    if not needs_pa:
+        from .parquet_writer import write_parquet_native
+        write_parquet_native(
+            path, table, compression=props.compression,
+            dictionary_enabled=props.dictionary_enabled,
+            bloom_filter_columns=props.bloom_filter_columns,
+            row_group_size=props.row_group_size)
+        return
     w = ParquetWriter(path, table, properties)
     w.write(table)
     w.close()

@@ -823,6 +823,54 @@ class ParquetFile:
                                  for f, c in zip(fields, cols)))
         return Table(cols, schema)
 
+    def bloom_filter_check(self, rg_index: int, column: str,
+                           values) -> Optional[np.ndarray]:
+        """Split-block bloom filter membership probe (the reference's
+        sbbf, bloom_filter/mod.rs:176): True = value MAY be present in
+        the row group, False = definitely absent.  None when the column
+        chunk carries no bloom filter."""
+        import ctypes
+        from ..utils import native as nt
+        lib = nt._load()
+        if lib is None:
+            return None
+        rg = self.row_groups[rg_index]
+        leaves = self._leaves()
+        names = [l.name for l in leaves]
+        try:
+            li = names.index(column)
+        except ValueError:
+            return None
+        md = rg.get(1, [])[li].get(3, {})
+        off = md.get(14)
+        if off is None:
+            return None
+        r = CompactReader(self._data, off)
+        hdr = r.read_struct()
+        nbytes = hdr.get(1, 0)
+        bitset = np.frombuffer(self._data, np.uint8, nbytes, r.pos)
+        num_blocks = nbytes // 32
+        leaf = leaves[li]
+        hashes = _value_hashes(leaf, values, lib, nt)
+        if hashes is None:
+            return None
+        out = np.zeros(len(hashes), np.uint8)
+        lib.sbbf_check(nt._u8(np.ascontiguousarray(bitset)), num_blocks,
+                       hashes.ctypes.data_as(
+                           ctypes.POINTER(ctypes.c_uint64)),
+                       len(hashes), nt._u8(out))
+        return out.astype(bool)
+
+    def prune_row_groups(self, column: str, value) -> List[int]:
+        """Row groups that may contain `value` (bloom-filter pruning;
+        groups without a filter are kept)."""
+        keep = []
+        for i in range(len(self.row_groups)):
+            hit = self.bloom_filter_check(i, column, [value])
+            if hit is None or bool(hit[0]):
+                keep.append(i)
+        return keep
+
     def read(self, columns: Optional[Sequence[str]] = None,
              as_dictionary: Sequence[str] = ()) -> Table:
         parts = [self.read_row_group(i, columns, as_dictionary)
@@ -831,6 +879,31 @@ class ParquetFile:
             return parts[0]
         from ..ops.concat import concat_tables
         return concat_tables(parts)
+
+
+def _value_hashes(leaf: SchemaNode, values, lib, nt):
+    """XXH64(seed 0) over each value's PLAIN encoding (the parquet bloom
+    filter hash contract)."""
+    import numpy as _np
+    out = _np.zeros(len(values), _np.uint64)
+    for i, v in enumerate(values):
+        if isinstance(v, str):
+            raw = v.encode("utf-8")
+        elif isinstance(v, bytes):
+            raw = v
+        elif isinstance(v, (int, _np.integer)):
+            width = 4 if leaf.physical == PT_INT32 else 8
+            raw = int(v).to_bytes(width, "little", signed=True)
+        elif isinstance(v, float):
+            import struct as _st
+            raw = _st.pack("<f" if leaf.physical == PT_FLOAT else "<d",
+                           v)
+        else:
+            return None
+        buf = _np.frombuffer(raw, _np.uint8) if raw else             _np.zeros(1, _np.uint8)
+        out[i] = lib.xxhash64(nt._u8(_np.ascontiguousarray(buf)),
+                              len(raw), 0)
+    return out
 
 
 def _leaves_under(n: SchemaNode) -> List[SchemaNode]:

@@ -36,11 +36,13 @@ from .aggregate import (  # noqa: F401
     sum_, sum_checked, min_, max_, min_max, count, count_nulls,
     bool_and, bool_or, bit_and, bit_or, bit_xor,
 )
-from .cast import cast, can_cast, CastOptions  # noqa: F401
+from .cast import (  # noqa: F401
+    cast, can_cast, CastOptions, base64_encode, base64_decode,
+)
 from .temporal import (  # noqa: F401
     date_part, year, month, day, hour, minute, second, millisecond,
     microsecond, nanosecond, day_of_week, day_of_year, quarter,
-    add_interval, sub_interval,
+    week, iso_week, iso_year, add_interval, sub_interval,
 )
 from .bitwise import (  # noqa: F401
     # elementwise bitwise kernels use the reference's bitwise_* names

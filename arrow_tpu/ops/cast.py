@@ -101,6 +101,10 @@ def can_cast(from_dt: dt.DataType, to_dt: dt.DataType) -> bool:
         return can_cast(from_dt.value_type, to_dt.value_type)
     if from_dt.name == "map" and to_dt.name == "map":
         return True
+    if from_dt.name == "struct" and to_dt.name == "struct":
+        return len(from_dt.fields) == len(to_dt.fields) and all(
+            can_cast(f.dtype, t.dtype)
+            for f, t in zip(from_dt.fields, to_dt.fields))
     if (from_dt.name == "map" and to_dt.name in lists) or \
             (from_dt.name in lists and to_dt.name == "map"):
         return True
@@ -147,6 +151,9 @@ def cast(col: Column, to: dt.DataType,
     from ..core.nested import MapColumn
     if isinstance(col, MapColumn) or to.name == "map":
         return _cast_map(col, to, options)
+    from ..core.column import StructColumn
+    if isinstance(col, StructColumn) and to.name == "struct":
+        return _cast_struct(col, to, options)
     from ..core.nested import ListViewColumn
     if isinstance(col, (ListColumn, FixedSizeListColumn,
                         ListViewColumn)) or \
@@ -904,3 +911,59 @@ def _cast_map(col: Column, to: dt.DataType,
                          col.validity)
 
     raise ArrowNotImplementedError(f"cast {from_dt!r} -> {to!r}")
+
+
+def _cast_struct(col, to: dt.DataType, options: CastOptions):
+    """Struct -> Struct: children cast positionally, renamed to the
+    target's field names (cast/mod.rs (Struct, Struct) arm)."""
+    from ..core.column import StructColumn
+    if len(col.fields) != len(to.fields):
+        raise ArrowInvalid(
+            f"struct cast arity mismatch: {len(col.fields)} vs "
+            f"{len(to.fields)}")
+    children = tuple(cast(c, f.dtype, options)
+                     for c, f in zip(col.children, to.fields))
+    return StructColumn(children, tuple(to.fields), col.validity)
+
+
+def base64_encode(col) -> StringColumn:
+    """Binary -> Utf8 standard base64 (arrow-cast/src/base64.rs
+    b64_encode, STANDARD alphabet)."""
+    import base64 as _b64
+    import numpy as np
+    if not isinstance(col, StringColumn):
+        raise ArrowTypeError(f"base64_encode of {type(col).__name__}")
+    offs = np.asarray(col.offsets).astype(np.int64)
+    data = np.asarray(col.data).tobytes()
+    parts = [_b64.b64encode(data[offs[i]:offs[i + 1]])
+             for i in range(len(col))]
+    lens = np.fromiter((len(p) for p in parts), np.int64, len(parts))
+    out_offs = np.zeros(len(col) + 1, np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    out = b"".join(parts)
+    import jax.numpy as jnp
+    return StringColumn(jnp.asarray(out_offs.astype(np.int32)),
+                        jnp.asarray(np.frombuffer(out, np.uint8).copy()),
+                        dt.utf8, col.validity)
+
+
+def base64_decode(col) -> StringColumn:
+    """Utf8 -> Binary standard base64 decode (base64.rs b64_decode);
+    malformed input raises (CastOptions.safe does not apply, matching
+    the reference's explicit-error behavior)."""
+    import base64 as _b64
+    import numpy as np
+    if not isinstance(col, StringColumn):
+        raise ArrowTypeError(f"base64_decode of {type(col).__name__}")
+    offs = np.asarray(col.offsets).astype(np.int64)
+    data = np.asarray(col.data).tobytes()
+    parts = [_b64.b64decode(data[offs[i]:offs[i + 1]], validate=True)
+             for i in range(len(col))]
+    lens = np.fromiter((len(p) for p in parts), np.int64, len(parts))
+    out_offs = np.zeros(len(col) + 1, np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    out = b"".join(parts)
+    import jax.numpy as jnp
+    return StringColumn(jnp.asarray(out_offs.astype(np.int32)),
+                        jnp.asarray(np.frombuffer(out, np.uint8).copy()),
+                        dt.binary, col.validity)

@@ -105,78 +105,131 @@ def combined_keys(lcols: Sequence[Column], rcols: Sequence[Column]):
 
 import functools
 
+_U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
-@functools.partial(jax.jit, static_argnames=("multi",))
-def _probe_stage(lkey, lvalid, rkey, rvalid, multi):
-    """Device half of the hash join, one XLA program: sort the build
-    side, binary-search every probe key, mask NULL probes (eager per-op
-    dispatch through the remote-TPU tunnel costs ~100x the kernels)."""
-    r_order = jnp.argsort(rkey, stable=True)
-    r_sorted = rkey[r_order]
-    rvalid_sorted = rvalid[r_order]
-    lo = jnp.searchsorted(r_sorted, lkey, side="left")
-    hi = jnp.searchsorted(r_sorted, lkey, side="right")
-    counts = (hi - lo).astype(jnp.int64)
-    counts = jnp.where(lvalid, counts, 0)  # NULL probe matches nothing
-    return lo, counts, r_order, rvalid_sorted
+
+@jax.jit
+def _probe_stage(lkey, lvalid, rkey, rvalid):
+    """Device half of the hash join, one XLA program.
+
+    Build-side NULL rows are excluded WITHOUT a host round-trip: their
+    keys become u64::MAX and the fused sort's secondary null-flag key
+    parks them behind every valid row, so clamping `hi` to the valid
+    count drops them from every probe range (eager per-op dispatch
+    through the remote-TPU tunnel costs ~100x the kernels)."""
+    n_r = rkey.shape[0]
+    iota = jnp.arange(n_r, dtype=jnp.int32)
+    key_adj = jnp.where(rvalid, rkey, _U64_MAX)
+    r_sorted, _, r_order = jax.lax.sort(
+        (key_adj, ~rvalid, iota), num_keys=2, is_stable=False)
+    nvalid = jnp.sum(rvalid, dtype=jnp.int32)
+    lo = jnp.searchsorted(r_sorted, lkey, side="left").astype(jnp.int32)
+    hi = jnp.minimum(
+        jnp.searchsorted(r_sorted, lkey, side="right").astype(jnp.int32),
+        nvalid)
+    counts = jnp.where(lvalid, jnp.maximum(hi - lo, 0), 0) \
+        .astype(jnp.int64)
+    return lo, counts, r_order
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def _expand_stage(lo, counts, r_order, n_out):
+    """Capacity-padded device pair expansion (replaces the r1 host
+    np.repeat): output position -> probe row via searchsorted over the
+    inclusive count prefix sum (the same trick group_by's boundary
+    plan uses); no host array ever holds the match set."""
+    incl = jnp.cumsum(counts)
+    out_i = jnp.arange(n_out, dtype=jnp.int64)
+    probe_idx = jnp.searchsorted(incl, out_i, side="right") \
+        .astype(jnp.int32)
+    excl = (incl - counts)[probe_idx]
+    within = out_i - excl
+    build_pos = lo[probe_idx].astype(jnp.int64) + within
+    build_idx = r_order[build_pos]
+    return probe_idx, build_idx
+
+
+def _round_capacity(n: int) -> int:
+    """Round up to 1/8-geometric buckets so expansion shapes (and their
+    compiles) are reused across nearby output sizes."""
+    if n <= 1024:
+        return 1024
+    k = max((n - 1).bit_length() - 4, 0)
+    step = 1 << k
+    return ((n + step - 1) // step) * step
+
+
+@jax.jit
+def _mask_from_counts(counts):
+    return counts > 0
+
+
+def _indices_of_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    from .filter import _nonzero_indices
+    count = int(jnp.sum(mask))
+    return _nonzero_indices(mask, count)
 
 
 def join_indices(left: Table, right: Table, on: Sequence[str],
                  how: str = "inner",
                  right_on: Optional[Sequence[str]] = None
-                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Compute (left_indices, right_indices) row pairs; -1 marks the null-
-    extended side (left joins)."""
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute (left_indices, right_indices) row pairs; -1 marks the
+    null-extended side (left joins).  Device-resident end to end: the
+    only host syncs are output-size scalars (arrow-select take.rs:86 /
+    interleave.rs:70 are the reassembly primitives this feeds)."""
     right_on = right_on or on
     lkey, lvalid, rkey, rvalid, lkeys, rkeys = combined_keys(
         [left.column(c) for c in on],
         [right.column(c) for c in right_on])
     multi = len(on) > 1
 
-    lo, counts, r_order, rvalid_sorted = _probe_stage(
-        lkey, lvalid, rkey, rvalid, multi)
+    lo, counts, r_order = _probe_stage(lkey, lvalid, rkey, rvalid)
 
-    counts_np = np.asarray(counts)
-    lo_np = np.asarray(lo)
-    order_np = np.asarray(r_order)
-    rvalid_sorted_np = np.asarray(rvalid_sorted)
+    if how in ("semi", "anti"):
+        matched = _mask_from_counts(counts)
+        mask = matched if how == "semi" else ~matched
+        idx = _indices_of_mask(mask)
+        return idx.astype(jnp.int64), jnp.full(idx.shape, -1, jnp.int64)
 
-    # expansion (host offsets; the gathers stay on device via take)
-    probe_idx = np.repeat(np.arange(len(counts_np)), counts_np)
-    within = np.arange(counts_np.sum(), dtype=np.int64) - \
-        np.repeat(np.cumsum(counts_np) - counts_np, counts_np)
-    build_pos = lo_np[probe_idx] + within
-    build_idx = order_np[build_pos]
-    # drop NULL build entries (equal sentinel keys must not match)
-    keep = rvalid_sorted_np[build_pos]
-    probe_idx, build_idx = probe_idx[keep], build_idx[keep]
+    total = int(jnp.sum(counts))
+    n_pad = _round_capacity(total)
+    probe_idx, build_idx = _expand_stage(lo, counts, r_order, n_pad)
+    probe_idx, build_idx = probe_idx[:total], build_idx[:total]
 
-    if multi:
+    collisions_removed = False
+    if multi and total:
         # verify against mixer collisions with exact per-column compare
-        ok = np.ones(len(probe_idx), bool)
+        ok = jnp.ones(total, jnp.bool_)
         for lk, rk in zip(lkeys, rkeys):
-            ok &= np.asarray(lk)[probe_idx] == np.asarray(rk)[build_idx]
-        probe_idx, build_idx = probe_idx[ok], build_idx[ok]
+            ok &= lk[probe_idx] == rk[build_idx]
+        n_ok = int(jnp.sum(ok))
+        if n_ok != total:
+            from .filter import compact_by_mask
+            probe_idx, build_idx = compact_by_mask(ok, n_ok, probe_idx,
+                                                   build_idx)
+            total = n_ok
+            collisions_removed = True
 
+    probe_idx = probe_idx.astype(jnp.int64)
+    build_idx = build_idx.astype(jnp.int64)
     if how == "inner":
         return probe_idx, build_idx
-    if how == "semi":
-        mask = np.zeros(left.num_rows, bool)
-        mask[probe_idx] = True
-        idx = np.nonzero(mask)[0]
-        return idx, np.full(len(idx), -1)
-    if how == "anti":
-        mask = np.ones(left.num_rows, bool)
-        mask[probe_idx] = False
-        idx = np.nonzero(mask)[0]
-        return idx, np.full(len(idx), -1)
     if how == "left":
-        matched = np.zeros(left.num_rows, bool)
-        matched[probe_idx] = True
-        unmatched = np.nonzero(~matched)[0]
-        li = np.concatenate([probe_idx, unmatched])
-        ri = np.concatenate([build_idx, np.full(len(unmatched), -1)])
-        order = np.argsort(li, kind="stable")
+        if multi and collisions_removed:
+            # rare path: some probe rows lost every match to collision
+            # verification; rebuild the mask from the surviving pairs
+            matched = jnp.zeros(left.num_rows, jnp.bool_) \
+                .at[probe_idx].set(True)
+        else:
+            # counts>0 is exact (no scatter; XLA scatter is 0.005-0.014
+            # Grows/s on this TPU)
+            matched = counts > 0
+        unmatched = _indices_of_mask(~matched).astype(jnp.int64)
+        li = jnp.concatenate([probe_idx, unmatched])
+        ri = jnp.concatenate([build_idx,
+                              jnp.full(unmatched.shape, -1, jnp.int64)])
+        order = jnp.argsort(li, stable=True)
         return li[order], ri[order]
     raise ArrowInvalid(f"unknown join type {how}")
 
@@ -188,16 +241,16 @@ def join(left: Table, right: Table, on: Sequence[str], how: str = "inner",
     (keys taken from the left side, SQL USING semantics)."""
     right_on_l = list(right_on or on)
     li, ri = join_indices(left, right, on, how, right_on)
-    l_idx = PrimitiveColumn(jnp.asarray(li), dt.int64)
+    l_idx = PrimitiveColumn(li, dt.int64)
     cols: List[Column] = [take_kernel(c, l_idx) for c in left.columns]
     fields = list(left.schema.fields)
     if how in ("semi", "anti"):
         return Table(tuple(cols), dt.Schema(tuple(fields)), _validated=True)
 
-    null_ext = (ri < 0)
-    r_idx = PrimitiveColumn(jnp.asarray(np.where(null_ext, 0, ri)), dt.int64,
-                            None if not null_ext.any()
-                            else jnp.asarray(~null_ext))
+    null_ext = ri < 0
+    any_null = how == "left" and bool(jnp.any(null_ext))
+    r_idx = PrimitiveColumn(jnp.where(null_ext, 0, ri), dt.int64,
+                            ~null_ext if any_null else None)
     taken_names = set(left.schema.names)
     for f, c in zip(right.schema.fields, right.columns):
         if f.name in right_on_l:

@@ -583,6 +583,14 @@ def lexsort_order_traced(keys):
 @functools.partial(jax.jit, static_argnames=("kinds", "opts", "limit"))
 def _lexsort_stage(kinds, opts, parts, limit=None):
     keys = encode_keys_traced(kinds, opts, parts)
+    if limit is not None and len(keys) == 1 \
+            and limit <= keys[0].shape[0] // 4:
+        # true partial top-k (sort.rs partial_sort:853 role): O(n log k)
+        # instead of a full O(n log n) sort.  XLA TopK breaks ties by
+        # ascending index, which IS the stable order; inverting the
+        # ascending-encoded key makes "largest inverted" = smallest key.
+        _, idx = jax.lax.top_k(~keys[0], limit)
+        return idx.astype(jnp.uint32)
     idx = lexsort_order_traced(keys)
     return idx if limit is None else idx[:limit]
 

@@ -28,6 +28,7 @@ from ..core.column import (Column, DictionaryColumn, PrimitiveColumn,
                            StringColumn)
 from ..core.datum import Datum, Scalar, as_datum
 from ..errors import ArrowNotImplementedError, ArrowTypeError
+from ..utils import native as nt
 
 __all__ = [
     "dictionary_encode", "dictionary_decode", "compare",
@@ -42,18 +43,32 @@ __all__ = [
 # ---- encoding ----------------------------------------------------------------
 
 def dictionary_encode(col: Column, code_dtype=jnp.int32) -> DictionaryColumn:
-    """StringColumn -> DictionaryColumn with sorted-unique values
-    (cast.rs cast_to_dictionary analogue; host pass over the bytes once)."""
+    """StringColumn -> DictionaryColumn with sorted-unique values.
+
+    Native O(n) hash interning (hostcodec intern_varlen, the
+    generic_bytes_dictionary_builder.rs role) + an O(u log u) sort of the
+    distinct values only, so codes double as ranks for the sort/groupby
+    dict-rank keys.  No per-row Python."""
     if isinstance(col, DictionaryColumn):
         return col
     if not isinstance(col, StringColumn):
         raise ArrowTypeError(f"dictionary_encode of {type(col)}")
-    lst = col.to_pylist_host()
-    vals = np.array([("" if v is None else v) for v in lst], dtype=object)
-    uniq, inv = np.unique(vals.astype(str), return_inverse=True)
-    values = StringColumn.from_pylist([str(u) for u in uniq], col.dtype)
-    codes = jnp.asarray(inv.astype(np.dtype(code_dtype)))
-    return DictionaryColumn(codes, values, col.validity)
+    offs = np.asarray(col.offsets).astype(np.int64)
+    data = np.asarray(col.data)
+    codes, uniq_idx = nt.intern_varlen(offs, data)
+    u = len(uniq_idx)
+    # sort the DISTINCT values natively, remap codes to ranks
+    uoffs, udata = nt.gather_varlen(offs, data, uniq_idx)
+    order = nt.argsort_varlen(uoffs, udata).astype(np.int64)
+    remap = np.empty(max(u, 1), np.int32)
+    remap[order] = np.arange(u, dtype=np.int32)
+    codes = remap[codes] if u else codes
+    new_offs, new_data = nt.gather_varlen(uoffs, udata, order)
+    values = StringColumn(jnp.asarray(new_offs.astype(np.int32)),
+                          jnp.asarray(new_data), col.dtype)
+    codes = jnp.asarray(codes.astype(np.dtype(code_dtype)))
+    return DictionaryColumn(codes, values, col.validity,
+                            _canonical=col.validity is None)
 
 
 def dictionary_decode(col: DictionaryColumn) -> StringColumn:
@@ -164,6 +179,60 @@ def _per_value(col: Column, fn: Callable[[str], bool]) -> PrimitiveColumn:
     return PrimitiveColumn(out, dt.bool_, _effective_validity(dcol, vals))
 
 
+def _is_ascii(b: bytes) -> bool:
+    return not any(c & 0x80 for c in b)
+
+
+def _match_mask(col: Column, op: int, pattern: str,
+                ci: bool = False, negate: bool = False
+                ) -> PrimitiveColumn:
+    """Native O(n) matcher (predicate.rs:28 / like.rs:79-186 semantics):
+    StringColumn -> one C pass over the byte buffer; DictionaryColumn ->
+    one C pass over the distinct values, broadcast by code on device."""
+    pat = pattern.encode("utf-8")
+    if ci and not _is_ascii(pat):
+        return _match_fallback(col, op, pattern, ci, negate)
+    if isinstance(col, StringColumn):
+        offs = np.asarray(col.offsets).astype(np.int64)
+        data = np.asarray(col.data)
+        if ci and (data & 0x80).any():
+            return _match_fallback(col, op, pattern, ci, negate)
+        try:
+            hits = nt.bytes_match(offs, data, pat, op, ci)
+        except NotImplementedError:
+            return _match_fallback(col, op, pattern, ci, negate)
+        if negate:
+            hits = ~hits
+        return PrimitiveColumn(jnp.asarray(hits), dt.bool_, col.validity)
+    dcol = _as_dict(col)
+    values = dcol.values
+    if not isinstance(values, StringColumn):
+        raise ArrowNotImplementedError("non-string dictionary predicate")
+    inner = _match_mask(values, op, pattern, ci, negate)
+    per_code = inner.values
+    out = jnp.take(per_code, dcol.codes, mode="clip")
+    validity = vd.union(dcol.validity,
+                        None if values.validity is None else
+                        jnp.take(values.validity, dcol.codes,
+                                 mode="clip"))
+    return PrimitiveColumn(out, dt.bool_, validity)
+
+
+def _match_fallback(col, op, pattern, ci, negate) -> PrimitiveColumn:
+    """Unicode-cased / no-native fallback: per-distinct-value Python."""
+    if op == nt.MATCH_LIKE:
+        flags = re.DOTALL | (re.IGNORECASE if ci else 0)
+        rx = re.compile(_like_regex(pattern), flags)
+        fn = lambda v: (rx.match(v) is not None) != negate
+    elif op == nt.MATCH_STARTS:
+        fn = lambda v: v.startswith(pattern) != negate
+    elif op == nt.MATCH_ENDS:
+        fn = lambda v: v.endswith(pattern) != negate
+    else:
+        fn = lambda v: (pattern in v) != negate
+    return _per_value(col, fn)
+
+
 def _like_regex(pattern: str) -> str:
     """LIKE pattern -> anchored regex (like.rs via predicate.rs:28, with
     its literal/prefix/suffix fast paths subsumed by the per-distinct-value
@@ -187,35 +256,31 @@ def _like_regex(pattern: str) -> str:
 
 
 def like(col, pattern: str):
-    rx = re.compile(_like_regex(pattern), re.DOTALL)
-    return _per_value(col, lambda v: rx.match(v) is not None)
+    return _match_mask(col, nt.MATCH_LIKE, pattern)
 
 
 def ilike(col, pattern: str):
-    rx = re.compile(_like_regex(pattern), re.DOTALL | re.IGNORECASE)
-    return _per_value(col, lambda v: rx.match(v) is not None)
+    return _match_mask(col, nt.MATCH_LIKE, pattern, ci=True)
 
 
 def nlike(col, pattern: str):
-    rx = re.compile(_like_regex(pattern), re.DOTALL)
-    return _per_value(col, lambda v: rx.match(v) is None)
+    return _match_mask(col, nt.MATCH_LIKE, pattern, negate=True)
 
 
 def nilike(col, pattern: str):
-    rx = re.compile(_like_regex(pattern), re.DOTALL | re.IGNORECASE)
-    return _per_value(col, lambda v: rx.match(v) is None)
+    return _match_mask(col, nt.MATCH_LIKE, pattern, ci=True, negate=True)
 
 
 def starts_with(col, prefix: str):
-    return _per_value(col, lambda v: v.startswith(prefix))
+    return _match_mask(col, nt.MATCH_STARTS, prefix)
 
 
 def ends_with(col, suffix: str):
-    return _per_value(col, lambda v: v.endswith(suffix))
+    return _match_mask(col, nt.MATCH_ENDS, suffix)
 
 
 def contains(col, needle: str):
-    return _per_value(col, lambda v: needle in v)
+    return _match_mask(col, nt.MATCH_CONTAINS, needle)
 
 
 def regexp_is_match(col, pattern: str, flags: str = ""):
@@ -275,21 +340,42 @@ def _map_values(col: Column, fn: Callable[[str], str]) -> Column:
 
 
 def substring(col, start: int, length: Optional[int] = None):
-    """substring.rs semantics: negative start counts from the end."""
+    """Character-based substring (substring.rs semantics: negative start
+    counts from the end); native single pass over the byte buffer."""
+    if isinstance(col, StringColumn):
+        try:
+            offs, data = nt.utf8_substring(
+                np.asarray(col.offsets).astype(np.int64),
+                np.asarray(col.data), start, length)
+            return StringColumn(jnp.asarray(offs.astype(np.int32)),
+                                jnp.asarray(data), col.dtype,
+                                col.validity)
+        except NotImplementedError:
+            pass
     def f(v: str) -> str:
-        b = v.encode()
-        s = start if start >= 0 else max(len(b) + start, 0)
-        e = len(b) if length is None else min(s + length, len(b))
-        return b[s:e].decode(errors="strict")
+        s = start if start >= 0 else max(len(v) + start, 0)
+        e = len(v) if length is None else min(s + length, len(v))
+        return v[s:e]
     return _map_values(col, f)
 
 
+def _case_transform(col, to_upper: bool):
+    if isinstance(col, StringColumn):
+        data = np.asarray(col.data)
+        out, is_ascii = nt.ascii_case(data, to_upper)
+        if is_ascii:
+            return StringColumn(col.offsets, jnp.asarray(out),
+                                col.dtype, col.validity)
+        # fall through: non-ASCII needs Unicode case mapping
+    return _map_values(col, str.upper if to_upper else str.lower)
+
+
 def upper(col):
-    return _map_values(col, str.upper)
+    return _case_transform(col, True)
 
 
 def lower(col):
-    return _map_values(col, str.lower)
+    return _case_transform(col, False)
 
 
 def concat_elements(lhs: Column, rhs: Column) -> Column:

@@ -4,11 +4,22 @@ The reference leans on chrono per element; here extraction is branch-free
 civil-calendar arithmetic on the VPU (Howard Hinnant's days-from-civil
 inverse algorithm, the standard O(1) date decomposition), so year/month/day
 run at elementwise bandwidth on device — no host round trip.
+
+Timezone-aware extraction (arrow-array/src/timezone.rs role): fixed
+offsets parse directly; IANA zones load their TZif transition tables
+from the host tzdata once (cached), upload as two small tensors, and the
+per-element UTC offset is one device searchsorted — extraction stays
+branch-free over DST transitions.
 """
 
 from __future__ import annotations
 
+import functools
+import struct as _struct
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import dtypes as dt
 from ..core.column import PrimitiveColumn
@@ -16,33 +27,110 @@ from ..errors import ArrowTypeError
 
 __all__ = ["date_part", "year", "month", "day", "hour", "minute", "second",
            "millisecond", "microsecond", "nanosecond", "day_of_week",
-           "day_of_year", "quarter", "add_interval", "sub_interval"]
+           "day_of_year", "quarter", "week", "iso_week", "iso_year",
+           "add_interval", "sub_interval"]
 
 _UNIT_NS = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}
 
 
-def _epoch_days_and_time_ns(col: PrimitiveColumn):
-    """(days since epoch, intra-day nanoseconds) — floor semantics for
-    pre-epoch instants."""
-    d = col.dtype
-    v = col.values.astype(jnp.int64)
-    if d.name == "date32":
+# ---- timezone support --------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _tzif_table(name: str):
+    """Parse the TZif file for an IANA zone -> (transition seconds i64,
+    utc offsets seconds i64), both numpy.  Uses the v2+ 64-bit block."""
+    import os
+    base = "/usr/share/zoneinfo"
+    path = os.path.join(base, *name.split("/"))
+    if not os.path.realpath(path).startswith(os.path.realpath(base)):
+        raise ArrowTypeError(f"bad timezone name {name!r}")
+    with open(path, "rb") as f:
+        data = f.read()
+
+    def parse_block(off, wide):
+        if data[off:off + 4] != b"TZif":
+            raise ArrowTypeError(f"{name}: not a TZif file")
+        version = data[off + 4:off + 5]
+        (isutcnt, isstdcnt, leapcnt, timecnt, typecnt,
+         charcnt) = _struct.unpack_from(">6I", data, off + 20)
+        p = off + 44
+        tsize = 8 if wide else 4
+        fmt = ">%d%s" % (timecnt, "q" if wide else "i")
+        times = np.array(_struct.unpack_from(fmt, data, p), np.int64)
+        p += timecnt * tsize
+        idxs = np.frombuffer(data, np.uint8, timecnt, p)
+        p += timecnt
+        offs = np.zeros(typecnt, np.int64)
+        for t in range(typecnt):
+            utoff = _struct.unpack_from(">i", data, p + 6 * t)[0]
+            offs[t] = utoff
+        p += 6 * typecnt + charcnt
+        p += leapcnt * (tsize + 4) + isstdcnt + isutcnt
+        return version, times, idxs, offs, p
+
+    version, times, idxs, offs, end = parse_block(0, wide=False)
+    if version >= b"2":
+        version, times, idxs, offs, _ = parse_block(end, wide=True)
+    if len(times) == 0:
+        return (np.array([-(1 << 62)], np.int64),
+                np.array([offs[0] if len(offs) else 0], np.int64))
+    # offset BEFORE the first transition: the first non-DST type (or 0)
+    trans_offs = offs[idxs]
+    first = offs[0]
+    return (np.concatenate([[-(1 << 62)], times]).astype(np.int64),
+            np.concatenate([[first], trans_offs]).astype(np.int64))
+
+
+def _parse_fixed_offset(tz: str):
+    """'+HH:MM' / '-HH:MM' / 'UTC' / 'GMT' -> offset seconds or None."""
+    if tz in ("UTC", "GMT", "utc", "Z", "+00:00", "-00:00"):
+        return 0
+    if len(tz) >= 3 and tz[0] in "+-" and tz[1:3].isdigit():
+        sign = 1 if tz[0] == "+" else -1
+        hh = int(tz[1:3])
+        mm = int(tz[4:6]) if len(tz) >= 6 else 0
+        return sign * (hh * 3600 + mm * 60)
+    return None
+
+
+def _tz_tables(tz: str):
+    """-> (transitions i64 tensor, offsets i64 tensor) for any tz spec
+    (fixed offsets become a single-entry table)."""
+    fixed = _parse_fixed_offset(tz)
+    if fixed is not None:
+        import numpy as _np
+        return (jnp.asarray(_np.array([-(1 << 62)], _np.int64)),
+                jnp.asarray(_np.array([fixed], _np.int64)))
+    trans, offs = _tzif_table(tz)
+    return jnp.asarray(trans), jnp.asarray(offs)
+
+
+def _epoch_days_and_time_ns_traced(v, trans, offs, dname, unit):
+    """(days since epoch, intra-day nanoseconds) from raw int64 values —
+    floor semantics for pre-epoch instants.  Traced (jit-safe); tz
+    transition tables arrive as tensors."""
+    if dname == "date32":
         return v, jnp.zeros_like(v)
-    if d.name == "date64":
-        ms = v
-        days = jnp.floor_divide(ms, 86_400_000)
-        rem = ms - days * 86_400_000
+    if dname == "date64":
+        days = jnp.floor_divide(v, 86_400_000)
+        rem = v - days * 86_400_000
         return days, rem * 1_000_000
-    if d.name == "timestamp":
-        scale = _UNIT_NS[d.unit]
-        day_units = 86_400 * (1_000_000_000 // scale)
-        days = jnp.floor_divide(v, day_units)
-        rem = v - days * day_units
-        return days, rem * scale
-    if d.name in ("time32", "time64"):
-        scale = _UNIT_NS[d.unit]
+    if dname == "timestamp":
+        scale = _UNIT_NS[unit]
+        ns = v * scale
+        if trans is not None:
+            # local wall-clock = instant + utc_offset(instant)
+            secs = jnp.floor_divide(ns, 1_000_000_000)
+            idx = jnp.clip(jnp.searchsorted(trans, secs, side="right")
+                           - 1, 0, offs.shape[0] - 1)
+            ns = ns + offs[idx] * 1_000_000_000
+        days = jnp.floor_divide(ns, 86_400 * 1_000_000_000)
+        rem = ns - days * 86_400 * 1_000_000_000
+        return days, rem
+    if dname in ("time32", "time64"):
+        scale = _UNIT_NS[unit]
         return jnp.zeros_like(v), v * scale
-    raise ArrowTypeError(f"date_part of {d!r}")
+    raise ArrowTypeError(f"date_part of {dname}")
 
 
 def _civil_from_days(z: jnp.ndarray):
@@ -60,15 +148,50 @@ def _civil_from_days(z: jnp.ndarray):
     return year, month, day
 
 
-def date_part(col: PrimitiveColumn, part: str) -> PrimitiveColumn:
-    days, t_ns = _epoch_days_and_time_ns(col)
-    if part in ("year", "month", "day", "quarter", "doy"):
+def _iso_year_week(days: jnp.ndarray):
+    """(iso_year, iso_week) per ISO 8601, branch-free (temporal.rs
+    YearISO/WeekISO semantics)."""
+    yy, mm, dd = _civil_from_days(days)
+    dow1 = jnp.mod(days + 3, 7) + 1          # Monday=1..Sunday=7
+    jan1 = _days_from_civil(yy, jnp.ones_like(mm), jnp.ones_like(dd))
+    doy = days - jan1 + 1                    # 1..366
+    w = (doy - dow1 + 10) // 7
+
+    def weeks_in(y):
+        # 52 + (jan1 is Thursday, or leap year and jan1 is Wednesday)
+        j = _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+        jd = jnp.mod(j + 3, 7) + 1           # Monday=1
+        leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+        return 52 + ((jd == 4) | (leap & (jd == 3))).astype(days.dtype)
+
+    week = jnp.where(w < 1, weeks_in(yy - 1), w)
+    week = jnp.where((w > 52) & (w > weeks_in(yy)),
+                     jnp.ones_like(w), week)
+    iso_year = jnp.where(w < 1, yy - 1,
+                         jnp.where((w > 52) & (w > weeks_in(yy)),
+                                   yy + 1, yy))
+    return iso_year, week
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dname", "unit", "part", "has_tz"))
+def _date_part_stage(v, trans, offs, dname, unit, part, has_tz):
+    """Whole extraction as ONE XLA program (eager chains cost ~100x
+    through the remote-TPU tunnel, CLAUDE.md)."""
+    days, t_ns = _epoch_days_and_time_ns_traced(
+        v, trans if has_tz else None, offs if has_tz else None,
+        dname, unit)
+    if part in ("week", "week_iso", "year_iso"):
+        iso_year, week = _iso_year_week(days)
+        out = iso_year if part == "year_iso" else week
+    elif part in ("year", "month", "day", "quarter", "doy"):
         yy, mm, dd = _civil_from_days(days)
         out = {"year": yy, "month": mm, "day": dd,
                "quarter": (mm - 1) // 3 + 1,
                "doy": None}[part]
         if part == "doy":
-            jan1 = _days_from_civil(yy, jnp.ones_like(mm), jnp.ones_like(dd))
+            jan1 = _days_from_civil(yy, jnp.ones_like(mm),
+                                    jnp.ones_like(dd))
             out = days - jan1 + 1
     elif part == "dow":
         # arrow DatePart::DayOfWeekMonday0: Monday=0..Sunday=6
@@ -87,7 +210,20 @@ def date_part(col: PrimitiveColumn, part: str) -> PrimitiveColumn:
         out = t_ns % 1_000_000_000
     else:
         raise ArrowTypeError(f"unknown date part {part}")
-    return PrimitiveColumn(out.astype(jnp.int32), dt.int32, col.validity,
+    return out.astype(jnp.int32)
+
+
+def date_part(col: PrimitiveColumn, part: str) -> PrimitiveColumn:
+    d = col.dtype
+    v = col.values.astype(jnp.int64)
+    tz = d.tz if d.name == "timestamp" else None
+    if tz:
+        trans, offs = _tz_tables(tz)
+    else:
+        trans = offs = jnp.zeros((1,), jnp.int64)
+    out = _date_part_stage(v, trans, offs, d.name, d.unit, part,
+                           tz is not None)
+    return PrimitiveColumn(out, dt.int32, col.validity,
                            _canonical=col.validity is None)
 
 
@@ -149,6 +285,19 @@ def quarter(col):
     return date_part(col, "quarter")
 
 
+def week(col):
+    """ISO 8601 week number (temporal.rs DatePart::Week == WeekISO)."""
+    return date_part(col, "week")
+
+
+def iso_week(col):
+    return date_part(col, "week_iso")
+
+
+def iso_year(col):
+    return date_part(col, "year_iso")
+
+
 # ---- interval arithmetic (arrow-arith numeric.rs interval cases) --------------
 
 def _days_in_month(y, m):
@@ -168,7 +317,8 @@ def _add_months_days_nanos(col: PrimitiveColumn, months, days, nanos,
     if negate:
         months, days, nanos = -months, -days, -nanos
     d = col.dtype
-    ep_days, time_ns = _epoch_days_and_time_ns(col)
+    ep_days, time_ns = _epoch_days_and_time_ns_traced(
+        col.values.astype(jnp.int64), None, None, d.name, d.unit)
     y, m, dd = _civil_from_days(ep_days)
     m2 = m - 1 + months.astype(jnp.int64)
     y2 = y + jnp.floor_divide(m2, 12)

@@ -7,5 +7,5 @@ from .partition import (  # noqa: F401
 )
 from .dist import (  # noqa: F401
     local_group_aggregate, dist_group_by, dist_join_unique,
-    dist_join_skew, dist_sort, dist_sum,
+    dist_join, dist_join_skew, dist_sort, dist_sum,
 )

@@ -24,7 +24,7 @@ from .partition import bucketize, exchange, hash_u64, repartition_arrays
 from ..ops.groupby import float_group_sums
 
 __all__ = ["local_group_aggregate", "dist_group_by", "dist_join_unique",
-           "dist_join_skew", "dist_sort", "dist_sum"]
+           "dist_join", "dist_join_skew", "dist_sort", "dist_sum"]
 
 _U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -36,10 +36,11 @@ def local_group_aggregate(key: jnp.ndarray, valid: jnp.ndarray,
                           specs: Sequence[Tuple[str, jnp.ndarray]]):
     """Sort-based grouped aggregation with a static group capacity.
 
-    Returns (group_keys (cap,), group_valid (cap,), [agg results (cap,)]).
-    Groups beyond `group_cap` are dropped (callers size the capacity from
-    cardinality knowledge; the distributed wrapper shards groups by hash so
-    per-shard capacity = global_cardinality / n_shards * slack).
+    Returns (group_keys (cap,), group_valid (cap,), [agg results (cap,)],
+    overflow).  Groups beyond `group_cap` cannot fit the static output --
+    `overflow` goes True instead of silently returning wrong aggregates
+    (callers size the capacity from cardinality knowledge; the distributed
+    wrapper psums the flag so every shard agrees).
     """
     n = key.shape[0]
     k = jnp.where(valid, key, _U64_MAX)
@@ -144,7 +145,11 @@ def local_group_aggregate(key: jnp.ndarray, valid: jnp.ndarray,
                 outs.append(pick(pos))
             continue
         raise ValueError(f"unknown aggregate {op}")
-    return group_keys, group_valid, outs
+    # count ALL distinct valid keys (not the capped eligible set) so an
+    # undersized capacity is reported, never silently dropped
+    total_groups = jnp.sum(run_start & vs, dtype=jnp.int32)
+    overflow = total_groups > group_cap
+    return group_keys, group_valid, outs, overflow
 
 
 def _local_lookup_unique(probe_key, probe_valid, build_key, build_valid,
@@ -173,7 +178,11 @@ def dist_group_by(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
     sh = repartition_arrays(axis, key, valid, shuffle_cap, *arrays)
     k2 = sh.arrays[0]
     specs2 = [(op, arr) for (op, _), arr in zip(specs, sh.arrays[1:])]
-    return local_group_aggregate(k2, sh.valid, group_cap, specs2)
+    gk, gv, outs, g_over = local_group_aggregate(k2, sh.valid, group_cap,
+                                                 specs2)
+    overflow = sh.overflow | (jax.lax.psum(g_over.astype(jnp.int32),
+                                           axis) > 0)
+    return gk, gv, outs, overflow
 
 
 def dist_sum(axis: str, values: jnp.ndarray, valid: jnp.ndarray):
@@ -194,7 +203,8 @@ def dist_join_unique(axis: str,
     Probe rows stay row-aligned with their shuffled slab (static shapes);
     `match_valid` marks rows with a build-side match; unmatched rows carry
     zeros (left-join semantics are match_valid; inner = probe_valid' &
-    match_valid)."""
+    match_valid).  The trailing `overflow` flag reports shuffle capacity
+    loss on either side (mesh-agreed; never silent)."""
     psh = repartition_arrays(axis, probe_key, probe_valid, probe_cap,
                              probe_key, *probe_vals)
     bsh = repartition_arrays(axis, build_key, build_valid, build_cap,
@@ -203,7 +213,68 @@ def dist_join_unique(axis: str,
     bk = bsh.arrays[0]
     hit, gathered = _local_lookup_unique(pk, psh.valid, bk, bsh.valid,
                                          bsh.arrays[1:])
-    return pk, psh.valid, psh.arrays[1:], hit, gathered
+    return pk, psh.valid, psh.arrays[1:], hit, gathered, \
+        psh.overflow | bsh.overflow
+
+
+def dist_join(axis: str,
+              probe_key, probe_valid, probe_vals: Sequence,
+              build_key, build_valid, build_vals: Sequence,
+              probe_cap: int, build_cap: int, out_cap: int):
+    """General many-to-many distributed inner join, shard_map body.
+
+    Co-shuffles both sides by key hash, then expands ALL (probe, build)
+    match pairs locally with the same capacity-padded searchsorted-over-
+    cumsum expansion as ops.join._expand_stage — static shapes, no host
+    syncs.  Returns (out_valid (out_cap,), probe_key', [probe vals'],
+    [build vals'], overflow); overflow covers both shuffle capacity loss
+    and expansion beyond out_cap, psum-agreed across the mesh.
+
+    Composition targets: arrow-select take.rs:86 / interleave.rs:70 as
+    the reassembly primitives; BASELINE config 5 is this operator plus
+    the skew split (dist_join_skew) for Zipf keys.
+    """
+    psh = repartition_arrays(axis, probe_key, probe_valid, probe_cap,
+                             probe_key, *probe_vals)
+    bsh = repartition_arrays(axis, build_key, build_valid, build_cap,
+                             build_key, *build_vals)
+    pk, pvalid = psh.arrays[0], psh.valid
+    bk, bvalid = bsh.arrays[0], bsh.valid
+
+    # local sort-probe (ops.join._probe_stage, shard-local static form)
+    n_b = bk.shape[0]
+    iota = jnp.arange(n_b, dtype=jnp.int32)
+    bk_adj = jnp.where(bvalid, bk, _U64_MAX)
+    bk_sorted, _, b_order = jax.lax.sort((bk_adj, ~bvalid, iota),
+                                         num_keys=2, is_stable=False)
+    nvalid = jnp.sum(bvalid, dtype=jnp.int32)
+    lo = jnp.searchsorted(bk_sorted, pk, side="left").astype(jnp.int32)
+    hi = jnp.minimum(jnp.searchsorted(bk_sorted, pk, side="right")
+                     .astype(jnp.int32), nvalid)
+    counts = jnp.where(pvalid, jnp.maximum(hi - lo, 0), 0) \
+        .astype(jnp.int64)
+
+    # capacity-padded expansion
+    incl = jnp.cumsum(counts)
+    total = incl[-1]
+    out_i = jnp.arange(out_cap, dtype=jnp.int64)
+    probe_pos = jnp.searchsorted(incl, out_i, side="right") \
+        .astype(jnp.int32)
+    probe_pos_c = jnp.minimum(probe_pos, pk.shape[0] - 1)
+    excl = (incl - counts)[probe_pos_c]
+    within = out_i - excl
+    build_pos = jnp.clip(lo[probe_pos_c].astype(jnp.int64) + within,
+                         0, n_b - 1)
+    build_idx = b_order[build_pos]
+    out_valid = out_i < total
+
+    out_probe_key = pk[probe_pos_c]
+    out_pvals = [v[probe_pos_c] for v in psh.arrays[1:]]
+    out_bvals = [v[build_idx] for v in bsh.arrays[1:]]
+    expand_over = jax.lax.psum((total > out_cap).astype(jnp.int32),
+                               axis) > 0
+    overflow = psh.overflow | bsh.overflow | expand_over
+    return out_valid, out_probe_key, out_pvals, out_bvals, overflow
 
 
 def dist_sort(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
@@ -236,9 +307,10 @@ def dist_sort(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
 
     # 2: route and exchange
     target = jnp.searchsorted(splitters, k, side="right").astype(jnp.int32)
-    slabs, slab_valid = bucketize(target, jnp.ones_like(valid), n_shards,
-                                  capacity, k, valid, *payloads)
-    sh = exchange(axis, slabs, slab_valid)
+    slabs, slab_valid, b_over = bucketize(target, jnp.ones_like(valid),
+                                          n_shards, capacity, k, valid,
+                                          *payloads)
+    sh = exchange(axis, slabs, slab_valid, b_over)
     k2, valid2 = sh.arrays[0], sh.arrays[1]
     pay2 = sh.arrays[2:]
 
@@ -246,7 +318,8 @@ def dist_sort(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
     k3 = jnp.where(sh.valid & valid2, k2, _U64_MAX)
     order = jnp.argsort(k3, stable=True)
     out_valid = (sh.valid & valid2)[order]
-    return k2[order], out_valid, tuple(p[order] for p in pay2)
+    return k2[order], out_valid, tuple(p[order] for p in pay2), \
+        sh.overflow
 
 
 # ---- skew-aware join (BASELINE config 5: Zipf keys) ---------------------------
@@ -323,9 +396,11 @@ def dist_join_skew(axis: str,
     # heavy path: replicate heavy build rows everywhere, probe locally
     kept, packed = _compact_front(bh, build_heavy_cap, build_key,
                                   *build_vals)
+    heavy_over = jnp.sum(bh, dtype=jnp.int32) > build_heavy_cap
+    heavy_over = jax.lax.psum(heavy_over.astype(jnp.int32), axis) > 0
     rep = [jax.lax.all_gather(a, axis).reshape(-1)
            for a in (packed[0], kept) + packed[1:]]
     rep_key, rep_valid, rep_vals = rep[0], rep[1], rep[2:]
     hit_h, got_h = _local_lookup_unique(probe_key, ph, rep_key,
                                         rep_valid, rep_vals)
-    return light, (hit_h, got_h)
+    return light, (hit_h, got_h, heavy_over)

@@ -5,11 +5,13 @@ in-program `all_to_all` over the mesh — the shuffle never leaves XLA, rides
 ICI, and overlaps with surrounding compute under the XLA scheduler.
 
 Static-shape discipline (XLA requirement): every shard sends a fixed
-(n_shards, capacity) slab; real rows are marked by a validity mask, counts
-travel alongside.  Capacity defaults to the local row count (lossless upper
-bound); callers with known balance can shrink it.  Overflowing rows (beyond
-capacity for one destination) are detectable via `counts` vs capacity —
-the skew-aware path splits heavy keys before shuffling (BASELINE config 5).
+(n_shards, capacity) slab; real rows are marked by a validity mask.
+Capacity defaults to the local row count (lossless upper bound); callers
+with known balance can shrink it.  Overflow is NEVER silent: every
+capacity-bounded stage carries an `overflow` flag tensor, psum'd across
+the mesh by `exchange`, so an undersized capacity is detected rather than
+silently dropping rows (the skew-aware path splits heavy keys before
+shuffling so capacities stay honest under Zipf keys).
 
 All functions here are shard_map bodies or jit-safe helpers: no host syncs.
 """
@@ -40,9 +42,12 @@ def hash_u64(key: jnp.ndarray) -> jnp.ndarray:
 
 class ShuffleResult(NamedTuple):
     """Per-shard receive slab: arrays shaped (n_shards * capacity, ...),
-    `valid` marking real rows."""
+    `valid` marking real rows, `overflow` a mesh-wide flag (True anywhere
+    => some shard dropped rows for capacity: results are incomplete and
+    the eager wrappers raise)."""
     arrays: tuple          # pytree tuple of value tensors
     valid: jnp.ndarray     # bool (n_shards * capacity,)
+    overflow: jnp.ndarray  # bool scalar, psum-agreed across the mesh
 
 
 def bucketize(target: jnp.ndarray, valid: jnp.ndarray, n_shards: int,
@@ -63,7 +68,9 @@ def bucketize(target: jnp.ndarray, valid: jnp.ndarray, n_shards: int,
                                                    dtype=t_sorted.dtype))
     pos_in_bucket = jnp.arange(n) - starts[jnp.clip(t_sorted, 0,
                                                     n_shards - 1)]
-    in_cap = (pos_in_bucket < capacity) & (t_sorted < n_shards)
+    wanted = t_sorted < n_shards
+    in_cap = (pos_in_bucket < capacity) & wanted
+    overflow = jnp.any(wanted & (pos_in_bucket >= capacity))
     dest = jnp.where(in_cap, t_sorted * capacity + pos_in_bucket,
                      n_shards * capacity)
     size = n_shards * capacity
@@ -76,19 +83,23 @@ def bucketize(target: jnp.ndarray, valid: jnp.ndarray, n_shards: int,
     slabs = tuple(scatter(a) for a in arrays)
     slab_valid = jnp.zeros((size,), jnp.bool_).at[dest].set(
         in_cap, mode="drop").reshape(n_shards, capacity)
-    return slabs, slab_valid
+    return slabs, slab_valid, overflow
 
 
-def exchange(axis: str, slabs: tuple, slab_valid: jnp.ndarray
-             ) -> ShuffleResult:
+def exchange(axis: str, slabs: tuple, slab_valid: jnp.ndarray,
+             overflow: Optional[jnp.ndarray] = None) -> ShuffleResult:
     """all_to_all the (n_shards, capacity) slabs: row i of the result came
-    from shard i.  Runs inside shard_map."""
+    from shard i.  Runs inside shard_map.  The local overflow flag is
+    psum'd so EVERY shard agrees whether the shuffle lost rows."""
     def a2a(x):
         return jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0,
                                   tiled=True)
     out = tuple(a2a(s).reshape(-1, *s.shape[2:]) for s in slabs)
     valid = a2a(slab_valid).reshape(-1)
-    return ShuffleResult(out, valid)
+    if overflow is None:
+        overflow = jnp.zeros((), jnp.bool_)
+    global_overflow = jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+    return ShuffleResult(out, valid, global_overflow)
 
 
 def repartition_arrays(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
@@ -99,6 +110,6 @@ def repartition_arrays(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
     of them)."""
     n_shards = jax.lax.axis_size(axis)
     target = (hash_u64(key) % jnp.uint64(n_shards)).astype(jnp.int32)
-    slabs, slab_valid = bucketize(target, valid, n_shards, capacity,
-                                  *arrays)
-    return exchange(axis, slabs, slab_valid)
+    slabs, slab_valid, overflow = bucketize(target, valid, n_shards,
+                                            capacity, *arrays)
+    return exchange(axis, slabs, slab_valid, overflow)

@@ -422,3 +422,286 @@ def snappy_compress(data: bytes) -> bytes:
     out = np.zeros(cap, np.uint8)
     n = lib.snappy_compress(_u8(src), len(src), _u8(out), cap)
     return out[:n].tobytes()
+
+
+def _bind_strings(lib):
+    if getattr(lib, "_str_bound", False):
+        return
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.c_int64
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.intern_varlen.argtypes = [i64p, u8p, i64, i32p, i64p]
+    lib.intern_varlen.restype = i64
+    lib.bytes_match.argtypes = [i64p, u8p, i64, u8p, i64,
+                                ctypes.c_int32, ctypes.c_uint8, u8p]
+    lib.ascii_case.argtypes = [u8p, i64, ctypes.c_int32, u8p]
+    lib.ascii_case.restype = i64
+    lib.utf8_substring.argtypes = [i64p, u8p, i64, i64, i64, i64p, u8p]
+    lib.utf8_substring.restype = i64
+    lib.utf8_char_lengths.argtypes = [i64p, u8p, i64, i64p]
+    lib._str_bound = True
+
+
+def _str_lib():
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_strings(lib)
+    return lib
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def intern_varlen(offsets: np.ndarray, data: np.ndarray):
+    """Hash-intern byte strings -> (codes i32, first-occurrence row idx).
+    (generic_bytes_dictionary_builder.rs role, O(n) native)."""
+    lib = _str_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(offsets) - 1
+    if lib is None:
+        # numpy fallback: object-array unique
+        vals = np.array([data[offsets[i]:offsets[i + 1]].tobytes()
+                         for i in range(n)], dtype=object)
+        uniq, first, inv = np.unique(vals, return_index=True,
+                                     return_inverse=True)
+        # np.unique sorts; convert to first-occurrence order
+        order = np.argsort(first, kind="stable")
+        remap = np.empty(len(uniq), np.int32)
+        remap[order] = np.arange(len(uniq), dtype=np.int32)
+        return remap[inv], first[order].astype(np.int64)
+    codes = np.zeros(max(n, 1), np.int32)
+    uniq_idx = np.zeros(max(n, 1), np.int64)
+    n_uniq = lib.intern_varlen(_i64p(offsets), _u8(data), n,
+                               codes.ctypes.data_as(
+                                   ctypes.POINTER(ctypes.c_int32)),
+                               _i64p(uniq_idx))
+    return codes[:n], uniq_idx[:n_uniq]
+
+
+MATCH_LIKE, MATCH_STARTS, MATCH_ENDS, MATCH_CONTAINS, MATCH_EQ = range(5)
+
+
+def bytes_match(offsets: np.ndarray, data: np.ndarray, pattern: bytes,
+                op: int, case_insensitive: bool = False) -> np.ndarray:
+    """O(n) native matcher (predicate.rs:28 fast paths + like.rs)."""
+    lib = _str_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(offsets) - 1
+    if lib is None:
+        raise NotImplementedError("native matcher requires hostcodec")
+    pat = np.frombuffer(pattern, np.uint8)
+    out = np.zeros(max(n, 1), np.uint8)
+    lib.bytes_match(_i64p(offsets), _u8(data), n, _u8(pat), len(pat),
+                    op, 1 if case_insensitive else 0, _u8(out))
+    return out[:n].view(bool)
+
+
+def ascii_case(data: np.ndarray, to_upper: bool):
+    """-> (transformed bytes, was_pure_ascii)."""
+    lib = _str_lib()
+    data = np.ascontiguousarray(data, np.uint8)
+    if lib is None:
+        return None, False
+    out = np.zeros(max(len(data), 1), np.uint8)
+    ok = lib.ascii_case(_u8(data), len(data), 1 if to_upper else 0,
+                        _u8(out))
+    return out[:len(data)], bool(ok)
+
+
+def utf8_substring(offsets: np.ndarray, data: np.ndarray, start: int,
+                   length: int):
+    """Character-based substring -> (new offsets i64, new data)."""
+    lib = _str_lib()
+    if lib is None:
+        raise NotImplementedError("native substring requires hostcodec")
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(offsets) - 1
+    out_offs = np.zeros(n + 1, np.int64)
+    out_data = np.zeros(max(len(data), 1), np.uint8)
+    total = lib.utf8_substring(_i64p(offsets), _u8(data), n, start,
+                               -1 if length is None else length,
+                               _i64p(out_offs), _u8(out_data))
+    return out_offs, out_data[:total]
+
+
+def utf8_char_lengths(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
+    lib = _str_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(offsets) - 1
+    if lib is None:
+        lens = np.diff(offsets)
+        raise NotImplementedError("native char lengths requires hostcodec")
+    out = np.zeros(max(n, 1), np.int64)
+    lib.utf8_char_lengths(_i64p(offsets), _u8(data), n, _i64p(out))
+    return out[:n]
+
+
+def argsort_varlen(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Lexicographic argsort of byte strings -> uint32 order."""
+    lib = _str_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(offsets) - 1
+    if lib is None:
+        vals = np.array([data[offsets[i]:offsets[i + 1]].tobytes()
+                         for i in range(n)], dtype=object)
+        return np.argsort(vals, kind="stable").astype(np.uint32)
+    if not getattr(lib, "_vs_bound", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.argsort_varlen.argtypes = [i64p, u8p, ctypes.c_int64,
+                                       ctypes.POINTER(ctypes.c_uint32)]
+        lib.gather_varlen.argtypes = [i64p, u8p, i64p, ctypes.c_int64,
+                                      i64p, u8p]
+        lib.gather_varlen.restype = ctypes.c_int64
+        lib._vs_bound = True
+    out = np.zeros(max(n, 1), np.uint32)
+    lib.argsort_varlen(_i64p(offsets), _u8(data), n,
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out[:n]
+
+
+def gather_varlen(offsets: np.ndarray, data: np.ndarray,
+                  idx: np.ndarray):
+    """Byte-string gather -> (offsets i64, data u8)."""
+    lib = _str_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    data = np.ascontiguousarray(data, np.uint8)
+    idx = np.ascontiguousarray(idx, np.int64)
+    n = len(idx)
+    if lib is None:
+        parts = [data[offsets[j]:offsets[j + 1]] for j in idx]
+        lens = np.array([len(p) for p in parts], np.int64)
+        oo = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=oo[1:])
+        return oo, (np.concatenate(parts) if parts
+                    else np.zeros(0, np.uint8))
+    argsort_varlen(np.zeros(1, np.int64), np.zeros(0, np.uint8))  # bind
+    lens = offsets[1:] - offsets[:-1]
+    cap = int(lens[idx].sum()) if n else 0
+    oo = np.zeros(n + 1, np.int64)
+    od = np.zeros(max(cap, 1), np.uint8)
+    lib.gather_varlen(_i64p(offsets), _u8(data), _i64p(idx), n,
+                      _i64p(oo), _u8(od))
+    return oo, od[:cap]
+
+
+def _bind_csv(lib):
+    if getattr(lib, "_csv_bound", False):
+        return
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.c_int64
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.csv_index.argtypes = [u8p, i64, ctypes.c_uint8, ctypes.c_uint8,
+                              i64p, i64p, u8p, i64, i64p, i64p]
+    lib.csv_index.restype = i64
+    lib.csv_extract.argtypes = [u8p, i64p, i64p, u8p, i64,
+                                ctypes.c_uint8, i64p, u8p]
+    lib.csv_extract.restype = i64
+    lib.csv_parse_i64.argtypes = [u8p, i64p, i64p, i64, i64p, u8p]
+    lib.csv_parse_i64.restype = i64
+    lib.csv_parse_f64.argtypes = [u8p, i64p, i64p, i64, f64p, u8p]
+    lib.csv_parse_f64.restype = i64
+    lib.csv_parse_bool.argtypes = [u8p, i64p, i64p, i64, u8p, u8p]
+    lib.csv_parse_bool.restype = i64
+    lib.csv_parse_timestamp.argtypes = [u8p, i64p, i64p, i64, i64,
+                                        ctypes.c_int32, i64p, u8p]
+    lib.csv_parse_timestamp.restype = i64
+    lib._csv_bound = True
+
+
+def csv_lib():
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native CSV engine requires hostcodec")
+    _bind_csv(lib)
+    return lib
+
+
+def _bind_json(lib):
+    if getattr(lib, "_json_bound", False):
+        return
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.c_int64
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.json_tape.argtypes = [u8p, i64, u8p, i64p, i64p, u8p, i64]
+    lib.json_tape.restype = i64
+    lib.json_unescape.argtypes = [u8p, i64p, i64p, u8p, i64, i64p, u8p]
+    lib.json_unescape.restype = i64
+    lib._json_bound = True
+
+
+def json_lib():
+    lib = _load()
+    if lib is None:
+        raise NotImplementedError("native JSON engine requires hostcodec")
+    _bind_json(lib)
+    return lib
+
+
+def json_tape(data: bytes):
+    """-> (types u8, starts i64, ends i64, escs u8) token tape."""
+    lib = json_lib()
+    src = np.frombuffer(data, np.uint8)
+    cap = max(len(data) // 2 + 16, 64)
+    while True:
+        types = np.zeros(cap, np.uint8)
+        starts = np.zeros(cap, np.int64)
+        ends = np.zeros(cap, np.int64)
+        escs = np.zeros(cap, np.uint8)
+        nt = lib.json_tape(_u8(src), len(src), _u8(types), _i64p(starts),
+                           _i64p(ends), _u8(escs), cap)
+        if nt == -1:
+            cap *= 2
+            continue
+        if nt == -2:
+            raise ValueError("malformed JSON")
+        return (types[:nt], starts[:nt], ends[:nt], escs[:nt])
+
+
+def json_unescape(data: np.ndarray, starts, ends, escs):
+    """-> (offsets i64, bytes u8) unescaped strings."""
+    lib = json_lib()
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    escs = np.ascontiguousarray(escs, np.uint8)
+    n = len(starts)
+    cap = int((ends - starts).sum()) + 4 * max(n, 1)
+    offs = np.zeros(n + 1, np.int64)
+    out = np.zeros(max(cap, 1), np.uint8)
+    total = lib.json_unescape(_u8(data), _i64p(starts), _i64p(ends),
+                              _u8(escs), n, _i64p(offs), _u8(out))
+    if total < 0:
+        raise ValueError("malformed JSON string escape")
+    return offs, out[:total]
+
+
+def plain_byte_array_encode(offsets: np.ndarray, data: np.ndarray
+                            ) -> bytes:
+    """(offsets, data) -> u32-length-prefixed PLAIN byte-array stream."""
+    lib = _req_lib()
+    if not getattr(lib, "_pbae_bound", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.plain_byte_array_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), u8p, ctypes.c_int64, u8p,
+            ctypes.c_int64]
+        lib.plain_byte_array_encode.restype = ctypes.c_int64
+        lib._pbae_bound = True
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(offsets) - 1
+    cap = int(offsets[-1]) + 4 * n + 8
+    out = np.zeros(max(cap, 1), np.uint8)
+    sz = lib.plain_byte_array_encode(_i64p(offsets), _u8(data), n,
+                                     _u8(out), cap)
+    if sz < 0:
+        raise ValueError("byte-array encode overflow")
+    return out[:sz].tobytes()

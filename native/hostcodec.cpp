@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <numeric>
+#include <vector>
 
 extern "C" {
 
@@ -721,6 +722,10 @@ int64_t rle_bp_encode(const uint32_t* vals, int64_t count,
             }
             int64_t nvals = j - start;
             int64_t groups = (nvals + 7) / 8;
+            // a bit-packed run CONSUMES groups*8 values on decode, so
+            // extend the run with real values up to that boundary
+            // (zero-padding is only legal at the very end of the data)
+            j = std::min(start + groups * 8, count);
             if (!put_varint(((uint64_t)groups << 1) | 1)) return -1;
             int64_t nbytes = groups * bit_width;
             if (pos + nbytes > cap) return -1;
@@ -973,6 +978,750 @@ int64_t snappy_compress(const uint8_t* src, int64_t n,
     }
     if (anchor < n) emit_literal(anchor, n - anchor);
     return pos;
+}
+
+// ---- string engine ----------------------------------------------------------
+//
+// Native paths for the string kernels (arrow-string/src/predicate.rs:28
+// fast paths, like.rs:79-186 semantics;
+// generic_bytes_dictionary_builder.rs hash interning).  The engine keeps
+// the dictionary-broadcast design (strings.py) but the value-touching
+// loops run here instead of per-value Python.
+
+// forward decl (defined above in this TU)
+uint64_t xxhash64(const uint8_t* data, int64_t len, uint64_t seed);
+
+// Hash-intern byte strings: codes[i] = dictionary code of row i (first-
+// occurrence order); uniq_idx[k] = row index introducing code k.
+// Returns the number of distinct values.
+int64_t intern_varlen(const int64_t* offsets, const uint8_t* data,
+                      int64_t n, int32_t* codes, int64_t* uniq_idx) {
+    int64_t cap = 16;
+    while (cap < 2 * n) cap <<= 1;
+    const uint64_t mask = cap - 1;
+    // open addressing: slot stores code+1 (0 = empty)
+    std::vector<int32_t> slots;
+    std::vector<uint64_t> hashes;
+    slots.assign(cap, 0);
+    hashes.assign(cap, 0);
+    int64_t n_uniq = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* s = data + offsets[i];
+        const int64_t len = offsets[i + 1] - offsets[i];
+        const uint64_t h = xxhash64(s, len, 0);
+        uint64_t j = h & mask;
+        while (true) {
+            int32_t c = slots[j];
+            if (c == 0) {
+                slots[j] = (int32_t)(n_uniq + 1);
+                hashes[j] = h;
+                uniq_idx[n_uniq] = i;
+                codes[i] = (int32_t)n_uniq;
+                ++n_uniq;
+                break;
+            }
+            int64_t u = uniq_idx[c - 1];
+            if (hashes[j] == h &&
+                offsets[u + 1] - offsets[u] == len &&
+                std::memcmp(data + offsets[u], s, len) == 0) {
+                codes[i] = c - 1;
+                break;
+            }
+            j = (j + 1) & mask;
+        }
+    }
+    return n_uniq;
+}
+
+static inline uint8_t ascii_lower(uint8_t c) {
+    return (c >= 'A' && c <= 'Z') ? c + 32 : c;
+}
+
+// UTF-8 aware SQL LIKE: '%' any run, '_' one codepoint, '\' escapes.
+// ci = ASCII case-insensitive.  Iterative two-pointer algorithm.
+static bool like_one(const uint8_t* s, int64_t slen,
+                     const uint8_t* p, int64_t plen, bool ci) {
+    int64_t si = 0, pi = 0, star_si = -1, star_pi = -1;
+    auto eq = [&](uint8_t a, uint8_t b) {
+        return ci ? ascii_lower(a) == ascii_lower(b) : a == b;
+    };
+    auto next_char = [](const uint8_t* str, int64_t len, int64_t pos) {
+        ++pos;
+        while (pos < len && (str[pos] & 0xC0) == 0x80) ++pos;
+        return pos;
+    };
+    while (si < slen) {
+        if (pi < plen) {
+            uint8_t pc = p[pi];
+            if (pc == '%') {
+                star_pi = ++pi;
+                star_si = si;
+                continue;
+            }
+            if (pc == '_') {
+                si = next_char(s, slen, si);
+                ++pi;
+                continue;
+            }
+            if (pc == '\\' && pi + 1 < plen) {
+                pc = p[pi + 1];
+                if (eq(s[si], pc)) { ++si; pi += 2; continue; }
+            } else if (eq(s[si], pc)) {
+                ++si; ++pi;
+                continue;
+            }
+        }
+        if (star_pi < 0) return false;
+        star_si = next_char(s, slen, star_si);
+        si = star_si;
+        pi = star_pi;
+    }
+    while (pi < plen && p[pi] == '%') ++pi;
+    return pi == plen;
+}
+
+// op: 0 like, 1 starts_with, 2 ends_with, 3 contains, 4 eq
+void bytes_match(const int64_t* offsets, const uint8_t* data, int64_t n,
+                 const uint8_t* pat, int64_t plen, int32_t op,
+                 uint8_t ci, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* s = data + offsets[i];
+        const int64_t len = offsets[i + 1] - offsets[i];
+        bool r = false;
+        switch (op) {
+        case 0: r = like_one(s, len, pat, plen, ci); break;
+        case 1:
+            r = len >= plen;
+            if (r) {
+                if (ci) {
+                    for (int64_t k = 0; k < plen; ++k)
+                        if (ascii_lower(s[k]) != ascii_lower(pat[k])) {
+                            r = false; break;
+                        }
+                } else {
+                    r = std::memcmp(s, pat, plen) == 0;
+                }
+            }
+            break;
+        case 2:
+            r = len >= plen;
+            if (r) {
+                const uint8_t* tail = s + len - plen;
+                if (ci) {
+                    for (int64_t k = 0; k < plen; ++k)
+                        if (ascii_lower(tail[k]) != ascii_lower(pat[k])) {
+                            r = false; break;
+                        }
+                } else {
+                    r = std::memcmp(tail, pat, plen) == 0;
+                }
+            }
+            break;
+        case 3:
+            if (plen == 0) { r = true; break; }
+            if (!ci) {
+                r = len >= plen && memmem(s, len, pat, plen) != nullptr;
+            } else {
+                r = false;
+                for (int64_t k = 0; k + plen <= len && !r; ++k) {
+                    r = true;
+                    for (int64_t m = 0; m < plen; ++m)
+                        if (ascii_lower(s[k + m]) != ascii_lower(pat[m])) {
+                            r = false; break;
+                        }
+                }
+            }
+            break;
+        case 4:
+            r = len == plen;
+            if (r) {
+                if (ci) {
+                    for (int64_t k = 0; k < plen; ++k)
+                        if (ascii_lower(s[k]) != ascii_lower(pat[k])) {
+                            r = false; break;
+                        }
+                } else {
+                    r = std::memcmp(s, pat, plen) == 0;
+                }
+            }
+            break;
+        }
+        out[i] = r ? 1 : 0;
+    }
+}
+
+// ASCII upper/lower over the whole data buffer; returns 0 if any
+// non-ASCII byte was seen (caller falls back to the Unicode path).
+int64_t ascii_case(const uint8_t* data, int64_t n, int32_t to_upper,
+                   uint8_t* out) {
+    uint8_t seen_high = 0;
+    if (to_upper) {
+        for (int64_t i = 0; i < n; ++i) {
+            uint8_t c = data[i];
+            seen_high |= c;
+            out[i] = (c >= 'a' && c <= 'z') ? c - 32 : c;
+        }
+    } else {
+        for (int64_t i = 0; i < n; ++i) {
+            uint8_t c = data[i];
+            seen_high |= c;
+            out[i] = (c >= 'A' && c <= 'Z') ? c + 32 : c;
+        }
+    }
+    return (seen_high & 0x80) ? 0 : 1;
+}
+
+// UTF-8 character-based substring (arrow-string/src/substring.rs):
+// start may be negative (from end); length < 0 = to end.
+// Writes new offsets and packed data; returns total output bytes.
+int64_t utf8_substring(const int64_t* offsets, const uint8_t* data,
+                       int64_t n, int64_t start, int64_t length,
+                       int64_t* out_offsets, uint8_t* out_data) {
+    int64_t total = 0;
+    out_offsets[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* s = data + offsets[i];
+        const int64_t len = offsets[i + 1] - offsets[i];
+        // index char boundaries
+        int64_t nchars = 0;
+        for (int64_t k = 0; k < len; ++k)
+            nchars += (s[k] & 0xC0) != 0x80;
+        int64_t c0 = start >= 0 ? start
+                                : std::max<int64_t>(0, nchars + start);
+        int64_t c1 = length < 0 ? nchars
+                                : std::min<int64_t>(nchars, c0 + length);
+        if (c0 >= c1 || c0 >= nchars) {
+            out_offsets[i + 1] = total;
+            continue;
+        }
+        // byte positions of char c0 and c1
+        int64_t b0 = -1, b1 = len, seen = 0;
+        for (int64_t k = 0; k < len; ++k) {
+            if ((s[k] & 0xC0) != 0x80) {
+                if (seen == c0) b0 = k;
+                if (seen == c1) { b1 = k; break; }
+                ++seen;
+            }
+        }
+        if (b0 < 0) { out_offsets[i + 1] = total; continue; }
+        std::memcpy(out_data + total, s + b0, b1 - b0);
+        total += b1 - b0;
+        out_offsets[i + 1] = total;
+    }
+    return total;
+}
+
+// Lexicographic argsort of byte strings (dictionary value ordering)
+void argsort_varlen(const int64_t* offsets, const uint8_t* data,
+                    int64_t n, uint32_t* out) {
+    std::iota(out, out + n, 0u);
+    std::sort(out, out + n, [&](uint32_t a, uint32_t b) {
+        const int64_t la = offsets[a + 1] - offsets[a];
+        const int64_t lb = offsets[b + 1] - offsets[b];
+        const int c = std::memcmp(data + offsets[a], data + offsets[b],
+                                  std::min(la, lb));
+        return c != 0 ? c < 0 : la < lb;
+    });
+}
+
+// Gather byte strings by index -> packed (offsets, data).  Returns total
+// output bytes.
+int64_t gather_varlen(const int64_t* offsets, const uint8_t* data,
+                      const int64_t* idx, int64_t n,
+                      int64_t* out_offsets, uint8_t* out_data) {
+    int64_t total = 0;
+    out_offsets[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t j = idx[i];
+        const int64_t len = offsets[j + 1] - offsets[j];
+        std::memcpy(out_data + total, data + offsets[j], len);
+        total += len;
+        out_offsets[i + 1] = total;
+    }
+    return total;
+}
+
+// ---- CSV engine -------------------------------------------------------------
+//
+// Native typed CSV parsing (arrow-csv/src/reader/mod.rs:555 re-design):
+// one indexing pass over the byte buffer (RFC 4180 quotes), then typed
+// per-column parsers over the field bounds.  Python (io/csv.py) does
+// schema inference and assembly.
+
+// Index fields: writes (start, end) byte bounds per field (quotes
+// stripped) and a per-field "has escaped quote" flag.  Returns the
+// number of fields, -1 on overflow, -2 on ragged rows (the column count
+// is fixed by the first record).  CRLF tolerated.
+int64_t csv_index(const uint8_t* data, int64_t len, uint8_t delim,
+                  uint8_t quote, int64_t* starts, int64_t* ends,
+                  uint8_t* escaped, int64_t max_fields,
+                  int64_t* nrows_out, int64_t* ncols_out) {
+    int64_t nf = 0, pos = 0, ncols = -1, col = 0, nrows = 0;
+    while (pos < len) {
+        // one field
+        if (nf >= max_fields) return -1;
+        uint8_t esc = 0;
+        int64_t fs, fe;
+        if (data[pos] == quote) {
+            fs = ++pos;
+            while (pos < len) {
+                if (data[pos] == quote) {
+                    if (pos + 1 < len && data[pos + 1] == quote) {
+                        esc = 1;
+                        pos += 2;
+                        continue;
+                    }
+                    break;
+                }
+                ++pos;
+            }
+            fe = pos;
+            if (pos < len) ++pos;      // closing quote
+        } else {
+            fs = pos;
+            while (pos < len && data[pos] != delim && data[pos] != '\n')
+                ++pos;
+            fe = pos;
+            if (fe > fs && data[fe - 1] == '\r') --fe;
+        }
+        starts[nf] = fs;
+        ends[nf] = fe;
+        escaped[nf] = esc;
+        ++nf;
+        ++col;
+        if (pos >= len || data[pos] == '\n') {
+            if (pos < len) ++pos;
+            if (ncols < 0) ncols = col;
+            else if (col != ncols) return -2;
+            col = 0;
+            ++nrows;
+            // skip trailing blank line
+            if (pos >= len) break;
+        } else {
+            ++pos;                     // delimiter
+        }
+    }
+    if (col != 0) {                    // final record without newline
+        if (ncols < 0) ncols = col;
+        else if (col != ncols) return -2;
+        ++nrows;
+    }
+    *nrows_out = nrows;
+    *ncols_out = ncols < 0 ? 0 : ncols;
+    return nf;
+}
+
+// Extract (unescape) string fields -> packed offsets+data.  Returns
+// total bytes.
+int64_t csv_extract(const uint8_t* data, const int64_t* starts,
+                    const int64_t* ends, const uint8_t* escaped,
+                    int64_t n, uint8_t quote, int64_t* out_offsets,
+                    uint8_t* out_data) {
+    int64_t total = 0;
+    out_offsets[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t fs = starts[i], fe = ends[i];
+        if (!escaped[i]) {
+            std::memcpy(out_data + total, data + fs, fe - fs);
+            total += fe - fs;
+        } else {
+            for (int64_t p = fs; p < fe; ++p) {
+                out_data[total++] = data[p];
+                if (data[p] == quote && p + 1 < fe
+                    && data[p + 1] == quote) ++p;
+            }
+        }
+        out_offsets[i + 1] = total;
+    }
+    return total;
+}
+
+// Typed field parsers.  Empty fields -> null.  Returns -1 on success or
+// the index of the first unparseable field (inference probes rely on
+// this).
+int64_t csv_parse_i64(const uint8_t* data, const int64_t* starts,
+                      const int64_t* ends, int64_t n, int64_t* out,
+                      uint8_t* valid) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t p = starts[i], e = ends[i];
+        if (p == e) { valid[i] = 0; out[i] = 0; continue; }
+        bool neg = false;
+        if (data[p] == '+' || data[p] == '-') {
+            neg = data[p] == '-';
+            ++p;
+        }
+        if (p == e) return i;
+        uint64_t acc = 0;
+        for (; p < e; ++p) {
+            uint8_t c = data[p];
+            if (c < '0' || c > '9') return i;
+            if (acc > (uint64_t)1844674407370955161ULL) return i;
+            acc = acc * 10 + (c - '0');
+        }
+        if (acc > 0x8000000000000000ULL - (neg ? 0 : 1)) return i;
+        out[i] = neg ? -(int64_t)acc : (int64_t)acc;
+        valid[i] = 1;
+    }
+    return -1;
+}
+
+int64_t csv_parse_f64(const uint8_t* data, const int64_t* starts,
+                      const int64_t* ends, int64_t n, double* out,
+                      uint8_t* valid) {
+    char buf[64];
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t p = starts[i], e = ends[i];
+        int64_t ln = e - p;
+        if (ln == 0) { valid[i] = 0; out[i] = 0.0; continue; }
+        if (ln >= 63) return i;
+        std::memcpy(buf, data + p, ln);
+        buf[ln] = 0;
+        char* endp = nullptr;
+        double v = strtod(buf, &endp);
+        if (endp != buf + ln) return i;
+        out[i] = v;
+        valid[i] = 1;
+    }
+    return -1;
+}
+
+int64_t csv_parse_bool(const uint8_t* data, const int64_t* starts,
+                       const int64_t* ends, int64_t n, uint8_t* out,
+                       uint8_t* valid) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t p = starts[i], e = ends[i];
+        int64_t ln = e - p;
+        if (ln == 0) { valid[i] = 0; out[i] = 0; continue; }
+        char b[8];
+        if (ln > 5) return i;
+        for (int64_t k = 0; k < ln; ++k) b[k] = ascii_lower(data[p + k]);
+        if (ln == 4 && std::memcmp(b, "true", 4) == 0) out[i] = 1;
+        else if (ln == 5 && std::memcmp(b, "false", 5) == 0) out[i] = 0;
+        else return i;
+        valid[i] = 1;
+    }
+    return -1;
+}
+
+// ISO dates/timestamps: YYYY-MM-DD[ T]HH:MM:SS[.frac][Z].  Output in
+// `unit` ns per tick (1e9 -> seconds...); date_only restricts to the
+// date form.  Returns -1 ok, else first bad index.
+int64_t csv_parse_timestamp(const uint8_t* data, const int64_t* starts,
+                            const int64_t* ends, int64_t n,
+                            int64_t out_scale_ns, int32_t date_only,
+                            int64_t* out, uint8_t* valid) {
+    auto digits = [&](int64_t p, int64_t k, const uint8_t* d,
+                      int64_t* v) -> bool {
+        int64_t acc = 0;
+        for (int64_t i = 0; i < k; ++i) {
+            uint8_t c = d[p + i];
+            if (c < '0' || c > '9') return false;
+            acc = acc * 10 + (c - '0');
+        }
+        *v = acc;
+        return true;
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t p = starts[i], e = ends[i];
+        int64_t ln = e - p;
+        if (ln == 0) { valid[i] = 0; out[i] = 0; continue; }
+        if (ln < 10) return i;
+        int64_t Y, M, D;
+        if (!digits(p, 4, data, &Y) || data[p + 4] != '-'
+            || !digits(p + 5, 2, data, &M) || data[p + 7] != '-'
+            || !digits(p + 8, 2, data, &D)) return i;
+        if (M < 1 || M > 12 || D < 1 || D > 31) return i;
+        // days-from-civil
+        int64_t y = Y - (M <= 2 ? 1 : 0);
+        int64_t era = (y >= 0 ? y : y - 399) / 400;
+        int64_t yoe = y - era * 400;
+        int64_t mp = M > 2 ? M - 3 : M + 9;
+        int64_t doy = (153 * mp + 2) / 5 + D - 1;
+        int64_t doe = 365 * yoe + yoe / 4 - yoe / 100 + doy;
+        int64_t days = era * 146097 + doe - 719468;
+        int64_t ns = days * 86400LL * 1000000000LL;
+        int64_t q = p + 10;
+        if (q < e) {
+            if (date_only) return i;
+            if (data[q] != ' ' && data[q] != 'T') return i;
+            ++q;
+            int64_t hh, mm, ss;
+            if (q + 8 > e || !digits(q, 2, data, &hh)
+                || data[q + 2] != ':' || !digits(q + 3, 2, data, &mm)
+                || data[q + 5] != ':' || !digits(q + 6, 2, data, &ss))
+                return i;
+            if (hh > 23 || mm > 59 || ss > 60) return i;
+            ns += (hh * 3600 + mm * 60 + ss) * 1000000000LL;
+            q += 8;
+            if (q < e && data[q] == '.') {
+                ++q;
+                int64_t frac = 0, scale = 100000000LL;
+                while (q < e && data[q] >= '0' && data[q] <= '9') {
+                    frac += (data[q] - '0') * scale;
+                    scale /= 10;
+                    ++q;
+                }
+                ns += frac;
+            }
+            if (q < e && (data[q] == 'Z' || data[q] == 'z')) ++q;
+            if (q != e) return i;
+        }
+        out[i] = ns / out_scale_ns;
+        valid[i] = 1;
+    }
+    return -1;
+}
+
+// PLAIN byte-array ENCODE: (offsets, data) -> u32-length-prefixed
+// stream (inverse of plain_byte_array_decode; the write path).
+int64_t plain_byte_array_encode(const int64_t* offsets,
+                                const uint8_t* data, int64_t n,
+                                uint8_t* out, int64_t cap) {
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t len = offsets[i + 1] - offsets[i];
+        if (pos + 4 + len > cap) return -1;
+        uint32_t l32 = (uint32_t)len;
+        std::memcpy(out + pos, &l32, 4);
+        std::memcpy(out + pos + 4, data + offsets[i], len);
+        pos += 4 + len;
+    }
+    return pos;
+}
+
+// ---- JSON tape tokenizer ----------------------------------------------------
+//
+// arrow-json/src/reader/tape.rs re-design: one pass over the bytes
+// emits a flat tape of (token type, start, end); Python assembles
+// columns from the tape and reuses the CSV typed parsers for numbers.
+// Token types: 0 { , 1 } , 2 [ , 3 ] , 4 key, 5 string, 6 number,
+// 7 true, 8 false, 9 null.  String/key bounds exclude the quotes;
+// `esc` marks strings containing backslash escapes.
+
+int64_t json_tape(const uint8_t* data, int64_t len, uint8_t* types,
+                  int64_t* starts, int64_t* ends, uint8_t* escs,
+                  int64_t cap) {
+    int64_t nt = 0, pos = 0;
+    bool expect_key = false;
+    bool after_key = false;
+    // small explicit stack of container kinds: 0 obj, 1 arr
+    std::vector<uint8_t> stack;
+    stack.reserve(64);
+    auto push_tok = [&](uint8_t t, int64_t s, int64_t e,
+                        uint8_t esc) -> bool {
+        if (nt >= cap) return false;
+        types[nt] = t;
+        starts[nt] = s;
+        ends[nt] = e;
+        escs[nt] = esc;
+        ++nt;
+        return true;
+    };
+    while (pos < len) {
+        uint8_t c = data[pos];
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r'
+            || c == ',' || c == ':') {
+            ++pos;
+            continue;
+        }
+        if (c == '{') {
+            if (!push_tok(0, pos, pos + 1, 0)) return -1;
+            stack.push_back(0);
+            expect_key = true;
+            after_key = false;
+            ++pos;
+            continue;
+        }
+        if (c == '}') {
+            if (stack.empty() || stack.back() != 0 || after_key)
+                return -2;
+            stack.pop_back();
+            if (!push_tok(1, pos, pos + 1, 0)) return -1;
+            expect_key = !stack.empty() && stack.back() == 0;
+            ++pos;
+            continue;
+        }
+        if (c == '[') {
+            if (!push_tok(2, pos, pos + 1, 0)) return -1;
+            stack.push_back(1);
+            expect_key = false;
+            after_key = false;
+            ++pos;
+            continue;
+        }
+        if (c == ']') {
+            if (stack.empty() || stack.back() != 1 || after_key)
+                return -2;
+            stack.pop_back();
+            if (!push_tok(3, pos, pos + 1, 0)) return -1;
+            expect_key = !stack.empty() && stack.back() == 0;
+            ++pos;
+            continue;
+        }
+        if (c == '"') {
+            int64_t s = ++pos;
+            uint8_t esc = 0;
+            while (pos < len && data[pos] != '"') {
+                if (data[pos] == '\\') {
+                    esc = 1;
+                    pos += 2;
+                } else {
+                    ++pos;
+                }
+            }
+            if (pos >= len) return -2;
+            // a string is a KEY iff we are directly in an object and
+            // expecting one
+            uint8_t t = (!stack.empty() && stack.back() == 0
+                         && expect_key) ? 4 : 5;
+            if (!push_tok(t, s, pos, esc)) return -1;
+            ++pos;
+            if (t == 4) { expect_key = false; after_key = true; }
+            else {
+                expect_key = !stack.empty() && stack.back() == 0;
+                after_key = false;
+            }
+            continue;
+        }
+        if (c == 't' && pos + 4 <= len
+            && std::memcmp(data + pos, "true", 4) == 0) {
+            if (!push_tok(7, pos, pos + 4, 0)) return -1;
+            pos += 4;
+            expect_key = !stack.empty() && stack.back() == 0;
+            after_key = false;
+            continue;
+        }
+        if (c == 'f' && pos + 5 <= len
+            && std::memcmp(data + pos, "false", 5) == 0) {
+            if (!push_tok(8, pos, pos + 5, 0)) return -1;
+            pos += 5;
+            expect_key = !stack.empty() && stack.back() == 0;
+            after_key = false;
+            continue;
+        }
+        if (c == 'n' && pos + 4 <= len
+            && std::memcmp(data + pos, "null", 4) == 0) {
+            if (!push_tok(9, pos, pos + 4, 0)) return -1;
+            pos += 4;
+            expect_key = !stack.empty() && stack.back() == 0;
+            after_key = false;
+            continue;
+        }
+        if (c == '-' || (c >= '0' && c <= '9')) {
+            int64_t s = pos;
+            while (pos < len) {
+                uint8_t d = data[pos];
+                if ((d >= '0' && d <= '9') || d == '-' || d == '+'
+                    || d == '.' || d == 'e' || d == 'E') ++pos;
+                else break;
+            }
+            if (!push_tok(6, s, pos, 0)) return -1;
+            expect_key = !stack.empty() && stack.back() == 0;
+            after_key = false;
+            continue;
+        }
+        return -2;                     // malformed
+    }
+    return stack.empty() ? nt : -2;
+}
+
+// Unescape JSON strings -> packed offsets+data (UTF-8; \uXXXX incl.
+// surrogate pairs).  Returns total bytes or -1 on malformed escapes.
+int64_t json_unescape(const uint8_t* data, const int64_t* starts,
+                      const int64_t* ends, const uint8_t* escs,
+                      int64_t n, int64_t* out_offsets,
+                      uint8_t* out_data) {
+    auto hex4 = [&](int64_t p) -> int32_t {
+        int32_t v = 0;
+        for (int i = 0; i < 4; ++i) {
+            uint8_t c = data[p + i];
+            int32_t d;
+            if (c >= '0' && c <= '9') d = c - '0';
+            else if (c >= 'a' && c <= 'f') d = c - 'a' + 10;
+            else if (c >= 'A' && c <= 'F') d = c - 'A' + 10;
+            else return -1;
+            v = (v << 4) | d;
+        }
+        return v;
+    };
+    auto put_utf8 = [&](int64_t& t, int32_t cp) {
+        if (cp < 0x80) {
+            out_data[t++] = (uint8_t)cp;
+        } else if (cp < 0x800) {
+            out_data[t++] = 0xC0 | (cp >> 6);
+            out_data[t++] = 0x80 | (cp & 0x3F);
+        } else if (cp < 0x10000) {
+            out_data[t++] = 0xE0 | (cp >> 12);
+            out_data[t++] = 0x80 | ((cp >> 6) & 0x3F);
+            out_data[t++] = 0x80 | (cp & 0x3F);
+        } else {
+            out_data[t++] = 0xF0 | (cp >> 18);
+            out_data[t++] = 0x80 | ((cp >> 12) & 0x3F);
+            out_data[t++] = 0x80 | ((cp >> 6) & 0x3F);
+            out_data[t++] = 0x80 | (cp & 0x3F);
+        }
+    };
+    int64_t total = 0;
+    out_offsets[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t p = starts[i], e = ends[i];
+        if (!escs[i]) {
+            std::memcpy(out_data + total, data + p, e - p);
+            total += e - p;
+        } else {
+            while (p < e) {
+                if (data[p] != '\\') {
+                    out_data[total++] = data[p++];
+                    continue;
+                }
+                if (p + 1 >= e) return -1;
+                uint8_t k = data[p + 1];
+                p += 2;
+                switch (k) {
+                case '"': out_data[total++] = '"'; break;
+                case '\\': out_data[total++] = '\\'; break;
+                case '/': out_data[total++] = '/'; break;
+                case 'b': out_data[total++] = '\b'; break;
+                case 'f': out_data[total++] = '\f'; break;
+                case 'n': out_data[total++] = '\n'; break;
+                case 'r': out_data[total++] = '\r'; break;
+                case 't': out_data[total++] = '\t'; break;
+                case 'u': {
+                    if (p + 4 > e) return -1;
+                    int32_t cp = hex4(p);
+                    if (cp < 0) return -1;
+                    p += 4;
+                    if (cp >= 0xD800 && cp < 0xDC00 && p + 6 <= e
+                        && data[p] == '\\' && data[p + 1] == 'u') {
+                        int32_t lo = hex4(p + 2);
+                        if (lo >= 0xDC00 && lo < 0xE000) {
+                            cp = 0x10000 + ((cp - 0xD800) << 10)
+                                 + (lo - 0xDC00);
+                            p += 6;
+                        }
+                    }
+                    put_utf8(total, cp);
+                    break;
+                }
+                default: return -1;
+                }
+            }
+        }
+        out_offsets[i + 1] = total;
+    }
+    return total;
+}
+
+// UTF-8 character counts per value (length kernel)
+void utf8_char_lengths(const int64_t* offsets, const uint8_t* data,
+                       int64_t n, int64_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* s = data + offsets[i];
+        const int64_t len = offsets[i + 1] - offsets[i];
+        int64_t c = 0;
+        for (int64_t k = 0; k < len; ++k) c += (s[k] & 0xC0) != 0x80;
+        out[i] = c;
+    }
 }
 
 }  // extern "C"

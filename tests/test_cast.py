@@ -160,3 +160,47 @@ def test_can_cast():
     assert ops.can_cast(at.utf8, at.int64)
     assert ops.can_cast(at.utf8, at.dictionary(at.int32, at.utf8))
     assert ops.can_cast(at.timestamp("us"), at.date32)
+
+
+def test_struct_cast_positional():
+    """Struct->Struct casts children positionally with target names
+    (cast/mod.rs Struct arm semantics; pyarrow casts by-name instead,
+    so the oracle is used only for the same-name case)."""
+    import pyarrow as pa
+    from arrow_tpu.io.interop import column_from_pyarrow
+    from arrow_tpu import dtypes as dtp
+    arr = pa.array([{"p": 1, "q": 2.5}, None, {"p": None, "q": -1.0}],
+                   pa.struct([("p", pa.int32()), ("q", pa.float64())]))
+    col = column_from_pyarrow(arr)
+    out1 = ops.cast(col, dtp.struct([dtp.Field("p", dtp.int64),
+                                     dtp.Field("q", dtp.float32)]))
+    ref1 = arr.cast(pa.struct([("p", pa.int64()), ("q", pa.float32())]))
+    assert out1.to_pyarrow().equals(ref1)
+    out2 = ops.cast(col, dtp.struct([dtp.Field("x", dtp.int64),
+                                     dtp.Field("y", dtp.float32)]))
+    assert out2.to_pylist() == [{"x": 1, "y": 2.5}, None,
+                                {"x": None, "y": -1.0}]
+    # nested struct-in-struct recursion
+    arr2 = pa.array([{"in": {"v": 7}}, {"in": None}],
+                    pa.struct([("in", pa.struct([("v", pa.int32())]))]))
+    col2 = column_from_pyarrow(arr2)
+    out3 = ops.cast(col2, dtp.struct([
+        dtp.Field("in", dtp.struct([dtp.Field("v", dtp.float64)]))]))
+    assert out3.to_pylist() == [{"in": {"v": 7.0}}, {"in": None}]
+
+
+def test_base64_roundtrip():
+    """base64.rs b64_encode/b64_decode (STANDARD alphabet)."""
+    import base64
+    import pyarrow as pa
+    from arrow_tpu.io.interop import column_from_pyarrow
+    from arrow_tpu.ops.cast import base64_encode, base64_decode
+    vals = [b"hello", b"", None, b"\x00\xff\x10", b"1" * 100]
+    col = column_from_pyarrow(pa.array(vals, pa.binary()))
+    enc = base64_encode(col)
+    assert enc.to_pylist() == [
+        None if v is None else base64.b64encode(v).decode() for v in vals]
+    assert base64_decode(enc).to_pylist() == vals
+    with pytest.raises(Exception):
+        from arrow_tpu.core.column import StringColumn
+        base64_decode(StringColumn.from_pylist(["!not-base64!"]))

@@ -1,0 +1,153 @@
+"""Own Flight gRPC layer interop vs pyarrow.flight peers
+(arrow-flight/src/arrow.flight.protocol.rs:861, encode.rs:269,
+decode.rs:83 parity — transport is ours, pyarrow is the peer oracle)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.flight as fl
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.io.flight import (FlightDescriptor, FlightServer,
+                                 FlightTableClient)
+from arrow_tpu.io.interop import table_from_pyarrow, table_to_pyarrow
+
+
+@pytest.fixture()
+def table():
+    rng = np.random.default_rng(0)
+    return at.Table.from_pydict({
+        "a": rng.integers(-1000, 1000, 500),
+        "b": rng.standard_normal(500),
+        "s": [f"w{i % 7}" for i in range(500)],
+    })
+
+
+def test_our_client_vs_our_server(table):
+    srv = FlightServer()
+    try:
+        srv.register("t", table)
+        cli = FlightTableClient(srv.uri)
+        got = cli.do_get("t")
+        assert got.to_pydict() == table.to_pydict()
+        assert cli.list_flights() == ["t"]
+        # put + exchange + handshake + flight info
+        cli.do_put("t2", table)
+        assert srv.get_table("t2").num_rows == 500
+        outs = cli.do_exchange("x", table)
+        assert outs[0].to_pydict() == table.to_pydict()
+        assert cli.handshake(b"hello") == b"hello"
+        info = cli.get_flight_info(FlightDescriptor.for_path("t"))
+        assert info.total_records == 500
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_pyarrow_client_reads_our_server(table):
+    srv = FlightServer()
+    try:
+        srv.register("t", table)
+        c = fl.connect(srv.uri.replace("grpc://", "grpc://"))
+        reader = c.do_get(fl.Ticket(b"t"))
+        got = reader.read_all().combine_chunks()
+        assert got.to_pydict() == table_to_pyarrow(table).to_pydict()
+        # flight info via pyarrow
+        info = c.get_flight_info(fl.FlightDescriptor.for_path(b"t"))
+        assert info.total_records == 500
+        assert [f.name for f in info.schema] == ["a", "b", "s"]
+        # pyarrow writes to our server
+        batch = table_to_pyarrow(table)
+        writer, _ = c.do_put(fl.FlightDescriptor.for_path(b"up"),
+                             batch.schema)
+        writer.write_batch(batch)
+        writer.close()
+        import time
+        time.sleep(0.2)
+        assert srv.get_table("up").num_rows == 500
+        c.close()
+    finally:
+        srv.shutdown()
+
+
+def test_our_client_reads_pyarrow_server(table):
+    batch = table_to_pyarrow(table)
+
+    class PaServer(fl.FlightServerBase):
+        def do_get(self, context, ticket):
+            return fl.RecordBatchStream(pa.Table.from_batches([batch]))
+
+        def do_put(self, context, descriptor, reader, writer):
+            self.received = reader.read_all().combine_chunks()
+
+        def list_flights(self, context, criteria):
+            desc = fl.FlightDescriptor.for_path(b"t")
+            yield fl.FlightInfo(batch.schema, desc,
+                                [fl.FlightEndpoint(b"t", [])], 500, -1)
+
+    srv = PaServer("grpc://localhost:0")
+    try:
+        cli = FlightTableClient(f"grpc://localhost:{srv.port}")
+        got = cli.do_get("t")
+        assert got.to_pydict() == table.to_pydict()
+        assert cli.list_flights() == ["t"]
+        cli.do_put("up", table)
+        assert srv.received.to_pydict() == batch.to_pydict()
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_dictionary_over_flight(table):
+    from arrow_tpu.ops.strings import dictionary_encode
+    d = dictionary_encode(table.column("s"))
+    t2 = table.set_column(2, at.dtypes.Field("s", d.dtype), d)
+    srv = FlightServer()
+    try:
+        srv.register("d", t2)
+        # pyarrow reads our dictionary stream
+        c = fl.connect(srv.uri)
+        got = c.do_get(fl.Ticket(b"d")).read_all()
+        assert got.column("s").to_pylist() == table.column("s").to_pylist()
+        c.close()
+        # our client round-trips it too
+        cli = FlightTableClient(srv.uri)
+        ours = cli.do_get("d")
+        assert ours.column("s").to_pylist() == \
+            table.column("s").to_pylist()
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_large_stream_splits(table):
+    # >2MB payload must arrive as multiple FlightData messages
+    big = at.Table.from_pydict({
+        "x": np.arange(1_000_000, dtype=np.int64),
+        "y": np.arange(1_000_000, dtype=np.float64),
+    })
+    srv = FlightServer()
+    try:
+        srv.register("big", big)
+        cli = FlightTableClient(srv.uri)
+        parts = cli.do_get_stream("big")
+        assert len(parts) > 1
+        total = sum(p.num_rows for p in parts)
+        assert total == 1_000_000
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_no_pyarrow_imports_in_wire_modules():
+    # the native wire paths must not import pyarrow (it remains the
+    # test oracle only)
+    import arrow_tpu.io.flight as flight_mod
+    import arrow_tpu.io.ipc as ipc_mod
+    import arrow_tpu.io.ipc_format as fmt_mod
+    import arrow_tpu.io.parquet_native as pq_mod
+    import re
+    for mod in (flight_mod, ipc_mod, fmt_mod, pq_mod):
+        src = open(mod.__file__).read()
+        assert not re.search(r"^\s*(import pyarrow|from pyarrow)", src,
+                             re.M), mod.__name__

@@ -207,6 +207,9 @@ def _avro_bytes(rows, schema_json, codec=b"null"):
     schema = json.loads(schema_json)
     body = b""
     for r in rows:
+        if isinstance(r, (bytes, bytearray)):
+            body += bytes(r)           # pre-encoded row (nested fixtures)
+            continue
         for f in schema["fields"]:
             body += enc_val(r[f["name"]], f["type"])
     if codec == b"deflate":
@@ -294,3 +297,124 @@ def test_parquet_page_index_and_sorting(tmp_path, rng):
     assert rg.sorting_columns and rg.sorting_columns[0].column_index == 0
     assert rg.column(0).has_offset_index           # page index written
     assert read_parquet(path).num_rows == n
+
+
+class TestAvroNested:
+    """r2 avro completeness: nested types, snappy, schema resolution
+    (arrow-avro codec.rs / reader/block.rs parity)."""
+
+    def _container(self, schema_json, encoded_rows, codec=b"null"):
+        return _avro_bytes(encoded_rows, schema_json, codec)
+
+    def test_nested_array_map_record(self):
+        import json as _json
+        schema = {
+            "type": "record", "name": "r", "fields": [
+                {"name": "arr", "type": {"type": "array",
+                                         "items": "long"}},
+                {"name": "m", "type": {"type": "map", "values": "long"}},
+                {"name": "rec", "type": {"type": "record", "name": "in",
+                                         "fields": [
+                                             {"name": "u", "type": "long"},
+                                             {"name": "s",
+                                              "type": "string"}]}},
+                {"name": "fx", "type": {"type": "fixed", "name": "f4",
+                                        "size": 4}},
+            ]}
+
+        def zz(n):
+            n = (n << 1) ^ (n >> 63)
+            out = bytearray()
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                if n:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        def s(x):
+            b = x.encode() if isinstance(x, str) else x
+            return zz(len(b)) + b
+
+        row = (zz(2) + zz(10) + zz(20) + zz(0)        # arr [10, 20]
+               + zz(1) + s("k") + zz(7) + zz(0)       # map {k: 7}
+               + zz(5) + s("hi")                       # rec {u:5, s:hi}
+               + b"ABCD")                              # fixed
+        data = self._container(_json.dumps(schema), [row])
+        t = avro.read_avro(data)
+        assert t.column("arr").to_pylist() == [[10, 20]]
+        assert t.column("m").to_pylist() == [[("k", 7)]]
+        assert t.column("rec").to_pylist() == [{"u": 5, "s": "hi"}]
+        assert t.column("fx").to_pylist() == [b"ABCD"]
+
+    def test_snappy_codec(self):
+        import json as _json
+        import zlib as _zlib
+        from arrow_tpu.utils import native as nt
+        if not nt.available():
+            pytest.skip("no native lib")
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "v", "type": "long"}]}
+
+        def zz(n):
+            n = (n << 1) ^ (n >> 63)
+            out = bytearray()
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                if n:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        rows = [zz(i * 3) for i in range(100)]
+        raw = b"".join(rows)
+        comp = nt.snappy_compress(raw) + \
+            __import__("struct").pack(">I", _zlib.crc32(raw) & 0xFFFFFFFF)
+        # hand-build container with snappy codec
+        import struct as _struct
+        meta = {b"avro.schema": _json.dumps(schema).encode(),
+                b"avro.codec": b"snappy"}
+        out = bytearray(b"Obj\x01")
+        out += zz(len(meta))
+        for k, v in meta.items():
+            out += zz(len(k)) + k + zz(len(v)) + v
+        out += zz(0)
+        sync = b"S" * 16
+        out += sync
+        out += zz(100) + zz(len(comp)) + comp + sync
+        t = avro.read_avro(bytes(out))
+        assert t.column("v").to_pylist() == [i * 3 for i in range(100)]
+
+    def test_schema_resolution_defaults_and_promotion(self):
+        import json as _json
+        writer = {"type": "record", "name": "r",
+                  "fields": [{"name": "a", "type": "int"},
+                             {"name": "drop", "type": "long"}]}
+
+        def zz(n):
+            n = (n << 1) ^ (n >> 63)
+            out = bytearray()
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                if n:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        rows = [zz(5) + zz(100), zz(-3) + zz(200)]
+        data = self._container(_json.dumps(writer), rows)
+        reader = {"type": "record", "name": "r",
+                  "fields": [{"name": "a", "type": "double"},
+                             {"name": "extra", "type": "long",
+                              "default": 42}]}
+        t = avro.read_avro(data, reader_schema=reader)
+        assert t.column("a").to_pylist() == [5.0, -3.0]
+        assert t.column("a").dtype.name == "float64"
+        assert t.column("extra").to_pylist() == [42, 42]
+        assert "drop" not in t.column_names

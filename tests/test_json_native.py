@@ -1,0 +1,109 @@
+"""Native JSON tape reader (arrow-json/src/reader/tape.rs re-design);
+pyarrow.json is the oracle where semantics align."""
+
+import io
+import json
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.json as pajson
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.io import json_io
+from arrow_tpu.errors import ArrowInvalid
+
+
+def test_scalars_and_nulls():
+    src = ('{"i": 1, "f": 1.5, "b": true, "s": "hey"}\n'
+           '{"i": null, "f": 2e3, "b": false, "s": "a\\"b\\u00e9"}\n'
+           '{"f": -0.25, "b": null, "s": null}\n')
+    t = json_io.read_json(src)
+    assert t.column("i").to_pylist() == [1, None, None]
+    assert t.column("f").to_pylist() == [1.5, 2000.0, -0.25]
+    assert t.column("b").to_pylist() == [True, False, None]
+    assert t.column("s").to_pylist() == ["hey", 'a"bé', None]
+
+
+def test_matches_pyarrow_inference():
+    rows = [{"x": i, "y": f"w{i % 5}", "z": i / 3} for i in range(100)]
+    rows[7] = {"x": None, "y": None, "z": None}
+    src = "\n".join(json.dumps(r) for r in rows)
+    t = json_io.read_json(src)
+    ref = pajson.read_json(io.BytesIO(src.encode()))
+    for name in ("x", "y", "z"):
+        assert t.column(name).to_pylist() == ref[name].to_pylist(), name
+
+
+def test_nested_struct_and_list():
+    src = ('{"o": {"a": 1, "b": "x"}, "l": [1, 2, 3]}\n'
+           '{"o": null, "l": []}\n'
+           '{"o": {"a": null, "b": "z"}, "l": null}\n'
+           '{"o": {"b": "w"}, "l": [7]}\n')
+    t = json_io.read_json(src)
+    assert t.column("o").to_pylist() == [
+        {"a": 1, "b": "x"}, None, {"a": None, "b": "z"},
+        {"a": None, "b": "w"}]
+    assert t.column("l").to_pylist() == [[1, 2, 3], [], None, [7]]
+
+
+def test_list_of_struct():
+    src = ('{"ls": [{"v": 1}, {"v": 2}]}\n'
+           '{"ls": []}\n')
+    t = json_io.read_json(src)
+    assert t.column("ls").to_pylist() == [[{"v": 1}, {"v": 2}], []]
+
+
+def test_timestamps_via_schema():
+    # inference keeps strings (arrow-rs infer_json_schema); an explicit
+    # schema converts through cast's utf8->timestamp parser
+    src = ('{"ts": "2021-01-01T00:00:01"}\n'
+           '{"ts": "2022-06-15 12:30:00.250"}\n')
+    t = json_io.read_json(src)
+    assert t.column("ts").dtype.name == "utf8"
+    schema = at.Schema((at.Field("ts", at.timestamp("us")),))
+    t2 = json_io.read_json(src, schema=schema)
+    assert t2.column("ts").dtype.name == "timestamp"
+    import datetime
+    assert t2.column("ts").to_pylist()[0] == \
+        datetime.datetime(2021, 1, 1, 0, 0, 1)
+
+
+def test_json_array_form_and_schema_cast():
+    src = '[{"a": 1}, {"a": 2}]'
+    schema = at.Schema((at.Field("a", at.float32),))
+    t = json_io.read_json(src, schema=schema)
+    assert t.column("a").dtype == at.float32
+    assert t.column("a").to_pylist() == [1.0, 2.0]
+
+
+def test_writer_roundtrip():
+    t = at.Table.from_pydict({"a": np.arange(5), "s": ["x", "y", "z",
+                                                       None, "w"]})
+    out = json_io.WriterBuilder("lines").write_str(t)
+    back = json_io.read_json(out)
+    assert back.column("a").to_pylist() == list(range(5))
+    assert back.column("s").to_pylist() == ["x", "y", "z", None, "w"]
+
+
+def test_malformed_raises():
+    with pytest.raises(Exception):
+        json_io.read_json('{"a": }')
+
+
+def test_read_json_objects_native():
+    t = json_io.read_json_objects([{"k": 1}, {"k": 2, "m": "x"}])
+    assert t.column("k").to_pylist() == [1, 2]
+    assert t.column("m").to_pylist() == [None, "x"]
+
+
+def test_speed_200k_rows():
+    rows = "\n".join(
+        f'{{"a": {i}, "b": "w{i % 50}", "c": {i / 7:.4f}}}'
+        for i in range(200_000))
+    t0 = time.time()
+    t = json_io.read_json(rows)
+    dt_s = time.time() - t0
+    assert t.num_rows == 200_000
+    assert dt_s < 10.0, f"200k-row JSON parse took {dt_s:.1f}s"

@@ -153,3 +153,115 @@ def test_metadata_native():
     assert "i64" in [f.name for f in md.schema.fields]
     st = md.column_statistics(0, 0)
     assert st is not None and st["null_count"] == 1
+
+
+class TestNativeWriter:
+    """Native parquet writer (arrow_writer/mod.rs:131 + levels.rs roles):
+    files must read back bit-exact in BOTH pyarrow and our reader."""
+
+    def _table(self):
+        import arrow_tpu as at
+        from arrow_tpu.io.interop import table_from_pyarrow
+        return table_from_pyarrow(pa.record_batch({
+            "i": pa.array([1, None, 3, 4], pa.int64()),
+            "u16": pa.array([1, 2, 65535, None], pa.uint16()),
+            "f32": pa.array([1.5, None, 2.0, 0.0], pa.float32()),
+            "s": pa.array(["alpha", "beta", None, "alpha"]),
+            "bin": pa.array([b"\x00\x01", None, b"", b"zz"],
+                            pa.binary()),
+            "ts": pa.array([1, 2, None, 4], pa.timestamp("us")),
+            "d32": pa.array([10, None, 12, 13], pa.date32()),
+            "fsb": pa.array([b"abcd", None, b"wxyz", b"0000"],
+                            pa.binary(4)),
+            "list": pa.array([[1, 2], None, [], [3, None]],
+                             pa.list_(pa.int64())),
+            "struct": pa.array(
+                [{"p": 1, "q": "x"}, None, {"p": None, "q": "z"},
+                 {"p": 4, "q": None}],
+                pa.struct([("p", pa.int32()), ("q", pa.string())])),
+        }))
+
+    @pytest.mark.parametrize("comp", ["none", "snappy", "zstd", "gzip"])
+    def test_roundtrip_both_readers(self, comp):
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        t = self._table()
+        buf = io.BytesIO()
+        write_parquet_native(buf, t, compression=comp)
+        data = buf.getvalue()
+        ref = pq.read_table(io.BytesIO(data))
+        exp = t.to_pydict()
+        for name in t.column_names:
+            assert ref[name].to_pylist() == exp[name], (comp, name)
+        ours = ParquetFile(data).read()
+        for name in t.column_names:
+            assert ours.column(name).to_pylist() == exp[name], \
+                (comp, name, "ours")
+
+    def test_statistics_and_row_groups(self):
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        rng = np.random.default_rng(1)
+        t = at.Table.from_pydict({
+            "v": rng.integers(-500, 500, 1000),
+        })
+        buf = io.BytesIO()
+        write_parquet_native(buf, t, row_group_size=300)
+        md = pq.read_metadata(io.BytesIO(buf.getvalue()))
+        assert md.num_row_groups == 4
+        st = md.row_group(0).column(0).statistics
+        vals = np.asarray(t.column("v").values)[:300]
+        assert st.min == int(vals.min()) and st.max == int(vals.max())
+
+    def test_bloom_filter_prune(self):
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        t = at.Table.from_pydict({
+            "k": [f"key-{i}" for i in range(1000)],
+            "v": np.arange(1000, dtype=np.int64),
+        })
+        buf = io.BytesIO()
+        write_parquet_native(buf, t, bloom_filter_columns=["k", "v"],
+                             row_group_size=250)
+        pf = ParquetFile(buf.getvalue())
+        hit = pf.bloom_filter_check(0, "k", ["key-10", "key-999",
+                                             "absent"])
+        assert hit[0] and not hit[1] and not hit[2]
+        assert pf.prune_row_groups("v", 700) == [2]
+        assert pf.prune_row_groups("k", "key-0") == [0]
+
+    def test_rle_fuzz(self):
+        from arrow_tpu.utils import native as nt
+        rng = np.random.default_rng(2)
+        for _ in range(50):
+            n = int(rng.integers(1, 2000))
+            bw = int(rng.choice([1, 2, 3, 5, 8, 12, 20]))
+            vals = rng.integers(0, 2 ** min(bw, 31), n) \
+                .astype(np.uint32)
+            for _ in range(4):
+                p0 = int(rng.integers(0, n))
+                vals[p0:p0 + int(rng.integers(1, 40))] = vals[p0]
+            enc = nt.rle_bp_encode(vals, bw)
+            assert np.array_equal(nt.rle_bp_decode(enc, bw, n), vals)
+
+    def test_large_random_via_default_path(self, tmp_path):
+        # write_parquet routes to the native writer by default
+        import arrow_tpu as at
+        from arrow_tpu.io import parquet_io
+        rng = np.random.default_rng(3)
+        n = 50_000
+        t = at.Table.from_pydict({
+            "a": rng.integers(-10**12, 10**12, n),
+            "b": rng.standard_normal(n),
+            "s": [f"w{i % 97}" for i in range(n)],
+        })
+        p = str(tmp_path / "big.parquet")
+        parquet_io.write_parquet(p, t)
+        back = parquet_io.read_parquet(p)
+        assert np.array_equal(np.asarray(back.column("a").values),
+                              np.asarray(t.column("a").values))
+        assert back.column("s").to_pylist()[:5] == \
+            t.column("s").to_pylist()[:5]
+        # and pyarrow agrees
+        ref = pq.read_table(p)
+        assert ref["a"].to_pylist()[:50] == \
+            t.column("a").to_pylist()[:50]

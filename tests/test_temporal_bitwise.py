@@ -11,6 +11,7 @@ from arrow_tpu import compute as ops
 from arrow_tpu.utils.bench_util import (create_primitive_array,
                                         create_timestamp_array)
 from util import assert_column_equals_pa
+from arrow_tpu.io.interop import column_from_pyarrow
 
 
 TS = create_timestamp_array(500, 0.1, unit="us")
@@ -156,3 +157,52 @@ def test_add_interval_year_month_and_day_time():
     out = add_interval(ts, dti)
     assert out.to_pyarrow().to_pylist() == \
         [datetime.datetime(2024, 6, 5, 1, 0)]
+
+
+class TestTimezoneAware:
+    """tz-aware date_part (arrow-array/src/timezone.rs role): exact vs
+    pyarrow over DST transitions; ISO week/year (temporal.rs:44)."""
+
+    # (module has no interop import at top level)
+
+
+    def _secs(self):
+        rng = np.random.default_rng(0)
+        dst_edges = np.array([
+            1710050399, 1710050400, 1710054000,   # US spring-forward 2024
+            1730605199, 1730610000,               # US fall-back 2024
+            0, 1234567890, -86400 * 365 * 10 + 12345,
+        ], np.int64)
+        # random instants stay post-1920: for the pre-tzdb LMT era
+        # (e.g. Kathmandu +05:41:16) we follow the tz database / chrono-tz
+        # (the reference's tz backend) while pyarrow ignores sub-minute
+        # LMT offsets, so the oracle diverges there by design
+        return np.concatenate(
+            [dst_edges, rng.integers(-1_500_000_000, 2_000_000_000, 500)])
+
+    @pytest.mark.parametrize("tz", ["America/New_York", "Asia/Kathmandu",
+                                    "+05:45", "UTC"])
+    def test_tz_parts_match_pyarrow(self, tz):
+        secs = self._secs()
+        arr = pa.array(secs * 1_000_000, pa.timestamp("us", tz=tz))
+        col = column_from_pyarrow(arr)
+        for part, fn in [("year", pc.year), ("month", pc.month),
+                         ("day", pc.day), ("hour", pc.hour),
+                         ("minute", pc.minute), ("second", pc.second),
+                         ("doy", pc.day_of_year),
+                         ("week_iso", pc.iso_week),
+                         ("year_iso", pc.iso_year)]:
+            ours = np.asarray(ops.date_part(col, part).values)
+            ref = np.asarray(fn(arr))
+            assert np.array_equal(ours, ref), (tz, part)
+
+    def test_iso_week_naive_and_dates(self):
+        days = np.arange(-3650, 3650, 7).astype(np.int32)
+        arr = pa.array(days, pa.date32())
+        col = column_from_pyarrow(arr)
+        assert np.array_equal(np.asarray(ops.iso_week(col).values),
+                              np.asarray(pc.iso_week(arr)))
+        assert np.array_equal(np.asarray(ops.iso_year(col).values),
+                              np.asarray(pc.iso_year(arr)))
+        assert np.array_equal(np.asarray(ops.week(col).values),
+                              np.asarray(pc.iso_week(arr)))
