@@ -7,6 +7,9 @@ flight_sql_client binary, arrow-flight/src/bin/).
                                             [--compression zstd]
     python -m arrow_tpu.cli parquet-concat  out.parquet in1 in2 ...
     python -m arrow_tpu.cli parquet-fromcsv in.csv out.parquet
+    python -m arrow_tpu.cli parquet-layout  file.parquet
+    python -m arrow_tpu.cli parquet-index   file.parquet column
+    python -m arrow_tpu.cli parquet-show-bloom-filter file.parquet column v1 v2 ...
     python -m arrow_tpu.cli pretty          file.parquet [--limit N]
     python -m arrow_tpu.cli flight-sql      --uri grpc://host:port "SQL"
 """
@@ -73,6 +76,64 @@ def cmd_parquet_fromcsv(args):
     print(f"wrote {t.num_rows} rows -> {args.output}")
 
 
+def cmd_parquet_layout(args):
+    """parquet-layout: physical row-group/page structure
+    (parquet/src/bin/parquet-layout.rs role, on the native reader)."""
+    from .io.parquet_native import ParquetFile
+    from .io.thrift import CompactReader
+    pf = ParquetFile(args.file)
+    print(json.dumps({"num_rows": pf.num_rows,
+                      "row_groups": len(pf.row_groups)}))
+    for gi, rg in enumerate(pf.row_groups):
+        print(f"row group {gi}: rows={rg.get(3, 0)} "
+              f"bytes={rg.get(2, 0)}")
+        for ci, chunk in enumerate(rg.get(1, [])):
+            md = chunk.get(3, {})
+            path = b".".join(md.get(3, [])).decode()
+            encs = md.get(2, [])
+            print(f"  column {ci} [{path}]: codec={md.get(4, 0)} "
+                  f"values={md.get(5, 0)} "
+                  f"compressed={md.get(7, 0)}B encodings={encs} "
+                  f"dict_page={'yes' if md.get(11) is not None else 'no'} "
+                  f"bloom={'yes' if md.get(14) is not None else 'no'}")
+
+
+def cmd_parquet_index(args):
+    """parquet-index: per-row-group column statistics
+    (parquet/src/bin/parquet-index.rs role)."""
+    from .io.parquet_io import read_metadata
+    md = read_metadata(args.file)
+    names = [f.name for f in md.schema.fields]
+    try:
+        col = names.index(args.column)
+    except ValueError:
+        sys.exit(f"no column {args.column!r} (have {names})")
+    for gi in range(md.num_row_groups):
+        st = md.column_statistics(gi, col)
+        if st is None:
+            print(f"row group {gi}: no statistics")
+        else:
+            print(f"row group {gi}: min={st['min']} max={st['max']} "
+                  f"nulls={st['null_count']}")
+
+
+def cmd_parquet_show_bloom_filter(args):
+    """parquet-show-bloom-filter: probe sbbf membership per row group
+    (parquet/src/bin/parquet-show-bloom-filter.rs role)."""
+    from .io.parquet_native import ParquetFile
+    pf = ParquetFile(args.file)
+    values = [int(v) if v.lstrip("-").isdigit() else v
+              for v in args.values]
+    for gi in range(len(pf.row_groups)):
+        hit = pf.bloom_filter_check(gi, args.column, values)
+        if hit is None:
+            print(f"row group {gi}: no bloom filter")
+            continue
+        for v, h in zip(values, hit):
+            print(f"row group {gi}: {v!r} -> "
+                  f"{'maybe present' if h else 'absent'}")
+
+
 def cmd_pretty(args):
     """pretty: ASCII table of a parquet/csv file."""
     path = args.file
@@ -128,6 +189,21 @@ def main(argv=None):
     s.add_argument("input")
     s.add_argument("output")
     s.set_defaults(fn=cmd_parquet_fromcsv)
+
+    s = sub.add_parser("parquet-layout")
+    s.add_argument("file")
+    s.set_defaults(fn=cmd_parquet_layout)
+
+    s = sub.add_parser("parquet-index")
+    s.add_argument("file")
+    s.add_argument("column")
+    s.set_defaults(fn=cmd_parquet_index)
+
+    s = sub.add_parser("parquet-show-bloom-filter")
+    s.add_argument("file")
+    s.add_argument("column")
+    s.add_argument("values", nargs="+")
+    s.set_defaults(fn=cmd_parquet_show_bloom_filter)
 
     s = sub.add_parser("pretty")
     s.add_argument("file")

@@ -211,13 +211,35 @@ class ParquetMetadata:
         return self._pf.row_groups[i].get(3, 0)
 
     def column_statistics(self, rg: int, col: int):
-        """-> {min, max, null_count, distinct_count} raw thrift values
+        """-> {min, max, null_count, distinct_count} with min/max decoded
+        from their PLAIN encoding per the leaf's physical type
         (Statistics, format.rs field ids 1-6)."""
+        import struct as _st
         md = self._pf.row_groups[rg].get(1, [])[col].get(3, {})
         st = md.get(12)
         if st is None:
             return None
-        return {"min": st.get(6, st.get(2)), "max": st.get(5, st.get(1)),
+        phys = md.get(1, 6)
+
+        def dec(raw):
+            if raw is None or not isinstance(raw, (bytes, bytearray)):
+                return raw
+            try:
+                if phys == 1:
+                    return _st.unpack("<i", raw)[0]
+                if phys == 2:
+                    return _st.unpack("<q", raw)[0]
+                if phys == 4:
+                    return _st.unpack("<f", raw)[0]
+                if phys == 5:
+                    return _st.unpack("<d", raw)[0]
+                if phys == 0:
+                    return bool(raw[0])
+                return raw.decode("utf-8", "backslashreplace")
+            except Exception:          # noqa: BLE001
+                return raw
+        return {"min": dec(st.get(6, st.get(2))),
+                "max": dec(st.get(5, st.get(1))),
                 "null_count": st.get(3), "distinct_count": st.get(4)}
 
 

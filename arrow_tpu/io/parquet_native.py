@@ -823,6 +823,47 @@ class ParquetFile:
                                  for f, c in zip(fields, cols)))
         return Table(cols, schema)
 
+    def column_index(self, rg_index: int, column: str):
+        """Parsed page-index ColumnIndex for one chunk
+        (file/page_index/index.rs role): {null_pages, min_values,
+        max_values, null_counts} or None when absent."""
+        md_chunk = self._chunk_for(rg_index, column)
+        if md_chunk is None:
+            return None
+        off = md_chunk.get(6)
+        ln = md_chunk.get(7)
+        if off is None or ln is None:
+            return None
+        ci = CompactReader(self._data[off:off + ln]).read_struct()
+        return {
+            "null_pages": [bool(b) for b in ci.get(1, [])],
+            "min_values": ci.get(2, []),
+            "max_values": ci.get(3, []),
+            "boundary_order": ci.get(4, 0),
+            "null_counts": ci.get(5, []),
+        }
+
+    def offset_index(self, rg_index: int, column: str):
+        """Parsed OffsetIndex: [(offset, compressed_size,
+        first_row_index)] per page, or None."""
+        md_chunk = self._chunk_for(rg_index, column)
+        if md_chunk is None:
+            return None
+        off = md_chunk.get(4)
+        ln = md_chunk.get(5)
+        if off is None or ln is None:
+            return None
+        oi = CompactReader(self._data[off:off + ln]).read_struct()
+        return [(p.get(1, 0), p.get(2, 0), p.get(3, 0))
+                for p in oi.get(1, [])]
+
+    def _chunk_for(self, rg_index: int, column: str):
+        leaves = self._leaves()
+        names = [l.name for l in leaves]
+        if column not in names:
+            return None
+        return self.row_groups[rg_index].get(1, [])[names.index(column)]
+
     def bloom_filter_check(self, rg_index: int, column: str,
                            values) -> Optional[np.ndarray]:
         """Split-block bloom filter membership probe (the reference's

@@ -90,7 +90,11 @@ class CompactReader:
             etype = hdr & 0x0F
             if size == 15:
                 size = self.varint()
-            # in-list bools are full bytes of type 1
+            if etype in (T_TRUE, T_FALSE):
+                # list BOOL elements are one byte each (1=true, 2=false)
+                out = [self.buf[self.pos + i] == 1 for i in range(size)]
+                self.pos += size
+                return out
             return [self.read_value(etype) for _ in range(size)]
         if ttype == T_MAP:
             size = self.varint()
@@ -181,8 +185,8 @@ class CompactWriter:
                 self.out.append(0xF0 | etype)
                 self.varint(n)
             for it in items:
-                if etype == T_TRUE:
-                    self.out.append(T_TRUE if it else T_FALSE)
+                if etype in (T_TRUE, T_FALSE):
+                    self.out.append(1 if it else 2)
                 else:
                     self.write_value(etype, it)
         elif ttype == T_STRUCT:

@@ -61,17 +61,18 @@ def _co_encode(lcol: Column, rcol: Column):
         lk, lv = encode_value_key(lcol)
         rk, rv = encode_value_key(rcol)
         return lk, lv, rk, rv
-    from .strings import _as_dict, _dict_values_host, _effective_validity
+    from .strings import (_as_dict, _dict_slot_validity,
+                          merged_string_ranks)
+    from ..core.column import StringColumn
     dl, dr = _as_dict(lcol), _as_dict(rcol)
-    lvals, rvals = _dict_values_host(dl), _dict_values_host(dr)
-    uniq = sorted({v for v in lvals + rvals if v is not None})
-    rank = {v: i for i, v in enumerate(uniq)}
-    lrank = np.array([rank.get(v, 0) for v in lvals], np.uint64)
-    rrank = np.array([rank.get(v, 0) for v in rvals], np.uint64)
+    lv, rv = dl.values, dr.values
+    if not (isinstance(lv, StringColumn) and isinstance(rv, StringColumn)):
+        raise ArrowInvalid("string join keys require string dictionaries")
+    # merged-domain dense ranks, all native (no per-value Python)
+    lrank, rrank = merged_string_ranks(lv, rv)
     lk = jnp.take(jnp.asarray(lrank), dl.codes, mode="clip")
     rk = jnp.take(jnp.asarray(rrank), dr.codes, mode="clip")
-    return lk, _effective_validity(dl, lvals), \
-        rk, _effective_validity(dr, rvals)
+    return lk, _dict_slot_validity(dl), rk, _dict_slot_validity(dr)
 
 
 def combined_keys(lcols: Sequence[Column], rcols: Sequence[Column]):
@@ -110,42 +111,67 @@ _U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 @jax.jit
 def _probe_stage(lkey, lvalid, rkey, rvalid):
-    """Device half of the hash join, one XLA program.
+    """Device half of the hash join, one XLA program — sort-merge plan.
 
-    Build-side NULL rows are excluded WITHOUT a host round-trip: their
-    keys become u64::MAX and the fused sort's secondary null-flag key
-    parks them behind every valid row, so clamping `hi` to the valid
-    count drops them from every probe range (eager per-op dispatch
-    through the remote-TPU tunnel costs ~100x the kernels)."""
+    r1 used two vectorized binary searches (searchsorted = ~21 rounds of
+    random gathers each at 10M on v5e); this plan needs ONE fused
+    multi-operand sort (measured ~10x cheaper than composed gather
+    rounds, CLAUDE.md):
+
+      sort (key, invalid, side, row): equal valid keys form runs with
+      build rows FIRST, probe rows after; invalid rows of either side
+      land in separate runs (second key) so NULL never matches.  Each
+      probe slot's match count = builds in its run, via one cumsum.
+
+    Returns (run start positions, counts, original row ids — all on the
+    sorted axis — and counts re-ordered to ORIGINAL probe rows for the
+    semi/anti/left masks, recovered by one cheap (u32, i64) sort)."""
     n_r = rkey.shape[0]
-    iota = jnp.arange(n_r, dtype=jnp.int32)
-    key_adj = jnp.where(rvalid, rkey, _U64_MAX)
-    r_sorted, _, r_order = jax.lax.sort(
-        (key_adj, ~rvalid, iota), num_keys=2, is_stable=False)
-    nvalid = jnp.sum(rvalid, dtype=jnp.int32)
-    lo = jnp.searchsorted(r_sorted, lkey, side="left").astype(jnp.int32)
-    hi = jnp.minimum(
-        jnp.searchsorted(r_sorted, lkey, side="right").astype(jnp.int32),
-        nvalid)
-    counts = jnp.where(lvalid, jnp.maximum(hi - lo, 0), 0) \
-        .astype(jnp.int64)
-    return lo, counts, r_order
+    n_l = lkey.shape[0]
+    key_cat = jnp.concatenate([rkey, lkey])
+    inv = jnp.concatenate([~rvalid, ~lvalid])
+    side = jnp.concatenate([jnp.zeros(n_r, jnp.uint8),
+                            jnp.ones(n_l, jnp.uint8)])
+    iota = jnp.concatenate([jnp.arange(n_r, dtype=jnp.int32),
+                            jnp.arange(n_l, dtype=jnp.int32)])
+    ks, invs, sides, idxs = jax.lax.sort(
+        (key_cat, inv, side, iota), num_keys=3, is_stable=False)
+    n = n_r + n_l
+    pos = jnp.arange(n, dtype=jnp.int32)
+    run_start = jnp.concatenate([
+        jnp.ones(1, jnp.bool_),
+        (ks[1:] != ks[:-1]) | (invs[1:] != invs[:-1])])
+    start_pos = jax.lax.cummax(jnp.where(run_start, pos, 0))
+    is_build = (sides == 0) & ~invs
+    pb = jnp.cumsum(is_build.astype(jnp.int64))          # inclusive
+    pb_excl = pb - is_build.astype(jnp.int64)
+    builds_in_run = pb - pb_excl[start_pos]
+    is_probe = (sides == 1) & ~invs
+    counts = jnp.where(is_probe, builds_in_run, 0)
+    # counts back on the original probe axis (invalid probes keep 0):
+    row_key = jnp.where(sides == 1, idxs.astype(jnp.uint32),
+                        jnp.uint32(0xFFFFFFFF))
+    _, counts_by_row = jax.lax.sort((row_key, counts), num_keys=1,
+                                    is_stable=True)
+    counts_orig = counts_by_row[:n_l]
+    return start_pos, counts, idxs, counts_orig
 
 
 @functools.partial(jax.jit, static_argnames=("n_out",))
-def _expand_stage(lo, counts, r_order, n_out):
-    """Capacity-padded device pair expansion (replaces the r1 host
-    np.repeat): output position -> probe row via searchsorted over the
-    inclusive count prefix sum (the same trick group_by's boundary
-    plan uses); no host array ever holds the match set."""
+def _expand_stage(start_pos, counts, idxs, n_out):
+    """Capacity-padded device pair expansion over the sorted axis:
+    output position -> probe slot via searchsorted on the count prefix
+    sum (the group_by boundary trick); build row = run start + within-
+    run offset.  No host array ever holds the match set."""
     incl = jnp.cumsum(counts)
     out_i = jnp.arange(n_out, dtype=jnp.int64)
-    probe_idx = jnp.searchsorted(incl, out_i, side="right") \
-        .astype(jnp.int32)
-    excl = (incl - counts)[probe_idx]
-    within = out_i - excl
-    build_pos = lo[probe_idx].astype(jnp.int64) + within
-    build_idx = r_order[build_pos]
+    slot = jnp.searchsorted(incl, out_i, side="right").astype(jnp.int32)
+    slot = jnp.minimum(slot, counts.shape[0] - 1)
+    within = out_i - (incl - counts)[slot]
+    build_pos = jnp.minimum(start_pos[slot].astype(jnp.int64) + within,
+                            counts.shape[0] - 1)
+    probe_idx = idxs[slot]
+    build_idx = idxs[build_pos]
     return probe_idx, build_idx
 
 
@@ -157,11 +183,6 @@ def _round_capacity(n: int) -> int:
     k = max((n - 1).bit_length() - 4, 0)
     step = 1 << k
     return ((n + step - 1) // step) * step
-
-
-@jax.jit
-def _mask_from_counts(counts):
-    return counts > 0
 
 
 def _indices_of_mask(mask: jnp.ndarray) -> jnp.ndarray:
@@ -184,17 +205,18 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
         [right.column(c) for c in right_on])
     multi = len(on) > 1
 
-    lo, counts, r_order = _probe_stage(lkey, lvalid, rkey, rvalid)
+    start_pos, counts, idxs, counts_orig = _probe_stage(
+        lkey, lvalid, rkey, rvalid)
 
     if how in ("semi", "anti"):
-        matched = _mask_from_counts(counts)
+        matched = counts_orig > 0
         mask = matched if how == "semi" else ~matched
         idx = _indices_of_mask(mask)
         return idx.astype(jnp.int64), jnp.full(idx.shape, -1, jnp.int64)
 
-    total = int(jnp.sum(counts))
+    total = int(jnp.sum(counts_orig))
     n_pad = _round_capacity(total)
-    probe_idx, build_idx = _expand_stage(lo, counts, r_order, n_pad)
+    probe_idx, build_idx = _expand_stage(start_pos, counts, idxs, n_pad)
     probe_idx, build_idx = probe_idx[:total], build_idx[:total]
 
     collisions_removed = False
@@ -214,6 +236,12 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
     probe_idx = probe_idx.astype(jnp.int64)
     build_idx = build_idx.astype(jnp.int64)
     if how == "inner":
+        if total:
+            # deterministic output: pairs ordered by probe row (the
+            # sort-merge expansion emits key order)
+            _, probe_idx, build_idx = jax.lax.sort(
+                (probe_idx, probe_idx, build_idx), num_keys=1,
+                is_stable=True)
         return probe_idx, build_idx
     if how == "left":
         if multi and collisions_removed:
@@ -224,7 +252,7 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
         else:
             # counts>0 is exact (no scatter; XLA scatter is 0.005-0.014
             # Grows/s on this TPU)
-            matched = counts > 0
+            matched = counts_orig > 0
         unmatched = _indices_of_mask(~matched).astype(jnp.int64)
         li = jnp.concatenate([probe_idx, unmatched])
         ri = jnp.concatenate([build_idx,

@@ -125,12 +125,47 @@ def compare(op: str, lhs, rhs) -> PrimitiveColumn:
     return _compare_cols(op, lhs, rhs)
 
 
+_CMP_FROM_SIGN = {
+    "eq": lambda c: c == 0, "neq": lambda c: c != 0,
+    "lt": lambda c: c < 0, "lt_eq": lambda c: c <= 0,
+    "gt": lambda c: c > 0, "gt_eq": lambda c: c >= 0,
+}
+
+
 def _compare_scalar(op: str, col: Column, scalar_val) -> PrimitiveColumn:
     s = _scalar_str(scalar_val)
-    dcol = _as_dict(col)
     if s is None:
-        return PrimitiveColumn(jnp.zeros((len(dcol),), jnp.bool_), dt.bool_,
-                               jnp.zeros((len(dcol),), jnp.bool_))
+        n = len(col)
+        return PrimitiveColumn(jnp.zeros((n,), jnp.bool_), dt.bool_,
+                               jnp.zeros((n,), jnp.bool_))
+    # direct StringColumn: one native byte-compare pass, O(n)
+    if isinstance(col, StringColumn):
+        try:
+            signs = nt.bytes_cmp_scalar(
+                np.asarray(col.offsets).astype(np.int64),
+                np.asarray(col.data), s.encode("utf-8"))
+            out = _CMP_FROM_SIGN[op](signs)
+            return PrimitiveColumn(jnp.asarray(out), dt.bool_,
+                                   col.validity)
+        except NotImplementedError:
+            pass
+    dcol = _as_dict(col)
+    values = dcol.values
+    if isinstance(values, StringColumn):
+        try:
+            signs = nt.bytes_cmp_scalar(
+                np.asarray(values.offsets).astype(np.int64),
+                np.asarray(values.data), s.encode("utf-8"))
+            per_code = _CMP_FROM_SIGN[op](signs)
+            out = jnp.take(jnp.asarray(per_code), dcol.codes,
+                           mode="clip")
+            vals_valid = values.validity
+            validity = dcol.validity if vals_valid is None else vd.union(
+                dcol.validity, jnp.take(vals_valid, dcol.codes,
+                                        mode="clip"))
+            return PrimitiveColumn(out, dt.bool_, validity)
+        except NotImplementedError:
+            pass
     vals = _dict_values_host(dcol)
     per_code = np.array([False if v is None else _CMP_FN[op](v, s)
                          for v in vals], bool)
@@ -138,22 +173,58 @@ def _compare_scalar(op: str, col: Column, scalar_val) -> PrimitiveColumn:
     return PrimitiveColumn(out, dt.bool_, _effective_validity(dcol, vals))
 
 
+def merged_string_ranks(lv: StringColumn, rv: StringColumn):
+    """Dense ranks of two value sets in one merged byte-sorted domain —
+    all native (intern + varlen argsort).  -> (lranks u64, rranks u64)
+    per dictionary slot."""
+    lo = np.asarray(lv.offsets).astype(np.int64)
+    ld = np.asarray(lv.data)
+    ro = np.asarray(rv.offsets).astype(np.int64)
+    rd = np.asarray(rv.data)
+    offs = np.concatenate([lo, ro[1:] + lo[-1]])
+    data = np.concatenate([ld[:lo[-1]], rd[:ro[-1]]])
+    codes, uniq_idx = nt.intern_varlen(offs, data)
+    uoffs, udata = nt.gather_varlen(offs, data, uniq_idx)
+    order = nt.argsort_varlen(uoffs, udata).astype(np.int64)
+    remap = np.empty(max(len(uniq_idx), 1), np.uint64)
+    remap[order] = np.arange(len(uniq_idx), dtype=np.uint64)
+    ranks = remap[codes]
+    return ranks[:len(lv)], ranks[len(lv):]
+
+
+def _dict_slot_validity(dcol: DictionaryColumn) -> vd.Mask:
+    values = dcol.values
+    if getattr(values, "validity", None) is None:
+        return dcol.validity
+    return vd.union(dcol.validity,
+                    jnp.take(values.validity, dcol.codes, mode="clip"))
+
+
 def _compare_cols(op: str, lhs: Column, rhs: Column) -> PrimitiveColumn:
     """dict-dict compare: map both into one merged rank domain (vectored
-    dictionary compare, cmp.rs:468), then compare ranks on device."""
+    dictionary compare, cmp.rs:468) — ranks built natively — then
+    compare ranks on device."""
     dl, dr = _as_dict(lhs), _as_dict(rhs)
-    lv, rv = _dict_values_host(dl), _dict_values_host(dr)
-    uniq = sorted({v for v in lv + rv if v is not None})
-    rank = {v: i for i, v in enumerate(uniq)}
-    lrank = np.array([rank.get(v, 0) for v in lv], np.int64)
-    rrank = np.array([rank.get(v, 0) for v in rv], np.int64)
-    lk = jnp.take(jnp.asarray(lrank), dl.codes, mode="clip")
-    rk = jnp.take(jnp.asarray(rrank), dr.codes, mode="clip")
+    lv, rv = dl.values, dr.values
+    if isinstance(lv, StringColumn) and isinstance(rv, StringColumn):
+        lrank, rrank = merged_string_ranks(lv, rv)
+        lk = jnp.take(jnp.asarray(lrank), dl.codes, mode="clip")
+        rk = jnp.take(jnp.asarray(rrank), dr.codes, mode="clip")
+        validity = vd.union(_dict_slot_validity(dl),
+                            _dict_slot_validity(dr))
+    else:
+        lvals, rvals = _dict_values_host(dl), _dict_values_host(dr)
+        uniq = sorted({v for v in lvals + rvals if v is not None})
+        rank = {v: i for i, v in enumerate(uniq)}
+        lrank = np.array([rank.get(v, 0) for v in lvals], np.int64)
+        rrank = np.array([rank.get(v, 0) for v in rvals], np.int64)
+        lk = jnp.take(jnp.asarray(lrank), dl.codes, mode="clip")
+        rk = jnp.take(jnp.asarray(rrank), dr.codes, mode="clip")
+        validity = vd.union(_effective_validity(dl, lvals),
+                            _effective_validity(dr, rvals))
     fn = {"eq": jnp.equal, "neq": jnp.not_equal, "lt": jnp.less,
           "lt_eq": jnp.less_equal, "gt": jnp.greater,
           "gt_eq": jnp.greater_equal}[op]
-    validity = vd.union(_effective_validity(dl, lv),
-                        _effective_validity(dr, rv))
     return PrimitiveColumn(fn(lk, rk), dt.bool_, validity)
 
 

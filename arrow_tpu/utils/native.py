@@ -501,6 +501,29 @@ def bytes_match(offsets: np.ndarray, data: np.ndarray, pattern: bytes,
     return out[:n].view(bool)
 
 
+def bytes_cmp_scalar(offsets: np.ndarray, data: np.ndarray,
+                     pattern: bytes) -> np.ndarray:
+    """Per-value lexicographic compare vs one scalar -> int8 -1/0/1."""
+    lib = _str_lib()
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(offsets) - 1
+    if lib is None:
+        raise NotImplementedError("native compare requires hostcodec")
+    if not getattr(lib, "_bcs_bound", False):
+        lib.bytes_cmp_scalar.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int8)]
+        lib._bcs_bound = True
+    pat = np.frombuffer(pattern, np.uint8)
+    out = np.zeros(max(n, 1), np.int8)
+    lib.bytes_cmp_scalar(_i64p(offsets), _u8(data), n, _u8(pat),
+                         len(pat),
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return out[:n]
+
+
 def ascii_case(data: np.ndarray, to_upper: bool):
     """-> (transformed bytes, was_pure_ascii)."""
     lib = _str_lib()

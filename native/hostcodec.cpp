@@ -1150,6 +1150,21 @@ void bytes_match(const int64_t* offsets, const uint8_t* data, int64_t n,
     }
 }
 
+// Per-value byte comparison against one scalar: out[i] = -1/0/1
+// (lexicographic, length-breaks-ties; the arrow byte-compare order).
+void bytes_cmp_scalar(const int64_t* offsets, const uint8_t* data,
+                      int64_t n, const uint8_t* pat, int64_t plen,
+                      int8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* s = data + offsets[i];
+        const int64_t len = offsets[i + 1] - offsets[i];
+        const int64_t m = len < plen ? len : plen;
+        int c = std::memcmp(s, pat, m);
+        if (c == 0) c = len < plen ? -1 : (len > plen ? 1 : 0);
+        out[i] = c < 0 ? -1 : (c > 0 ? 1 : 0);
+    }
+}
+
 // ASCII upper/lower over the whole data buffer; returns 0 if any
 // non-ASCII byte was seen (caller falls back to the Unicode path).
 int64_t ascii_case(const uint8_t* data, int64_t n, int32_t to_upper,

@@ -60,3 +60,36 @@ def test_simple_executor_errors():
         simple_sql_executor({}, "DROP TABLE x")
     with pytest.raises(Exception):
         simple_sql_executor({}, "SELECT * FROM missing")
+
+
+def test_sql_executor_aggregates_and_order():
+    """Demo executor grammar: aggregates, GROUP BY, ORDER BY, rejection
+    of anything beyond the documented subset."""
+    import numpy as np
+    from arrow_tpu.io.flightsql import simple_sql_executor
+    from arrow_tpu.errors import ArrowInvalid
+    t = at.Table.from_pydict({
+        "k": [1, 2, 1, 2, 1],
+        "v": np.array([10, 20, 30, 40, 50], np.int64),
+    })
+    tables = {"t": t}
+    r = simple_sql_executor(tables, "SELECT COUNT(*) FROM t")
+    assert r.to_pydict()["count"] == [5]
+    r = simple_sql_executor(tables, "SELECT SUM(v), MAX(v) FROM t")
+    assert r.column("v_sum").to_pylist() == [150]
+    assert r.column("v_max").to_pylist() == [50]
+    r = simple_sql_executor(tables,
+                            "SELECT SUM(v) FROM t GROUP BY k")
+    got = dict(zip(r.column("k").to_pylist(),
+                   r.column("v_sum").to_pylist()))
+    assert got == {1: 90, 2: 60}
+    r = simple_sql_executor(tables,
+                            "SELECT v FROM t ORDER BY v DESC LIMIT 2")
+    assert r.column("v").to_pylist() == [50, 40]
+    r = simple_sql_executor(tables,
+                            "SELECT AVG(v) FROM t WHERE k = 1")
+    assert r.column("v_mean").to_pylist() == [30.0]
+    with pytest.raises(ArrowInvalid):
+        simple_sql_executor(tables, "SELECT * FROM t JOIN u ON x")
+    with pytest.raises(ArrowInvalid):
+        simple_sql_executor(tables, "DELETE FROM t")

@@ -265,3 +265,24 @@ class TestNativeWriter:
         ref = pq.read_table(p)
         assert ref["a"].to_pylist()[:50] == \
             t.column("a").to_pylist()[:50]
+
+
+def test_page_index_read():
+    """ColumnIndex/OffsetIndex parse (file/page_index role) from a
+    pyarrow-written page index."""
+    t = pa.table({"v": pa.array(list(range(10000)))})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, write_page_index=True, data_page_size=4096,
+                   use_dictionary=False)
+    pf = ParquetFile(buf.getvalue())
+    ci = pf.column_index(0, "v")
+    oi = pf.offset_index(0, "v")
+    assert ci is not None and oi is not None
+    assert len(oi) == len(ci["min_values"]) > 1
+    assert ci["null_pages"] == [False] * len(oi)
+    # page first_row_index strictly increasing from 0
+    firsts = [r for _, _, r in oi]
+    assert firsts[0] == 0 and firsts == sorted(firsts)
+    # min of page 0 decodes to 0 (little-endian int64 PLAIN)
+    import struct as _st
+    assert _st.unpack("<q", ci["min_values"][0])[0] == 0

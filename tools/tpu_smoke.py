@@ -91,9 +91,14 @@ check("interleave", lambda: concm.interleave([i64, i64], [(0, 1), (1, 2)]))
 check("zip", lambda: select_misc.zip_(b, i64, i64))
 check("shift", lambda: select_misc.shift(i64, 3))
 check("date_part year", lambda: temporal.year(ts))
+tstz = at.column(rng.integers(0, 2**40, n).astype(np.int64),
+                 dtype=at.timestamp("us", "America/New_York"))
+check("date_part tz hour", lambda: temporal.hour(tstz))
+check("iso_week", lambda: temporal.iso_week(ts))
+check("sort top-k", lambda: sortm.sort_to_indices(i64, limit=64))
 check("like", lambda: strings.like(s, "w1%"))
 check("substring", lambda: strings.substring(s, 1, 2))
-check("bit_and", lambda: bitwise.bit_and(i64, i64))
+check("bitwise_and", lambda: bitwise.bitwise_and(i64, i64))
 check("row_format f64", lambda: RowConverter([SortField()]).convert_columns([f64n]))
 tl = at.Table.from_pydict({"k": at.column(rng.integers(0, 50, n).astype(np.int64)),
                            "v": f64})
