@@ -369,10 +369,11 @@ def _empty_values(node: SchemaNode):
     return np.zeros(0, np.int64)
 
 
-def _read_column_chunk(data: bytes, chunk_meta: dict, node: SchemaNode
+def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode
                        ) -> _LeafData:
     """Decode every page of one column chunk (serialized_reader.rs:95 +
-    column/reader.rs roles)."""
+    column/reader.rs roles).  Fetches the chunk's byte range in ONE
+    read (the async_reader per-chunk fetch granularity)."""
     md = chunk_meta[3]                    # ColumnMetaData
     codec = md.get(4, 0)
     num_values = md.get(5, 0)
@@ -380,8 +381,11 @@ def _read_column_chunk(data: bytes, chunk_meta: dict, node: SchemaNode
     dict_off = md.get(11)
     total = md.get(7)
     start = data_off if dict_off is None else min(data_off, dict_off)
-    pos = start
-    end = start + total
+    data = src.range(start, total) if not isinstance(src, (bytes,
+                                                           bytearray)) \
+        else src[start:start + total]
+    pos = 0
+    end = total
 
     dictionary = None
     defs = np.zeros(num_values, np.uint32) if node.max_def else None
@@ -744,23 +748,56 @@ def _int_to_limbs(v: int, k: int) -> np.ndarray:
 # File reader
 # ---------------------------------------------------------------------------
 
-class ParquetFile:
-    """Native parquet file reader (ParquetRecordBatchReaderBuilder +
-    SerializedFileReader roles)."""
+class _Source:
+    """Byte-range access over bytes / paths / seekable files — the
+    range-fetch abstraction of the reference's async reader
+    (parquet/src/arrow/async_reader/mod.rs:712): lazy sources fetch the
+    footer and only the projected column chunks."""
 
     def __init__(self, source):
+        self._f = None
+        self._buf = None
         if isinstance(source, str):
-            with open(source, "rb") as f:
-                self._data = f.read()
+            self._f = open(source, "rb")
+        elif isinstance(source, (bytes, bytearray, memoryview)):
+            self._buf = bytes(source)
+        elif hasattr(source, "seek") and hasattr(source, "read"):
+            self._f = source
         elif hasattr(source, "read"):
-            self._data = source.read()
+            self._buf = source.read()
         else:
-            self._data = bytes(source)
-        data = self._data
-        if data[:4] != _MAGIC or data[-4:] != _MAGIC:
+            raise ArrowInvalid(f"cannot read parquet from {type(source)}")
+        if self._f is not None:
+            self._f.seek(0, 2)
+            self._size = self._f.tell()
+        else:
+            self._size = len(self._buf)
+
+    @property
+    def size(self) -> int:
+        return self._size
+
+    def range(self, off: int, ln: int) -> bytes:
+        if self._buf is not None:
+            return self._buf[off:off + ln]
+        self._f.seek(off)
+        return self._f.read(ln)
+
+
+class ParquetFile:
+    """Native parquet file reader (ParquetRecordBatchReaderBuilder +
+    SerializedFileReader roles).  Paths and seekable files are read
+    LAZILY: only the footer and the projected column chunks are fetched
+    (the async_reader/object-store access pattern)."""
+
+    def __init__(self, source):
+        self._src = _Source(source)
+        size = self._src.size
+        tail = self._src.range(max(size - 8, 0), 8)
+        if tail[-4:] != _MAGIC:
             raise ArrowInvalid("not a parquet file (bad magic)")
-        (flen,) = struct.unpack_from("<i", data, len(data) - 8)
-        footer = data[len(data) - 8 - flen: len(data) - 8]
+        (flen,) = struct.unpack_from("<i", tail, 0)
+        footer = self._src.range(size - 8 - flen, flen)
         self.metadata = CompactReader(footer).read_struct()
         self.root = _parse_schema(self.metadata[2])
         self.num_rows = self.metadata.get(3, 0)
@@ -814,7 +851,7 @@ class ParquetFile:
             if id(root_of[leaf.leaf_index]) not in wanted_roots:
                 continue
             leaf_map[leaf.leaf_index] = _read_column_chunk(
-                self._data, chunk, leaf)
+                self._src, chunk, leaf)
         cols = tuple(_build_column(f, leaf_map, n_rows,
                                    set(as_dictionary))
                      for f in fields)
@@ -834,7 +871,7 @@ class ParquetFile:
         ln = md_chunk.get(7)
         if off is None or ln is None:
             return None
-        ci = CompactReader(self._data[off:off + ln]).read_struct()
+        ci = CompactReader(self._src.range(off, ln)).read_struct()
         return {
             "null_pages": [bool(b) for b in ci.get(1, [])],
             "min_values": ci.get(2, []),
@@ -853,7 +890,7 @@ class ParquetFile:
         ln = md_chunk.get(5)
         if off is None or ln is None:
             return None
-        oi = CompactReader(self._data[off:off + ln]).read_struct()
+        oi = CompactReader(self._src.range(off, ln)).read_struct()
         return [(p.get(1, 0), p.get(2, 0), p.get(3, 0))
                 for p in oi.get(1, [])]
 
@@ -886,10 +923,15 @@ class ParquetFile:
         off = md.get(14)
         if off is None:
             return None
-        r = CompactReader(self._data, off)
+        blen = md.get(15)
+        raw = self._src.range(off, blen if blen is not None
+                              else 64 * 1024 + 32)
+        r = CompactReader(raw)
         hdr = r.read_struct()
         nbytes = hdr.get(1, 0)
-        bitset = np.frombuffer(self._data, np.uint8, nbytes, r.pos)
+        if len(raw) < r.pos + nbytes:
+            raw = self._src.range(off, r.pos + nbytes)
+        bitset = np.frombuffer(raw, np.uint8, nbytes, r.pos)
         num_blocks = nbytes // 32
         leaf = leaves[li]
         hashes = _value_hashes(leaf, values, lib, nt)

@@ -252,3 +252,41 @@ def test_schema_metadata_preserved():
     back = _roundtrip_via_ours(batch)
     assert back.schema.metadata == {b"top": b"meta"}
     assert back.schema.field("a").metadata == {b"k": b"v"}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_roundtrip(seed):
+    """Randomized mixed batches through our writer -> pyarrow -> our
+    reader (tier-3 fuzz role for the wire format)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 300))
+
+    def prim(dtype, lo=-1000, hi=1000):
+        mask = rng.random(n) < rng.choice([0.0, 0.3])
+        return pa.array(rng.integers(lo, hi, n), dtype,
+                        mask=mask)
+
+    batch = pa.record_batch({
+        "a": prim(pa.int64()),
+        "b": prim(pa.int32()),
+        "c": pa.array(rng.standard_normal(n),
+                      mask=rng.random(n) < 0.2),
+        "d": pa.array([f"s{int(i)}" for i in
+                       rng.integers(0, 50, n)]),
+        "e": pa.array(rng.random(n) < 0.5,
+                      mask=rng.random(n) < 0.1),
+        "f": pa.array([[int(x) for x in
+                        rng.integers(0, 9, rng.integers(0, 4))]
+                       for _ in range(n)], pa.list_(pa.int64())),
+    })
+    # pyarrow -> ours -> pyarrow must be exact
+    back = _roundtrip_via_ours(batch)
+    assert back.equals(batch)
+    # ours -> ours via file format
+    from arrow_tpu.io import ipc
+    import arrow_tpu as at
+    t = at.Table.from_pyarrow(batch)
+    buf = io.BytesIO()
+    ipc.write_file(buf, t, compression="zstd")
+    back2 = ipc.read_file(io.BytesIO(buf.getvalue()))[0]
+    assert back2.to_pydict() == t.to_pydict()

@@ -286,3 +286,42 @@ def test_page_index_read():
     # min of page 0 decodes to 0 (little-endian int64 PLAIN)
     import struct as _st
     assert _st.unpack("<q", ci["min_values"][0])[0] == 0
+
+
+def test_lazy_range_reads(tmp_path):
+    """Path sources fetch only footer + projected chunks (the
+    async_reader/mod.rs:712 access pattern, range-based)."""
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "a": pa.array(rng.integers(0, 1000, 100_000)),
+        "b": pa.array(rng.standard_normal(100_000)),
+        "big": pa.array([f"text-{i}" * 4 for i in range(100_000)]),
+    })
+    p = str(tmp_path / "wide.parquet")
+    pq.write_table(t, p, use_dictionary=False)
+    total = __import__("os").path.getsize(p)
+
+    reads = []
+    real_open = open
+
+    class CountingFile:
+        def __init__(self, path):
+            self._f = real_open(path, "rb")
+
+        def seek(self, *a):
+            return self._f.seek(*a)
+
+        def tell(self):
+            return self._f.tell()
+
+        def read(self, n=-1):
+            reads.append(n)
+            return self._f.read(n)
+
+    pf = ParquetFile(CountingFile(p))
+    got = pf.read(columns=["a"])
+    assert got.num_rows == 100_000
+    fetched = sum(r for r in reads if r and r > 0)
+    # the "big" string chunk dominates the file; projecting "a" must
+    # not fetch it
+    assert fetched < total // 2, (fetched, total)
