@@ -482,23 +482,27 @@ class _Flattener:
             vb, nc = _validity_buffer(col)
             self.nodes.append((n, nc))
             if d.name in ("utf8_view", "binary_view"):
-                # view layout: 16B views + one variadic data buffer
+                # view layout: 16B views + one variadic data buffer;
+                # built with vectorized gathers (no per-row Python)
                 offs = _np(col.offsets).astype(np.int64)
-                data = _np(col.data)
+                data = np.concatenate([_np(col.data),
+                                       np.zeros(16, np.uint8)])
                 lens = (offs[1:] - offs[:-1]).astype(np.int32)
                 views = np.zeros((n, 16), np.uint8)
                 views[:, 0:4] = lens.view(np.uint8).reshape(n, 4)
+                # first up-to-12 bytes (short inline / long prefix)
+                take = offs[:-1, None] + np.arange(12)
+                gathered = data[np.minimum(take, len(data) - 1)]
+                within = np.arange(12) < lens[:, None]
+                gathered = np.where(within, gathered, 0)
                 short = lens <= 12
-                dbytes = data.tobytes()
-                for i in range(n):           # host pass; egress only
-                    o, ln = int(offs[i]), int(lens[i])
-                    if short[i]:
-                        views[i, 4:4 + ln] = np.frombuffer(
-                            dbytes, np.uint8, ln, o)
-                    else:
-                        views[i, 4:8] = np.frombuffer(dbytes, np.uint8,
-                                                      4, o)
-                        struct.pack_into("<ii", views, i * 16 + 8, 0, o)
+                views[short, 4:16] = gathered[short]
+                if (~short).any():
+                    li = np.nonzero(~short)[0]
+                    views[li, 4:8] = gathered[li, :4]
+                    views[li, 8:12] = 0      # buffer index 0
+                    views[li, 12:16] = offs[:-1][li].astype(np.int32) \
+                        .view(np.uint8).reshape(-1, 4)
                 self.buf(vb)
                 self.buf(views)
                 self.buf(data)
@@ -821,14 +825,19 @@ class _Rebuilder:
             offs = np.zeros(n + 1, np.int64)
             np.cumsum(lens, out=offs[1:])
             out = np.zeros(int(offs[-1]), np.uint8)
-            for i in range(n):
+            short = lens <= 12
+            # short strings: vectorized scatter of the inline bytes
+            if short.any():
+                si = np.nonzero(short)[0]
+                pos = offs[si, None] + np.arange(12)
+                src_rows = views[si, 4:16]
+                within = np.arange(12) < lens[si, None]
+                out[pos[within]] = src_rows[within]
+            for i in np.nonzero(~short)[0]:   # long strings only
                 ln = int(lens[i])
-                if ln <= 12:
-                    out[offs[i]:offs[i] + ln] = views[i, 4:4 + ln]
-                else:
-                    bi, bo = struct.unpack_from("<ii", views[i].tobytes(),
-                                                8)
-                    out[offs[i]:offs[i] + ln] = datas[bi][bo:bo + ln]
+                bi, bo = struct.unpack_from("<ii",
+                                            views[i].tobytes(), 8)
+                out[offs[i]:offs[i] + ln] = datas[bi][bo:bo + ln]
             return StringColumn(jnp.asarray(offs), jnp.asarray(out), d, v)
 
         if d.name == "fixed_size_binary":

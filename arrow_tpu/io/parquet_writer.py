@@ -128,10 +128,10 @@ def _logical_fields(d: dt.DataType):
         return PT_BYTE_ARRAY, None, None, None
     if n == "fixed_size_binary":
         return PT_FLBA, d.list_size, None, None
-    if n == "decimal128":
+    if n in ("decimal128", "decimal256"):
         lt = [(5, T_STRUCT, [(1, T_I32, d.scale), (2, T_I32,
                                                    d.precision)])]
-        return PT_FLBA, 16, 5, lt
+        return PT_FLBA, 16 if n == "decimal128" else 32, 5, lt
     raise ArrowNotImplementedError(f"parquet write of {d!r}")
 
 
@@ -171,7 +171,7 @@ def _schema_elements(schema: dt.Schema):
             fields.insert(1, (2, T_I32, tlen))
         if conv is not None:
             fields.append((6, T_I32, conv))
-        if d.name == "decimal128":
+        if d.name in ("decimal128", "decimal256"):
             fields.append((7, T_I32, d.scale))
             fields.append((8, T_I32, d.precision))
         if logical is not None:
@@ -318,8 +318,9 @@ def _plain_values(c: Column, mask: Optional[np.ndarray]) -> bytes:
         limbs = np.asarray(c.limbs)
         if mask is not None and not mask.all():
             limbs = limbs[mask]
-        # little-endian limbs -> 16-byte big-endian two's complement
-        le = limbs.astype("<u8").view(np.uint8).reshape(len(limbs), 16)
+        # little-endian limbs -> big-endian two's complement (16B or 32B)
+        w = limbs.shape[1] * 8
+        le = limbs.astype("<u8").view(np.uint8).reshape(len(limbs), w)
         be = le[:, ::-1]
         return np.ascontiguousarray(be).tobytes()
     vals = np.asarray(c.values)

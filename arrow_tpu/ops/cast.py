@@ -166,6 +166,23 @@ def cast(col: Column, to: dt.DataType,
     if isinstance(col, StringColumn):
         return _cast_from_string(col, to, options)
 
+    from ..core.nested import FixedSizeBinaryColumn
+    if isinstance(col, FixedSizeBinaryColumn):
+        # FixedSizeBinary -> Binary/Utf8 (and identity width changes)
+        if to.is_binary or to.is_string:
+            import numpy as np
+            import jax.numpy as jnp
+            n, w = col.data.shape
+            offs = jnp.arange(0, (n + 1) * w, w, dtype=jnp.int32)
+            data = col.data.reshape(-1)
+            if to.name == "fixed_size_binary":
+                if to.list_size != w:
+                    raise ArrowInvalid(
+                        f"fsb width change {w}->{to.list_size}")
+                return col
+            return StringColumn(offs, data, to, col.validity)
+        raise ArrowNotImplementedError(f"cast fsb -> {to!r}")
+
     assert isinstance(col, PrimitiveColumn), type(col)
     if to.is_string:
         return _cast_to_string(col, to)

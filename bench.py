@@ -252,7 +252,10 @@ def config4():
         return g()
 
     results = {}
-    for n, groups, tag in ((500_000_000, 1_000, "500M_1K"),
+    # 250M: 500M of i64 key+val (8 GB) cannot coexist with the 125M-row
+    # chunk temporaries in 15.75 GB HBM; rows/s is size-invariant past
+    # ~100M (self-chunked)
+    for n, groups, tag in ((250_000_000, 1_000, "250M_1K"),
                            (100_000_000, 10_000_000, "100M_10M")):
         if _left() < 200:
             results[tag] = "skipped (budget)"
@@ -289,9 +292,9 @@ def config4():
     tab.group_by("k").aggregate([("v", "sum"), ("v", "count"),
                                  ("v", "min"), ("v", "max")])
     base = M / (time.perf_counter() - t0)
-    main = results.get("500M_1K")
+    main = results.get("250M_1K")
     value = main["rows_per_s"] if isinstance(main, dict) else 0
-    return {"metric": "group_by_500M_rows_per_s", "value": value,
+    return {"metric": "group_by_250M_rows_per_s", "value": value,
             "unit": "rows/s",
             "vs_baseline": round(value / base, 3) if value else None,
             "variants": results, "baseline_rows_per_s": round(base),
@@ -436,6 +439,14 @@ def main():
             print(json.dumps({"metric": name,
                               "error": repr(e)[:200]}), flush=True)
             traceback.print_exc()
+        finally:
+            # drop exception frames + dead device buffers before the
+            # next config (a live traceback pins multi-GB HBM arrays)
+            import gc
+            import sys as _sys
+            if hasattr(_sys, "last_traceback"):
+                del _sys.last_traceback
+            gc.collect()
     smoke = pallas_smoke()
     if headline is None:
         headline = {"metric": "filter_arith_10M_rows_per_s", "value": 0,

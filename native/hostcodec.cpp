@@ -196,23 +196,6 @@ int64_t decode_varlen_rows(const uint8_t* rows, int64_t n, int64_t stride,
     return pos;
 }
 
-// ---- selection host fallbacks ------------------------------------------------
-
-// Gather of 8-byte elements (host-side take for spill/io paths).
-void gather64(const uint64_t* src, const int64_t* idx, int64_t n,
-              uint64_t* out) {
-    for (int64_t i = 0; i < n; ++i) out[i] = src[idx[i]];
-}
-
-// Filter-compact 8-byte elements; returns kept count.
-int64_t compact64(const uint64_t* src, const uint8_t* keep, int64_t n,
-                  uint64_t* out) {
-    int64_t k = 0;
-    for (int64_t i = 0; i < n; ++i) {
-        if (keep[i]) out[k++] = src[i];
-    }
-    return k;
-}
 
 // ---- xxHash64 (parquet bloom filters use seed 0) -----------------------------
 // Spec: https://github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md
