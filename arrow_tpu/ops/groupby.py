@@ -125,8 +125,34 @@ def group_by(table: Table, keys: Sequence[str],
     for c in key_cols:
         kinds.append(key_kind(c))
         parts.append(key_parts(c))
-    order, gid, run_start, starts_raw, ng = _discover_stage(
-        tuple(kinds), tuple(parts))
+    # aggregate source tensors ride the discovery sort as payload
+    # operands (no post-sort random gather; see _discover_stage)
+    from ..core.column import NullColumn as _NullColumn
+    payload_list = []
+    payload_pos = {}
+
+    def payload_slot(t):
+        key = id(t)
+        if key not in payload_pos:
+            payload_pos[key] = len(payload_list)
+            payload_list.append(t)
+        return payload_pos[key]
+
+    pre_plan = []
+    for a in aggs:
+        src = table.column(a.column)
+        if isinstance(src, PrimitiveColumn) and not isinstance(
+                src, _NullColumn):
+            vslot = payload_slot(src.values)
+            mslot = None if src.validity is None \
+                else payload_slot(src.validity)
+            pre_plan.append((vslot, mslot))
+        else:
+            pre_plan.append(None)
+
+    order, gid, run_start, starts_raw, ng, sorted_payloads = \
+        _discover_stage(tuple(kinds), tuple(parts),
+                        tuple(payload_list))
     num_groups = int(ng)  # host sync (output cardinality)
 
     # 4: one fused jitted stage computes run starts, representative
@@ -136,21 +162,27 @@ def group_by(table: Table, keys: Sequence[str],
     from ..core.column import NullColumn
     plan = []
     arrays = []
-    for a in aggs:
+    for a, pre in zip(aggs, pre_plan):
         src = table.column(a.column)
         if isinstance(src, NullColumn) or (
                 not isinstance(src, PrimitiveColumn)
                 and a.op in ("count", "count_all")):
             kind = "null" if isinstance(src, NullColumn) else "other"
             plan.append((a.op, len(arrays), kind))
+            other_valid = None
+            if kind != "null" and src.validity is not None:
+                other_valid = src.validity[order]
             arrays.append((jnp.zeros((n,), jnp.int64),
                            jnp.zeros((n,), jnp.bool_) if kind == "null"
-                           else src.validity))
+                           else other_valid))
         elif isinstance(src, PrimitiveColumn):
             d = src.values.dtype
             kind = "float" if jnp.issubdtype(d, jnp.floating) else "int"
             plan.append((a.op, len(arrays), kind))
-            arrays.append((src.values, src.validity))
+            vslot, mslot = pre
+            arrays.append((sorted_payloads[vslot],
+                           None if mslot is None
+                           else sorted_payloads[mslot]))
         else:
             raise ArrowNotImplementedError(f"{a.op} over {type(src)}")
 
@@ -161,7 +193,8 @@ def group_by(table: Table, keys: Sequence[str],
             raise jax.errors.JaxRuntimeError("remote_compile (cached)")
         outs, first_idx = _agg_stage(
             tuple(plan), num_groups, config.use_pallas(),
-            order, gid, run_start, starts_raw, tuple(arrays))
+            order, gid, run_start, starts_raw, tuple(arrays),
+            presorted=True)
     except jax.errors.JaxRuntimeError as e:
         if "remote_compile" not in str(e):
             raise
@@ -180,7 +213,7 @@ def group_by(table: Table, keys: Sequence[str],
             o, first_idx = _agg_stage(
                 tuple(plan[i] for i in idxs), num_groups,
                 config.use_pallas(), order, gid, run_start,
-                starts_raw, tuple(arrays))
+                starts_raw, tuple(arrays), presorted=True)
             for i, out in zip(idxs, o):
                 outs[i] = out
 
@@ -206,25 +239,32 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("kinds",))
-def _discover_stage(kinds, parts):
+def _discover_stage(kinds, parts, payloads=()):
     """Key encode + stable lexsort + run boundaries + dense group ids,
     one XLA program.  Fixed group order: ascending, nulls first (the
-    engine's deterministic group order)."""
+    engine's deterministic group order).
+
+    `payloads` (the aggregate source tensors) ride the SAME sort as
+    extra operands: at 100M rows a payload operand adds ~0.6 s to the
+    merge passes while the alternative — a post-sort random gather
+    v[order] — costs 2.4 s (measured on v5e; random gathers fall off a
+    cliff past ~100M).  The r1 note "payload-carrying sorts lose 4.7x"
+    was measured at 10M; the crossover flips at scale."""
     from .row_format import encode_keys_traced
     keys = encode_keys_traced(kinds, ((False, True),) * len(kinds),
                               parts)
     n = keys[0].shape[0]
-    # one multi-key sort (measured: beats LSD single-key passes at all
-    # scales, see row_format.lexsort_order_traced); the sorted key
-    # operands come out of the same sort, so boundaries need no gathers
     iota = jnp.arange(n, dtype=jnp.uint32)
-    sorted_ops = jax.lax.sort(tuple(keys) + (iota,), num_keys=len(keys),
-                              is_stable=True)
+    nk = len(keys)
+    sorted_ops = jax.lax.sort(
+        tuple(keys) + (iota,) + tuple(payloads),
+        num_keys=nk, is_stable=True)
     # order/gid/starts ride i32: n < 2^31 always holds on one chip and
     # three n-sized i64 arrays cost ~2.4 GB at a 150M-row chunk
-    order = sorted_ops[-1].astype(jnp.int32)
+    order = sorted_ops[nk].astype(jnp.int32)
+    sorted_payloads = sorted_ops[nk + 1:]
     neq = jnp.zeros((n - 1,), jnp.bool_)
-    for k in sorted_ops[:-1]:
+    for k in sorted_ops[:nk]:
         neq = jnp.logical_or(neq, k[1:] != k[:-1])
     run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
     gid = jnp.cumsum(run_start.astype(jnp.int32)) - 1
@@ -234,7 +274,8 @@ def _discover_stage(kinds, parts):
     _, starts_raw = jax.lax.sort(
         (~run_start, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
         is_stable=True)
-    return order, gid, run_start, starts_raw, (gid[-1] + 1).astype(jnp.int64)
+    return (order, gid, run_start, starts_raw,
+            (gid[-1] + 1).astype(jnp.int64), sorted_payloads)
 
 
 
@@ -647,9 +688,9 @@ def _agg_dtype(src: dt.DataType, op: str) -> dt.DataType:
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "num_groups",
-                                             "pallas"))
+                                             "pallas", "presorted"))
 def _agg_stage(plan, num_groups, pallas, order, gid, run_start,
-               starts_raw, arrays):
+               starts_raw, arrays, presorted=False):
     """All aggregates of one group_by in a single XLA program.
 
     plan: static tuple of (op, slot, kind) per aggregate; arrays: per
@@ -684,8 +725,11 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start,
         """(sorted values, sorted validity-or-None)."""
         if slot not in sorted_cache:
             v, m = arrays[slot]
-            sorted_cache[slot] = (v[order],
-                                  None if m is None else m[order])
+            if presorted:
+                sorted_cache[slot] = (v, m)
+            else:
+                sorted_cache[slot] = (v[order],
+                                      None if m is None else m[order])
         return sorted_cache[slot]
 
     counts_cache = {}
@@ -705,15 +749,15 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start,
         start + valid_count - 1.  Operand diet (multi-operand sorts
         move every byte through every merge pass — measured):
           * the VALUE is its own sort key: lax.sort orders native ints
-            and floats directly, so no u64 order-key and no separate
-            payload ride along (floats: NaN slots zero out of the value
-            and ride the class key instead — 64-bit float bitcasts do
+            and floats directly (floats: NaN slots zero out of the
+            value and ride the class key — 64-bit float bitcasts do
             not compile on this TPU backend);
           * the 2-bit class (0 valid, 1 NaN, 2 null; nulls last within
             the group) packs into the gid key's low bits while
             n < 2^29, collapsing to TWO sort operands total.
-        Returns (sorted_values, class_source, packed, isfloat); decode
-        happens after the num_groups-sized gathers in mm_pick."""
+        (A segmented associative_scan variant measured no faster and
+        SIGKILLed the remote AOT compiler at 100M rows — the unrolled
+        log-n combine stages blow the compiler's memory.)"""
         if slot not in mm_cache:
             vs, ms = sorted_col(slot)
             gid32 = gid

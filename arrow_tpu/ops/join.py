@@ -113,19 +113,18 @@ _U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 def _probe_stage(lkey, lvalid, rkey, rvalid):
     """Device half of the hash join, one XLA program — sort-merge plan.
 
-    r1 used two vectorized binary searches (searchsorted = ~21 rounds of
-    random gathers each at 10M on v5e); this plan needs ONE fused
-    multi-operand sort (measured ~10x cheaper than composed gather
-    rounds, CLAUDE.md):
+    ONE fused multi-operand sort of build+probe keys replaces the r1
+    binary searches (searchsorted = ~21 rounds of random gathers each;
+    multi-key lax.sort measured ~10x cheaper at 10M, CLAUDE.md):
 
       sort (key, invalid, side, row): equal valid keys form runs with
       build rows FIRST, probe rows after; invalid rows of either side
       land in separate runs (second key) so NULL never matches.  Each
-      probe slot's match count = builds in its run, via one cumsum.
-
-    Returns (run start positions, counts, original row ids — all on the
-    sorted axis — and counts re-ordered to ORIGINAL probe rows for the
-    semi/anti/left masks, recovered by one cheap (u32, i64) sort)."""
+      probe slot's match count = builds in its run via one cumsum; a
+      second cheap sort maps (count, run start) back to ORIGINAL probe
+      order so the expansion emits probe-ordered pairs directly (no
+      output re-sort).
+    """
     n_r = rkey.shape[0]
     n_l = lkey.shape[0]
     key_cat = jnp.concatenate([rkey, lkey])
@@ -143,34 +142,36 @@ def _probe_stage(lkey, lvalid, rkey, rvalid):
         (ks[1:] != ks[:-1]) | (invs[1:] != invs[:-1])])
     start_pos = jax.lax.cummax(jnp.where(run_start, pos, 0))
     is_build = (sides == 0) & ~invs
-    pb = jnp.cumsum(is_build.astype(jnp.int64))          # inclusive
-    pb_excl = pb - is_build.astype(jnp.int64)
+    pb = jnp.cumsum(is_build.astype(jnp.int32))          # inclusive
+    pb_excl = pb - is_build.astype(jnp.int32)
     builds_in_run = pb - pb_excl[start_pos]
     is_probe = (sides == 1) & ~invs
     counts = jnp.where(is_probe, builds_in_run, 0)
-    # counts back on the original probe axis (invalid probes keep 0):
+    # back to ORIGINAL probe order (invalid probes keep count 0)
     row_key = jnp.where(sides == 1, idxs.astype(jnp.uint32),
                         jnp.uint32(0xFFFFFFFF))
-    _, counts_by_row = jax.lax.sort((row_key, counts), num_keys=1,
-                                    is_stable=True)
-    counts_orig = counts_by_row[:n_l]
-    return start_pos, counts, idxs, counts_orig
+    _, counts_o, start_o = jax.lax.sort(
+        (row_key, counts, start_pos), num_keys=1, is_stable=True)
+    counts_orig = counts_o[:n_l]
+    start_orig = start_o[:n_l]
+    total = jnp.sum(counts_orig.astype(jnp.int64))
+    return counts_orig, start_orig, idxs, total
 
 
 @functools.partial(jax.jit, static_argnames=("n_out",))
-def _expand_stage(start_pos, counts, idxs, n_out):
-    """Capacity-padded device pair expansion over the sorted axis:
-    output position -> probe slot via searchsorted on the count prefix
-    sum (the group_by boundary trick); build row = run start + within-
-    run offset.  No host array ever holds the match set."""
-    incl = jnp.cumsum(counts)
-    out_i = jnp.arange(n_out, dtype=jnp.int64)
-    slot = jnp.searchsorted(incl, out_i, side="right").astype(jnp.int32)
-    slot = jnp.minimum(slot, counts.shape[0] - 1)
-    within = out_i - (incl - counts)[slot]
-    build_pos = jnp.minimum(start_pos[slot].astype(jnp.int64) + within,
-                            counts.shape[0] - 1)
-    probe_idx = idxs[slot]
+def _expand_stage(counts_orig, start_orig, idxs, n_out):
+    """Capacity-padded device pair expansion in probe order: output
+    position -> probe row via searchsorted on the count prefix sum (the
+    group_by boundary trick); build row = run start + within-run
+    offset.  No host array ever holds the match set."""
+    incl = jnp.cumsum(counts_orig)
+    out_i = jnp.arange(n_out, dtype=jnp.int32)
+    probe_idx = jnp.searchsorted(incl, out_i, side="right") \
+        .astype(jnp.int32)
+    probe_idx = jnp.minimum(probe_idx, counts_orig.shape[0] - 1)
+    within = out_i - (incl - counts_orig)[probe_idx]
+    build_pos = jnp.minimum(
+        start_orig[probe_idx] + within, idxs.shape[0] - 1)
     build_idx = idxs[build_pos]
     return probe_idx, build_idx
 
@@ -205,7 +206,7 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
         [right.column(c) for c in right_on])
     multi = len(on) > 1
 
-    start_pos, counts, idxs, counts_orig = _probe_stage(
+    counts_orig, start_orig, idxs, total_dev = _probe_stage(
         lkey, lvalid, rkey, rvalid)
 
     if how in ("semi", "anti"):
@@ -214,9 +215,10 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
         idx = _indices_of_mask(mask)
         return idx.astype(jnp.int64), jnp.full(idx.shape, -1, jnp.int64)
 
-    total = int(jnp.sum(counts_orig))
+    total = int(total_dev)
     n_pad = _round_capacity(total)
-    probe_idx, build_idx = _expand_stage(start_pos, counts, idxs, n_pad)
+    probe_idx, build_idx = _expand_stage(counts_orig, start_orig, idxs,
+                                         n_pad)
     probe_idx, build_idx = probe_idx[:total], build_idx[:total]
 
     collisions_removed = False
@@ -236,12 +238,7 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
     probe_idx = probe_idx.astype(jnp.int64)
     build_idx = build_idx.astype(jnp.int64)
     if how == "inner":
-        if total:
-            # deterministic output: pairs ordered by probe row (the
-            # sort-merge expansion emits key order)
-            _, probe_idx, build_idx = jax.lax.sort(
-                (probe_idx, probe_idx, build_idx), num_keys=1,
-                is_stable=True)
+        # expansion already emits probe order
         return probe_idx, build_idx
     if how == "left":
         if multi and collisions_removed:

@@ -69,9 +69,9 @@ def _decodable(col: Column) -> bool:
         or col.dtype.is_temporal) and col.dtype.name != "interval"
 
 
-def _decode_sort(cols, opts, limit, need_idx):
+def _decode_sort(cols, opts, limit, need_idx, payloads=()):
     """Shared driver for the key-decode sort: returns
-    ([(values, validity)] per column, idx-or-None)."""
+    ([(values, validity)] per column, idx-or-None, sorted payloads)."""
     from .row_format import key_kind, key_parts, group_has_null_key
     from ..core.column import DictionaryColumn
     kinds, kopts, parts, invs, metas = [], [], [], [], []
@@ -97,7 +97,7 @@ def _decode_sort(cols, opts, limit, need_idx):
                       for k, p in zip(kinds, parts))
     return _sort_decode_stage(
         tuple(kinds), tuple(kopts), has_nulls, tuple(metas), need_idx,
-        limit, tuple(parts), tuple(invs))
+        limit, tuple(parts), tuple(invs), tuple(payloads))
 
 
 def _rebuild_sorted(col: Column, vals, validity) -> Column:
@@ -113,7 +113,7 @@ def sort(col: Column, options: SortOptions = SortOptions(),
     """sort kernel (sort.rs:57): decode from the sorted key bits when
     the column supports it (no gather), else take by sorted indices."""
     if _decodable(col):
-        groups, _ = _decode_sort([col], [options], limit, False)
+        groups, _, _ = _decode_sort([col], [options], limit, False)
         return _rebuild_sorted(col, *groups[0])
     return take_kernel(col, sort_to_indices(col, options, limit))
 
@@ -168,34 +168,69 @@ def sort_table(table: Table, by: Sequence[Tuple[str, SortOptions]],
         return take_table(table, lexsort_to_indices(cols, limit))
 
     other_names = [n for n in table.schema.names if n not in decode_pos]
-    need_idx = bool(other_names)
-    sorted_groups, idx = _decode_sort(
+    n_rows = table.num_rows
+    # at scale, primitive non-key columns ride the sort as payload
+    # operands instead of a post-sort random gather (see
+    # _sort_decode_stage); small batches keep the gather (4.7x cheaper
+    # at 10M, measured)
+    payload_names = []
+    if n_rows >= _PAYLOAD_CROSSOVER:
+        payload_names = [nm for nm in other_names
+                         if isinstance(table.column(nm),
+                                       PrimitiveColumn)]
+    gather_names = [nm for nm in other_names if nm not in payload_names]
+    payload_tensors = []
+    payload_map = {}
+    for nm in payload_names:
+        c = table.column(nm)
+        vi = len(payload_tensors)
+        payload_tensors.append(c.values)
+        mi = None
+        if c.validity is not None:
+            mi = len(payload_tensors)
+            payload_tensors.append(c.validity)
+        payload_map[nm] = (vi, mi)
+    need_idx = bool(gather_names)
+    sorted_groups, idx, sorted_payloads = _decode_sort(
         [table.column(name) for name, _ in by],
-        [opt for _, opt in by], limit, need_idx)
+        [opt for _, opt in by], limit, need_idx, payload_tensors)
 
     out_cols, fields = [], []
     gathered = None
     if need_idx:
-        sub = table.select(other_names)
-        gathered = dict(zip(other_names, take_table(
+        sub = table.select(gather_names)
+        gathered = dict(zip(gather_names, take_table(
             sub, PrimitiveColumn(idx, dt.uint32)).columns))
     for name in table.schema.names:
         fields.append(table.schema.field(name))
         if name in decode_pos:
             out_cols.append(_rebuild_sorted(
                 table.column(name), *sorted_groups[decode_pos[name]]))
+        elif name in payload_map:
+            c = table.column(name)
+            vi, mi = payload_map[name]
+            out_cols.append(PrimitiveColumn(
+                sorted_payloads[vi], c.dtype,
+                None if mi is None else sorted_payloads[mi],
+                _canonical=True))
         else:
             out_cols.append(gathered[name])
     return Table(tuple(out_cols), dt.Schema(tuple(fields)))
 
 
+_PAYLOAD_CROSSOVER = 50_000_000
+
+
 @functools.partial(jax.jit, static_argnames=(
     "kinds", "opts", "has_nulls", "metas", "need_idx", "limit"))
 def _sort_decode_stage(kinds, opts, has_nulls, metas, need_idx, limit,
-                       parts, invs):
+                       parts, invs, payloads=()):
     """One XLA program: encode keys, ONE multi-key sort, decode every
     key group back to values/codes/validity, optional row indices for
-    the non-key gather."""
+    the non-key gather.  `payloads` ride the same sort as extra
+    operands: at >=50M rows a payload operand costs ~0.6 s of extra
+    merge-pass bytes vs ~2.4 s for a post-sort random gather (v5e,
+    measured; the crossover flips around tens of millions of rows)."""
     from .row_format import (encode_key_groups_traced,
                              decode_sorted_group)
     groups = encode_key_groups_traced(kinds, opts, parts)
@@ -204,8 +239,12 @@ def _sort_decode_stage(kinds, opts, has_nulls, metas, need_idx, limit,
     ops_ = tuple(flat)
     if need_idx:
         ops_ = ops_ + (jnp.arange(n, dtype=jnp.uint32),)
+    ops_ = ops_ + tuple(payloads)
     s = jax.lax.sort(ops_, num_keys=len(flat), is_stable=True)
-    idx = s[-1] if need_idx else None
+    sorted_payloads = s[len(ops_) - len(payloads):] if payloads else ()
+    if limit is not None and payloads:
+        sorted_payloads = tuple(p[:limit] for p in sorted_payloads)
+    idx = s[len(flat)] if need_idx else None
     outs = []
     i = 0
     for kind, opt, hn, meta, g, inv in zip(kinds, opts, has_nulls,
@@ -221,7 +260,7 @@ def _sort_decode_stage(kinds, opts, has_nulls, metas, need_idx, limit,
         outs.append((vals, validity))
     if need_idx and limit is not None:
         idx = idx[:limit]
-    return outs, idx
+    return outs, idx, sorted_payloads
 
 
 def rank(col: Column, options: SortOptions = SortOptions()

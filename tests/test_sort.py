@@ -319,3 +319,30 @@ class TestSortTableDecode:
         assert got.column("ts").to_pylist() == \
             [pa.table(rb).column("ts").to_pylist()[i]
              for i in [4, 5, 2, 6, 0, 3, 1]]
+
+
+def test_sort_table_payload_mode(monkeypatch):
+    """At scale, non-key primitive columns ride the sort as payload
+    operands instead of a take gather; outputs must match the gather
+    path exactly (crossover lowered to force the payload path)."""
+    import importlib
+    so = importlib.import_module("arrow_tpu.ops.sort")
+    rng = np.random.default_rng(11)
+    n = 4000
+    t = at.Table.from_pydict({
+        "k": rng.integers(0, 64, n),
+        "v": rng.standard_normal(n),
+        "w": rng.integers(-50, 50, n).astype(np.int32),
+        "s": [f"w{int(i) % 9}" for i in rng.integers(0, 9, n)],
+    })
+    ref = so.sort_table(t, [("k", so.SortOptions())])
+    monkeypatch.setattr(so, "_PAYLOAD_CROSSOVER", 10)
+    got = so.sort_table(t, [("k", so.SortOptions())])
+    assert got.to_pydict() == ref.to_pydict()
+    got2 = so.sort_table(t, [("k", so.SortOptions(descending=True))],
+                         limit=57)
+    ref2 = ref  # recompute reference with the normal path
+    monkeypatch.setattr(so, "_PAYLOAD_CROSSOVER", 50_000_000)
+    ref2 = so.sort_table(t, [("k", so.SortOptions(descending=True))],
+                         limit=57)
+    assert got2.to_pydict() == ref2.to_pydict()
