@@ -516,16 +516,10 @@ def _take_values(node: SchemaNode, dictionary, idx: np.ndarray):
         raise ArrowInvalid("dictionary-encoded page without dictionary")
     if isinstance(dictionary, tuple):  # byte arrays
         offs, data = dictionary
-        offs64 = np.asarray(offs, np.int64)
-        lens = (offs64[1:] - offs64[:-1])[idx]
-        out_offs = np.zeros(len(idx) + 1, np.int32)
-        np.cumsum(lens, out=out_offs[1:])
-        out = np.zeros(int(out_offs[-1]), np.uint8)
-        starts = offs64[:-1][idx]
-        for i in range(len(idx)):      # host loop; dict pages are small
-            out[out_offs[i]:out_offs[i + 1]] = \
-                data[starts[i]:starts[i] + lens[i]]
-        return out_offs, out
+        out_offs, out = nt.gather_varlen(np.asarray(offs, np.int64),
+                                         np.asarray(data, np.uint8),
+                                         np.asarray(idx, np.int64))
+        return out_offs.astype(np.int32), out
     return np.asarray(dictionary)[idx]
 
 
