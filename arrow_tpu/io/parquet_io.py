@@ -59,6 +59,7 @@ class ParquetReaderBuilder:
     row_filter: Optional[Callable[[Table], object]] = None
     limit: Optional[int] = None
     offset: int = 0
+    bloom_probe: Optional[tuple] = None   # (column, value)
 
     def with_projection(self, columns: Sequence[str]):
         self.columns = list(columns)
@@ -78,6 +79,13 @@ class ParquetReaderBuilder:
         self.row_filter = predicate_fn
         return self
 
+    def with_bloom_filter(self, column: str, value):
+        """Prune row groups whose bloom filter proves `value` absent
+        (bloom_filter/mod.rs + the sbbf read path); groups without a
+        filter are kept."""
+        self.bloom_probe = (column, value)
+        return self
+
     def with_limit(self, n: int):
         self.limit = n
         return self
@@ -93,6 +101,9 @@ class ParquetReaderBuilder:
         to_skip = self.offset
         groups = self.row_groups if self.row_groups is not None \
             else range(len(f.row_groups))
+        if self.bloom_probe is not None:
+            keep = set(f.prune_row_groups(*self.bloom_probe))
+            groups = [g for g in groups if g in keep]
         for gi in groups:
             rg_table = f.read_row_group(gi, columns=self.columns)
             for start in range(0, max(rg_table.num_rows, 1),

@@ -217,3 +217,31 @@ def test_group_by_chunked_two_level(monkeypatch):
                     abs(a - b) <= 1e-9 * max(1, abs(a)), (k, a, b)
             else:
                 assert a == b, (k, a, b)
+
+
+from arrow_tpu.ops.join import join_indices
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_join_random_m_to_n(seed):
+    """Randomized m:n join vs a numpy oracle (exercises the sort-merge
+    probe + cummax-packed expansion end to end)."""
+    rng = np.random.default_rng(seed)
+    n_l = int(rng.integers(1, 700))
+    n_r = int(rng.integers(1, 400))
+    pk = rng.integers(0, 40, n_l)
+    bk = rng.integers(0, 40, n_r)
+    pmask = rng.random(n_l) < 0.9
+    bmask = rng.random(n_r) < 0.9
+    L = at.Table.from_pyarrow(pa.record_batch(
+        {"k": pa.array(pk, mask=~pmask)}))
+    R = at.Table.from_pyarrow(pa.record_batch(
+        {"k": pa.array(bk, mask=~bmask)}))
+    li, ri = join_indices(L, R, ["k"])
+    got = sorted(zip(np.asarray(li).tolist(), np.asarray(ri).tolist()))
+    exp = sorted((i, j)
+                 for i in range(n_l) if pmask[i]
+                 for j in range(n_r) if bmask[j] and pk[i] == bk[j])
+    assert got == exp
+    # probe-ordered output
+    assert (np.diff(np.asarray(li)) >= 0).all()

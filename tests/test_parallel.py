@@ -315,3 +315,23 @@ def test_dist_join_many_to_many(mesh):
     *_, over2 = run(jnp.asarray(pk), jnp.asarray(pv), jnp.asarray(bk),
                     jnp.asarray(bv), 4)
     assert bool(np.asarray(over2))
+
+
+def test_dist_sort_overflow_flag(mesh):
+    n = 64 * NDEV
+    rng = np.random.default_rng(9)
+    keys = jnp.asarray(rng.integers(0, 5, n).astype(np.uint64))  # skewed
+    ok = jnp.ones(n, bool)
+
+    @functools.partial(jax.jit, static_argnames=("cap",))
+    def run(k, o, cap):
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(AXIS),) * 2,
+                           out_specs=P())
+        def body(k, o):
+            _, _, _, over = par.dist_sort(AXIS, k, o, cap, ())
+            return over
+        return body(k, o)
+
+    assert not bool(run(keys, ok, n * 2))   # generous: fine
+    assert bool(run(keys, ok, 8))           # skewed into tiny cap: flags

@@ -325,3 +325,20 @@ def test_lazy_range_reads(tmp_path):
     # the "big" string chunk dominates the file; projecting "a" must
     # not fetch it
     assert fetched < total // 2, (fetched, total)
+
+
+def test_reader_builder_bloom_pruning(tmp_path):
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_writer import write_parquet_native
+    t = at.Table.from_pydict({
+        "k": [f"key-{i}" for i in range(1000)],
+        "v": np.arange(1000, dtype=np.int64),
+    })
+    p = str(tmp_path / "b.parquet")
+    write_parquet_native(p, t, bloom_filter_columns=["v"],
+                         row_group_size=250)
+    batches = list(parquet_io.ParquetReaderBuilder(p)
+                   .with_bloom_filter("v", 600).build())
+    got = sum(b.num_rows for b in batches)
+    assert got == 250                      # only row group 2 survives
+    assert any(600 in b.column("v").to_pylist() for b in batches)
