@@ -42,6 +42,7 @@ class WriterProperties:
     dictionary_enabled: bool = True
     write_statistics: bool = True
     data_page_size: Optional[int] = None
+    data_page_version: str = "1.0"
     write_page_index: bool = False
     write_page_checksum: bool = False
     sorting_columns: Optional[tuple] = None   # ((name, descending), ...)
@@ -173,10 +174,10 @@ def _native_writable(schema: dt.Schema) -> bool:
     def ok(d: dt.DataType) -> bool:
         if d.name == "struct":
             return all(ok(f.dtype) for f in d.fields)
-        if d.name in ("list", "large_list"):
-            v = d.value_type
-            return v.name not in ("struct", "list", "large_list", "map",
-                                  "dictionary") and ok(v)
+        if d.name in ("list", "large_list", "fixed_size_list"):
+            return ok(d.value_type)
+        if d.name == "map":
+            return all(ok(f.dtype) for f in d.value_type.fields)
         if d.name == "dictionary":
             return d.value_type.name in ("utf8", "binary")
         try:
@@ -192,16 +193,19 @@ def write_parquet(path, table: Table,
     """Native writer by default; Arrow C++ fallback for types/features
     the native writer does not cover (page index, sorting columns)."""
     props = properties
-    needs_pa = (props.write_page_index or props.write_page_checksum
-                or props.sorting_columns
-                or not _native_writable(table.schema))
+    needs_pa = not _native_writable(table.schema)
     if not needs_pa:
         from .parquet_writer import write_parquet_native
         write_parquet_native(
             path, table, compression=props.compression,
             dictionary_enabled=props.dictionary_enabled,
             bloom_filter_columns=props.bloom_filter_columns,
-            row_group_size=props.row_group_size)
+            row_group_size=props.row_group_size,
+            data_page_size=props.data_page_size,
+            data_page_version=props.data_page_version,
+            write_page_index=props.write_page_index,
+            write_page_checksum=props.write_page_checksum,
+            sorting_columns=props.sorting_columns)
         return
     w = ParquetWriter(path, table, properties)
     w.write(table)

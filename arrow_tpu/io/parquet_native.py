@@ -549,30 +549,39 @@ def _build_column(node: SchemaNode, leaf_map: Dict[int, _LeafData],
     is_map = 2 in lt or ct in (1, 2)
 
     if is_list or is_map:
-        if axis_rep:
-            raise ArrowNotImplementedError(
-                "nested repeated levels (list<list<...>>) not supported "
-                "yet by the native parquet reader")
         mid = node.children[0]         # repeated group
-        # list offsets from any descendant leaf's rep/def levels
+        # list offsets from any descendant leaf's rep/def levels; works
+        # at ANY repetition depth: the current axis is the slot subset
+        # with def >= axis_def, entries start where rep <= axis_rep,
+        # and an element of THIS list starts where def reaches the
+        # repeated group's level and rep does not exceed it (deeper
+        # repeats continue the same element)
         leaf = _first_leaf(mid)
         ld = leaf_map[leaf.leaf_index]
         defs = ld.defs
         reps = ld.reps
-        n_slots = len(defs)
-        new_rec = reps <= axis_rep if reps is not None \
+        if axis_def and defs is not None:
+            sub = defs >= axis_def
+            defs_s = defs[sub]
+            reps_s = reps[sub] if reps is not None else None
+        else:
+            defs_s, reps_s = defs, reps
+        n_slots = len(defs_s)
+        new_rec = reps_s <= axis_rep if reps_s is not None \
             else np.ones(n_slots, bool)
         rec_of_slot = np.cumsum(new_rec) - 1
         list_def = node.max_def        # def >= this => list non-null
-        has_elem = defs >= list_def + 1
-        counts = np.bincount(rec_of_slot[has_elem], minlength=n_rows)
+        elem_start = defs_s >= mid.max_def
+        if reps_s is not None:
+            elem_start = elem_start & (reps_s <= mid.max_rep)
+        counts = np.bincount(rec_of_slot[elem_start], minlength=n_rows)
         offsets = np.zeros(n_rows + 1, np.int32)
         np.cumsum(counts, out=offsets[1:])
         validity = None
         if node.max_def > axis_def:    # an optional ancestor or self
             first_slot = np.zeros(n_rows, np.int64)
             first_slot[rec_of_slot[new_rec]] = np.nonzero(new_rec)[0]
-            valid = defs[first_slot] >= list_def
+            valid = defs_s[first_slot] >= list_def
             if not valid.all():
                 validity = jnp.asarray(valid)
         n_elems = int(offsets[-1])
@@ -601,7 +610,14 @@ def _build_column(node: SchemaNode, leaf_map: Dict[int, _LeafData],
         if ld.defs is not None:
             defs = ld.defs
             on_axis = defs >= axis_def if axis_def else slice(None)
-            valid = defs[on_axis] >= node.max_def
+            defs_s = defs[on_axis]
+            # one validity entry per axis ENTRY: when the struct holds a
+            # repeated descendant, an entry spans several slots — keep
+            # only entry starts (rep <= axis_rep)
+            if ld.reps is not None:
+                reps_s = ld.reps[on_axis]
+                defs_s = defs_s[reps_s <= axis_rep]
+            valid = defs_s >= node.max_def
             if not valid.all():
                 validity = jnp.asarray(valid)
     return StructColumn(children,

@@ -14,12 +14,15 @@ byte-array encode, snappy).  Re-designs (not ports):
                              native/hostcodec.cpp, XXH64 keys)
 
 Supported: bool/int/uint/float, timestamp/date32/time32/time64,
-utf8/binary (+dictionary), fixed_size_binary, decimal128 (FLBA),
-struct nesting, one repeated level (list<primitive/string>); v1 data
-pages, PLAIN + RLE_DICTIONARY encodings, snappy/zstd/gzip/uncompressed,
-min/max/null_count statistics, optional split-block bloom filters.
-Unsupported types raise — parquet_io falls back to the Arrow C++ writer
-for those and says so.
+utf8/binary (+dictionary), fixed_size_binary, decimal128/256 (FLBA),
+arbitrary nesting (struct/list/large_list/fixed_size_list/map at any
+depth — vectorized Dremel level walk); v1 AND v2 data pages with
+data_page_size splitting, PLAIN + RLE_DICTIONARY encodings,
+snappy/zstd/gzip/uncompressed, min/max/null_count statistics, CRC32
+page checksums, ColumnIndex/OffsetIndex page index, sorting-column
+metadata, optional split-block bloom filters.  Unsupported types
+(union/REE/views) raise — parquet_io falls back to the Arrow C++
+writer for those and says so.
 """
 
 from __future__ import annotations
@@ -33,7 +36,8 @@ import numpy as np
 from .. import dtypes as dt
 from ..core.column import (Column, DictionaryColumn, ListColumn,
                            PrimitiveColumn, StringColumn, StructColumn)
-from ..core.nested import DecimalColumn, FixedSizeBinaryColumn
+from ..core.nested import (DecimalColumn, FixedSizeBinaryColumn,
+                           FixedSizeListColumn, MapColumn)
 from ..core.table import Table
 from ..errors import ArrowInvalid, ArrowNotImplementedError
 from ..utils import native as nt
@@ -152,13 +156,26 @@ def _schema_elements(schema: dt.Schema):
                 walk(f.name, f.dtype, f.nullable, path + [name],
                      max_def, max_rep)
             return
-        if d.name in ("list", "large_list"):
+        if d.name in ("list", "large_list", "fixed_size_list"):
             elems.append([(3, T_I32, rep), (4, T_BINARY, name),
-                          (5, T_I32, 1), (6, T_I32, 3)])  # LIST
+                          (5, T_I32, 1), (6, T_I32, 3),   # LIST
+                          (10, T_STRUCT, [(3, T_STRUCT, [])])])
             elems.append([(3, T_I32, 2), (4, T_BINARY, "list"),
                           (5, T_I32, 1)])
             walk("element", d.value_type, True,
                  path + [name, "list"], max_def + 1, max_rep + 1)
+            return
+        if d.name == "map":
+            kv = d.value_type                 # {key, value} struct
+            elems.append([(3, T_I32, rep), (4, T_BINARY, name),
+                          (5, T_I32, 1), (6, T_I32, 1),   # MAP
+                          (10, T_STRUCT, [(2, T_STRUCT, [])])])
+            elems.append([(3, T_I32, 2), (4, T_BINARY, "key_value"),
+                          (5, T_I32, 2)])
+            walk("key", kv.fields[0].dtype, False,
+                 path + [name, "key_value"], max_def + 1, max_rep + 1)
+            walk("value", kv.fields[1].dtype, True,
+                 path + [name, "key_value"], max_def + 1, max_rep + 1)
             return
         if d.name == "dictionary":
             walk(name, d.value_type, nullable, path, max_def - rep,
@@ -190,108 +207,105 @@ def _schema_elements(schema: dt.Schema):
 # column chunk encode
 # ---------------------------------------------------------------------------
 
+def _gather_leaf(c: Column, rows: np.ndarray) -> Column:
+    """Host-side row gather for leaf column kinds (stays numpy — the
+    writer never round-trips through the device)."""
+    if len(rows) == len(c) and (
+            len(rows) == 0 or (int(rows[0]) == 0
+                               and int(rows[-1]) == len(c) - 1
+                               and bool(np.all(np.diff(rows) == 1)))):
+        return c
+    if isinstance(c, StringColumn):
+        offs2, data2 = nt.gather_varlen(
+            np.asarray(c.offsets).astype(np.int64),
+            np.asarray(c.data), rows)
+        return StringColumn(offs2, data2, c.dtype, None)
+    if isinstance(c, DictionaryColumn):
+        return DictionaryColumn(np.asarray(c.codes)[rows], c.values,
+                                None, _canonical=True)
+    if isinstance(c, DecimalColumn):
+        return DecimalColumn(np.asarray(c.limbs)[rows], c.dtype, None)
+    if isinstance(c, FixedSizeBinaryColumn):
+        return FixedSizeBinaryColumn(np.asarray(c.data)[rows], None)
+    return PrimitiveColumn(np.asarray(c.values)[rows], c.dtype, None,
+                           _canonical=True)
+
+
 def _flatten_leaf(col: Column, nullable: bool):
-    """-> [(leaf_column, defs i64|None, reps i64|None)] in schema leaf
-    order (arrow_writer/levels.rs role).
+    """-> [(leaf_values, defs i64|None, reps i64|None)] in schema leaf
+    order (arrow_writer/levels.rs role, re-designed as a vectorized
+    numpy Dremel walk).
 
-    Dremel levels, computed top-down: `anc_def` carries the def level
-    attained by the ancestors per slot and `frozen` marks slots whose
-    ancestor is null (their def stays at the ancestor's level).  One
-    repeated level is supported: list nodes expand the row axis to the
-    slot axis (empty/null records contribute one slot)."""
+    The walk carries (defs, reps, srow) on the current slot axis: srow
+    maps each slot to a row of the current column, -1 where an ancestor
+    is null/empty so the subtree contributes nothing.  List/map/
+    fixed-size-list nodes expand the slot axis by per-row element
+    counts (every parent slot keeps at least one child slot so level
+    runs stay complete); leaves gather exactly the rows whose def
+    reached max_def, so leaf values arrive compacted — no value mask."""
     out = []
-    n = len(col)
 
-    def leaf(c, nullable, anc_def, frozen, reps, max_def):
-        if max_def == 0:
-            out.append((c, None, reps))
-            return
-        v = None if c.validity is None else np.asarray(c.validity)
-        if nullable:
-            ok = v if v is not None else np.ones(len(c), bool)
-            defs = np.where(frozen, anc_def,
-                            np.where(_expand(ok, anc_def), anc_def + 1,
-                                     anc_def))
-        else:
-            defs = anc_def.copy()
-        out.append((c, defs, reps))
-
-    def _expand(ok, ref):
-        # ok is on the value axis == slot axis here (no repetition
-        # inside this helper)
-        return ok
-
-    def walk(c, nullable, anc_def, frozen, reps, max_def):
-        if isinstance(c, DictionaryColumn) or not isinstance(
-                c, (StructColumn, ListColumn)):
-            leaf(c, nullable, anc_def, frozen, reps, max_def)
-            return
-        if isinstance(c, StructColumn):
-            v = None if c.validity is None else np.asarray(c.validity)
-            ok = (v if v is not None
-                  else np.ones(len(c), bool)) & ~frozen
-            if nullable:
-                anc2 = np.where(frozen, anc_def,
-                                np.where(ok, anc_def + 1, anc_def))
-                frozen2 = frozen | ~ok
-                md2 = max_def
+    def walk(c, f_nullable, defs, reps, srow, cur_def, cur_rep):
+        live = srow >= 0
+        if f_nullable:
+            if c.validity is not None and len(c):
+                v = np.asarray(c.validity)
+                ok = live & v[np.clip(srow, 0, len(c) - 1)]
             else:
-                anc2, frozen2, md2 = anc_def, frozen, max_def
+                ok = live
+            defs = np.where(ok, defs + 1, defs)
+            srow = np.where(ok, srow, np.int64(-1))
+            cur_def += 1
+            live = ok
+        if isinstance(c, StructColumn):
             for ch, f in zip(c.children, c.fields):
-                walk(ch, f.nullable, anc2, frozen2, reps,
-                     md2 + (1 if f.nullable else 0))
+                walk(ch, f.nullable, defs.copy(), reps.copy(),
+                     srow.copy(), cur_def, cur_rep)
             return
-        # ListColumn: expand row axis -> slot axis
-        if reps is not None:
-            raise ArrowNotImplementedError(
-                "nested repeated levels in native parquet writer")
-        offs = np.asarray(c.offsets).astype(np.int64)
-        v = None if c.validity is None else np.asarray(c.validity)
-        ok = (v if v is not None else np.ones(len(c), bool)) & ~frozen
-        counts = offs[1:] - offs[:-1]
-        counts = np.where(ok, counts, 0)
-        slots = np.maximum(counts, 1)
-        total = int(slots.sum())
-        rec_of_slot = np.repeat(np.arange(len(c)), slots)
-        starts = np.zeros(len(c), np.int64)
-        np.cumsum(slots[:-1], out=starts[1:])
-        is_first = np.zeros(total, bool)
-        is_first[starts] = True
-        rep_out = np.where(is_first, 0, 1).astype(np.int64)
-        here = anc_def + (1 if nullable else 0)   # list-present level
-        has_elem = counts > 0
-        # slot-axis base defs: null/frozen -> anc_def; empty -> here;
-        # has-element slots -> here+1 (repeated level defined)
-        base = np.where(ok, np.where(has_elem, here + 1, here),
-                        anc_def)
-        slot_def = base[rec_of_slot]
-        slot_frozen = (~(ok & has_elem))[rec_of_slot]
-        # element-axis view: slots of records with elements, in order
-        walk(c.child, True, slot_def, slot_frozen, rep_out,
-             0)  # max_def unused below; leaf uses defs directly
-        # fix up: the recursive call appended leaves with defs built on
-        # the SLOT axis but element validity lives on the element axis —
-        # remap the element-axis validity onto element slots
-        # (primitive/string children only: enforced in leaf_remap)
-        idx = len(out) - 1
-        ch, defs, reps2 = out[idx]
-        if isinstance(ch, (StructColumn, ListColumn, DictionaryColumn)):
-            raise ArrowNotImplementedError(
-                "list children beyond primitives/strings in native "
-                "parquet writer")
-        ev = None if ch.validity is None else np.asarray(ch.validity)
-        defs = slot_def.copy()
-        here_slot = here[rec_of_slot]      # per-slot list-present level
-        elem_slots = np.nonzero(has_elem[rec_of_slot])[0]
-        if ev is not None and not ev.all():
-            defs[elem_slots] = np.where(ev, here_slot[elem_slots] + 2,
-                                        here_slot[elem_slots] + 1)
-        else:
-            defs[elem_slots] = here_slot[elem_slots] + 2
-        out[idx] = (ch, defs, rep_out)
+        if isinstance(c, (ListColumn, MapColumn, FixedSizeListColumn)):
+            ns = len(defs)
+            sr = np.clip(srow, 0, max(len(c) - 1, 0))
+            if isinstance(c, FixedSizeListColumn):
+                k = c.list_size
+                counts = np.where(live, np.int64(k), np.int64(0))
+                base = sr * k
+            else:
+                offs = np.asarray(c.offsets).astype(np.int64)
+                counts = np.where(live, offs[sr + 1] - offs[sr],
+                                  np.int64(0))
+                base = offs[sr]
+            exp = np.maximum(counts, 1)
+            parent = np.repeat(np.arange(ns), exp)
+            total = int(exp.sum())
+            starts = np.zeros(ns, np.int64)
+            if ns:
+                np.cumsum(exp[:-1], out=starts[1:])
+            pos = np.arange(total, dtype=np.int64) - starts[parent]
+            has_elem = counts > 0
+            new_reps = np.where(pos == 0, reps[parent],
+                                np.int64(cur_rep + 1))
+            new_defs = np.where(has_elem[parent], defs[parent] + 1,
+                                defs[parent])
+            child_row = np.where(has_elem[parent], base[parent] + pos,
+                                 np.int64(-1))
+            if isinstance(c, MapColumn):
+                walk(c.keys, False, new_defs.copy(), new_reps.copy(),
+                     child_row.copy(), cur_def + 1, cur_rep + 1)
+                walk(c.items, True, new_defs, new_reps, child_row,
+                     cur_def + 1, cur_rep + 1)
+            else:
+                walk(c.child, True, new_defs, new_reps, child_row,
+                     cur_def + 1, cur_rep + 1)
+            return
+        # leaf: compact values to slots whose def reached max_def
+        rows = srow[srow >= 0]
+        leaf_c = _gather_leaf(c, rows)
+        out.append((leaf_c, defs if cur_def else None,
+                    reps if cur_rep else None))
 
-    walk(col, nullable, np.zeros(n, np.int64), np.zeros(n, bool),
-         None, 1 if nullable else 0)
+    n = len(col)
+    walk(col, nullable, np.zeros(n, np.int64), np.zeros(n, np.int64),
+         np.arange(n, dtype=np.int64), 0, 0)
     return out
 
 
@@ -349,9 +363,10 @@ def _levels_bytes(levels: np.ndarray, max_level: int) -> bytes:
     return struct.pack("<I", len(rle)) + rle
 
 
-def _stats_bytes(c: Column, mask) -> Tuple[Optional[bytes],
-                                           Optional[bytes], int]:
-    """(min_value, max_value, null_count) PLAIN-encoded."""
+def _stats_full(c: Column, mask):
+    """(min_bytes, max_bytes, null_count, min_cmp, max_cmp): the PLAIN
+    encodings plus Python-comparable values (page-index boundary order
+    is decided in the column's LOGICAL order, not byte order)."""
     n = len(c)
     nulls = 0 if mask is None else int(n - mask.sum())
     try:
@@ -362,25 +377,75 @@ def _stats_bytes(c: Column, mask) -> Tuple[Optional[bytes],
                     for i in (np.nonzero(mask)[0] if mask is not None
                               else range(n))]
             if not vals:
-                return None, None, nulls
-            return min(vals), max(vals), nulls
+                return None, None, nulls, None, None
+            mn, mx = min(vals), max(vals)
+            return mn, mx, nulls, mn, mx
         if isinstance(c, (FixedSizeBinaryColumn, DecimalColumn)):
-            return None, None, nulls
+            return None, None, nulls, None, None
         vals = np.asarray(c.values)
         if mask is not None:
             vals = vals[mask]
         if len(vals) == 0 or c.dtype.name == "bool":
-            return None, None, nulls
+            return None, None, nulls, None, None
         mn, mx = vals.min(), vals.max()
         fmt = {"float32": "<f", "float64": "<d"}.get(
             c.dtype.name)
         if fmt:
-            return struct.pack(fmt, mn), struct.pack(fmt, mx), nulls
+            return struct.pack(fmt, mn), struct.pack(fmt, mx), nulls, \
+                float(mn), float(mx)
         width = "<i" if c.dtype.to_numpy().itemsize <= 4 else "<q"
         return struct.pack(width, int(mn)), struct.pack(width, int(mx)), \
-            nulls
+            nulls, int(mn), int(mx)
     except Exception:                      # noqa: BLE001
-        return None, None, nulls
+        return None, None, nulls, None, None
+
+
+def _stats_bytes(c: Column, mask) -> Tuple[Optional[bytes],
+                                           Optional[bytes], int]:
+    """(min_value, max_value, null_count) PLAIN-encoded."""
+    return _stats_full(c, mask)[:3]
+
+
+def _crc32_i32(b: bytes) -> int:
+    import zlib
+    v = zlib.crc32(b) & 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _boundary_order(page_stats) -> int:
+    """BoundaryOrder enum: 0 unordered, 1 ascending, 2 descending —
+    computed over the non-null-page min/max sequences in the column's
+    logical order (file/page_index/index.rs determine_boundary_order
+    role)."""
+    mins = [s[4] for s in page_stats if not s[3]]
+    maxs = [s[5] for s in page_stats if not s[3]]
+    if any(v is None for v in mins) or any(v is None for v in maxs):
+        return 0
+    if len(mins) <= 1:
+        return 1
+    if all(a <= b for a, b in zip(mins, mins[1:])) and \
+            all(a <= b for a, b in zip(maxs, maxs[1:])):
+        return 1
+    if all(a >= b for a, b in zip(mins, mins[1:])) and \
+            all(a >= b for a, b in zip(maxs, maxs[1:])):
+        return 2
+    return 0
+
+
+def _dict_page_stats(values_col, pcodes, n_nulls):
+    """(min, max, nulls, all_null) over the distinct values a page's
+    codes reference (byte-comparable UTF-8/binary ordering)."""
+    if len(pcodes) == 0:
+        return None, None, n_nulls, True, None, None
+    try:
+        uniq = np.unique(np.asarray(pcodes))
+        offs = np.asarray(values_col.offsets).astype(np.int64)
+        data = np.asarray(values_col.data).tobytes()
+        vals = [data[offs[i]:offs[i + 1]] for i in uniq]
+        mn, mx = min(vals), max(vals)
+        return mn, mx, n_nulls, False, mn, mx
+    except Exception:                      # noqa: BLE001
+        return None, None, n_nulls, False, None, None
 
 
 class NativeParquetWriter:
@@ -388,7 +453,12 @@ class NativeParquetWriter:
                  dictionary_enabled: bool = True,
                  write_statistics: bool = True,
                  bloom_filter_columns: Sequence[str] = (),
-                 row_group_size: int = 1 << 20):
+                 row_group_size: int = 1 << 20,
+                 data_page_size: Optional[int] = None,
+                 data_page_version: str = "1.0",
+                 write_page_index: bool = False,
+                 write_page_checksum: bool = False,
+                 sorting_columns: Optional[Sequence] = None):
         self._own = isinstance(sink, str)
         self._out = open(sink, "wb") if self._own else sink
         self.schema = schema
@@ -397,8 +467,17 @@ class NativeParquetWriter:
         self.write_statistics = write_statistics
         self.bloom_filter_columns = set(bloom_filter_columns)
         self.row_group_size = row_group_size
+        self.data_page_size = data_page_size or (1 << 20)
+        self.page_v2 = data_page_version in ("2.0", "2", 2)
+        self.write_page_index = write_page_index
+        self.write_page_checksum = write_page_checksum
+        self.sorting_columns = sorting_columns
         self._elems, self._leaves = _schema_elements(schema)
         self._row_groups: List[list] = []
+        # per chunk (footer order): (cc_fields_list, colidx_fields|None,
+        # offidx_fields) — the index bodies are written at close() and
+        # their offsets appended to the live cc lists before the footer
+        self._index_slots: List[tuple] = []
         self._num_rows = 0
         self._pos = 0
         self._emit(_MAGIC)
@@ -427,113 +506,190 @@ class NativeParquetWriter:
         rg = [(1, T_LIST, (T_STRUCT, chunks)),
               (2, T_I64, total_bytes),
               (3, T_I64, table.num_rows)]
+        if self.sorting_columns:
+            leaf_names = [lf.path[-1] for lf in self._leaves]
+            sc = []
+            for item in self.sorting_columns:
+                name, desc = item[0], item[1]
+                nulls_first = item[2] if len(item) > 2 else not desc
+                sc.append([(1, T_I32, leaf_names.index(name)),
+                           (2, T_TRUE, bool(desc)),
+                           (3, T_TRUE, bool(nulls_first))])
+            rg.append((4, T_LIST, (T_STRUCT, sc)))
         self._row_groups.append(rg)
         self._num_rows += table.num_rows
 
+    def _page_ranges(self, leaf: _Leaf, c: Column, defs, reps):
+        """Split a flat chunk's slot axis into page row ranges sized by
+        data_page_size (file/properties.rs DEFAULT_PAGE_SIZE role).
+        Repeated chunks stay one page (record-boundary splitting not
+        needed at this engine's page-index granularity)."""
+        n_slots = len(defs) if defs is not None else len(c)
+        if leaf.max_rep or reps is not None or n_slots == 0:
+            return [(0, n_slots)]
+        nvals = len(c)
+        if isinstance(c, StringColumn):
+            total = int(np.asarray(c.offsets)[-1]) + 4 * nvals
+        elif isinstance(c, DictionaryColumn):
+            total = 4 * nvals
+        elif isinstance(c, DecimalColumn):
+            total = np.asarray(c.limbs).shape[1] * 8 * nvals
+        elif isinstance(c, FixedSizeBinaryColumn):
+            total = c.dtype.list_size * nvals
+        else:
+            total = max(c.dtype.to_numpy().itemsize, 1) * nvals
+        per_slot = max(total, 1) / n_slots
+        rows = max(1, int(self.data_page_size / per_slot))
+        return [(s, min(n_slots, s + rows))
+                for s in range(0, n_slots, rows)]
+
+    def _emit_data_page(self, leaf: _Leaf, n_page: int, n_rows: int,
+                        n_nulls: int, enc: int, rep_b: bytes,
+                        def_b: bytes, values: bytes):
+        """Serialize one data page (v1 or v2) and return its
+        (offset, compressed_size_incl_header)."""
+        codec = self.codec
+        off = self._pos
+        if self.page_v2:
+            comp_vals = _compress(codec, values)
+            is_comp = codec != 0 and len(comp_vals) < len(values)
+            body = rep_b + def_b + (comp_vals if is_comp else values)
+            fields = [(1, T_I32, 3),
+                      (2, T_I32, len(rep_b) + len(def_b) + len(values)),
+                      (3, T_I32, len(body))]
+            if self.write_page_checksum:
+                fields.append((4, T_I32, _crc32_i32(body)))
+            fields.append((8, T_STRUCT, [
+                (1, T_I32, n_page), (2, T_I32, n_nulls),
+                (3, T_I32, n_rows), (4, T_I32, enc),
+                (5, T_I32, len(def_b)), (6, T_I32, len(rep_b)),
+                (7, T_TRUE, is_comp)]))
+            hdr = CompactWriter()
+            hdr.write_struct_fields(fields)
+            self._emit(hdr.bytes() + body)
+        else:
+            body = rep_b + def_b + values
+            comp_body = _compress(codec, body)
+            fields = [(1, T_I32, 0), (2, T_I32, len(body)),
+                      (3, T_I32, len(comp_body))]
+            if self.write_page_checksum:
+                fields.append((4, T_I32, _crc32_i32(comp_body)))
+            fields.append((5, T_STRUCT, [
+                (1, T_I32, n_page), (2, T_I32, enc),
+                (3, T_I32, 3), (4, T_I32, 3)]))
+            hdr = CompactWriter()
+            hdr.write_struct_fields(fields)
+            self._emit(hdr.bytes() + comp_body)
+        return off, self._pos - off
+
     def _write_chunk(self, leaf: _Leaf, c: Column, defs, reps):
+        """c arrives COMPACTED (len(c) == number of def==max_def slots);
+        defs/reps live on the slot axis.  vpos maps a slot range to its
+        value range."""
         codec = self.codec
         n_slots = len(defs) if defs is not None else len(c)
-        mask = None
         if defs is not None:
-            mask_slots = defs == leaf.max_def
-            if leaf.max_rep:
-                # element axis: values exist where slot has an element
-                elem_axis = defs >= leaf.max_def - \
-                    (1 if _leaf_nullable(leaf) else 0)
-                mask = mask_slots[elem_axis] \
-                    if _leaf_nullable(leaf) else None
-                # value mask over the CHILD column rows
-                mask = None if mask is None or mask.all() else mask
-            else:
-                mask = None if mask_slots.all() else mask_slots
+            vpos = np.zeros(n_slots + 1, np.int64)
+            np.cumsum(defs == leaf.max_def, out=vpos[1:])
+        else:
+            vpos = np.arange(n_slots + 1, dtype=np.int64)
+        chunk_nulls = int(n_slots - len(c)) if defs is not None else 0
 
         dict_col = isinstance(c, DictionaryColumn)
         use_dict = dict_col or (
             self.dictionary_enabled and isinstance(c, StringColumn))
 
-        header_parts = b""
-        if leaf.max_rep and reps is not None:
-            header_parts += _levels_bytes(reps, leaf.max_rep)
-        if leaf.max_def and defs is not None:
-            header_parts += _levels_bytes(defs, leaf.max_def)
-
         start_pos = self._pos
         dict_page_offset = None
         encodings = [0, 3]                 # PLAIN, RLE (levels)
-        pages = []
+        total_uncomp = 0
 
-        bloom_hashes = None
+        # v2 pages carry levels without the u32 length prefix
+        def levels_for_page(s, e):
+            rep_b = def_b = b""
+            if leaf.max_rep and reps is not None:
+                lb = _levels_bytes(reps[s:e], leaf.max_rep)
+                rep_b = lb[4:] if self.page_v2 else lb
+            if leaf.max_def and defs is not None:
+                lb = _levels_bytes(defs[s:e], leaf.max_def)
+                def_b = lb[4:] if self.page_v2 else lb
+            return rep_b, def_b
+
+        page_locs = []      # (offset, comp_size, first_row_index)
+        page_stats = []     # (min|None, max|None, null_count, all_null)
 
         if use_dict:
             if dict_col:
                 codes = np.asarray(c.codes)
                 values_col = c.values
-                vmask = None if c.validity is None \
-                    else np.asarray(c.validity)
             else:
                 from ..ops.strings import dictionary_encode
                 dcol = dictionary_encode(c)
                 codes = np.asarray(dcol.codes)
                 values_col = dcol.values
-                vmask = None if c.validity is None \
-                    else np.asarray(c.validity)
-            if mask is not None:
-                codes = codes[mask]
-            elif vmask is not None:
-                codes = codes[vmask]
             dict_values_plain = _plain_values(values_col, None)
             bw = max(1, int(max(len(values_col) - 1, 1)).bit_length())
-            idx_rle = bytes([bw]) + nt.rle_bp_encode(
-                codes.astype(np.uint32), bw)
-            # dictionary page
             comp = _compress(codec, dict_values_plain)
+            fields = [(1, T_I32, 2), (2, T_I32, len(dict_values_plain)),
+                      (3, T_I32, len(comp))]
+            if self.write_page_checksum:
+                fields.append((4, T_I32, _crc32_i32(comp)))
+            fields.append((7, T_STRUCT, [(1, T_I32, len(values_col)),
+                                         (2, T_I32, 0)]))
             hdr = CompactWriter()
-            hdr.write_struct_fields([
-                (1, T_I32, 2), (2, T_I32, len(dict_values_plain)),
-                (3, T_I32, len(comp)),
-                (7, T_STRUCT, [(1, T_I32, len(values_col)),
-                               (2, T_I32, 0)])])
+            hdr.write_struct_fields(fields)
             dict_page_offset = self._pos
-            pages.append(hdr.bytes() + comp)
-            body = header_parts + idx_rle
-            comp_body = _compress(codec, body)
-            hdr2 = CompactWriter()
-            hdr2.write_struct_fields([
-                (1, T_I32, 0), (2, T_I32, len(body)),
-                (3, T_I32, len(comp_body)),
-                (5, T_STRUCT, [(1, T_I32, n_slots), (2, T_I32, 8),
-                               (3, T_I32, 3), (4, T_I32, 3)])])
-            pages.append(hdr2.bytes() + comp_body)
+            self._emit(hdr.bytes() + comp)
+            total_uncomp += len(dict_values_plain) + len(hdr.bytes())
+            data_page_offset = self._pos
+            for s, e in self._page_ranges(leaf, c, defs, reps):
+                pcodes = codes[vpos[s]:vpos[e]]
+                idx_rle = bytes([bw]) + nt.rle_bp_encode(
+                    pcodes.astype(np.uint32), bw)
+                rep_b, def_b = levels_for_page(s, e)
+                n_page = e - s
+                n_nulls = 0 if defs is None else \
+                    int((defs[s:e] != leaf.max_def).sum())
+                n_rows = int((reps[s:e] == 0).sum()) \
+                    if leaf.max_rep and reps is not None else n_page
+                o, sz = self._emit_data_page(
+                    leaf, n_page, n_rows, n_nulls, 8, rep_b, def_b,
+                    idx_rle)
+                page_locs.append((o, sz, s))
+                total_uncomp += len(rep_b) + len(def_b) + len(idx_rle)
+                if self.write_page_index and not leaf.max_rep:
+                    page_stats.append(_dict_page_stats(
+                        values_col, pcodes, n_nulls))
             encodings.append(8)            # RLE_DICTIONARY
-            stat_src = values_col
-            stat_mask = None
-            if self.write_statistics and isinstance(values_col,
-                                                    StringColumn):
-                pass
         else:
-            plain = _plain_values(c, mask)
-            body = header_parts + plain
-            comp_body = _compress(codec, body)
-            hdr = CompactWriter()
-            hdr.write_struct_fields([
-                (1, T_I32, 0), (2, T_I32, len(body)),
-                (3, T_I32, len(comp_body)),
-                (5, T_STRUCT, [(1, T_I32, n_slots), (2, T_I32, 0),
-                               (3, T_I32, 3), (4, T_I32, 3)])])
-            pages.append(hdr.bytes() + comp_body)
+            data_page_offset = self._pos
+            for s, e in self._page_ranges(leaf, c, defs, reps):
+                pc = c.slice(int(vpos[s]), int(vpos[e] - vpos[s]))
+                n_page = e - s
+                n_rows = int((reps[s:e] == 0).sum()) \
+                    if leaf.max_rep and reps is not None else n_page
+                plain = _plain_values(pc, None)
+                rep_b, def_b = levels_for_page(s, e)
+                n_nulls = 0 if defs is None else \
+                    int((defs[s:e] != leaf.max_def).sum())
+                o, sz = self._emit_data_page(
+                    leaf, n_page, n_rows, n_nulls, 0, rep_b, def_b,
+                    plain)
+                page_locs.append((o, sz, 0 if leaf.max_rep else s))
+                total_uncomp += len(rep_b) + len(def_b) + len(plain)
+                if self.write_page_index and not leaf.max_rep:
+                    mn, mx, _, mnc, mxc = _stats_full(pc, None)
+                    page_stats.append(
+                        (mn, mx, n_nulls, n_nulls == n_page, mnc, mxc))
 
-        data_page_offset = self._pos if dict_page_offset is None \
-            else dict_page_offset + len(pages[0])
-        for p in pages:
-            self._emit(p)
         total_comp = self._pos - start_pos
-        total_uncomp = total_comp       # close enough for metadata
+        total_uncomp = max(total_uncomp, total_comp)
 
         # bloom filter (sbbf over xxh64 of plain-encoded values)
         bloom_offset = bloom_len = None
         leaf_name = leaf.path[-1]
         if leaf_name in self.bloom_filter_columns:
-            bloom_offset, bloom_len = self._write_bloom(c, mask)
+            bloom_offset, bloom_len = self._write_bloom(c, None)
 
         md = [(1, T_I32, _logical_fields(
                   c.dtype if not dict_col else c.values.dtype)[0]),
@@ -547,9 +703,8 @@ class NativeParquetWriter:
         if dict_page_offset is not None:
             md.append((11, T_I64, dict_page_offset))
         if self.write_statistics:
-            mn, mx, nulls = _stats_bytes(
-                c if not dict_col else c, mask)
-            st = [(3, T_I64, nulls)]
+            mn, mx, _ = _stats_bytes(c, None)
+            st = [(3, T_I64, chunk_nulls)]
             if mn is not None:
                 st.append((5, T_BINARY, mx))
                 st.append((6, T_BINARY, mn))
@@ -558,6 +713,24 @@ class NativeParquetWriter:
             md.append((14, T_I64, bloom_offset))
             md.append((15, T_I32, bloom_len))
         cc = [(2, T_I64, start_pos), (3, T_STRUCT, md)]
+
+        if self.write_page_index:
+            colidx = None
+            if page_stats and all(s[0] is not None or s[3]
+                                  for s in page_stats):
+                null_pages = [bool(s[3]) for s in page_stats]
+                mins = [b"" if s[3] else s[0] for s in page_stats]
+                maxs = [b"" if s[3] else s[1] for s in page_stats]
+                colidx = [(1, T_LIST, (T_TRUE, null_pages)),
+                          (2, T_LIST, (T_BINARY, mins)),
+                          (3, T_LIST, (T_BINARY, maxs)),
+                          (4, T_I32, _boundary_order(page_stats)),
+                          (5, T_LIST,
+                           (T_I64, [int(s[2]) for s in page_stats]))]
+            offidx = [(1, T_LIST, (T_STRUCT, [
+                [(1, T_I64, o), (2, T_I32, sz), (3, T_I64, fr)]
+                for o, sz, fr in page_locs]))]
+            self._index_slots.append((cc, colidx, offidx))
         return cc, total_comp
 
     def _write_bloom(self, c: Column, mask):
@@ -587,6 +760,27 @@ class NativeParquetWriter:
         return off, self._pos - off
 
     def close(self):
+        # page index: every ColumnIndex, then every OffsetIndex, both
+        # between the last row group and the footer
+        # (file/page_index/index_writer.rs layout)
+        for cc, colidx, _ in self._index_slots:
+            if colidx is None:
+                continue
+            w = CompactWriter()
+            w.write_struct_fields(colidx)
+            b = w.bytes()
+            cc.append((6, T_I64, self._pos))
+            cc.append((7, T_I32, len(b)))
+            self._emit(b)
+        for cc, _, offidx in self._index_slots:
+            w = CompactWriter()
+            w.write_struct_fields(offidx)
+            b = w.bytes()
+            cc.append((4, T_I64, self._pos))
+            cc.append((5, T_I32, len(b)))
+            self._emit(b)
+            cc.sort(key=lambda f: f[0])
+
         w = CompactWriter()
         schema_elems = [(e if isinstance(e, list) else e)
                         for e in self._elems]
@@ -611,8 +805,6 @@ class NativeParquetWriter:
             self._out.close()
 
 
-def _leaf_nullable(leaf: _Leaf) -> bool:
-    return True
 
 
 def _bloom_hashes(c: Column, mask) -> Optional[np.ndarray]:
@@ -661,10 +853,10 @@ def _bloom_hashes(c: Column, mask) -> Optional[np.ndarray]:
 def write_parquet_native(sink, table: Table, compression="snappy",
                          dictionary_enabled=True,
                          bloom_filter_columns=(),
-                         row_group_size=1 << 20):
+                         row_group_size=1 << 20, **kw):
     w = NativeParquetWriter(sink, table.schema, compression,
                             dictionary_enabled,
                             bloom_filter_columns=bloom_filter_columns,
-                            row_group_size=row_group_size)
+                            row_group_size=row_group_size, **kw)
     w.write_table(table)
     w.close()

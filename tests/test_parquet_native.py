@@ -85,6 +85,44 @@ def test_nested(ver, comp):
                         data_page_version=ver)
 
 
+@pytest.mark.parametrize("ver", ["1.0", "2.0"])
+def test_deep_nested_read(ver):
+    """Multi-level repetition written by pyarrow (reader.rs nested
+    assembly parity at depth >1)."""
+    tab = pa.table({
+        "ll": pa.array([[[1, None], []], None, [], [None, [2]]],
+                       pa.list_(pa.list_(pa.int64()))),
+        "lll": pa.array([[[[1], []]], [], None, [None, [[2, 3]]]],
+                        pa.list_(pa.list_(pa.list_(pa.int64())))),
+        "lm": pa.array([[[("a", 1)], None], None, [[]]],
+                       pa.list_(pa.map_(pa.string(), pa.int64()))
+                       ).take(pa.array([0, 1, 2, 2])),
+        "sl": pa.array(
+            [{"x": [[1], None]}, None, {"x": None}, {"x": [[None]]}],
+            pa.struct([("x", pa.list_(pa.list_(pa.int64())))])),
+        "lsl": pa.array(
+            [[{"y": [1, 2]}], None, [{"y": None}, None], []],
+            pa.list_(pa.struct([("y", pa.list_(pa.int64()))]))),
+        "ml": pa.array([[("k", [1, None])], None, [("j", [])]],
+                       pa.map_(pa.string(), pa.list_(pa.int64()))
+                       ).take(pa.array([0, 1, 2, 0])),
+    })
+    _assert_reads_equal(tab, data_page_version=ver)
+    # and the same table through our own writer, read by both readers
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_writer import write_parquet_native
+    t = at.Table.from_pyarrow(tab)
+    buf = io.BytesIO()
+    write_parquet_native(buf, t, data_page_version=ver)
+    data = buf.getvalue()
+    ref = pq.read_table(io.BytesIO(data))
+    ours = ParquetFile(data).read()
+    for name in tab.column_names:
+        assert ref[name].to_pylist() == tab[name].to_pylist(), name
+        assert ours.column(name).to_pylist() == \
+            tab[name].to_pylist(), (name, "ours")
+
+
 def test_delta_encodings():
     t2 = pa.table({
         "di": pa.array(range(10000), pa.int64()),
@@ -228,6 +266,176 @@ class TestNativeWriter:
         assert hit[0] and not hit[1] and not hit[2]
         assert pf.prune_row_groups("v", 700) == [2]
         assert pf.prune_row_groups("k", "key-0") == [0]
+
+    def _nested_roundtrip(self, tab, **kw):
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_io import _native_writable
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        t = at.Table.from_pyarrow(tab)
+        assert _native_writable(t.schema), "should route native"
+        buf = io.BytesIO()
+        write_parquet_native(buf, t, **kw)
+        data = buf.getvalue()
+        ref = pq.read_table(io.BytesIO(data))
+        for name in tab.column_names:
+            assert ref[name].to_pylist() == tab[name].to_pylist(), name
+        ours = ParquetFile(data).read()
+        for name in tab.column_names:
+            assert ours.column(name).to_pylist() == \
+                tab[name].to_pylist(), (name, "ours")
+
+    @pytest.mark.parametrize("ver", ["1.0", "2.0"])
+    def test_nested_list_of_list(self, ver):
+        tab = pa.table({
+            "ll": pa.array(
+                [[[1, 2], None, []], None, [], [[None, 3]], [[]]],
+                pa.list_(pa.list_(pa.int64()))),
+            "ls": pa.array([[["a", None]], [], None, [None], [["b"]]],
+                           pa.list_(pa.list_(pa.string()))),
+        })
+        self._nested_roundtrip(tab, data_page_version=ver)
+
+    def test_nested_struct_in_list(self, ):
+        tab = pa.table({
+            "lr": pa.array(
+                [[{"a": 1, "b": "x"}, None], [], None,
+                 [{"a": None, "b": None}]],
+                pa.list_(pa.struct([("a", pa.int64()),
+                                    ("b", pa.string())]))),
+            "rl": pa.array(
+                [{"v": [1, None]}, None, {"v": None}, {"v": []}],
+                pa.struct([("v", pa.list_(pa.int64()))])),
+        })
+        self._nested_roundtrip(tab)
+
+    @pytest.mark.parametrize("comp", ["none", "snappy"])
+    def test_map_write(self, comp):
+        tab = pa.table({
+            "m": pa.array(
+                [[("k1", 1), ("k2", None)], [], None, [("k3", 3)]],
+                pa.map_(pa.string(), pa.int64())),
+        })
+        self._nested_roundtrip(tab, compression=comp)
+
+    def test_fixed_size_list_write(self):
+        tab = pa.table({
+            "fsl": pa.array([[1, 2], None, [3, None], [5, 6]],
+                            pa.list_(pa.int64(), 2)),
+        })
+        self._nested_roundtrip(tab)
+
+    def test_dictionary_in_list(self):
+        inner = pa.array(["a", "b", None, "a", "c", "b"]
+                         ).dictionary_encode()
+        offs = pa.array([0, 2, 2, 5, 6], pa.int32())
+        lst = pa.ListArray.from_arrays(offs, inner)
+        tab = pa.table({"ld": lst})
+        self._nested_roundtrip(tab)
+
+    def test_nested_fuzz(self):
+        rng = np.random.default_rng(5)
+        n = 400
+        def rand_list(gen, null_p=0.1, empty_p=0.1):
+            out = []
+            for _ in range(n):
+                r = rng.random()
+                if r < null_p:
+                    out.append(None)
+                elif r < null_p + empty_p:
+                    out.append([])
+                else:
+                    out.append([gen() for _ in
+                                range(int(rng.integers(1, 5)))])
+            return out
+        iv = lambda: (None if rng.random() < 0.15
+                      else int(rng.integers(-100, 100)))
+        sv = lambda: (None if rng.random() < 0.15
+                      else f"s{int(rng.integers(0, 50))}")
+        tab = pa.table({
+            "li": pa.array(rand_list(iv), pa.list_(pa.int64())),
+            "ls": pa.array(rand_list(sv), pa.list_(pa.string())),
+            "lli": pa.array(rand_list(lambda: [iv(), iv()]),
+                            pa.list_(pa.list_(pa.int64()))),
+        })
+        self._nested_roundtrip(tab, data_page_size=2048)
+
+    @pytest.mark.parametrize("ver", ["1.0", "2.0"])
+    @pytest.mark.parametrize("comp", ["none", "snappy", "zstd"])
+    def test_multi_page_both_versions(self, ver, comp):
+        """data_page_size splits chunks into many pages; v1 and v2
+        headers; CRC32 checksums verified by the Arrow C++ reader."""
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        rng = np.random.default_rng(7)
+        n = 5000
+        vals = rng.integers(-10**6, 10**6, n)
+        f = rng.random(n)
+        s = [f"s{i % 97}" if i % 11 else None for i in range(n)]
+        t = at.Table.from_pyarrow(pa.table({
+            "v": pa.array(vals, mask=rng.random(n) < 0.1),
+            "f": pa.array(f), "s": pa.array(s)}))
+        buf = io.BytesIO()
+        write_parquet_native(buf, t, compression=comp,
+                             data_page_size=4096,
+                             data_page_version=ver,
+                             write_page_checksum=True,
+                             write_page_index=True)
+        data = buf.getvalue()
+        exp = t.to_pydict()
+        # pyarrow verifies checksums page by page when asked to
+        ref = pq.ParquetFile(io.BytesIO(data),
+                             page_checksum_verification=True).read()
+        for name in t.column_names:
+            assert ref[name].to_pylist() == exp[name], (ver, comp, name)
+        pf = ParquetFile(data)
+        ours = pf.read()
+        for name in t.column_names:
+            assert ours.column(name).to_pylist() == exp[name]
+        # offset index covers every page; first_row_index is cumulative
+        oi = pf.offset_index(0, "v")
+        assert oi is not None and len(oi) > 3
+        assert oi[0][2] == 0
+        assert [fr for _, _, fr in oi] == sorted(
+            fr for _, _, fr in oi)
+        # column index min/max bound each page; nulls counted
+        ci = pf.column_index(0, "v")
+        assert ci is not None and len(ci["min_values"]) == len(oi)
+        assert sum(ci["null_counts"]) == sum(
+            1 for x in exp["v"] if x is None)
+        import struct as _st
+        mn0 = _st.unpack("<q", ci["min_values"][0])[0]
+        page0 = [x for x in exp["v"][:oi[1][2]] if x is not None]
+        assert mn0 == min(page0)
+
+    def test_page_index_ascending_boundary(self):
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        t = at.Table.from_pydict({
+            "k": np.arange(4000, dtype=np.int64)})
+        buf = io.BytesIO()
+        write_parquet_native(buf, t, data_page_size=2048,
+                             write_page_index=True, compression="none")
+        pf = ParquetFile(buf.getvalue())
+        ci = pf.column_index(0, "k")
+        assert ci["boundary_order"] == 1          # ascending
+        assert not any(ci["null_pages"])
+
+    def test_page_index_dictionary_column(self):
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        s = [f"v{i % 13:02d}" for i in range(3000)]
+        t = at.Table.from_pyarrow(pa.table({"s": pa.array(s)}))
+        buf = io.BytesIO()
+        write_parquet_native(buf, t, data_page_size=2048,
+                             write_page_index=True)
+        pf = ParquetFile(buf.getvalue())
+        ci = pf.column_index(0, "s")
+        oi = pf.offset_index(0, "s")
+        assert len(oi) > 1 and len(ci["min_values"]) == len(oi)
+        assert ci["min_values"][0] == b"v00"
+        assert ci["max_values"][0] == b"v12"
+        assert pq.read_table(io.BytesIO(buf.getvalue()))[
+            "s"].to_pylist() == s
 
     def test_rle_fuzz(self):
         from arrow_tpu.utils import native as nt
