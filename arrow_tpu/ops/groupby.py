@@ -114,6 +114,18 @@ def group_by(table: Table, keys: Sequence[str],
     if fast is not None:
         return fast
 
+    # perfect binning: integer keys whose combined range is small skip
+    # group discovery entirely (bin id = rebased digits) and run the
+    # aggregation sorts on rebased NARROW operands
+    try:
+        fast = _int_range_fast_path(table, key_cols, keys, aggs)
+    except jax.errors.JaxRuntimeError as e:
+        if "remote_compile" not in str(e):
+            raise
+        fast = None            # even per-slot stages crashed the remote
+    if fast is not None:       # compiler: the general path self-chunks
+        return fast
+
     if n > _SORT_AGG_CHUNK:
         return _group_by_chunked(table, keys, aggs, n)
 
@@ -581,6 +593,634 @@ def _dictionary_fast_path(table: Table, key_cols, keys, aggs
     out_cols = [take_kernel(c, sel_col) for c in key_cols_g]
     out_cols += [take_kernel(c, sel_col) for c in agg_cols]
     return Table(out_cols, dt.Schema(tuple(fields + agg_fields)))
+
+
+# ---------------------------------------------------------------------------
+# Perfect binning: small-range integer keys.
+#
+# DuckDB-style perfect-hash aggregation re-designed for the TPU's
+# primitives: when every GROUP BY key is an integer column whose value
+# range is small, the bin id is computed arithmetically (mixed-radix
+# rebased digits) — group discovery costs one whole-array min/max scan
+# instead of a 64-bit row lexsort, and the per-aggregate sorts run on
+# rebased NARROW operands (u16/u32).  Operand bytes are the sort-cost
+# lever on this chip (CLAUDE.md: multi-operand sorts move every byte
+# through every merge pass), so this path is ~6x leaner than the general
+# discovery sort at config-4 shapes.  The reference has no grouped
+# aggregation (SURVEY.md §2.2 — arrow-arith/aggregate.rs is whole-array
+# only); bin section math composes partition.rs:156's boundary idea with
+# searchsorted instead of scatter.
+
+_BIN_CAP = 1 << 20           # max combined bin count
+_BIN_CHUNK = 125_000_000     # rows per sort chunk (HBM sort-buffer bound)
+
+# class codes packed into the low bits of the bin key when a value
+# column is nullable or floating: valid < NaN < null, so each bin's
+# sections are contiguous and section starts come from ONE searchsorted
+_CLS_VALID, _CLS_NAN, _CLS_NULL = 0, 1, 2
+
+
+def _bin_val_kind(col: Column, vmin: int, vmax: int) -> str:
+    d = col.dtype
+    if d.is_floating:
+        return "f" + d.name[5:]          # f16/f32/f64
+    rng = vmax - vmin
+    if rng < (1 << 16):
+        return "u16"
+    if rng < (1 << 32):
+        return "u32"
+    return "o64u" if d.is_unsigned_integer else "o64"
+
+
+def _bin_encode_val(values, validity, kind, vmin):
+    """(sort_value, cls) for one aggregate source column.  sort_value
+    orders ascending within a bin; cls is None when no class bits are
+    needed (non-null integer)."""
+    if kind[0] == "f":
+        v = values.astype(jnp.float32) if kind == "f16" else values
+        isnan = jnp.isnan(v)
+        sv = jnp.where(isnan, jnp.zeros((), v.dtype), v)
+        cls = isnan.astype(jnp.int32)
+        if validity is not None:
+            cls = jnp.where(validity, cls, jnp.int32(_CLS_NULL))
+        return sv, cls
+    if kind == "o64u":
+        sv = values.astype(jnp.uint64)
+    elif kind == "o64":
+        sv = jax.lax.bitcast_convert_type(
+            values.astype(jnp.int64), jnp.uint64) \
+            ^ jnp.uint64(1 << 63)
+    else:
+        if jnp.issubdtype(values.dtype, jnp.unsignedinteger):
+            reb = values.astype(jnp.uint64) - vmin.astype(jnp.uint64)
+        else:
+            reb = (values.astype(jnp.int64)
+                   - vmin.astype(jnp.int64)).astype(jnp.uint64)
+        sv = reb.astype(jnp.uint16 if kind == "u16" else jnp.uint32)
+    cls = None
+    if validity is not None:
+        cls = jnp.where(validity, jnp.int32(_CLS_VALID),
+                        jnp.int32(_CLS_NULL))
+    return sv, cls
+
+
+def _bin_decode_val(enc, kind, vmin, out_jax_dtype):
+    if kind[0] == "f":
+        return enc.astype(out_jax_dtype)
+    if kind == "o64u":
+        return enc.astype(out_jax_dtype)
+    if kind == "o64":
+        return jax.lax.bitcast_convert_type(
+            enc ^ jnp.uint64(1 << 63), jnp.int64).astype(out_jax_dtype)
+    if jnp.issubdtype(out_jax_dtype, jnp.unsignedinteger):
+        return (enc.astype(jnp.uint64)
+                + vmin.astype(jnp.uint64)).astype(out_jax_dtype)
+    return (enc.astype(jnp.int64)
+            + vmin.astype(jnp.int64)).astype(out_jax_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kplan", "vplan", "g_total"))
+def _bin_chunk_stage(kplan, vplan, g_total, key_arrs, kmins, val_arrs,
+                     vmins):
+    """One chunk of the perfect-binning plan as ONE XLA program.
+
+    kplan: per key column (nullable, base) — static.
+    vplan: per value column (kind, nullable, has_mm, sort_idx) — static;
+      sort_idx 0 rides the primary sort (as 2nd key if has_mm, else as a
+      payload), >0 gets its own (packed, value) sort.
+    Returns (cnt_all, per-column partial dicts) — all g_total-sized.
+    """
+    n = key_arrs[0][0].shape[0]
+
+    # mixed-radix bin id, u32 (g_total <= 2^20 by construction)
+    combined = jnp.zeros((n,), jnp.uint32)
+    for (nullable, base), (v, m), kmin in zip(kplan, key_arrs, kmins):
+        if jnp.issubdtype(v.dtype, jnp.unsignedinteger):
+            digit = (v.astype(jnp.uint64)
+                     - kmin.astype(jnp.uint64)).astype(jnp.uint32)
+        else:
+            digit = (v.astype(jnp.int64)
+                     - kmin.astype(jnp.int64)).astype(jnp.uint32)
+        if nullable:
+            digit = jnp.where(m, digit + jnp.uint32(1), jnp.uint32(0))
+        combined = combined * jnp.uint32(base) + digit
+
+    # encode value columns; group them by sort
+    n_sorts = 1 + sum(1 for p in vplan if p[3] > 0)
+    sort_keys: List[list] = [[] for _ in range(n_sorts)]
+    payloads: List[list] = [[] for _ in range(n_sorts)]
+    col_enc = []
+    for (kind, nullable, has_mm, sort_idx), (v, m), vmin in zip(
+            vplan, val_arrs, vmins):
+        if kind == "cnt":                  # count-only: validity payload
+            pl01 = jnp.ones((n,), jnp.uint8) if m is None \
+                else m.astype(jnp.uint8)
+            payloads[0].append(pl01)
+            col_enc.append(("cnt", None))
+            continue
+        sv, cls = _bin_encode_val(v, m, kind, vmin)
+        cb = 0 if cls is None else 2
+        if has_mm:
+            packed = combined << jnp.uint32(cb)
+            if cls is not None:
+                packed = packed | cls.astype(jnp.uint32)
+            sort_keys[sort_idx] = [packed, sv]
+            col_enc.append(("mm", cb))
+        else:
+            # payload on the primary sort: zero excluded rows now so the
+            # full-bin cumsum diff is the null-skipping sum
+            contrib = sv if m is None else \
+                jnp.where(m, sv, jnp.zeros((), sv.dtype))
+            if kind[0] == "f":
+                isbad = jnp.isnan(v) if m is None else \
+                    (~m | jnp.isnan(v))
+                contrib = jnp.where(isbad, jnp.zeros((), sv.dtype), sv)
+                payloads[0].append(isbad.astype(jnp.uint8))
+            payloads[0].append(contrib)
+            if m is not None:
+                payloads[0].append(m.astype(jnp.uint8))
+            col_enc.append(("pay", 0))
+    if not sort_keys[0]:
+        sort_keys[0] = [combined]
+
+    sorted_res = []
+    for sk, pls in zip(sort_keys, payloads):
+        ops = tuple(sk) + tuple(pls)
+        sorted_res.append(jax.lax.sort(ops, num_keys=min(len(sk), 2),
+                                       is_stable=False))
+
+    bins = jnp.arange(g_total, dtype=jnp.uint32)
+
+    def section(spk, cb, upto_cls):
+        return jnp.searchsorted(
+            spk, (bins << jnp.uint32(cb)) | jnp.uint32(upto_cls),
+            side="left").astype(jnp.int64)
+
+    # bin boundaries from the primary sort (identical across sorts: the
+    # bin id occupies the high bits of every packed key)
+    cb0 = 0
+    for (kind, nullable, has_mm, sort_idx), (tag, cb) in zip(vplan,
+                                                             col_enc):
+        if tag == "mm" and sort_idx == 0:
+            cb0 = cb
+    spk0 = sorted_res[0][0]
+    b0 = section(spk0, cb0, 0)
+    bnext = jnp.concatenate([b0[1:], jnp.full((1,), n, jnp.int64)])
+    cnt_all = bnext - b0
+
+    def cs0_of(x):
+        cs = jnp.cumsum(x)
+        return jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+
+    def sec_diff(x, s, e):
+        cs0 = cs0_of(x)
+        return cs0[e] - cs0[s]
+
+    # -- payload cursor walk (tuple positions mirror the build order) --
+    res = []
+    cursor0 = len(sort_keys[0])
+    p0 = cursor0
+    for (kind, nullable, has_mm, sort_idx), (tag, cb) in zip(vplan,
+                                                             col_enc):
+        if tag == "cnt":
+            v01 = sorted_res[0][p0]
+            p0 += 1
+            vc = sec_diff(v01.astype(jnp.int64), b0, bnext)
+            res.append({"validcnt": vc})
+            continue
+        if tag == "mm":
+            spk, sv = sorted_res[sort_idx][0], sorted_res[sort_idx][1]
+            if cb:
+                s1 = section(spk, cb, _CLS_NAN)
+                s2 = section(spk, cb, _CLS_NULL)
+            else:
+                s1 = s2 = bnext
+            validcnt = s2 - b0
+            out = {"validcnt": validcnt}
+            # sums over the valid section [b0, s2)
+            if kind[0] == "f":
+                contrib = sv.astype(jnp.float64)
+                fin = jnp.isfinite(contrib)
+                fsum = sec_diff(jnp.where(fin, contrib, 0.0), b0, s2)
+                pinf = sec_diff((sv == jnp.inf).astype(jnp.int32),
+                                b0, s2) > 0
+                ninf = sec_diff((sv == -jnp.inf).astype(jnp.int32),
+                                b0, s2) > 0
+                nan_cnt = s2 - s1
+                fsum = jnp.where(pinf, jnp.inf, fsum)
+                fsum = jnp.where(ninf, -jnp.inf, fsum)
+                fsum = jnp.where((nan_cnt > 0) | (pinf & ninf),
+                                 jnp.nan, fsum)
+                out["fsum"] = fsum
+            else:
+                out["esum"] = sec_diff(sv.astype(jnp.uint64), b0, s2)
+            # min at the valid-section start, max at its end (NaNs sort
+            # just below nulls, so any NaN makes the max NaN and an
+            # all-NaN bin makes the min NaN — mm_pick semantics)
+            mn_pos = jnp.clip(b0, 0, max(n - 1, 0))
+            mx_pos = jnp.clip(s2 - 1, 0, max(n - 1, 0))
+            mn_e = sv[mn_pos]
+            mx_e = sv[mx_pos]
+            if kind[0] == "f":
+                mn_e = jnp.where(b0 < s1, mn_e,
+                                 jnp.array(jnp.nan, mn_e.dtype))
+                mx_e = jnp.where(s1 < s2,
+                                 jnp.array(jnp.nan, mx_e.dtype), mx_e)
+            out["mn"] = mn_e
+            out["mx"] = mx_e
+            res.append(out)
+            continue
+        # payload column on the primary sort
+        if kind[0] == "f":
+            isbad = sorted_res[0][p0]
+            contrib = sorted_res[0][p0 + 1]
+            p0 += 2
+            c64 = contrib.astype(jnp.float64)
+            fin = jnp.isfinite(c64)
+            fsum = sec_diff(jnp.where(fin, c64, 0.0), b0, bnext)
+            pinf = sec_diff((contrib == jnp.inf).astype(jnp.int32),
+                            b0, bnext) > 0
+            ninf = sec_diff((contrib == -jnp.inf).astype(jnp.int32),
+                            b0, bnext) > 0
+            has_nan = sec_diff(
+                (isbad == 1).astype(jnp.int32), b0, bnext)
+            # isbad counts nulls too when nullable; recount NaNs exactly
+            out = {}
+            if nullable:
+                v01 = sorted_res[0][p0]
+                p0 += 1
+                vc = sec_diff(v01.astype(jnp.int64), b0, bnext)
+                nan_in = has_nan - (cnt_all - vc)
+            else:
+                vc = cnt_all
+                nan_in = has_nan
+            fsum = jnp.where(pinf, jnp.inf, fsum)
+            fsum = jnp.where(ninf, -jnp.inf, fsum)
+            fsum = jnp.where((nan_in > 0) | (pinf & ninf), jnp.nan,
+                             fsum)
+            out["validcnt"] = vc
+            out["fsum"] = fsum
+            res.append(out)
+        else:
+            contrib = sorted_res[0][p0]
+            p0 += 1
+            esum = sec_diff(contrib.astype(jnp.uint64), b0, bnext)
+            if nullable:
+                v01 = sorted_res[0][p0]
+                p0 += 1
+                vc = sec_diff(v01.astype(jnp.int64), b0, bnext)
+            else:
+                vc = cnt_all
+            res.append({"validcnt": vc, "esum": esum})
+    return cnt_all, tuple(res)
+
+
+@functools.partial(jax.jit, static_argnames=("vplan",))
+def _bin_merge(vplan, acc, part):
+    """Combine two per-bin partial sets (tiny, g_total-sized)."""
+    cnt_a, cols_a = acc
+    cnt_b, cols_b = part
+    out = []
+    for (kind, *_), da, db in zip(vplan, cols_a, cols_b):
+        d = {"validcnt": da["validcnt"] + db["validcnt"]}
+        if "esum" in da:
+            d["esum"] = da["esum"] + db["esum"]
+        if "fsum" in da:
+            d["fsum"] = da["fsum"] + db["fsum"]
+        if "mn" in da:
+            va = da["validcnt"] > 0
+            vb = db["validcnt"] > 0
+            mna, mxa, mnb, mxb = da["mn"], da["mx"], db["mn"], db["mx"]
+            if kind[0] == "f":
+                # min skips NaN unless every valid value is NaN; max is
+                # NaN as soon as any side saw a NaN (mm_pick semantics)
+                nana, nanb = jnp.isnan(mna), jnp.isnan(mnb)
+                mn_both = jnp.where(
+                    nana, mnb, jnp.where(nanb, mna,
+                                         jnp.minimum(mna, mnb)))
+                mx_both = jnp.where(jnp.isnan(mxa) | jnp.isnan(mxb),
+                                    jnp.array(jnp.nan, mxa.dtype),
+                                    jnp.maximum(mxa, mxb))
+            else:
+                mn_both = jnp.minimum(mna, mnb)
+                mx_both = jnp.maximum(mxa, mxb)
+            d["mn"] = jnp.where(~va, mnb, jnp.where(~vb, mna, mn_both))
+            d["mx"] = jnp.where(~va, mxb, jnp.where(~vb, mxa, mx_both))
+        out.append(d)
+    return cnt_a + cnt_b, tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("kplan", "aplan", "g_total",
+                                             "n_occ"))
+def _bin_finalize(kplan, aplan, g_total, n_occ, cnt_all, cols, kmins,
+                  vmins):
+    """Decode occupied bins into key values and aggregate outputs.
+
+    aplan: per AggSpec (op, col_idx, kind, out_jax_name) — static.
+    """
+    occupied = cnt_all > 0
+    sel = jnp.nonzero(occupied, size=n_occ, fill_value=0)[0] \
+        .astype(jnp.int64)
+    key_out = []
+    stride = g_total
+    for (nullable, base), kmin in zip(kplan, kmins):
+        stride //= base
+        digit = (sel // stride) % base
+        if nullable:
+            isnull = digit == 0
+            digit = jnp.where(isnull, jnp.int64(1), digit) - 1
+            mask = ~isnull
+        else:
+            mask = None
+        if jnp.issubdtype(kmin.dtype, jnp.unsignedinteger):
+            vals = digit.astype(jnp.uint64) + kmin.astype(jnp.uint64)
+        else:
+            vals = digit + kmin.astype(jnp.int64)
+        key_out.append((vals, mask))
+
+    agg_out = []
+    for op, ci, kind, out_name in aplan:
+        if op == "count_all":
+            agg_out.append((cnt_all[sel], None))
+            continue
+        d = cols[ci]
+        if op == "count":
+            agg_out.append((d["validcnt"][sel], None))
+            continue
+        vc = d["validcnt"][sel]
+        gvalid = vc > 0
+        vmin = vmins[ci]
+        out_jax = np.dtype(out_name)
+        if op in ("sum", "mean"):
+            if "fsum" in d:
+                total = d["fsum"][sel]
+                s_out = total.astype(out_jax) if op == "sum" else None
+            else:
+                esum = d["esum"][sel]
+                if kind == "o64":
+                    total = esum - vc.astype(jnp.uint64) \
+                        * jnp.uint64(1 << 63)
+                elif kind == "o64u":
+                    total = esum
+                else:
+                    if jnp.issubdtype(vmin.dtype, jnp.unsignedinteger):
+                        off = vmin.astype(jnp.uint64)
+                    else:
+                        off = jax.lax.bitcast_convert_type(
+                            vmin.astype(jnp.int64), jnp.uint64)
+                    total = esum + vc.astype(jnp.uint64) * off
+                if op == "sum":
+                    if jnp.issubdtype(out_jax, jnp.unsignedinteger):
+                        s_out = total.astype(out_jax)
+                    else:
+                        s_out = jax.lax.bitcast_convert_type(
+                            total, jnp.int64).astype(out_jax)
+                else:
+                    total = jax.lax.bitcast_convert_type(
+                        total, jnp.int64)
+            if op == "mean":
+                s_out = (total.astype(jnp.float64)
+                         / jnp.maximum(vc, 1).astype(jnp.float64))
+            agg_out.append((s_out, gvalid))
+        else:
+            enc = (d["mn"] if op == "min" else d["mx"])[sel]
+            vals = _bin_decode_val(enc, kind, vmin, out_jax)
+            agg_out.append((vals, gvalid))
+    return key_out, agg_out
+
+
+def _int_range_fast_path(table: Table, key_cols, keys, aggs
+                         ) -> Optional[Table]:
+    from ..core.column import NullColumn
+    n = table.num_rows
+    for c in key_cols:
+        if not isinstance(c, PrimitiveColumn) or isinstance(c, NullColumn):
+            return None
+        if not c.dtype.is_integer:
+            return None
+    # value columns: primitive int/float for value aggs; anything for count
+    val_cols: List = []
+    col_idx = {}
+    needs = {}
+    for a in aggs:
+        if a.op == "count_all":
+            continue
+        src = table.column(a.column)
+        if a.column not in col_idx:
+            col_idx[a.column] = len(val_cols)
+            val_cols.append(src)
+            needs[a.column] = set()
+        needs[a.column].add(a.op)
+        if a.op == "count":
+            continue
+        if isinstance(src, NullColumn):
+            return None       # all-null value aggs: rare; general path
+        if not isinstance(src, PrimitiveColumn):
+            return None
+        if not (src.dtype.is_integer or src.dtype.is_floating):
+            return None
+
+    # one fused range scan: key columns + integer value columns
+    scan_items = [(c.values, c.validity) for c in key_cols]
+    int_val_pos = []
+    for ci, c in enumerate(val_cols):
+        ops_c = needs[[k for k, v in col_idx.items() if v == ci][0]]
+        if ops_c - {"count"} and isinstance(c, PrimitiveColumn) \
+                and c.dtype.is_integer:
+            int_val_pos.append(ci)
+            scan_items.append((c.values, c.validity))
+    scan = np.asarray(_bin_range_scan(tuple(scan_items)))  # one fetch
+    sc = []
+    for (v, _), row in zip(scan_items, scan):
+        mn, mx = int(row[0]), int(row[1])
+        if jnp.issubdtype(v.dtype, jnp.unsignedinteger):
+            mn &= (1 << 64) - 1
+            mx &= (1 << 64) - 1
+        sc.append((mn, mx, bool(row[2])))
+
+    # key plan
+    kplan = []
+    g_total = 1
+    cap = min(_BIN_CAP, max(1024, 4 * n))
+    for i, c in enumerate(key_cols):
+        kmin, kmax, nullable = sc[i]
+        if kmin > kmax:      # no valid keys at all
+            kmin, kmax = 0, 0
+        size = kmax - kmin + 1
+        base = size + (1 if nullable else 0)
+        g_total *= base
+        if g_total > cap:
+            return None
+        kplan.append((nullable, base, kmin))
+    if g_total <= 0:
+        return None
+
+    # value plan
+    vplan = []
+    vmins_host = []
+    aplan = []
+    sort_count = 1
+    int_scan = dict(zip(int_val_pos, sc[len(key_cols):]))
+    first_mm_taken = False
+    for ci, c in enumerate(val_cols):
+        cname = [k for k, v in col_idx.items() if v == ci][0]
+        ops_c = needs[cname]
+        if not (ops_c - {"count"}):
+            vplan.append(("cnt", c.validity is not None, False, 0))
+            vmins_host.append(0)
+            continue
+        if isinstance(c, PrimitiveColumn) and c.dtype.is_integer:
+            vmin, vmax, _ = int_scan[ci]
+            if vmin > vmax:
+                vmin = vmax = 0
+            kind = _bin_val_kind(c, vmin, vmax)
+        else:
+            vmin = 0
+            kind = "f" + c.dtype.name[5:]
+        has_mm = bool(ops_c & {"min", "max"})
+        if has_mm:
+            if not first_mm_taken:
+                sort_idx = 0
+                first_mm_taken = True
+            else:
+                sort_idx = sort_count
+                sort_count += 1
+        else:
+            sort_idx = 0
+        nullable = c.validity is not None
+        vplan.append((kind, nullable, has_mm, sort_idx))
+        vmins_host.append(vmin)
+    # re-number extra sorts densely after the primary
+    # (sort_idx values are already dense by construction)
+
+    for a in aggs:
+        if a.op == "count_all":
+            aplan.append(("count_all", -1, "", ""))
+            continue
+        ci = col_idx[a.column]
+        src = table.column(a.column)
+        out_dt = _agg_dtype(src.dtype, a.op)
+        aplan.append((a.op, ci, vplan[ci][0],
+                      np.dtype(out_dt.to_jax()).name))
+
+    kplan_s = tuple((nu, b) for nu, b, _ in kplan)
+    kmins = tuple(jnp.asarray(km, key_cols[i].values.dtype)
+                  for i, (_, _, km) in enumerate(kplan))
+    vplan_s = tuple(vplan)
+    vmins = tuple(jnp.asarray(vm,
+                              val_cols[i].values.dtype
+                              if isinstance(val_cols[i], PrimitiveColumn)
+                              and not isinstance(val_cols[i], NullColumn)
+                              and val_cols[i].dtype.is_integer
+                              else jnp.int64)
+                  for i, vm in enumerate(vmins_host))
+
+    def col_slices(s, e):
+        karrs = tuple((c.values[s:e],
+                       None if c.validity is None else c.validity[s:e])
+                      for c in key_cols)
+        varrs = []
+        for (kind, *_), c in zip(vplan_s, val_cols):
+            if kind == "cnt":
+                m = c.validity
+                varrs.append((jnp.zeros((e - s,), jnp.int8)
+                              if not isinstance(c, PrimitiveColumn)
+                              or isinstance(c, NullColumn)
+                              else c.values[s:e],
+                              None if m is None else m[s:e]))
+            else:
+                varrs.append((c.values[s:e],
+                              None if c.validity is None
+                              else c.validity[s:e]))
+        return karrs, tuple(varrs)
+
+    import math
+    nchunks = max(1, math.ceil(n / _BIN_CHUNK))
+    q = math.ceil(n / nchunks) if n else 1
+    acc = None
+    for i in range(nchunks):
+        s, e = i * q, min(n, (i + 1) * q)
+        karrs, varrs = col_slices(s, e)
+        sig = (kplan_s, vplan_s, g_total, e - s)
+        try:
+            if sig in _FUSED_CRASHED:
+                raise jax.errors.JaxRuntimeError("remote_compile (cached)")
+            part = _bin_chunk_stage(kplan_s, vplan_s, g_total, karrs,
+                                    kmins, varrs, vmins)
+        except jax.errors.JaxRuntimeError as exc:
+            if "remote_compile" not in str(exc):
+                raise
+            # the tunnel's AOT compiler SIGSEGVs on some large fused
+            # programs (same backend bug as the general path's
+            # _FUSED_CRASHED set): rerun one value column per stage —
+            # each solo column rides the primary sort — and stitch the
+            # per-bin partial dicts back into vplan order.
+            _FUSED_CRASHED.add(sig)
+            cnt_all_p = None
+            cols_p = []
+            for ci, vp in enumerate(vplan_s):
+                solo = ((vp[0], vp[1], vp[2], 0),)
+                c1, r1 = _bin_chunk_stage(kplan_s, solo, g_total, karrs,
+                                          kmins, (varrs[ci],),
+                                          (vmins[ci],))
+                if cnt_all_p is None:
+                    cnt_all_p = c1
+                cols_p.append(r1[0])
+            if cnt_all_p is None:     # count_all-only plans: keys alone
+                cnt_all_p, _ = _bin_chunk_stage(kplan_s, (), g_total,
+                                                karrs, kmins, (), ())
+            part = (cnt_all_p, tuple(cols_p))
+        acc = part if acc is None else _bin_merge(vplan_s, acc, part)
+    cnt_all, cols = acc
+
+    n_occ = int(np.asarray(jnp.sum(cnt_all > 0)))
+    aplan_s = tuple(aplan)
+    key_out, agg_out = _bin_finalize(kplan_s, aplan_s, g_total, n_occ,
+                                     cnt_all, cols, kmins, vmins)
+
+    out_cols: List[Column] = []
+    fields = []
+    for (vals, mask), c, kname in zip(key_out, key_cols, keys):
+        out_cols.append(PrimitiveColumn(vals.astype(c.values.dtype),
+                                        c.dtype, mask, _canonical=True))
+        fields.append(table.schema.field(kname))
+    for a, (vals, gvalid) in zip(aggs, agg_out):
+        src = table.column(a.column)
+        out_dt = _agg_dtype(src.dtype, a.op)
+        nullable = a.op not in ("count", "count_all")
+        mask = None
+        if nullable and gvalid is not None and not bool(jnp.all(gvalid)):
+            mask = gvalid
+        out_cols.append(PrimitiveColumn(vals, out_dt, mask,
+                                        _canonical=True))
+        fields.append(dt.Field(a.out_name, out_dt, nullable=nullable))
+    return Table(tuple(out_cols), dt.Schema(tuple(fields)))
+
+
+@jax.jit
+def _bin_range_scan(items):
+    """Masked (min, max, has_null) per (values, validity) column as ONE
+    (ncols, 3) i64 tensor — a single host fetch instead of one tunnel
+    round-trip per scalar (u64 extremes ride bitcast)."""
+    rows = []
+    for v, m in items:
+        info = jnp.iinfo(v.dtype)
+        lo_id = jnp.array(info.max, v.dtype)
+        hi_id = jnp.array(info.min, v.dtype)
+        vv = v if m is None else jnp.where(m, v, lo_id)
+        ww = v if m is None else jnp.where(m, v, hi_id)
+        mn, mx = jnp.min(vv), jnp.max(ww)
+        if jnp.issubdtype(v.dtype, jnp.unsignedinteger):
+            mn64 = jax.lax.bitcast_convert_type(
+                mn.astype(jnp.uint64), jnp.int64)
+            mx64 = jax.lax.bitcast_convert_type(
+                mx.astype(jnp.uint64), jnp.int64)
+        else:
+            mn64, mx64 = mn.astype(jnp.int64), mx.astype(jnp.int64)
+        nul = jnp.zeros((), jnp.int64) if m is None \
+            else jnp.any(~m).astype(jnp.int64)
+        rows.append(jnp.stack([mn64, mx64, nul]))
+    return jnp.stack(rows)
 
 
 def _empty_agg(table: Table, a: AggSpec):

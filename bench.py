@@ -394,7 +394,12 @@ def pallas_smoke():
             from arrow_tpu.core.column import PrimitiveColumn
             from arrow_tpu.core.table import Table
             from arrow_tpu import dtypes as dtp
+            from arrow_tpu.ops import groupby as gbmod
             from arrow_tpu.ops.groupby import group_by, AggSpec
+            # the perfect-binning path would swallow these small-range
+            # int keys; the smoke must reach the Mosaic kernels
+            gbmod_orig = gbmod._int_range_fast_path
+            gbmod._int_range_fast_path = lambda *a: None
             n = 200_000
             k_np = rng.integers(0, 512, n)
             v_np = rng.integers(-1000, 1000, n)
@@ -413,6 +418,10 @@ def pallas_smoke():
             out[name] = f"ERROR {type(e).__name__}"
         finally:
             os.environ["ARROW_TPU_USE_PALLAS"] = "0"
+            try:
+                gbmod._int_range_fast_path = gbmod_orig
+            except NameError:
+                pass
     return out
 
 

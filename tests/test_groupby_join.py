@@ -245,3 +245,161 @@ def test_join_random_m_to_n(seed):
     assert got == exp
     # probe-ordered output
     assert (np.diff(np.asarray(li)) >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# perfect-binning fast path (small-range integer keys)
+
+from arrow_tpu.ops import groupby as _gb
+
+
+def _bin_vs_general(t, keys, aggs, monkeypatch):
+    """Assert the bin path triggers, then compare it to the general path."""
+    got = _gb._int_range_fast_path(t, [t.column(k) for k in keys], keys,
+                                   aggs)
+    assert got is not None, "bin path did not trigger"
+    with monkeypatch.context() as m:
+        m.setattr(_gb, "_int_range_fast_path", lambda *a: None)
+        exp = _gb.group_by(t, keys, aggs)
+    assert got.to_pydict() == exp.to_pydict() or _cmp_float(got, exp)
+    return got
+
+
+def _cmp_float(a, b):
+    da, db = a.to_pydict(), b.to_pydict()
+    assert set(da) == set(db)
+    for k in da:
+        for x, y in zip(da[k], db[k]):
+            if isinstance(x, float) and isinstance(y, float):
+                if np.isnan(x) and np.isnan(y):
+                    continue
+                assert x == y or abs(x - y) <= 1e-9 * max(1.0, abs(x)), \
+                    (k, x, y)
+            else:
+                assert x == y, (k, x, y)
+    return True
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bin_path_randomized(seed, monkeypatch):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 3000))
+    k1 = rng.integers(-20, 20, n)
+    k2 = rng.integers(0, 7, n).astype(np.int16)
+    v = rng.integers(-1000, 1000, n)
+    f = rng.standard_normal(n)
+    f[rng.random(n) < 0.05] = np.nan
+    f[rng.random(n) < 0.03] = np.inf
+    f[rng.random(n) < 0.03] = -np.inf
+    m1 = rng.random(n) < 0.9
+    mv = rng.random(n) < 0.85
+    mf = rng.random(n) < 0.9
+    t = at.Table.from_pyarrow(pa.table({
+        "k1": pa.array(k1, mask=~m1),
+        "k2": pa.array(k2),
+        "v": pa.array(v, mask=~mv),
+        "f": pa.array(f, mask=~mf),
+        "s": pa.array([f"x{i % 11}" if i % 13 else None
+                       for i in range(n)]),
+    }))
+    aggs = [_gb.AggSpec("v", "sum"), _gb.AggSpec("v", "min"),
+            _gb.AggSpec("v", "max"), _gb.AggSpec("v", "mean"),
+            _gb.AggSpec("f", "sum"), _gb.AggSpec("f", "min"),
+            _gb.AggSpec("f", "max"), _gb.AggSpec("f", "count"),
+            _gb.AggSpec("s", "count"), _gb.AggSpec("k1", "count_all")]
+    _bin_vs_general(t, ["k1", "k2"], aggs, monkeypatch)
+
+
+def test_bin_path_extreme_ranges(monkeypatch):
+    # u64 value column beyond i64, i64 value range wider than u32
+    k = np.array([0, 1, 2, 0, 1, 2, 5], np.int64)
+    vu = np.array([2**63 + 5, 3, 2**64 - 1, 7, 2**63, 11, 0],
+                  dtype=np.uint64)
+    vw = np.array([-2**62, 2**62, 0, 17, -33, 2**40, -2**40], np.int64)
+    t = at.Table.from_pyarrow(pa.table({
+        "k": pa.array(k), "vu": pa.array(vu), "vw": pa.array(vw)}))
+    aggs = [_gb.AggSpec("vu", "min"), _gb.AggSpec("vu", "max"),
+            _gb.AggSpec("vu", "sum"), _gb.AggSpec("vw", "min"),
+            _gb.AggSpec("vw", "max"), _gb.AggSpec("vw", "sum")]
+    got = _bin_vs_general(t, ["k"], aggs, monkeypatch)
+    d = got.to_pydict()
+    assert d["vu_max"][2] == 2**64 - 1
+    assert d["vw_sum"][0] == -2**62 + 17
+
+
+def test_bin_path_chunked(monkeypatch):
+    monkeypatch.setattr(_gb, "_BIN_CHUNK", 257)
+    rng = np.random.default_rng(11)
+    n = 2000
+    k = rng.integers(0, 40, n)
+    v = rng.integers(-50, 50, n)
+    f = rng.standard_normal(n)
+    f[::101] = np.nan
+    mv = rng.random(n) < 0.8
+    t = at.Table.from_pyarrow(pa.table({
+        "k": pa.array(k), "v": pa.array(v, mask=~mv), "f": pa.array(f)}))
+    aggs = [_gb.AggSpec("v", "sum"), _gb.AggSpec("v", "min"),
+            _gb.AggSpec("v", "max"), _gb.AggSpec("v", "count"),
+            _gb.AggSpec("f", "min"), _gb.AggSpec("f", "max"),
+            _gb.AggSpec("f", "sum")]
+    _bin_vs_general(t, ["k"], aggs, monkeypatch)
+
+
+def test_bin_path_declines_wide_range():
+    t = at.Table.from_pydict({
+        "k": np.array([0, 2**40, 7], np.int64),
+        "v": np.arange(3, dtype=np.int64)})
+    r = _gb._int_range_fast_path(t, [t.column("k")], ["k"],
+                                 [_gb.AggSpec("v", "sum")])
+    assert r is None
+    # and group_by still answers through the general path
+    out = _gb.group_by(t, ["k"], [_gb.AggSpec("v", "sum")])
+    assert out.to_pydict()["v_sum"] == [0, 2, 1]
+
+
+def test_bin_path_fused_crash_fallback(monkeypatch):
+    # the remote AOT compiler SIGSEGVs on some large fused bin stages
+    # (measured: 6 aggs over 5M x 50k bins); the path must rerun one
+    # value column per stage and still answer exactly
+    import jax
+    real = _gb._bin_chunk_stage
+
+    def crashing(kplan, vplan, g_total, *a):
+        if len(vplan) > 1:
+            raise jax.errors.JaxRuntimeError(
+                "remote_compile: HTTP 500 (simulated)")
+        return real(kplan, vplan, g_total, *a)
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    k = rng.integers(0, 30, n)
+    v = rng.integers(-100, 100, n)
+    f = rng.standard_normal(n)
+    f[::37] = np.nan
+    mv = rng.random(n) < 0.85
+    t = at.Table.from_pyarrow(pa.table({
+        "k": pa.array(k), "v": pa.array(v, mask=~mv), "f": pa.array(f)}))
+    aggs = [_gb.AggSpec("v", "sum"), _gb.AggSpec("v", "min"),
+            _gb.AggSpec("v", "max"), _gb.AggSpec("f", "sum"),
+            _gb.AggSpec("f", "min"), _gb.AggSpec("f", "max"),
+            _gb.AggSpec("k", "count_all")]
+    with monkeypatch.context() as m:
+        m.setattr(_gb, "_bin_chunk_stage", crashing)
+        m.setattr(_gb, "_FUSED_CRASHED", set())
+        got = _gb._int_range_fast_path(
+            t, [t.column("k")], ["k"], aggs)
+    assert got is not None
+    with monkeypatch.context() as m:
+        m.setattr(_gb, "_int_range_fast_path", lambda *a: None)
+        exp = _gb.group_by(t, ["k"], aggs)
+    _cmp_float(got, exp)
+
+
+def test_bin_path_all_null_keys(monkeypatch):
+    t = at.Table.from_pyarrow(pa.table({
+        "k": pa.array([None, None, None], type=pa.int32()),
+        "v": pa.array([1, 2, 3], type=pa.int64())}))
+    got = _bin_vs_general(
+        t, ["k"], [_gb.AggSpec("v", "sum"), _gb.AggSpec("v", "mean")],
+        monkeypatch)
+    assert got.to_pydict()["v_sum"] == [6]
