@@ -9,11 +9,12 @@ dictionary control, statistics.
 
 Both paths are native by default: READ via io/parquet_native.py
 (thrift footer, C++ page decode, level assembly) and WRITE via
-io/parquet_writer.py (thrift metadata, PLAIN/RLE-dict pages, snappy,
-statistics, bloom filters).  The pyarrow writer remains only as an
-automatic fallback for types the native writer does not cover yet
-(views, unions, REE, maps, deep list nesting, page index) — each
-fallback is an explicit code path, not a hidden delegate.
+io/parquet_writer.py (thrift metadata, PLAIN/RLE-dict pages, v1/v2
+data pages, page index, checksums, statistics, bloom filters, modular
+encryption, arbitrary nesting).  The pyarrow writer remains only as an
+automatic fallback for the few layouts the native writer does not
+cover yet (views, unions, REE) — an explicit code path, not a hidden
+delegate.
 """
 
 from __future__ import annotations
@@ -47,6 +48,7 @@ class WriterProperties:
     write_page_checksum: bool = False
     sorting_columns: Optional[tuple] = None   # ((name, descending), ...)
     bloom_filter_columns: tuple = ()          # native writer sbbf
+    encryption: object = None   # parquet_crypto.FileEncryptionProperties
 
 
 @dataclass
@@ -61,6 +63,13 @@ class ParquetReaderBuilder:
     limit: Optional[int] = None
     offset: int = 0
     bloom_probe: Optional[tuple] = None   # (column, value)
+    decryption: object = None  # parquet_crypto.FileDecryptionProperties
+
+    def with_decryption(self, props):
+        """FileDecryptionProperties for encrypted files
+        (encryption/decrypt.rs role)."""
+        self.decryption = props
+        return self
 
     def with_projection(self, columns: Sequence[str]):
         self.columns = list(columns)
@@ -97,7 +106,7 @@ class ParquetReaderBuilder:
 
     def build(self) -> Iterator[Table]:
         from .parquet_native import ParquetFile
-        f = ParquetFile(self.path)
+        f = ParquetFile(self.path, decryption=self.decryption)
         remaining = self.limit
         to_skip = self.offset
         groups = self.row_groups if self.row_groups is not None \
@@ -133,10 +142,12 @@ class ParquetReaderBuilder:
                     break
 
 
-def read_parquet(path, columns: Optional[Sequence[str]] = None) -> Table:
+def read_parquet(path, columns: Optional[Sequence[str]] = None,
+                 decryption=None) -> Table:
     """Whole-file native read (no pyarrow in this path)."""
     from .parquet_native import read_parquet_native
-    return read_parquet_native(path, columns=columns)
+    return read_parquet_native(path, columns=columns,
+                               decryption=decryption)
 
 
 class ParquetWriter:
@@ -194,6 +205,10 @@ def write_parquet(path, table: Table,
     the native writer does not cover (page index, sorting columns)."""
     props = properties
     needs_pa = not _native_writable(table.schema)
+    if needs_pa and props.encryption is not None:
+        raise ArrowInvalid(
+            "encryption requires the native writer; schema has types "
+            "it does not support yet")
     if not needs_pa:
         from .parquet_writer import write_parquet_native
         write_parquet_native(
@@ -205,7 +220,8 @@ def write_parquet(path, table: Table,
             data_page_version=props.data_page_version,
             write_page_index=props.write_page_index,
             write_page_checksum=props.write_page_checksum,
-            sorting_columns=props.sorting_columns)
+            sorting_columns=props.sorting_columns,
+            encryption=props.encryption)
         return
     w = ParquetWriter(path, table, properties)
     w.write(table)

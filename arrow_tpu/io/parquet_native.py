@@ -20,8 +20,10 @@ being materialized.
 Supported: all physical types, PLAIN / RLE_DICTIONARY / PLAIN_DICTIONARY
 / DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
 BYTE_STREAM_SPLIT encodings, v1+v2 data pages, snappy/gzip/zstd/lz4_raw
-/uncompressed codecs, arbitrary struct nesting, one repeated level
-(list<T>, list<struct>, map).  Not yet: deep nested lists, encryption.
+/uncompressed codecs, arbitrary nesting at any repetition depth
+(list/struct/map, list<list<...>>), page index, bloom filters, and
+AES_GCM_V1 modular encryption (encrypted footer, footer-key and
+column-key modes; io/parquet_crypto.py).
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ from .thrift import CompactReader
 __all__ = ["ParquetFile", "read_parquet_native"]
 
 _MAGIC = b"PAR1"
+_MAGIC_ENCR = b"PARE"
 
 # physical types (format.rs Type)
 PT_BOOLEAN, PT_INT32, PT_INT64, PT_INT96, PT_FLOAT, PT_DOUBLE, \
@@ -369,11 +372,19 @@ def _empty_values(node: SchemaNode):
     return np.zeros(0, np.int64)
 
 
-def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode
-                       ) -> _LeafData:
+def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
+                       crypto=None) -> _LeafData:
     """Decode every page of one column chunk (serialized_reader.rs:95 +
     column/reader.rs roles).  Fetches the chunk's byte range in ONE
-    read (the async_reader per-chunk fetch granularity)."""
+    read (the async_reader per-chunk fetch granularity).
+
+    crypto: (key, file_aad, rg_idx, col_idx) for encrypted chunks —
+    page headers and bodies are separate GCM modules
+    (serialized_reader.rs:750-795)."""
+    if 3 not in chunk_meta and -1 in chunk_meta:
+        raise ArrowInvalid(
+            f"cannot decrypt column {'.'.join(node.name.split())}: "
+            f"{chunk_meta[-1]}")
     md = chunk_meta[3]                    # ColumnMetaData
     codec = md.get(4, 0)
     num_values = md.get(5, 0)
@@ -395,14 +406,37 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode
     slots_read = 0
     nonnull_read = 0
 
+    page_ord = 0
     while slots_read < num_values and pos < end:
-        r = CompactReader(data, pos)
-        header = r.read_struct()
+        if crypto is not None:
+            from .parquet_crypto import (decrypt_module, module_aad,
+                                         M_DATAPAGE, M_DICTPAGE,
+                                         M_DATAPAGE_HDR,
+                                         M_DICTPAGE_HDR)
+            key, faad, rgi, coli = crypto
+            is_dict = dict_off is not None and (start + pos) == dict_off
+            porq = None if is_dict else page_ord
+            hb, pos = decrypt_module(
+                key, data,
+                module_aad(faad, M_DICTPAGE_HDR if is_dict
+                           else M_DATAPAGE_HDR, rgi, coli, porq), pos)
+            header = CompactReader(hb).read_struct()
+            clen = header.get(3)
+            body, _ = decrypt_module(
+                key, data[pos:pos + clen],
+                module_aad(faad, M_DICTPAGE if is_dict else M_DATAPAGE,
+                           rgi, coli, porq))
+            pos += clen
+            if not is_dict:
+                page_ord += 1
+        else:
+            r = CompactReader(data, pos)
+            header = r.read_struct()
+            clen = header.get(3)
+            body = data[r.pos: r.pos + clen]
+            pos = r.pos + clen
         page_type = header.get(1)
         ulen = header.get(2)
-        clen = header.get(3)
-        body = data[r.pos: r.pos + clen]
-        pos = r.pos + clen
 
         if page_type == PAGE_DICT:
             dph = header.get(7, {})
@@ -800,20 +834,88 @@ class ParquetFile:
     LAZILY: only the footer and the projected column chunks are fetched
     (the async_reader/object-store access pattern)."""
 
-    def __init__(self, source):
+    def __init__(self, source, decryption=None):
         self._src = _Source(source)
+        self._decryption = decryption
+        self._file_aad = b""
+        self._footer_key = None
         size = self._src.size
         tail = self._src.range(max(size - 8, 0), 8)
-        if tail[-4:] != _MAGIC:
-            raise ArrowInvalid("not a parquet file (bad magic)")
         (flen,) = struct.unpack_from("<i", tail, 0)
-        footer = self._src.range(size - 8 - flen, flen)
+        if tail[-4:] == _MAGIC_ENCR:
+            # encrypted footer (metadata/reader.rs:902): the slice is
+            # [FileCryptoMetaData thrift][GCM module over FileMetaData]
+            if decryption is None:
+                raise ArrowInvalid(
+                    "parquet file has an encrypted footer; pass "
+                    "decryption=FileDecryptionProperties(...)")
+            from .parquet_crypto import (decrypt_module, module_aad,
+                                         M_FOOTER)
+            blob = self._src.range(size - 8 - flen, flen)
+            r = CompactReader(blob)
+            fcm = r.read_struct()
+            algo = fcm.get(1, {})
+            gcm = algo.get(1)
+            if gcm is None:
+                raise ArrowNotImplementedError(
+                    "AES_GCM_CTR_V1 encrypted files")
+            stored_prefix = gcm.get(1, b"") or b""
+            aad_unique = gcm.get(2, b"") or b""
+            prefix = stored_prefix or decryption.aad_prefix
+            self._file_aad = prefix + aad_unique
+            self._footer_key = decryption.resolve_footer(
+                fcm.get(2, b"") or b"")
+            footer, _ = decrypt_module(
+                self._footer_key, blob,
+                module_aad(self._file_aad, M_FOOTER), r.pos)
+        elif tail[-4:] == _MAGIC:
+            footer = self._src.range(size - 8 - flen, flen)
+        else:
+            raise ArrowInvalid("not a parquet file (bad magic)")
         self.metadata = CompactReader(footer).read_struct()
         self.root = _parse_schema(self.metadata[2])
         self.num_rows = self.metadata.get(3, 0)
         self.row_groups = self.metadata.get(4, [])
         self.created_by = (self.metadata.get(6) or b"").decode(
             "utf-8", "replace")
+        if self._footer_key is not None or decryption is not None:
+            self._decrypt_column_metadata()
+
+    def _chunk_crypto(self, chunk, col_ord: int):
+        """(key, rg_unused, col_path) for an encrypted chunk, else
+        None.  crypto_metadata union: 1 = footer key, 2 = column key."""
+        cm = chunk.get(8)
+        if cm is None:
+            return None
+        if 1 in cm:
+            return self._footer_key
+        ck = cm[2]
+        path = b".".join(ck.get(1, [])).decode()
+        return self._decryption.resolve_column(path, ck.get(2, b"")
+                                               or b"")
+
+    def _decrypt_column_metadata(self):
+        """Materialize ColumnChunk.meta_data from
+        encrypted_column_metadata (field 9) for column-key chunks
+        (metadata/mod.rs from_encrypted_thrift role)."""
+        from .parquet_crypto import decrypt_module, module_aad, M_COLMD
+        for rg_idx, rg in enumerate(self.row_groups):
+            for col_idx, chunk in enumerate(rg.get(1, [])):
+                blob = chunk.get(9)
+                if blob is None or 3 in chunk:
+                    continue
+                try:
+                    key = self._chunk_crypto(chunk, col_idx)
+                    md, _ = decrypt_module(
+                        key, blob,
+                        module_aad(self._file_aad, M_COLMD, rg_idx,
+                                   col_idx))
+                    chunk[3] = CompactReader(md).read_struct()
+                except Exception as e:       # noqa: BLE001
+                    # no key (or the wrong key) for this column: leave
+                    # its metadata encrypted — reading OTHER columns
+                    # still works; touching THIS one raises below
+                    chunk[-1] = f"{type(e).__name__}: {e}"
 
     @property
     def schema(self) -> dt.Schema:
@@ -860,8 +962,12 @@ class ParquetFile:
         for li, (leaf, chunk) in enumerate(zip(leaves, chunks)):
             if id(root_of[leaf.leaf_index]) not in wanted_roots:
                 continue
+            crypto = None
+            if chunk.get(8) is not None:
+                crypto = (self._chunk_crypto(chunk, li),
+                          self._file_aad, rg_index, li)
             leaf_map[leaf.leaf_index] = _read_column_chunk(
-                self._src, chunk, leaf)
+                self._src, chunk, leaf, crypto)
         cols = tuple(_build_column(f, leaf_map, n_rows,
                                    set(as_dictionary))
                      for f in fields)
@@ -881,7 +987,8 @@ class ParquetFile:
         ln = md_chunk.get(7)
         if off is None or ln is None:
             return None
-        ci = CompactReader(self._src.range(off, ln)).read_struct()
+        blob = self._index_blob(md_chunk, rg_index, column, off, ln, 6)
+        ci = CompactReader(blob).read_struct()
         return {
             "null_pages": [bool(b) for b in ci.get(1, [])],
             "min_values": ci.get(2, []),
@@ -900,7 +1007,8 @@ class ParquetFile:
         ln = md_chunk.get(5)
         if off is None or ln is None:
             return None
-        oi = CompactReader(self._src.range(off, ln)).read_struct()
+        blob = self._index_blob(md_chunk, rg_index, column, off, ln, 4)
+        oi = CompactReader(blob).read_struct()
         return [(p.get(1, 0), p.get(2, 0), p.get(3, 0))
                 for p in oi.get(1, [])]
 
@@ -910,6 +1018,22 @@ class ParquetFile:
         if column not in names:
             return None
         return self.row_groups[rg_index].get(1, [])[names.index(column)]
+
+    def _index_blob(self, md_chunk, rg_index, column, off, ln, which):
+        """Fetch (and decrypt, for encrypted chunks) a page-index
+        module; which=6 -> ColumnIndex, 4 -> OffsetIndex."""
+        blob = self._src.range(off, ln)
+        if md_chunk.get(8) is None:
+            return blob
+        from .parquet_crypto import (decrypt_module, module_aad,
+                                     M_COLIDX, M_OFFIDX)
+        names = [l.name for l in self._leaves()]
+        coli = names.index(column)
+        key = self._chunk_crypto(md_chunk, coli)
+        mt = M_COLIDX if which == 6 else M_OFFIDX
+        out, _ = decrypt_module(
+            key, blob, module_aad(self._file_aad, mt, rg_index, coli))
+        return out
 
     def bloom_filter_check(self, rg_index: int, column: str,
                            values) -> Optional[np.ndarray]:
@@ -1008,5 +1132,7 @@ def _leaves_under(n: SchemaNode) -> List[SchemaNode]:
     return out
 
 
-def read_parquet_native(source, columns=None, as_dictionary=()) -> Table:
-    return ParquetFile(source).read(columns, as_dictionary)
+def read_parquet_native(source, columns=None, as_dictionary=(),
+                        decryption=None) -> Table:
+    return ParquetFile(source, decryption=decryption).read(
+        columns, as_dictionary)

@@ -41,12 +41,13 @@ from ..core.nested import (DecimalColumn, FixedSizeBinaryColumn,
 from ..core.table import Table
 from ..errors import ArrowInvalid, ArrowNotImplementedError
 from ..utils import native as nt
-from .thrift import (CompactWriter, T_BINARY, T_I32, T_I64, T_LIST,
-                     T_STRUCT, T_TRUE, T_I8)
+from .thrift import (CompactWriter, T_BINARY, T_I16, T_I32, T_I64,
+                     T_LIST, T_STRUCT, T_TRUE, T_I8)
 
 __all__ = ["NativeParquetWriter", "write_parquet_native"]
 
 _MAGIC = b"PAR1"
+_MAGIC_ENCR = b"PARE"
 
 PT_BOOLEAN, PT_INT32, PT_INT64, PT_INT96, PT_FLOAT, PT_DOUBLE, \
     PT_BYTE_ARRAY, PT_FLBA = range(8)
@@ -458,10 +459,20 @@ class NativeParquetWriter:
                  data_page_version: str = "1.0",
                  write_page_index: bool = False,
                  write_page_checksum: bool = False,
-                 sorting_columns: Optional[Sequence] = None):
+                 sorting_columns: Optional[Sequence] = None,
+                 encryption=None):
         self._own = isinstance(sink, str)
         self._out = open(sink, "wb") if self._own else sink
         self.schema = schema
+        self.encryption = encryption
+        self._file_aad = b""
+        if encryption is not None:
+            if bloom_filter_columns:
+                raise ArrowNotImplementedError(
+                    "bloom filters on encrypted files")
+            import os as _os
+            self._aad_unique = _os.urandom(8)
+            self._file_aad = encryption.aad_prefix + self._aad_unique
         self.codec = _CODEC_IDS[(compression or "none").lower()]
         self.dictionary_enabled = dictionary_enabled
         self.write_statistics = write_statistics
@@ -480,11 +491,48 @@ class NativeParquetWriter:
         self._index_slots: List[tuple] = []
         self._num_rows = 0
         self._pos = 0
-        self._emit(_MAGIC)
+        self._ck = None
+        self._page_ord = 0
+        self._emit(_MAGIC if encryption is None else _MAGIC_ENCR)
 
     def _emit(self, b: bytes):
         self._out.write(b)
         self._pos += len(b)
+
+    def _crypto_for(self, leaf: _Leaf, rg_ord: int, col_ord: int):
+        """Set the chunk crypto context: (key, mode, rg, col) or None
+        (plaintext chunk / unencrypted file)."""
+        self._ck = None
+        self._page_ord = 0
+        if self.encryption is None:
+            return
+        path = ".".join(leaf.path)
+        key, mode = self.encryption.key_for(path)
+        if key is None and path != leaf.path[-1]:
+            key, mode = self.encryption.key_for(leaf.path[-1])
+        if key is not None:
+            self._ck = (key, mode, rg_ord, col_ord)
+
+    def _encrypt_page(self, header_fields, body: bytes, mtype_hdr: int,
+                      mtype_body: int, with_ordinal: bool):
+        """Encrypt one page: header and body become separate GCM
+        modules (ciphers.rs framing); the header's compressed size is
+        patched to the ENCRYPTED body module length, which is what the
+        reader is told to fetch (serialized_reader.rs:778)."""
+        from .parquet_crypto import encrypt_module, module_aad
+        key, _, rg, col = self._ck
+        page = self._page_ord if with_ordinal else None
+        body_mod = encrypt_module(
+            key, body, module_aad(self._file_aad, mtype_body, rg, col,
+                                  page))
+        fields = [(fid, t, len(body_mod)) if fid == 3 else (fid, t, v)
+                  for fid, t, v in header_fields]
+        hdr = CompactWriter()
+        hdr.write_struct_fields(fields)
+        hdr_mod = encrypt_module(
+            key, hdr.bytes(), module_aad(self._file_aad, mtype_hdr, rg,
+                                         col, page))
+        return hdr_mod + body_mod
 
     def write_table(self, table: Table):
         for start in range(0, table.num_rows, self.row_group_size):
@@ -496,16 +544,23 @@ class NativeParquetWriter:
         chunks = []
         total_bytes = 0
         leaf_iter = iter(self._leaves)
+        rg_ord = len(self._row_groups)
+        col_ord = 0
         for col, f in zip(table.columns, self.schema.fields):
             for leaf_col, defs, reps in _flatten_leaf(col, f.nullable):
                 leaf = next(leaf_iter)
+                self._crypto_for(leaf, rg_ord, col_ord)
                 cc, nbytes = self._write_chunk(leaf, leaf_col, defs,
                                                reps)
                 chunks.append(cc)
                 total_bytes += nbytes
+                col_ord += 1
         rg = [(1, T_LIST, (T_STRUCT, chunks)),
               (2, T_I64, total_bytes),
-              (3, T_I64, table.num_rows)]
+              (3, T_I64, table.num_rows),
+              # ordinal (i16): readers use THIS, not the list position,
+              # as the row-group ordinal in encryption module AADs
+              (7, T_I16, rg_ord)]
         if self.sorting_columns:
             leaf_names = [lf.path[-1] for lf in self._leaves]
             sc = []
@@ -550,6 +605,7 @@ class NativeParquetWriter:
         (offset, compressed_size_incl_header)."""
         codec = self.codec
         off = self._pos
+        encrypting = self._ck is not None
         if self.page_v2:
             comp_vals = _compress(codec, values)
             is_comp = codec != 0 and len(comp_vals) < len(values)
@@ -557,29 +613,33 @@ class NativeParquetWriter:
             fields = [(1, T_I32, 3),
                       (2, T_I32, len(rep_b) + len(def_b) + len(values)),
                       (3, T_I32, len(body))]
-            if self.write_page_checksum:
+            if self.write_page_checksum and not encrypting:
                 fields.append((4, T_I32, _crc32_i32(body)))
             fields.append((8, T_STRUCT, [
                 (1, T_I32, n_page), (2, T_I32, n_nulls),
                 (3, T_I32, n_rows), (4, T_I32, enc),
                 (5, T_I32, len(def_b)), (6, T_I32, len(rep_b)),
                 (7, T_TRUE, is_comp)]))
-            hdr = CompactWriter()
-            hdr.write_struct_fields(fields)
-            self._emit(hdr.bytes() + body)
         else:
             body = rep_b + def_b + values
             comp_body = _compress(codec, body)
             fields = [(1, T_I32, 0), (2, T_I32, len(body)),
                       (3, T_I32, len(comp_body))]
-            if self.write_page_checksum:
+            if self.write_page_checksum and not encrypting:
                 fields.append((4, T_I32, _crc32_i32(comp_body)))
             fields.append((5, T_STRUCT, [
                 (1, T_I32, n_page), (2, T_I32, enc),
                 (3, T_I32, 3), (4, T_I32, 3)]))
+            body = comp_body
+        if encrypting:
+            from .parquet_crypto import M_DATAPAGE, M_DATAPAGE_HDR
+            self._emit(self._encrypt_page(fields, body, M_DATAPAGE_HDR,
+                                          M_DATAPAGE, True))
+            self._page_ord += 1
+        else:
             hdr = CompactWriter()
             hdr.write_struct_fields(fields)
-            self._emit(hdr.bytes() + comp_body)
+            self._emit(hdr.bytes() + body)
         return off, self._pos - off
 
     def _write_chunk(self, leaf: _Leaf, c: Column, defs, reps):
@@ -632,15 +692,21 @@ class NativeParquetWriter:
             comp = _compress(codec, dict_values_plain)
             fields = [(1, T_I32, 2), (2, T_I32, len(dict_values_plain)),
                       (3, T_I32, len(comp))]
-            if self.write_page_checksum:
+            if self.write_page_checksum and self._ck is None:
                 fields.append((4, T_I32, _crc32_i32(comp)))
             fields.append((7, T_STRUCT, [(1, T_I32, len(values_col)),
                                          (2, T_I32, 0)]))
-            hdr = CompactWriter()
-            hdr.write_struct_fields(fields)
             dict_page_offset = self._pos
-            self._emit(hdr.bytes() + comp)
-            total_uncomp += len(dict_values_plain) + len(hdr.bytes())
+            if self._ck is not None:
+                from .parquet_crypto import (M_DICTPAGE,
+                                             M_DICTPAGE_HDR)
+                self._emit(self._encrypt_page(
+                    fields, comp, M_DICTPAGE_HDR, M_DICTPAGE, False))
+            else:
+                hdr = CompactWriter()
+                hdr.write_struct_fields(fields)
+                self._emit(hdr.bytes() + comp)
+            total_uncomp += len(dict_values_plain)
             data_page_offset = self._pos
             for s, e in self._page_ranges(leaf, c, defs, reps):
                 pcodes = codes[vpos[s]:vpos[e]]
@@ -712,7 +778,37 @@ class NativeParquetWriter:
         if bloom_offset is not None:
             md.append((14, T_I64, bloom_offset))
             md.append((15, T_I32, bloom_len))
-        cc = [(2, T_I64, start_pos), (3, T_STRUCT, md)]
+        if self._ck is None:
+            cc = [(2, T_I64, start_pos), (3, T_STRUCT, md)]
+        else:
+            from .parquet_crypto import (encrypt_module, module_aad,
+                                         M_COLMD)
+            key, mode, rg, col = self._ck
+            if mode == "footer":
+                # uniform encryption: metadata rides the (encrypted)
+                # footer; crypto_metadata = ENCRYPTION_WITH_FOOTER_KEY
+                cc = [(2, T_I64, start_pos), (3, T_STRUCT, md),
+                      (8, T_STRUCT, [(1, T_STRUCT, [])])]
+            else:
+                # column key: ColumnMetaData leaves the footer and is
+                # emitted as its own encrypted module (metadata/mod.rs
+                # from_encrypted_thrift inverse)
+                w = CompactWriter()
+                w.write_struct_fields(md)
+                km = self.encryption.column_key_metadata.get(
+                    ".".join(leaf.path),
+                    self.encryption.column_key_metadata.get(
+                        leaf.path[-1], b""))
+                ck_fields = [(1, T_LIST,
+                              (T_BINARY, [p for p in leaf.path]))]
+                if km:
+                    ck_fields.append((2, T_BINARY, km))
+                cc = [(2, T_I64, start_pos),
+                      (8, T_STRUCT, [(2, T_STRUCT, ck_fields)]),
+                      (9, T_BINARY, encrypt_module(
+                          key, w.bytes(),
+                          module_aad(self._file_aad, M_COLMD, rg,
+                                     col)))]
 
         if self.write_page_index:
             colidx = None
@@ -730,7 +826,7 @@ class NativeParquetWriter:
             offidx = [(1, T_LIST, (T_STRUCT, [
                 [(1, T_I64, o), (2, T_I32, sz), (3, T_I64, fr)]
                 for o, sz, fr in page_locs]))]
-            self._index_slots.append((cc, colidx, offidx))
+            self._index_slots.append((cc, colidx, offidx, self._ck))
         return cc, total_comp
 
     def _write_bloom(self, c: Column, mask):
@@ -763,19 +859,27 @@ class NativeParquetWriter:
         # page index: every ColumnIndex, then every OffsetIndex, both
         # between the last row group and the footer
         # (file/page_index/index_writer.rs layout)
-        for cc, colidx, _ in self._index_slots:
+        def index_bytes(fields, ck, mtype):
+            w = CompactWriter()
+            w.write_struct_fields(fields)
+            b = w.bytes()
+            if ck is not None:
+                from .parquet_crypto import encrypt_module, module_aad
+                key, _, rg, col = ck
+                b = encrypt_module(
+                    key, b, module_aad(self._file_aad, mtype, rg, col))
+            return b
+
+        from .parquet_crypto import M_COLIDX, M_OFFIDX
+        for cc, colidx, _, ck in self._index_slots:
             if colidx is None:
                 continue
-            w = CompactWriter()
-            w.write_struct_fields(colidx)
-            b = w.bytes()
+            b = index_bytes(colidx, ck, M_COLIDX)
             cc.append((6, T_I64, self._pos))
             cc.append((7, T_I32, len(b)))
             self._emit(b)
-        for cc, _, offidx in self._index_slots:
-            w = CompactWriter()
-            w.write_struct_fields(offidx)
-            b = w.bytes()
+        for cc, _, offidx, ck in self._index_slots:
+            b = index_bytes(offidx, ck, M_OFFIDX)
             cc.append((4, T_I64, self._pos))
             cc.append((5, T_I32, len(b)))
             self._emit(b)
@@ -798,9 +902,35 @@ class NativeParquetWriter:
             (7, T_LIST, (T_STRUCT, orders)),
         ])
         footer = w.bytes()
-        self._emit(footer)
-        self._emit(struct.pack("<i", len(footer)))
-        self._emit(_MAGIC)
+        if self.encryption is None:
+            self._emit(footer)
+            self._emit(struct.pack("<i", len(footer)))
+            self._emit(_MAGIC)
+        else:
+            # encrypted-footer layout (metadata/reader.rs:902):
+            # [FileCryptoMetaData (plaintext thrift)]
+            # [GCM module over FileMetaData][combined len][PARE]
+            from .parquet_crypto import (encrypt_module, module_aad,
+                                         M_FOOTER)
+            enc = self.encryption
+            gcm = []
+            if enc.aad_prefix and enc.store_aad_prefix:
+                gcm.append((1, T_BINARY, enc.aad_prefix))
+            gcm.append((2, T_BINARY, self._aad_unique))
+            if enc.aad_prefix and not enc.store_aad_prefix:
+                gcm.append((3, T_TRUE, True))
+            fcm_fields = [(1, T_STRUCT, [(1, T_STRUCT, gcm)])]
+            if enc.footer_key_metadata:
+                fcm_fields.append((2, T_BINARY,
+                                   enc.footer_key_metadata))
+            cw = CompactWriter()
+            cw.write_struct_fields(fcm_fields)
+            tail = cw.bytes() + encrypt_module(
+                enc.footer_key, footer,
+                module_aad(self._file_aad, M_FOOTER))
+            self._emit(tail)
+            self._emit(struct.pack("<i", len(tail)))
+            self._emit(_MAGIC_ENCR)
         if self._own:
             self._out.close()
 
