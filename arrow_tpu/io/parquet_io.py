@@ -151,19 +151,42 @@ def read_parquet(path, columns: Optional[Sequence[str]] = None,
 
 
 class ParquetWriter:
-    """ArrowWriter (arrow_writer/mod.rs:131): streaming batch writer."""
+    """ArrowWriter (arrow_writer/mod.rs:131): streaming batch writer.
+    Native by default; Arrow C++ only for layouts the native writer
+    does not cover (views at top level are fine; unions/REE are not)."""
 
     def __init__(self, path, schema_table: Table,
                  properties: WriterProperties = WriterProperties()):
-        self._schema = table_to_pyarrow(schema_table.slice(0, 0)).schema
         self._props = properties
+        self._native = _native_writable(schema_table.schema)
+        if self._native:
+            from .parquet_writer import NativeParquetWriter
+            self._w = NativeParquetWriter(
+                path, schema_table.schema,
+                compression=properties.compression,
+                dictionary_enabled=properties.dictionary_enabled,
+                write_statistics=properties.write_statistics,
+                bloom_filter_columns=properties.bloom_filter_columns,
+                row_group_size=properties.row_group_size,
+                data_page_size=properties.data_page_size,
+                data_page_version=properties.data_page_version,
+                write_page_index=properties.write_page_index,
+                write_page_checksum=properties.write_page_checksum,
+                sorting_columns=properties.sorting_columns,
+                encryption=properties.encryption)
+            return
+        if properties.encryption is not None:
+            raise ArrowInvalid("encryption requires the native writer; "
+                               "schema has unsupported layouts")
+        schema = table_to_pyarrow(schema_table.slice(0, 0)).schema
+        self._schema = schema
         sorting = None
         if properties.sorting_columns:
-            names = [f.name for f in self._schema]
+            names = [f.name for f in schema]
             sorting = [pq.SortingColumn(names.index(n), descending=d)
                        for n, d in properties.sorting_columns]
         self._w = pq.ParquetWriter(
-            path, self._schema,
+            path, schema,
             compression=properties.compression,
             use_dictionary=properties.dictionary_enabled,
             write_statistics=properties.write_statistics,
@@ -173,8 +196,11 @@ class ParquetWriter:
             sorting_columns=sorting)
 
     def write(self, table: Table) -> None:
-        self._w.write_batch(table_to_pyarrow(table),
-                            row_group_size=self._props.row_group_size)
+        if self._native:
+            self._w.write_table(table)
+        else:
+            self._w.write_batch(table_to_pyarrow(table),
+                                row_group_size=self._props.row_group_size)
 
     def close(self) -> None:
         self._w.close()

@@ -104,13 +104,21 @@ def _logical_fields(d: dt.DataType):
         return PT_INT64, None, None, [(10, T_STRUCT,
                                        [(1, T_I8, 64),
                                         (2, T_TRUE, False)])]
+    if n == "float16":
+        # FLBA(2) + LogicalType FLOAT16 (schema/mod.rs:509)
+        return PT_FLBA, 2, None, [(15, T_STRUCT, [])]
     if n == "float32":
         return PT_FLOAT, None, None, None
     if n == "float64":
         return PT_DOUBLE, None, None, None
     if n == "date32":
         return PT_INT32, None, 6, [(6, T_STRUCT, [])]
+    if n == "date64":
+        # no corresponding parquet type: plain INT64 (schema/mod.rs:551)
+        return PT_INT64, None, None, None
     if n == "time32":
+        if d.unit == "s":  # seconds not representable in TIME logical
+            return PT_INT32, None, None, None
         return PT_INT32, None, 7, [(7, T_STRUCT,
                                     [(1, T_TRUE, True),
                                      (2, T_STRUCT, [(1, T_STRUCT, [])])])]
@@ -121,15 +129,15 @@ def _logical_fields(d: dt.DataType):
                             (2, T_STRUCT, [(unit, T_STRUCT, [])])])]
     if n == "timestamp":
         unit = {"ms": 1, "us": 2, "ns": 3}.get(d.unit)
-        if unit is None:
-            raise ArrowNotImplementedError("second timestamps in parquet")
+        if unit is None:   # seconds: plain INT64 (schema/mod.rs:523)
+            return PT_INT64, None, None, None
         conv = {1: 9, 2: 10}.get(unit)
         return PT_INT64, None, conv, \
             [(8, T_STRUCT, [(1, T_TRUE, bool(d.tz)),
                             (2, T_STRUCT, [(unit, T_STRUCT, [])])])]
-    if n in ("utf8", "large_utf8"):
+    if n in ("utf8", "large_utf8", "utf8_view"):
         return PT_BYTE_ARRAY, None, 0, [(1, T_STRUCT, [])]
-    if n in ("binary", "large_binary"):
+    if n in ("binary", "large_binary", "binary_view"):
         return PT_BYTE_ARRAY, None, None, None
     if n == "fixed_size_binary":
         return PT_FLBA, d.list_size, None, None
@@ -389,6 +397,9 @@ def _stats_full(c: Column, mask):
         if len(vals) == 0 or c.dtype.name == "bool":
             return None, None, nulls, None, None
         mn, mx = vals.min(), vals.max()
+        if c.dtype.name == "float16":
+            return (np.float16(mn).tobytes(), np.float16(mx).tobytes(),
+                    nulls, float(mn), float(mx))
         fmt = {"float32": "<f", "float64": "<d"}.get(
             c.dtype.name)
         if fmt:

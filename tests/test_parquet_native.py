@@ -437,6 +437,53 @@ class TestNativeWriter:
         assert pq.read_table(io.BytesIO(buf.getvalue()))[
             "s"].to_pylist() == s
 
+    def test_view_f16_date64_ts_second_write(self):
+        """arrow-rs schema/mod.rs:509-630 mappings: f16 -> FLBA(2)
+        FLOAT16, date64/ts[s] -> plain INT64, views -> BYTE_ARRAY."""
+        tab = pa.table({
+            "sv": pa.array(["a", None, "ccc"], pa.string_view()),
+            "bv": pa.array([b"x", b"", None], pa.binary_view()),
+            "f16": pa.array(np.array([1.5, -2.0, 0.25], np.float16),
+                            pa.float16()),
+            "d64": pa.array([86400000, None, 0], pa.date64()),
+            "tss": pa.array([1, 2, None], pa.timestamp("s")),
+        })
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_io import _native_writable
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        t = at.Table.from_pyarrow(tab)
+        assert _native_writable(t.schema)
+        buf = io.BytesIO()
+        write_parquet_native(buf, t)
+        data = buf.getvalue()
+        ref = pq.read_table(io.BytesIO(data))
+        assert ref["sv"].to_pylist() == ["a", None, "ccc"]
+        assert ref["bv"].to_pylist() == [b"x", b"", None]
+        assert ref["f16"].to_pylist() == [1.5, -2.0, 0.25]
+        # date64/ts[s] have no parquet annotation: values survive as i64
+        assert ref["d64"].to_pylist() == [86400000, None, 0]
+        assert ref["tss"].to_pylist() == [1, 2, None]
+        ours = ParquetFile(data).read()
+        assert ours.column("f16").to_pylist() == [1.5, -2.0, 0.25]
+
+    def test_streaming_writer_native(self, tmp_path):
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_io import (ParquetWriter,
+                                             WriterProperties,
+                                             read_parquet)
+        from arrow_tpu.io.parquet_writer import NativeParquetWriter
+        t = at.Table.from_pydict({"v": np.arange(500, dtype=np.int64)})
+        p = str(tmp_path / "s.parquet")
+        w = ParquetWriter(p, t, WriterProperties(row_group_size=200))
+        assert isinstance(w._w, NativeParquetWriter)
+        w.write(t.slice(0, 250))
+        w.write(t.slice(250, 250))
+        w.close()
+        got = read_parquet(p)
+        assert got.to_pydict() == t.to_pydict()
+        md = pq.read_metadata(p)
+        assert md.num_row_groups == 4        # 200+50 per write call
+
     def test_rle_fuzz(self):
         from arrow_tpu.utils import native as nt
         rng = np.random.default_rng(2)
