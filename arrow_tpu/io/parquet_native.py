@@ -497,18 +497,18 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
 
         if isinstance(vals, tuple) and isinstance(vals[0], str):
             dict_idx_chunks.append(vals[1])
+            chunks.append(("dict", vals[1]))
         else:
-            chunks.append(vals)
+            chunks.append(("plain", vals))
         slots_read += n
         nonnull_read += nn
 
     ld = _LeafData(node, defs, reps, None, dictionary=dictionary)
-    if dict_idx_chunks and not chunks:
+    if dict_idx_chunks and len(dict_idx_chunks) == len(chunks):
         ld.indices = np.concatenate(dict_idx_chunks) \
             if len(dict_idx_chunks) > 1 else dict_idx_chunks[0]
     else:
-        ld.values = _concat_values(node, chunks, dict_idx_chunks,
-                                   dictionary)
+        ld.values = _concat_values(node, chunks, dictionary)
     return ld
 
 
@@ -516,14 +516,15 @@ def _bit_width(v: int) -> int:
     return max(1, int(v).bit_length()) if v else 0
 
 
-def _concat_values(node: SchemaNode, chunks, dict_idx_chunks, dictionary):
-    """Merge per-page value arrays (materializing dict pages if a chunk
-    mixes dictionary and plain pages)."""
+def _concat_values(node: SchemaNode, chunks, dictionary):
+    """Merge per-page value arrays IN PAGE ORDER, materializing dict
+    pages inline (writers fall back from dictionary to plain encoding
+    mid-chunk when the dictionary overflows — dict pages come FIRST,
+    so order must be preserved, column/writer/mod.rs fallback)."""
     mats = []
-    for c in chunks:
-        mats.append(c)
-    for idx in dict_idx_chunks:
-        mats.append(_take_values(node, dictionary, idx))
+    for kind, payload in chunks:
+        mats.append(_take_values(node, dictionary, payload)
+                    if kind == "dict" else payload)
     if not mats:
         return _empty_values(node)
     if len(mats) == 1:
@@ -812,6 +813,8 @@ class _Source:
         else:
             raise ArrowInvalid(f"cannot read parquet from {type(source)}")
         if self._f is not None:
+            import threading
+            self._lock = threading.Lock()
             self._f.seek(0, 2)
             self._size = self._f.tell()
         else:
@@ -824,8 +827,9 @@ class _Source:
     def range(self, off: int, ln: int) -> bytes:
         if self._buf is not None:
             return self._buf[off:off + ln]
-        self._f.seek(off)
-        return self._f.read(ln)
+        with self._lock:    # seek+read must be atomic under threads
+            self._f.seek(off)
+            return self._f.read(ln)
 
 
 class ParquetFile:
@@ -942,23 +946,24 @@ class ParquetFile:
             walk(c)
         return out
 
-    def read_row_group(self, rg_index: int,
-                       columns: Optional[Sequence[str]] = None,
-                       as_dictionary: Sequence[str] = ()) -> Table:
+    def _rg_plan(self, rg_index: int,
+                 columns: Optional[Sequence[str]]):
+        """(projected root fields, decode jobs).  A job is
+        (leaf_index, chunk, leaf, crypto) — independent, so chunks
+        decode in parallel (the reference's multithreaded scan role;
+        the C++ page kernels release the GIL)."""
         rg = self.row_groups[rg_index]
-        n_rows = rg.get(3, 0)
         leaves = self._leaves()
         chunks = rg.get(1, [])
         fields = self.root.children
         if columns is not None:
             fields = [f for f in fields if f.name in set(columns)]
         wanted_roots = {id(f) for f in fields}
-        # decode only leaves under projected roots
         root_of: Dict[int, SchemaNode] = {}
         for f in self.root.children:
             for leaf in _leaves_under(f):
                 root_of[leaf.leaf_index] = f
-        leaf_map: Dict[int, _LeafData] = {}
+        jobs = []
         for li, (leaf, chunk) in enumerate(zip(leaves, chunks)):
             if id(root_of[leaf.leaf_index]) not in wanted_roots:
                 continue
@@ -966,8 +971,12 @@ class ParquetFile:
             if chunk.get(8) is not None:
                 crypto = (self._chunk_crypto(chunk, li),
                           self._file_aad, rg_index, li)
-            leaf_map[leaf.leaf_index] = _read_column_chunk(
-                self._src, chunk, leaf, crypto)
+            jobs.append((leaf.leaf_index, chunk, leaf, crypto))
+        return fields, jobs
+
+    def _assemble(self, rg_index: int, fields, leaf_map,
+                  as_dictionary) -> Table:
+        n_rows = self.row_groups[rg_index].get(3, 0)
         cols = tuple(_build_column(f, leaf_map, n_rows,
                                    set(as_dictionary))
                      for f in fields)
@@ -975,6 +984,14 @@ class ParquetFile:
                                           f.repetition != 0)
                                  for f, c in zip(fields, cols)))
         return Table(cols, schema)
+
+    def read_row_group(self, rg_index: int,
+                       columns: Optional[Sequence[str]] = None,
+                       as_dictionary: Sequence[str] = ()) -> Table:
+        fields, jobs = self._rg_plan(rg_index, columns)
+        results = _decode_parallel(self._src, jobs)
+        leaf_map = {li: r for (li, *_), r in zip(jobs, results)}
+        return self._assemble(rg_index, fields, leaf_map, as_dictionary)
 
     def column_index(self, rg_index: int, column: str):
         """Parsed page-index ColumnIndex for one chunk
@@ -1090,12 +1107,45 @@ class ParquetFile:
 
     def read(self, columns: Optional[Sequence[str]] = None,
              as_dictionary: Sequence[str] = ()) -> Table:
-        parts = [self.read_row_group(i, columns, as_dictionary)
+        # one pool over EVERY (row group, column chunk) pair: small
+        # row groups still saturate the cores
+        plans = [self._rg_plan(i, columns)
                  for i in range(len(self.row_groups))]
+        all_jobs = [j for _, jobs in plans for j in jobs]
+        results = _decode_parallel(self._src, all_jobs)
+        it = iter(results)
+        parts = []
+        for i, (fields, jobs) in enumerate(plans):
+            leaf_map = {li: next(it) for li, *_ in jobs}
+            parts.append(self._assemble(i, fields, leaf_map,
+                                        as_dictionary))
         if len(parts) == 1:
             return parts[0]
         from ..ops.concat import concat_tables
         return concat_tables(parts)
+
+
+def _decode_parallel(src, jobs):
+    """Decode column chunks on a thread pool (ARROW_TPU_PARQUET_THREADS
+    =0 disables, =N caps; default = cpu count).  Safe because
+    _read_column_chunk is pure numpy/C++ per chunk and the ctypes page
+    kernels drop the GIL."""
+    import os
+    if len(jobs) <= 1:
+        return [_read_column_chunk(src, ch, lf, cr)
+                for _, ch, lf, cr in jobs]
+    env = os.environ.get("ARROW_TPU_PARQUET_THREADS", "")
+    workers = os.cpu_count() or 4
+    if env:
+        workers = int(env)
+    workers = min(workers, len(jobs))
+    if workers <= 1:
+        return [_read_column_chunk(src, ch, lf, cr)
+                for _, ch, lf, cr in jobs]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(
+            lambda j: _read_column_chunk(src, j[1], j[2], j[3]), jobs))
 
 
 def _value_hashes(leaf: SchemaNode, values, lib, nt):

@@ -123,6 +123,24 @@ def test_deep_nested_read(ver):
             tab[name].to_pylist(), (name, "ours")
 
 
+def test_dict_to_plain_fallback_page_order():
+    """Writers fall back from dictionary to PLAIN encoding mid-chunk
+    when the dictionary overflows; the dict-encoded pages come FIRST
+    and decoded values must stay in page order (column/writer/mod.rs
+    fallback; regression: values used to come back reordered)."""
+    n = 20000
+    vals = [f"value-{i}" for i in range(n)]          # all distinct
+    ints = list(range(n))
+    tab = pa.table({"s": pa.array(vals), "i": pa.array(ints)})
+    buf = io.BytesIO()
+    pq.write_table(tab, buf, compression="snappy",
+                   dictionary_pagesize_limit=4096,
+                   data_page_size=4096)
+    got = ParquetFile(buf.getvalue()).read()
+    assert got.column("s").to_pylist() == vals
+    assert got.column("i").to_pylist() == ints
+
+
 def test_delta_encodings():
     t2 = pa.table({
         "di": pa.array(range(10000), pa.int64()),
