@@ -42,6 +42,7 @@ from .core.nested import (  # noqa: F401
 from .core.datum import Scalar, scalar  # noqa: F401
 from .core.table import Table, RecordBatch  # noqa: F401
 from .core.tensor import Tensor  # noqa: F401
+from .fuse import fuse  # noqa: F401
 from .core.pool import (  # noqa: F401
     MemoryPool, TrackingMemoryPool, MemoryReservation,
     column_memory_size, table_memory_size,

@@ -64,6 +64,14 @@ def binary_with_flag(lhs: Datum, rhs: Datum, fn: Callable,
 
 
 def check_flag(flag, exc_type, message: str):
-    """Eager-layer sync point: raise if the traced error flag fired."""
+    """Eager-layer sync point: raise if the traced error flag fired.
+
+    Inside a fused pipeline (arrow_tpu.fuse) the flag is a tracer and
+    cannot sync — the check is skipped there (documented in fuse.py:
+    checked ops behave as wrapping inside fusion; validate at stage
+    boundaries when overflow detection matters)."""
+    import jax as _jax
+    if isinstance(flag, _jax.core.Tracer):
+        return
     if bool(flag):
         raise exc_type(message)

@@ -110,6 +110,65 @@ _U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 @jax.jit
+@jax.jit
+def _key_range_scan(lkey, lvalid, rkey, rvalid):
+    """(min, max) over both sides' VALID encoded keys, one fetch."""
+    top = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    lo = jnp.minimum(
+        jnp.min(jnp.where(lvalid, lkey, top)),
+        jnp.min(jnp.where(rvalid, rkey, top)))
+    hi = jnp.maximum(
+        jnp.max(jnp.where(lvalid, lkey, jnp.uint64(0))),
+        jnp.max(jnp.where(rvalid, rkey, jnp.uint64(0))))
+    return jnp.stack([lo, hi])
+
+
+@jax.jit
+def _probe_stage_packed(lkey, lvalid, rkey, rvalid, kmin):
+    """_probe_stage with (key-kmin, invalid, side) PACKED into one u64
+    (requires key range < 2^61, checked by the caller).  Operand bytes
+    are the sort-cost lever on this chip: one u64 key + one i32 payload
+    replaces the 3-key (u64,u8,u8,i32) sort.  Tie order among equal
+    packed keys is irrelevant (any build order within a run works), so
+    the sort can be unstable single-key."""
+    n_r = rkey.shape[0]
+    n_l = lkey.shape[0]
+    key_cat = jnp.concatenate([
+        jnp.where(rvalid, rkey, kmin) - kmin,
+        jnp.where(lvalid, lkey, kmin) - kmin])
+    inv = jnp.concatenate([~rvalid, ~lvalid])
+    side01 = jnp.concatenate([jnp.zeros(n_r, jnp.uint64),
+                              jnp.ones(n_l, jnp.uint64)])
+    packed = (key_cat << jnp.uint64(2)) \
+        | (inv.astype(jnp.uint64) << jnp.uint64(1)) | side01
+    iota = jnp.concatenate([jnp.arange(n_r, dtype=jnp.int32),
+                            jnp.arange(n_l, dtype=jnp.int32)])
+    pks, idxs = jax.lax.sort((packed, iota), num_keys=1,
+                             is_stable=False)
+    n = n_r + n_l
+    pos = jnp.arange(n, dtype=jnp.int32)
+    keyinv = pks >> jnp.uint64(1)           # (key, invalid) run id
+    run_start = jnp.concatenate([
+        jnp.ones(1, jnp.bool_), keyinv[1:] != keyinv[:-1]])
+    start_pos = jax.lax.cummax(jnp.where(run_start, pos, 0))
+    invs = (pks >> jnp.uint64(1)) & jnp.uint64(1) == jnp.uint64(1)
+    sides1 = pks & jnp.uint64(1) == jnp.uint64(1)
+    is_build = ~sides1 & ~invs
+    pb = jnp.cumsum(is_build.astype(jnp.int32))          # inclusive
+    pb_excl = pb - is_build.astype(jnp.int32)
+    builds_in_run = pb - pb_excl[start_pos]
+    is_probe = sides1 & ~invs
+    counts = jnp.where(is_probe, builds_in_run, 0)
+    row_key = jnp.where(sides1, idxs.astype(jnp.uint32),
+                        jnp.uint32(0xFFFFFFFF))
+    _, counts_o, start_o = jax.lax.sort(
+        (row_key, counts, start_pos), num_keys=1, is_stable=True)
+    counts_orig = counts_o[:n_l]
+    start_orig = start_o[:n_l]
+    total = jnp.sum(counts_orig.astype(jnp.int64))
+    return counts_orig, start_orig, idxs, total
+
+
 def _probe_stage(lkey, lvalid, rkey, rvalid):
     """Device half of the hash join, one XLA program — sort-merge plan.
 
@@ -196,10 +255,17 @@ def _expand_stage(counts_orig, start_orig, idxs, n_out):
         jnp.full(n_out, start64[0], jnp.int64)])
     p_excl = jnp.concatenate([(aid << 32) | incl,
                               jnp.zeros(n_out, jnp.int64)])
-    _, tag_s, ps_s, pe_s = jax.lax.sort(
-        (v, tag, p_start, p_excl), num_keys=2, is_stable=True)
+    # pack the tag into the merge key's low bit (v < 2^62: out sizes
+    # are far below) — ONE i64 key instead of a 2-key stable sort; ties
+    # among equal-v A entries don't matter (cummax takes the max
+    # payload, and payloads rise with probe id).  The tag comes back
+    # out of the sorted key's low bit for the peel-out sort.
+    v2 = (v << 1) | tag.astype(jnp.int64)
+    v2_s, ps_s, pe_s = jax.lax.sort(
+        (v2, p_start, p_excl), num_keys=1, is_stable=False)
     ps_f = jax.lax.cummax(ps_s)
     pe_f = jax.lax.cummax(pe_s)
+    tag_s = (v2_s & 1).astype(jnp.uint8)
     _, ps_b, pe_b = jax.lax.sort((tag_s, ps_f, pe_f), num_keys=1,
                                  is_stable=True)
     ps_b = ps_b[n_l:]
@@ -244,8 +310,17 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
         [right.column(c) for c in right_on])
     multi = len(on) > 1
 
-    counts_orig, start_orig, idxs, total_dev = _probe_stage(
-        lkey, lvalid, rkey, rvalid)
+    # packed plan when the combined key range fits 61 bits (common:
+    # rebased int keys, string ranks) — single-key sorts, fewer operand
+    # streams
+    rng = np.asarray(_key_range_scan(lkey, lvalid, rkey, rvalid))
+    kmin, kmax = int(rng[0]), int(rng[1])
+    if kmin <= kmax and (kmax - kmin) < (1 << 61):
+        counts_orig, start_orig, idxs, total_dev = _probe_stage_packed(
+            lkey, lvalid, rkey, rvalid, jnp.uint64(kmin))
+    else:
+        counts_orig, start_orig, idxs, total_dev = _probe_stage(
+            lkey, lvalid, rkey, rvalid)
 
     if how in ("semi", "anti"):
         matched = counts_orig > 0

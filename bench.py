@@ -133,6 +133,31 @@ def config2():
         outs = run()
     for o in outs:
         _fetch(o.values[:1])
+    eager = N / ((time.perf_counter() - t0) / reps)
+
+    # the public fused API (arrow_tpu.fuse): the whole cast+cmp
+    # pipeline as ONE device program — the engine's intended shape for
+    # repeated queries (dictionary VALUES close over the trace)
+    dvals = dcol.values
+
+    @at.fuse
+    def run_fused(i32, ts, codes):
+        from arrow_tpu.core.column import DictionaryColumn as DC
+        dc = DC(codes, dvals, _canonical=True)
+        a = ops.cast(i32, dtp.int64)
+        b = ops.cast(i32, dtp.float64)
+        c = ops.cast(ts, dtp.timestamp("ns"))
+        return (ops.lt(b, ops.cast(a, dtp.float64)),
+                ops.eq(dc, "word-0042"), ops.gt_eq(c, c))
+
+    codes = dcol.codes
+    outs = run_fused(i32, ts, codes)
+    _fetch(outs[0].values[:1])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        outs = run_fused(i32, ts, codes)
+    for o in outs:
+        _fetch(o.values[:1])
     ours = N / ((time.perf_counter() - t0) / reps)
 
     import pyarrow as pa
@@ -156,8 +181,10 @@ def config2():
     base = N / ((time.perf_counter() - t0) / 3)
     return {"metric": "cast_cmp_10M_rows_per_s", "value": round(ours),
             "unit": "rows/s", "vs_baseline": round(ours / base, 3),
+            "eager_rows_per_s": round(eager),
             "baseline_rows_per_s": round(base),
-            "baseline": "pyarrow.compute (host CPU)"}
+            "baseline": "pyarrow.compute (host CPU); value = fused "
+                        "pipeline (arrow_tpu.fuse), eager = per-op API"}
 
 
 def config3():

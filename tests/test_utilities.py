@@ -155,3 +155,54 @@ def test_tensor_api():
     pa_t = t.to_pyarrow()
     back = at.Tensor.from_pyarrow(pa_t)
     assert np.array_equal(back.to_numpy(), t.to_numpy())
+
+
+def test_fuse_pipeline():
+    """arrow_tpu.fuse: a chain of compute ops over column pytrees
+    compiles into one program and matches the eager path exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu import compute as ops
+    from arrow_tpu import dtypes as dtp
+    from arrow_tpu.core.column import (DictionaryColumn, PrimitiveColumn,
+                                       StringColumn)
+    rng = np.random.default_rng(0)
+    n = 10_000
+    x = PrimitiveColumn(jnp.asarray(rng.integers(-100, 100, n)
+                                    .astype(np.int32)), dtp.int32,
+                        jnp.asarray(rng.random(n) > 0.1))
+    y = PrimitiveColumn(jnp.asarray(rng.random(n)), dtp.float64)
+    values = StringColumn.from_pylist([f"w{i}" for i in range(50)])
+    codes = jnp.asarray(rng.integers(0, 50, n).astype(np.int32))
+
+    @at.fuse
+    def query(x, y, codes):
+        dcol = DictionaryColumn(codes, values, _canonical=True)
+        a = ops.cast(x, dtp.float64)
+        m = ops.lt(a, y)
+        s = ops.add(ops.cast(x, dtp.int64), ops.cast(x, dtp.int64))
+        e = ops.eq(dcol, "w7")
+        return m, s, e
+
+    m, s, e = query(x, y, codes)
+    dcol = DictionaryColumn(codes, values, _canonical=True)
+    em = ops.lt(ops.cast(x, dtp.float64), y)
+    es = ops.add(ops.cast(x, dtp.int64), ops.cast(x, dtp.int64))
+    ee = ops.eq(dcol, "w7")
+    for got, exp in ((m, em), (s, es), (e, ee)):
+        assert (np.asarray(got.values) == np.asarray(exp.values)).all()
+        gv = None if got.validity is None else np.asarray(got.validity)
+        evd = None if exp.validity is None else np.asarray(exp.validity)
+        if evd is not None:
+            assert gv is not None and (gv == evd).all()
+
+    # dictionary passed as a traced ARG (not closure) fails with the
+    # actionable fuse error
+    @at.fuse
+    def bad(dc):
+        return ops.eq(dc, "w7")
+    import pytest
+    with pytest.raises(RuntimeError, match="arrow_tpu.fuse"):
+        bad(dcol)
