@@ -101,115 +101,15 @@ _OPS = {"=": "eq", "==": "eq", "!=": "neq", "<>": "neq",
 
 
 def simple_sql_executor(tables: Dict[str, Table], query: str) -> Table:
-    """Demo SQL executor over the engine's own kernels.
+    """Execute one SELECT against `tables` via the engine's SQL
+    frontend (arrow_tpu/sql.py): expressions, AND/OR/NOT, IN/BETWEEN/
+    LIKE/IS NULL, JOINs, GROUP BY/HAVING, ORDER BY, LIMIT/OFFSET —
+    every clause lowers onto engine kernels.
 
-    Grammar (anything else raises ArrowInvalid — this is a DEMO for the
-    FlightSQL protocol layer, not a SQL engine; the reference ships no
-    SQL engine either, sql/server.rs delegates to the application):
-
-      SELECT cols|*|aggs FROM t
-        [WHERE col <op> literal]
-        [GROUP BY col]
-        [ORDER BY col [DESC]]
-        [LIMIT n]
-
-    aggs: COUNT(*), SUM(c), MIN(c), MAX(c), AVG(c) — with GROUP BY via
-    ops.group_by, without via whole-array aggregates.
-    """
-    import re
-    m = re.match(
-        r"\s*select\s+(?P<cols>.+?)\s+from\s+(?P<t>\w+)"
-        r"(?:\s+where\s+(?P<w>\w+)\s*(?P<op><=|>=|!=|<>|==|=|<|>)\s*"
-        r"(?P<lit>'[^']*'|[-\w.]+))?"
-        r"(?:\s+group\s+by\s+(?P<g>\w+))?"
-        r"(?:\s+order\s+by\s+(?P<o>\w+)(?P<odesc>\s+desc)?)?"
-        r"(?:\s+limit\s+(?P<lim>\d+))?\s*;?\s*$",
-        query, re.IGNORECASE | re.DOTALL)
-    if not m:
-        raise ArrowInvalid(f"unsupported SQL: {query!r}")
-    name = m.group("t")
-    if name not in tables:
-        raise ArrowInvalid(f"no such table {name!r}")
-    t = tables[name]
-
-    if m.group("w"):
-        from ..ops import cmp as _cmp
-        from ..ops.filter import filter_table
-        lit = m.group("lit")
-        if lit.startswith("'"):
-            value = lit[1:-1]
-        elif "." in lit:
-            value = float(lit)
-        else:
-            value = int(lit)
-        col = t.column(m.group("w"))
-        from ..core.datum import scalar as make_scalar
-        pred = getattr(_cmp, _OPS[m.group("op")])(
-            col, make_scalar(value, col.dtype))
-        t = filter_table(t, pred)
-
-    cols = m.group("cols").strip()
-    agg_re = re.compile(r"(count|sum|min|max|avg)\s*\(\s*"
-                        r"(\*|\w+)\s*\)", re.IGNORECASE)
-    aggs = [agg_re.fullmatch(c.strip()) for c in cols.split(",")]
-    if cols != "*" and all(a is not None for a in aggs):
-        from ..ops.groupby import group_by, AggSpec
-        specs = []
-        for a in aggs:
-            fn, col_name = a.group(1).lower(), a.group(2)
-            if fn == "count" and col_name == "*":
-                specs.append(AggSpec(t.column_names[0], "count_all",
-                                     name="count"))
-            else:
-                op = {"avg": "mean"}.get(fn, fn)
-                specs.append(AggSpec(col_name, op))
-        if m.group("g"):
-            t = group_by(t, [m.group("g")], specs)
-        else:
-            from ..core.column import column as make_col
-            outs, names = [], []
-            for sp, a in zip(specs, aggs):
-                from ..ops import aggregate as agg_ops
-                c = t.column(sp.column)
-                fn = a.group(1).lower()
-                if fn == "count" and a.group(2) == "*":
-                    v = t.num_rows
-                elif fn == "count":
-                    v = int(agg_ops.count(c))
-                elif fn == "avg":
-                    sv = agg_ops.sum_(c)
-                    v = (None if sv is None or sv.value is None else
-                         float(_np.asarray(sv.value)) /
-                         max(int(agg_ops.count(c)), 1))
-                else:
-                    r = getattr(agg_ops, {"sum": "sum_", "min": "min_",
-                                          "max": "max_"}[fn])(c)
-                    v = None if r is None or r.value is None \
-                        else _np.asarray(r.value).item()
-                outs.append(make_col([v]))
-                names.append(sp.out_name if not (fn == "count" and
-                                                 a.group(2) == "*")
-                             else "count")
-            t = Table(tuple(outs), dt_schema(names, outs))
-    elif m.group("g"):
-        raise ArrowInvalid("GROUP BY requires aggregate select list")
-    elif cols != "*":
-        names = [c.strip() for c in cols.split(",")]
-        t = t.select(names) if hasattr(t, "select") else Table(
-            [t.column(n) for n in names],
-            type(t.schema)(tuple(t.schema.field(n) for n in names)))
-
-    if m.group("o"):
-        from ..ops.sort import sort_table, SortOptions
-        t = sort_table(t, [(m.group("o"),
-                            SortOptions(descending=bool(
-                                m.group("odesc"))))])
-
-    if m.group("lim"):
-        k = int(m.group("lim"))
-        t = Table([c.slice(0, min(k, t.num_rows)) for c in t.columns],
-                  t.schema)
-    return t
+    The reference ships no SQL engine (sql/server.rs delegates to the
+    application); this is that application-side executor."""
+    from ..sql import execute_sql
+    return execute_sql(tables, query)
 
 
 # ---- server --------------------------------------------------------------------

@@ -79,7 +79,7 @@ def test_sql_executor_aggregates_and_order():
     assert r.column("v_sum").to_pylist() == [150]
     assert r.column("v_max").to_pylist() == [50]
     r = simple_sql_executor(tables,
-                            "SELECT SUM(v) FROM t GROUP BY k")
+                            "SELECT k, SUM(v) FROM t GROUP BY k")
     got = dict(zip(r.column("k").to_pylist(),
                    r.column("v_sum").to_pylist()))
     assert got == {1: 90, 2: 60}
@@ -88,8 +88,8 @@ def test_sql_executor_aggregates_and_order():
     assert r.column("v").to_pylist() == [50, 40]
     r = simple_sql_executor(tables,
                             "SELECT AVG(v) FROM t WHERE k = 1")
-    assert r.column("v_mean").to_pylist() == [30.0]
+    assert r.column("v_avg").to_pylist() == [30.0]
     with pytest.raises(ArrowInvalid):
-        simple_sql_executor(tables, "SELECT * FROM t JOIN u ON x")
+        simple_sql_executor(tables, "SELECT * FROM t JOIN u ON t.x = u.x")
     with pytest.raises(ArrowInvalid):
         simple_sql_executor(tables, "DELETE FROM t")

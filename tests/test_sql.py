@@ -1,0 +1,141 @@
+"""SQL frontend (arrow_tpu/sql.py) — every clause lowers onto engine
+kernels; results checked against hand-computed/pyarrow expectations."""
+
+import numpy as np
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.errors import ArrowInvalid
+from arrow_tpu.sql import execute_sql
+
+
+@pytest.fixture()
+def db():
+    orders = at.Table.from_pydict({
+        "id": np.arange(10, dtype=np.int64),
+        "cust": np.array([1, 2, 1, 3, 2, 1, 3, 3, 2, 1], np.int64),
+        "amount": np.array([10.0, 20.5, 5.0, 7.25, 100.0, 1.0, 8.0,
+                            9.5, 30.0, 2.5]),
+        "tag": ["aa", "ab", "ba", "bb", "aa", "ab", "ba", "bb",
+                "aa", "cc"],
+    })
+    custs = at.Table.from_pydict({
+        "cid": np.array([1, 2, 3, 4], np.int64),
+        "name": ["ann", "bob", "cat", "dan"],
+    })
+    return {"orders": orders, "custs": custs}
+
+
+def q(db, sql):
+    return execute_sql(db, sql).to_pydict()
+
+
+def test_select_star_where_and_or(db):
+    r = q(db, "SELECT * FROM orders WHERE cust = 1 AND amount > 2 "
+             "OR id = 3")
+    assert r["id"] == [0, 2, 3, 9]
+
+
+def test_expressions_and_aliases(db):
+    r = q(db, "SELECT id, amount * 2 + 1 AS x, -id AS neg FROM orders "
+             "WHERE id < 3")
+    assert r["x"] == [21.0, 42.0, 11.0]
+    assert r["neg"] == [0, -1, -2]
+
+
+def test_in_between_like_isnull(db):
+    r = q(db, "SELECT id FROM orders WHERE cust IN (2, 3)")
+    assert r["id"] == [1, 3, 4, 6, 7, 8]
+    r = q(db, "SELECT id FROM orders WHERE amount BETWEEN 5 AND 10")
+    assert r["id"] == [0, 2, 3, 6, 7]
+    r = q(db, "SELECT id FROM orders WHERE tag LIKE 'a%'")
+    assert r["id"] == [0, 1, 4, 5, 8]
+    r = q(db, "SELECT id FROM orders WHERE tag NOT LIKE '%b'")
+    assert r["id"] == [0, 2, 4, 6, 8, 9]
+    r = q(db, "SELECT id FROM orders WHERE tag IS NOT NULL LIMIT 2")
+    assert r["id"] == [0, 1]
+
+
+def test_group_by_aggregates(db):
+    r = q(db, "SELECT cust, SUM(amount) AS total, COUNT(*) AS n, "
+             "MIN(amount) AS lo, AVG(amount) AS mean FROM orders "
+             "GROUP BY cust ORDER BY cust")
+    assert r["cust"] == [1, 2, 3]
+    assert r["total"] == [18.5, 150.5, 24.75]
+    assert r["n"] == [4, 3, 3]
+    assert r["lo"] == [1.0, 20.5, 7.25]
+    assert [round(x, 4) for x in r["mean"]] == [4.625,
+                                                round(150.5 / 3, 4),
+                                                8.25]
+
+
+def test_global_aggregates(db):
+    r = q(db, "SELECT COUNT(*) AS n, SUM(amount) AS s, MAX(id) AS m "
+             "FROM orders WHERE cust <> 1")
+    assert r["n"] == [6] and r["m"] == [8]
+    assert abs(r["s"][0] - 175.25) < 1e-9
+
+
+def test_agg_expression_argument(db):
+    r = q(db, "SELECT cust, SUM(amount * 2) AS d FROM orders "
+             "GROUP BY cust ORDER BY cust")
+    assert r["d"] == [37.0, 301.0, 49.5]
+
+
+def test_having(db):
+    r = q(db, "SELECT cust, SUM(amount) AS total FROM orders "
+             "GROUP BY cust HAVING total > 20 ORDER BY total DESC")
+    assert r["cust"] == [2, 3]
+
+
+def test_join_inner_and_left(db):
+    r = q(db, "SELECT name, amount FROM orders "
+             "JOIN custs ON cust = cid WHERE amount > 20 "
+             "ORDER BY amount")
+    assert r["name"] == ["bob", "bob", "bob"]
+    assert r["amount"] == [20.5, 30.0, 100.0]
+    r = q(db, "SELECT cid, COUNT(id) AS n FROM custs "
+             "LEFT JOIN orders ON cid = cust GROUP BY cid "
+             "ORDER BY cid")
+    assert r["cid"] == [1, 2, 3, 4]
+    assert r["n"] == [4, 3, 3, 0]
+
+
+def test_order_limit_offset(db):
+    r = q(db, "SELECT id FROM orders ORDER BY amount DESC, id "
+             "LIMIT 3 OFFSET 1")
+    assert r["id"] == [8, 1, 0]
+
+
+def test_distinct(db):
+    r = q(db, "SELECT DISTINCT cust FROM orders ORDER BY cust")
+    assert r["cust"] == [1, 2, 3]
+
+
+def test_functions(db):
+    r = q(db, "SELECT UPPER(tag) AS u, LENGTH(tag) AS l, "
+             "ABS(id - 5) AS a, CAST(amount AS int) AS i, "
+             "COALESCE(NULL, id) AS co FROM orders WHERE id < 2")
+    assert r["u"] == ["AA", "AB"]
+    assert r["l"] == [2, 2]
+    assert r["a"] == [5, 4]
+    assert r["i"] == [10, 20]
+
+
+def test_errors(db):
+    with pytest.raises(ArrowInvalid):
+        q(db, "SELECT FROM orders")
+    with pytest.raises(ArrowInvalid):
+        q(db, "SELECT nosuch FROM orders")
+    with pytest.raises(ArrowInvalid):
+        q(db, "SELECT id FROM nosuch")
+    with pytest.raises(ArrowInvalid):
+        q(db, "SELECT cust, id FROM orders GROUP BY cust")
+
+
+def test_flightsql_uses_sql_engine(db):
+    from arrow_tpu.io.flightsql import simple_sql_executor
+    r = simple_sql_executor(
+        db, "SELECT cust, SUM(amount) AS s FROM orders "
+            "GROUP BY cust HAVING s > 100").to_pydict()
+    assert r["cust"] == [2]
