@@ -364,16 +364,22 @@ def _is_agg(e) -> bool:
 class _Evaluator:
     """Expression -> Column over a table (non-aggregate context)."""
 
-    def __init__(self, t: Table, aliases: Dict[str, str]):
+    def __init__(self, t: Table, aliases: Dict[str, str],
+                 suffixes: Optional[Dict[str, str]] = None):
         self.t = t
-        self.aliases = aliases       # table alias -> column prefix
+        self.aliases = aliases       # table alias -> table name
+        self.suffixes = suffixes or {}   # table name -> join suffix
 
     def col(self, e: Col) -> Column:
         cands = [e.name]
         if e.table is not None:
-            pref = self.aliases.get(e.table, e.table)
-            cands = [f"{pref}.{e.name}", e.name,
-                     f"{e.name}_{pref}"]
+            tname = self.aliases.get(e.table, e.table)
+            cands = [f"{tname}.{e.name}", e.name]
+            # a joined right table's colliding columns carry a suffix —
+            # a qualified reference prefers the suffixed name
+            sfx = self.suffixes.get(tname)
+            if sfx:
+                cands.insert(0, f"{e.name}{sfx}")
         for c in cands:
             if c in self.t.column_names:
                 return self.t.column(c)
@@ -544,6 +550,7 @@ def execute_sql(tables: Dict[str, Table], query: str) -> Table:
         raise ArrowInvalid(f"no such table {tname!r}")
     t = tables[tname]
     aliases: Dict[str, str] = {}
+    suffixes: Dict[str, str] = {}
     if p.peek()[0] == "id":          # FROM t alias
         aliases[p.next()[1]] = tname
 
@@ -578,6 +585,7 @@ def execute_sql(tables: Dict[str, Table], query: str) -> Table:
             else (b.name, a.name)
         from .ops.join import join as join_op
         t = join_op(t, rt, [l_on], how=how, right_on=[r_on])
+        suffixes[rname] = "_right"     # colliding right columns
 
     where = p.expr() if p.accept("kw", "where") else None
     group = None
@@ -609,7 +617,7 @@ def execute_sql(tables: Dict[str, Table], query: str) -> Table:
 
     if where is not None:
         from .ops.filter import filter_table
-        t = filter_table(t, _Evaluator(t, aliases).eval(where))
+        t = filter_table(t, _Evaluator(t, aliases, suffixes).eval(where))
 
     has_agg = items is not None and any(_is_agg(e) for e, _ in items)
     if group and not has_agg:
@@ -617,9 +625,9 @@ def execute_sql(tables: Dict[str, Table], query: str) -> Table:
 
     pre_t = None                 # row-aligned source for ORDER BY names
     if has_agg:
-        t = _aggregate(t, aliases, items, group or [])
+        t = _aggregate(t, aliases, suffixes, items, group or [])
     elif items is not None:
-        ev = _Evaluator(t, aliases)
+        ev = _Evaluator(t, aliases, suffixes)
         cols, fields = [], []
         for i, (e, alias) in enumerate(items):
             c = ev.eval(e)
@@ -665,11 +673,12 @@ def execute_sql(tables: Dict[str, Table], query: str) -> Table:
     return t
 
 
-def _aggregate(t: Table, aliases, items, group: List[str]) -> Table:
+def _aggregate(t: Table, aliases, suffixes, items,
+               group: List[str]) -> Table:
     """Lower an aggregate SELECT onto ops.group_by (grouped) or the
     whole-array aggregates (global)."""
     from .ops.groupby import AggSpec, group_by
-    ev = _Evaluator(t, aliases)
+    ev = _Evaluator(t, aliases, suffixes)
 
     # materialize aggregate ARGUMENT expressions as temp columns
     specs: List[AggSpec] = []

@@ -122,6 +122,20 @@ def test_functions(db):
     assert r["i"] == [10, 20]
 
 
+def test_join_column_collision_qualified(db):
+    """Both tables carry a column named v: qualified refs resolve the
+    left side to v and the right side to the join-suffixed v_right."""
+    t1 = at.Table.from_pydict({"k": np.array([1, 2], np.int64),
+                               "v": np.array([10, 20], np.int64)})
+    t2 = at.Table.from_pydict({"k": np.array([1, 2], np.int64),
+                               "v": np.array([100, 200], np.int64)})
+    r = execute_sql({"t1": t1, "t2": t2},
+                    "SELECT t1.v AS a, t2.v AS b FROM t1 "
+                    "JOIN t2 ON t1.k = t2.k ORDER BY a").to_pydict()
+    assert r["a"] == [10, 20]
+    assert r["b"] == [100, 200]
+
+
 def test_errors(db):
     with pytest.raises(ArrowInvalid):
         q(db, "SELECT FROM orders")
