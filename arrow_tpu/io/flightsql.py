@@ -18,14 +18,12 @@ is usable out of the box; real engines plug their own handler.
 
 from __future__ import annotations
 
-import struct
 import threading
 import uuid as _uuid
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 from ..core.table import Table
 from ..errors import ArrowInvalid
-import numpy as _np
 
 
 def dt_schema(names, cols):

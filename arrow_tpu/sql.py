@@ -27,12 +27,12 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from . import dtypes as dt
-from .core.column import Column, PrimitiveColumn, column as make_col
+from .core.column import Column, column as make_col
 from .core.datum import scalar as make_scalar
 from .core.table import Table
 from .errors import ArrowInvalid
