@@ -50,6 +50,13 @@ class Column:
     dtype: dt.DataType
     validity: vd.Mask
 
+    def __arrow_c_array__(self, requested_schema=None):
+        """Arrow PyCapsule protocol (C data interface): any consumer —
+        pa.array() included — ingests engine columns zero-conversion
+        (arrow-pyarrow/src/lib.rs:88 role, io/cdata.py)."""
+        from ..io.cdata import export_column
+        return export_column(self)
+
     # -- basic protocol ------------------------------------------------------
     def __len__(self) -> int:
         raise NotImplementedError

@@ -126,6 +126,12 @@ class Table:
                      self.schema, _validated=True)
 
     # -- host conversion ------------------------------------------------------
+    def __arrow_c_array__(self, requested_schema=None):
+        """Arrow PyCapsule protocol: the table as a struct array (the
+        RecordBatch convention) — pa.record_batch(t) works directly."""
+        from ..io.cdata import export_table
+        return export_table(self)
+
     def to_pyarrow(self):
         from ..io.interop import table_to_pyarrow
         return table_to_pyarrow(self)

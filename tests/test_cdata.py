@@ -1,0 +1,107 @@
+"""Arrow C Data Interface (io/cdata.py): raw ArrowSchema/ArrowArray
+capsules interop with pyarrow in BOTH directions — no pyarrow types
+cross the boundary (arrow-data/src/ffi.rs:39 + arrow-array/src/ffi.rs
+:256 parity)."""
+
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.io.cdata import (export_column, export_table,
+                                import_column, import_table)
+from arrow_tpu.io.interop import table_from_pyarrow
+
+
+def _tab():
+    return pa.table({
+        "i64": pa.array([1, None, 3], pa.int64()),
+        "u16": pa.array([0, 9, None], pa.uint16()),
+        "f32": pa.array([1.5, 2.0, None], pa.float32()),
+        "s": pa.array(["a", None, "ccc"]),
+        "ls": pa.array(["a", None, "ccc"], pa.large_string()),
+        "bin": pa.array([b"\x00", None, b""], pa.binary()),
+        "bool": pa.array([True, None, False]),
+        "ts": pa.array([1, 2, None], pa.timestamp("us", "UTC")),
+        "d32": pa.array([1, None, 3], pa.date32()),
+        "dur": pa.array([1, 2, 3], pa.duration("ms")),
+        "dec": pa.array([Decimal("1.23"), None, Decimal("-9.99")],
+                        pa.decimal128(10, 2)),
+        "fsb": pa.array([b"ab", None, b"xy"], pa.binary(2)),
+        "l": pa.array([[1, 2], None, []], pa.list_(pa.int64())),
+        "ll": pa.array([[[1], None], None, [[2, 3]]],
+                       pa.list_(pa.list_(pa.int64()))),
+        "fsl": pa.array([[1, 2], None, [3, 4]], pa.list_(pa.int64(),
+                                                         2)),
+        "st": pa.array([{"x": 1, "y": "a"}, None,
+                        {"x": None, "y": None}],
+                       pa.struct([("x", pa.int64()),
+                                  ("y", pa.string())])),
+        "m": pa.array([[("k", 1)], None, []],
+                      pa.map_(pa.string(), pa.int64())),
+    })
+
+
+def test_export_every_type():
+    tab = _tab()
+    t = table_from_pyarrow(tab)
+    for name in tab.column_names:
+        caps = export_column(t.column(name), name)
+        back = pa.Array._import_from_c_capsule(*caps)
+        assert back.to_pylist() == tab[name].to_pylist(), name
+
+
+def test_import_every_type():
+    tab = _tab()
+    for name in tab.column_names:
+        col = import_column(tab[name].combine_chunks())
+        assert col.to_pylist() == tab[name].to_pylist(), name
+
+
+def test_table_roundtrip_via_struct_convention():
+    tab = _tab()
+    t = table_from_pyarrow(tab)
+    rb = pa.RecordBatch._import_from_c_capsule(*export_table(t))
+    for name in tab.column_names:
+        assert rb[name].to_pylist() == tab[name].to_pylist(), name
+    # and back in: pyarrow batch -> struct array -> our table
+    t2 = import_table(tab.to_batches()[0].to_struct_array())
+    for name in tab.column_names:
+        assert t2.column(name).to_pylist() == \
+            tab[name].to_pylist(), name
+
+
+def test_validity_bitmaps_roundtrip():
+    rng = np.random.default_rng(0)
+    n = 1000
+    arr = pa.array(rng.integers(0, 100, n), mask=rng.random(n) < 0.3)
+    col = import_column(arr)
+    assert col.to_pylist() == arr.to_pylist()
+    back = pa.Array._import_from_c_capsule(*export_column(col))
+    assert back.to_pylist() == arr.to_pylist()
+
+
+def test_release_called_frees_keepalive():
+    from arrow_tpu.io import cdata
+    before = len(cdata._LIVE)
+    t = table_from_pyarrow(pa.table({"x": [1, 2, 3]}))
+    caps = export_column(t.column("x"), "x")
+    assert len(cdata._LIVE) == before + 2     # schema + array alive
+    back = pa.Array._import_from_c_capsule(*caps)
+    del back
+    import gc
+    gc.collect()
+    assert len(cdata._LIVE) == before         # both released
+
+
+def test_pa_array_consumes_our_dunder():
+    """Column.__arrow_c_array__ lets pa.array()/pa.record_batch()
+    consume engine objects directly."""
+    t = table_from_pyarrow(pa.table({"x": [1, None, 3],
+                                     "s": ["a", "b", None]}))
+    a = pa.array(t.column("x"))
+    assert a.to_pylist() == [1, None, 3]
+    rb = pa.record_batch(t)
+    assert rb["s"].to_pylist() == ["a", "b", None]
