@@ -132,6 +132,12 @@ class Table:
         from ..io.cdata import export_table
         return export_table(self)
 
+    def __arrow_c_stream__(self, requested_schema=None):
+        """Arrow PyCapsule stream protocol — pa.table(t) works
+        directly (one batch; ffi_stream.rs role)."""
+        from ..io.cdata import export_stream
+        return export_stream([self])
+
     def to_pyarrow(self):
         from ..io.interop import table_to_pyarrow
         return table_to_pyarrow(self)

@@ -36,7 +36,7 @@ from ..core.nested import (DecimalColumn, FixedSizeBinaryColumn,
 from ..errors import ArrowInvalid, ArrowNotImplementedError
 
 __all__ = ["export_column", "import_column", "export_table",
-           "import_table"]
+           "import_table", "export_stream", "import_stream"]
 
 
 class ArrowSchema(ctypes.Structure):
@@ -490,3 +490,136 @@ def import_table(obj):
     if not isinstance(col, StructColumn):
         raise ArrowInvalid("import_table expects a struct array")
     return Table(tuple(col.children), dt.Schema(tuple(col.fields)))
+
+
+# ---------------------------------------------------------------------------
+# ArrowArrayStream (arrow-array/src/ffi_stream.rs:87 role)
+# ---------------------------------------------------------------------------
+
+class ArrowArrayStream(ctypes.Structure):
+    pass
+
+
+_GET_SCHEMA = ctypes.CFUNCTYPE(ctypes.c_int,
+                               ctypes.POINTER(ArrowArrayStream),
+                               ctypes.POINTER(ArrowSchema))
+_GET_NEXT = ctypes.CFUNCTYPE(ctypes.c_int,
+                             ctypes.POINTER(ArrowArrayStream),
+                             ctypes.POINTER(ArrowArray))
+_GET_LAST_ERROR = ctypes.CFUNCTYPE(ctypes.c_char_p,
+                                   ctypes.POINTER(ArrowArrayStream))
+_STREAM_RELEASE = ctypes.CFUNCTYPE(None,
+                                   ctypes.POINTER(ArrowArrayStream))
+
+ArrowArrayStream._fields_ = [
+    ("get_schema", _GET_SCHEMA),
+    ("get_next", _GET_NEXT),
+    ("get_last_error", _GET_LAST_ERROR),
+    ("release", _STREAM_RELEASE),
+    ("private_data", ctypes.c_void_p),
+]
+
+# stream state: token -> {"batches": [...], "pos": int, "schema": dtype
+# struct-source}
+_STREAMS: Dict[int, dict] = {}
+
+
+@_GET_SCHEMA
+def _stream_get_schema(sp, out):
+    st = _STREAMS.get(int(sp.contents.private_data or 0))
+    if st is None:
+        return 5                       # EIO
+    keep: list = []
+    s = _build_schema(st["dtype"], "", False, keep)
+    keep.append(s)
+    s.private_data = _register(keep)
+    ctypes.memmove(out, ctypes.byref(s), ctypes.sizeof(ArrowSchema))
+    return 0
+
+
+@_GET_NEXT
+def _stream_get_next(sp, out):
+    st = _STREAMS.get(int(sp.contents.private_data or 0))
+    if st is None:
+        return 5
+    if st["pos"] >= len(st["batches"]):
+        # end of stream: released out marks exhaustion
+        ctypes.memset(out, 0, ctypes.sizeof(ArrowArray))
+        return 0
+    col = st["batches"][st["pos"]]
+    st["pos"] += 1
+    keep: list = []
+    a = _build_array(col, keep)
+    keep.append(a)
+    a.private_data = _register(keep)
+    ctypes.memmove(out, ctypes.byref(a), ctypes.sizeof(ArrowArray))
+    return 0
+
+
+@_GET_LAST_ERROR
+def _stream_get_last_error(sp):
+    return None
+
+
+@_STREAM_RELEASE
+def _stream_release(sp):
+    s = sp.contents
+    _STREAMS.pop(int(s.private_data or 0), None)
+    _LIVE.pop(int(s.private_data or 0), None)
+    s.release = ctypes.cast(None, _STREAM_RELEASE)
+
+
+def export_stream(tables) -> object:
+    """Tables/batches -> "arrow_array_stream" capsule (each batch a
+    struct array; pa.table() and pa.RecordBatchReader consume it)."""
+    batches = []
+    d = None
+    for t in tables:
+        sc = StructColumn(tuple(t.columns), tuple(t.schema.fields))
+        batches.append(sc)
+        d = sc.dtype
+    if d is None:
+        raise ArrowInvalid("export_stream needs at least one batch")
+    stream = ArrowArrayStream()
+    stream.get_schema = _stream_get_schema
+    stream.get_next = _stream_get_next
+    stream.get_last_error = _stream_get_last_error
+    stream.release = _stream_release
+    token = _register([stream])
+    stream.private_data = token
+    _STREAMS[token] = {"batches": batches, "pos": 0, "dtype": d}
+    return _capsule(stream, b"arrow_array_stream")
+
+
+def import_stream(obj):
+    """"arrow_array_stream" capsule (or object with
+    __arrow_c_stream__) -> list of Tables, one per batch."""
+    cap = obj.__arrow_c_stream__() \
+        if hasattr(obj, "__arrow_c_stream__") else obj
+    sp = ctypes.cast(
+        _PyCapsule_GetPointer(cap, b"arrow_array_stream"),
+        ctypes.POINTER(ArrowArrayStream))
+    st = sp.contents
+    from ..core.table import Table
+    s_out = ArrowSchema()
+    if st.get_schema(sp, ctypes.byref(s_out)) != 0:
+        raise ArrowInvalid("stream get_schema failed")
+    _, d, _ = _import_schema(s_out)
+    if s_out.release:
+        s_out.release(ctypes.byref(s_out))
+    if d.name != "struct":
+        raise ArrowInvalid("import_stream expects struct batches")
+    out = []
+    while True:
+        a_out = ArrowArray()
+        if st.get_next(sp, ctypes.byref(a_out)) != 0:
+            raise ArrowInvalid("stream get_next failed")
+        if not a_out.release:
+            break
+        col = _import_array(a_out, d)
+        a_out.release(ctypes.byref(a_out))
+        out.append(Table(tuple(col.children),
+                         dt.Schema(tuple(col.fields))))
+    if st.release:
+        st.release(sp)
+    return out

@@ -96,6 +96,28 @@ def test_release_called_frees_keepalive():
     assert len(cdata._LIVE) == before         # both released
 
 
+def test_stream_roundtrip():
+    """ArrowArrayStream callbacks: pa.table() consumes our stream
+    capsule; our import_stream drains pyarrow's."""
+    from arrow_tpu.io.cdata import export_stream, import_stream
+    tab = pa.table({"x": [1, None, 3], "s": ["a", "b", None]})
+    t = table_from_pyarrow(tab)
+    got = pa.table(t)               # via __arrow_c_stream__
+    for name in tab.column_names:
+        assert got[name].to_pylist() == tab[name].to_pylist(), name
+    # multi-batch export through the raw capsule
+    cap = export_stream([t, t])
+    rdr = pa.RecordBatchReader._import_from_c_capsule(cap)
+    batches = list(rdr)
+    assert len(batches) == 2
+    assert batches[1]["x"].to_pylist() == [1, None, 3]
+    # pyarrow stream -> our tables
+    parts = import_stream(pa.table({"x": [5, 6]}))
+    assert len(parts) >= 1
+    assert sum(p.num_rows for p in parts) == 2
+    assert parts[0].column("x").to_pylist()[:2] == [5, 6]
+
+
 def test_pa_array_consumes_our_dunder():
     """Column.__arrow_c_array__ lets pa.array()/pa.record_batch()
     consume engine objects directly."""
