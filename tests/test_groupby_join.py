@@ -357,6 +357,71 @@ def test_bin_path_declines_wide_range():
     assert out.to_pydict()["v_sum"] == [0, 2, 1]
 
 
+import importlib
+
+_jn = importlib.import_module("arrow_tpu.ops.join")
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+@pytest.mark.parametrize("seed", range(3))
+def test_perfect_index_join_parity(how, seed, monkeypatch):
+    """Unique small-range build keys route through the dense-table
+    index join; outputs match the merge plan exactly (incl. NULL-key
+    semantics and probe ordering)."""
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 5000, 700
+    build_keys = rng.choice(3000, n_r, replace=False).astype(np.int64)
+    probe_keys = rng.integers(-50, 3200, n_l)
+    lt = at.Table.from_pyarrow(pa.table({
+        "k": pa.array(probe_keys, mask=rng.random(n_l) < 0.05),
+        "p": pa.array(np.arange(n_l))}))
+    rt = at.Table.from_pyarrow(pa.table({
+        "k": pa.array(build_keys, mask=rng.random(n_r) < 0.05),
+        "w": pa.array(np.arange(n_r) * 7)}))
+    got = _jn.join_indices(lt, rt, ["k"], how=how)
+    with monkeypatch.context() as m:
+        # force the merge plan by making the index path unavailable
+        m.setattr(_jn, "_index_build_stage",
+                  lambda *a, **k: (None, np.bool_(True)))
+        # returning dup=True declines the index plan
+        import types
+        exp = _jn.join_indices(lt, rt, ["k"], how=how)
+    ga, gb = np.asarray(got[0]), np.asarray(got[1])
+    ea, eb = np.asarray(exp[0]), np.asarray(exp[1])
+    assert (ga == ea).all(), how
+    assert (gb == eb).all(), how
+
+
+def test_perfect_index_declines_duplicate_build_keys():
+    lt = at.Table.from_pydict({"k": np.array([1, 2, 3], np.int64)})
+    rt = at.Table.from_pydict({"k": np.array([1, 1, 2], np.int64),
+                               "w": np.array([10, 11, 20], np.int64)})
+    li, ri = _jn.join_indices(lt, rt, ["k"])
+    pairs = sorted(zip(np.asarray(li).tolist(),
+                       np.asarray(ri).tolist()))
+    assert pairs == [(0, 0), (0, 1), (1, 2)]
+
+
+def test_perfect_index_many_null_build_keys(monkeypatch):
+    # >1 null build key must NOT false-trigger the duplicate detector
+    lt = at.Table.from_pydict({"k": np.array([5, 7, 9], np.int64)})
+    rt = at.Table.from_pyarrow(pa.table({
+        "k": pa.array([5, None, None, 9], type=pa.int64()),
+        "w": pa.array([50, 0, 1, 90], type=pa.int64())}))
+    seen = {}
+    real = _jn._index_build_stage
+
+    def spy(*a, **k):
+        out = real(*a, **k)
+        seen["dup"] = bool(out[1])
+        return out
+    monkeypatch.setattr(_jn, "_index_build_stage", spy)
+    li, ri = _jn.join_indices(lt, rt, ["k"])
+    assert seen["dup"] is False
+    assert np.asarray(li).tolist() == [0, 2]
+    assert np.asarray(ri).tolist() == [0, 3]
+
+
 def test_bin_path_fused_crash_fallback(monkeypatch):
     # the remote AOT compiler SIGSEGVs on some large fused bin stages
     # (measured: 6 aggs over 5M x 50k bins); the path must rerun one
