@@ -1119,6 +1119,14 @@ class ParquetFile:
             leaf_map = {li: next(it) for li, *_ in jobs}
             parts.append(self._assemble(i, fields, leaf_map,
                                         as_dictionary))
+        if not parts:                # zero row groups: empty table
+            from ..core.column import column as make_col
+            sch = self.schema
+            if columns is not None:
+                sch = dt.Schema(tuple(f for f in sch.fields
+                                      if f.name in set(columns)))
+            return Table(tuple(make_col([], f.dtype)
+                               for f in sch.fields), sch)
         if len(parts) == 1:
             return parts[0]
         from ..ops.concat import concat_tables

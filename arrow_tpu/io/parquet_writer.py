@@ -366,6 +366,111 @@ def _plain_values(c: Column, mask: Optional[np.ndarray]) -> bytes:
     return np.ascontiguousarray(vals).tobytes()
 
 
+# ---------------------------------------------------------------------------
+# v2 value encoders (encodings/delta_bitpack_encoder + rle roles): the
+# reference's PARQUET_2_0 fallback encodings (column/writer/mod.rs:1444)
+# ---------------------------------------------------------------------------
+
+def _varint(out: bytearray, v: int):
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _zigzag(out: bytearray, v: int):
+    _varint(out, ((v << 1) ^ (v >> 63)) & 0xFFFFFFFFFFFFFFFF
+            if v < 0 else v << 1)
+
+
+def delta_binary_packed_encode(vals: np.ndarray) -> bytes:
+    """DELTA_BINARY_PACKED (block 128, 4 miniblocks of 32), vectorized:
+    miniblocks grouped BY bit width and batch-packed with np.packbits."""
+    n = len(vals)
+    out = bytearray()
+    _varint(out, 128)
+    _varint(out, 4)
+    _varint(out, n)
+    if n == 0:
+        _zigzag(out, 0)
+        return bytes(out)
+    v = vals.astype(np.int64, copy=False)
+    _zigzag(out, int(v[0]))
+    if n == 1:
+        return bytes(out)
+    # wrap-safe deltas in u64 arithmetic
+    d = (v[1:].astype(np.uint64) - v[:-1].astype(np.uint64))
+    nd = len(d)
+    nblocks = (nd + 127) // 128
+    pad = nblocks * 128 - nd
+    d = np.concatenate([d, np.zeros(pad, np.uint64)])
+    ds = d.view(np.int64).reshape(nblocks, 128)
+    mins = ds.min(axis=1)
+    adj = (ds.view(np.uint64)
+           - mins.astype(np.uint64)[:, None]).reshape(nblocks, 4, 32)
+    # padded tail positions must encode as 0 (delta == min_delta)
+    if pad:
+        flat = adj.reshape(-1)
+        flat[nd:] = 0
+        adj = flat.reshape(nblocks, 4, 32)
+    # miniblock bit widths via exact bit_length on each miniblock max
+    mx = adj.max(axis=2)
+    bws = np.frompyfunc(lambda x: int(x).bit_length(), 1, 1)(mx) \
+        .astype(np.int64)
+    # how many miniblocks each block actually stores (last block may
+    # stop early)
+    vals_in_block = np.full(nblocks, 128, np.int64)
+    vals_in_block[-1] = nd - (nblocks - 1) * 128
+    mb_count = np.minimum((vals_in_block + 31) // 32, 4)
+    # batch-pack per distinct width
+    packed: dict = {}
+    for bw in np.unique(bws):
+        bw = int(bw)
+        if bw == 0:
+            continue
+        ids = np.nonzero(bws == bw)
+        sub = adj[ids]                      # (M, 32)
+        bits = ((sub[:, :, None]
+                 >> np.arange(bw, dtype=np.uint64)[None, None, :])
+                & np.uint64(1)).astype(np.uint8)
+        by = np.packbits(bits.reshape(len(sub), 32 * bw), axis=1,
+                         bitorder="little")
+        for k, (bi, mi) in enumerate(zip(*ids)):
+            packed[(int(bi), int(mi))] = by[k].tobytes()
+    for b in range(nblocks):
+        _zigzag(out, int(mins[b]))
+        mc = int(mb_count[b])
+        wrow = [int(bws[b, m]) if m < mc else 0 for m in range(4)]
+        out.extend(bytes(wrow))
+        for m in range(mc):
+            if wrow[m]:
+                out.extend(packed[(b, m)])
+    return bytes(out)
+
+
+def delta_byte_array_encode(offs: np.ndarray, data: np.ndarray) -> bytes:
+    """DELTA_BYTE_ARRAY with zero prefix lengths (spec-valid; prefix
+    compression is an optimization, not a requirement)."""
+    n = len(offs) - 1
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    out = bytearray()
+    out += delta_binary_packed_encode(np.zeros(n, np.int64))
+    out += delta_binary_packed_encode(lens)
+    out += np.asarray(data, np.uint8)[:int(offs[-1])].tobytes()
+    return bytes(out)
+
+
+def rle_bool_encode(vals: np.ndarray) -> bytes:
+    """RLE as a v2 VALUES encoding for booleans: u32 length prefix +
+    RLE/bit-packed hybrid at bit width 1."""
+    rle = nt.rle_bp_encode(vals.astype(np.uint32), 1)
+    return struct.pack("<I", len(rle)) + rle
+
+
 def _levels_bytes(levels: np.ndarray, max_level: int) -> bytes:
     bw = max(1, int(max_level).bit_length())
     rle = nt.rle_bp_encode(levels.astype(np.uint32), bw)
@@ -653,6 +758,30 @@ class NativeParquetWriter:
             self._emit(hdr.bytes() + body)
         return off, self._pos - off
 
+    def _encode_values(self, leaf: _Leaf, pc: Column):
+        """(encoding id, encoded bytes) for one non-dictionary page.
+        v1 pages are PLAIN; v2 pages use the reference's PARQUET_2_0
+        fallbacks (column/writer/mod.rs:1444): RLE booleans,
+        DELTA_BINARY_PACKED int32/64, DELTA_BYTE_ARRAY byte arrays."""
+        if self.page_v2:
+            d = pc.dtype
+            phys = _logical_fields(d)[0]
+            if phys == PT_BOOLEAN:
+                return 3, rle_bool_encode(np.asarray(pc.values))
+            if phys in (PT_INT32, PT_INT64) and isinstance(
+                    pc, PrimitiveColumn):
+                vals = np.asarray(pc.values)
+                if d.name == "uint32":
+                    vals = vals.astype(np.uint32).view(np.int32)
+                elif d.name == "uint64":
+                    vals = vals.astype(np.uint64).view(np.int64)
+                return 5, delta_binary_packed_encode(vals)
+            if phys == PT_BYTE_ARRAY and isinstance(pc, StringColumn):
+                return 7, delta_byte_array_encode(
+                    np.asarray(pc.offsets).astype(np.int64),
+                    np.asarray(pc.data))
+        return 0, _plain_values(pc, None)
+
     def _write_chunk(self, leaf: _Leaf, c: Column, defs, reps):
         """c arrives COMPACTED (len(c) == number of def==max_def slots);
         defs/reps live on the slot axis.  vpos maps a slot range to its
@@ -745,15 +874,17 @@ class NativeParquetWriter:
                 n_page = e - s
                 n_rows = int((reps[s:e] == 0).sum()) \
                     if leaf.max_rep and reps is not None else n_page
-                plain = _plain_values(pc, None)
+                enc_id, payload = self._encode_values(leaf, pc)
+                if enc_id not in encodings:
+                    encodings.append(enc_id)
                 rep_b, def_b = levels_for_page(s, e)
                 n_nulls = 0 if defs is None else \
                     int((defs[s:e] != leaf.max_def).sum())
                 o, sz = self._emit_data_page(
-                    leaf, n_page, n_rows, n_nulls, 0, rep_b, def_b,
-                    plain)
+                    leaf, n_page, n_rows, n_nulls, enc_id, rep_b,
+                    def_b, payload)
                 page_locs.append((o, sz, 0 if leaf.max_rep else s))
-                total_uncomp += len(rep_b) + len(def_b) + len(plain)
+                total_uncomp += len(rep_b) + len(def_b) + len(payload)
                 if self.write_page_index and not leaf.max_rep:
                     mn, mx, _, mnc, mxc = _stats_full(pc, None)
                     page_stats.append(

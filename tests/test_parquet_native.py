@@ -502,6 +502,69 @@ class TestNativeWriter:
         md = pq.read_metadata(p)
         assert md.num_row_groups == 4        # 200+50 per write call
 
+    def test_v2_default_encodings(self):
+        """PARQUET_2_0 fallback encodings (column/writer/mod.rs:1444):
+        RLE bools, DELTA_BINARY_PACKED ints, DELTA_BYTE_ARRAY strings —
+        readable by Arrow C++ and our own decoder, block/miniblock
+        boundaries fuzzed."""
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        rng = np.random.default_rng(9)
+        for n in (1, 2, 32, 127, 128, 129, 640, 4097):
+            vals = rng.integers(-10**14, 10**14, n)
+            mask = rng.random(n) < 0.2
+            tab = pa.table({
+                "v": pa.array(vals, mask=mask),
+                "s": pa.array([None if i % 7 == 3 else f"s{i%50}"
+                               for i in range(n)]),
+                "b": pa.array((vals % 2 == 0).tolist()),
+            })
+            t = at.Table.from_pyarrow(tab)
+            buf = io.BytesIO()
+            write_parquet_native(buf, t, data_page_version="2.0",
+                                 dictionary_enabled=False,
+                                 data_page_size=1024)
+            data = buf.getvalue()
+            ref = pq.read_table(io.BytesIO(data))
+            ours = ParquetFile(data).read()
+            for name in tab.column_names:
+                assert ref[name].to_pylist() == \
+                    tab[name].to_pylist(), (n, name)
+                assert ours.column(name).to_pylist() == \
+                    tab[name].to_pylist(), (n, name, "ours")
+        md = pq.read_metadata(io.BytesIO(data))
+        encs = {md.schema.column(i).name:
+                set(md.row_group(0).column(i).encodings)
+                for i in range(3)}
+        assert "DELTA_BINARY_PACKED" in encs["v"]
+        assert "DELTA_BYTE_ARRAY" in encs["s"]
+
+    def test_v2_delta_extreme_values(self):
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        vals = [-2**63, 2**63 - 1, 0, -1, 2**62, -2**62, 17]
+        t = at.Table.from_pydict({"v": np.array(vals, np.int64)})
+        buf = io.BytesIO()
+        write_parquet_native(buf, t, data_page_version="2.0",
+                             dictionary_enabled=False)
+        assert pq.read_table(io.BytesIO(buf.getvalue()))[
+            "v"].to_pylist() == vals
+        assert ParquetFile(buf.getvalue()).read().column(
+            "v").to_pylist() == vals
+
+    def test_empty_table_roundtrip(self):
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        t = at.Table.from_pyarrow(pa.table({
+            "v": pa.array([], pa.int64()),
+            "s": pa.array([], pa.string())}))
+        buf = io.BytesIO()
+        write_parquet_native(buf, t)
+        got = ParquetFile(buf.getvalue()).read()
+        assert got.num_rows == 0
+        assert got.column_names == ("v", "s") or \
+            list(got.column_names) == ["v", "s"]
+
     def test_rle_fuzz(self):
         from arrow_tpu.utils import native as nt
         rng = np.random.default_rng(2)
