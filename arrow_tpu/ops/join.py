@@ -112,15 +112,17 @@ _U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 @jax.jit
 @jax.jit
 def _key_range_scan(lkey, lvalid, rkey, rvalid):
-    """(min, max) over both sides' VALID encoded keys, one fetch."""
+    """(combined min, combined max, build min, build max) over VALID
+    encoded keys, one fetch — the combined range gates the packed merge
+    plan, the BUILD range alone gates the perfect-index plan (probe
+    outliers don't need table slots; they just miss)."""
     top = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-    lo = jnp.minimum(
-        jnp.min(jnp.where(lvalid, lkey, top)),
-        jnp.min(jnp.where(rvalid, rkey, top)))
-    hi = jnp.maximum(
-        jnp.max(jnp.where(lvalid, lkey, jnp.uint64(0))),
-        jnp.max(jnp.where(rvalid, rkey, jnp.uint64(0))))
-    return jnp.stack([lo, hi])
+    lo_r = jnp.min(jnp.where(rvalid, rkey, top))
+    hi_r = jnp.max(jnp.where(rvalid, rkey, jnp.uint64(0)))
+    lo = jnp.minimum(jnp.min(jnp.where(lvalid, lkey, top)), lo_r)
+    hi = jnp.maximum(jnp.max(jnp.where(lvalid, lkey, jnp.uint64(0))),
+                     hi_r)
+    return jnp.stack([lo, hi, lo_r, hi_r])
 
 
 @functools.partial(jax.jit, static_argnames=("R",))
@@ -389,21 +391,23 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
     # streams
     rng = np.asarray(_key_range_scan(lkey, lvalid, rkey, rvalid))
     kmin, kmax = int(rng[0]), int(rng[1])
-    span = kmax - kmin + 1 if kmin <= kmax else 0
+    bmin, bmax = int(rng[2]), int(rng[3])
+    span = bmax - bmin + 1 if bmin <= bmax else 0
 
-    # perfect-index plan: single exact key whose range is comparable to
-    # the build size — a dense table replaces every merge sort with one
-    # build sort + one probe gather (requires unique build keys,
-    # detected on device; DuckDB's perfect-hash join re-designed for
-    # gather-friendly hardware)
+    # perfect-index plan: single exact key whose BUILD range is
+    # comparable to the build size — a dense table replaces every merge
+    # sort with one build sort + one probe gather (requires unique
+    # build keys, detected on device; DuckDB's perfect-hash join
+    # re-designed for gather-friendly hardware).  Probe keys outside
+    # the build range simply miss.
     if (not multi and right.num_rows > 0
             and 0 < span <= min(1 << 27,
                                 max(1 << 22, 4 * right.num_rows))):
         table, dup = _index_build_stage(rkey, rvalid,
-                                        jnp.uint64(kmin), span)
+                                        jnp.uint64(bmin), span)
         if not bool(dup):
             ri32, cnt_dev = _index_probe_stage(lkey, lvalid, table,
-                                               jnp.uint64(kmin))
+                                               jnp.uint64(bmin))
             return _finish_index_join(ri32, cnt_dev, left.num_rows,
                                       how)
 

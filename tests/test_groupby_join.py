@@ -392,6 +392,29 @@ def test_perfect_index_join_parity(how, seed, monkeypatch):
     assert (gb == eb).all(), how
 
 
+def test_perfect_index_with_probe_outliers(monkeypatch):
+    """Probe keys far outside the build range must NOT disable the
+    index plan (the table is sized by the BUILD range; outliers miss)."""
+    lt = at.Table.from_pydict({
+        "k": np.array([5, 2**60, -2**60, 7, 6], np.int64)})
+    rt = at.Table.from_pydict({
+        "k": np.array([5, 6, 8], np.int64),
+        "w": np.array([50, 60, 80], np.int64)})
+    used = {}
+    real = _jn._index_build_stage
+
+    def spy(*a, **k):
+        used["hit"] = True
+        return real(*a, **k)
+    monkeypatch.setattr(_jn, "_index_build_stage", spy)
+    li, ri = _jn.join_indices(lt, rt, ["k"])
+    assert used.get("hit")
+    assert np.asarray(li).tolist() == [0, 4]
+    assert np.asarray(ri).tolist() == [0, 1]
+    li, ri = _jn.join_indices(lt, rt, ["k"], how="left")
+    assert np.asarray(ri).tolist() == [0, -1, -1, -1, 1]
+
+
 def test_perfect_index_declines_duplicate_build_keys():
     lt = at.Table.from_pydict({"k": np.array([1, 2, 3], np.int64)})
     rt = at.Table.from_pydict({"k": np.array([1, 1, 2], np.int64),
