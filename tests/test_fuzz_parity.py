@@ -140,3 +140,81 @@ def test_fuzz_group_by_parity(seed):
                              ("v_max", "v_max"), ("v_mean", "v_mean")):
         w = rot(want[col_pa]) if has_null_key else want[col_pa]
         assert ours[col_ours] == w, (seed, col_ours, ours[col_ours], w)
+
+
+def _random_dtype(rng, depth=0):
+    leaves = [pa.int64(), pa.int32(), pa.float64(), pa.string(),
+              pa.bool_(), pa.timestamp("us"), pa.date32()]
+    if depth >= 2:
+        return leaves[rng.integers(0, len(leaves))]
+    r = rng.random()
+    if r < 0.55:
+        return leaves[rng.integers(0, len(leaves))]
+    if r < 0.75:
+        return pa.list_(_random_dtype(rng, depth + 1))
+    if r < 0.9:
+        k = max(1, int(rng.integers(1, 4)))
+        return pa.struct([(f"f{i}", _random_dtype(rng, depth + 1))
+                          for i in range(k)])
+    return pa.map_(pa.string(), _random_dtype(rng, depth + 1))
+
+
+def _random_value(rng, ty):
+    if rng.random() < 0.12:
+        return None
+    if pa.types.is_list(ty):
+        return [_random_value(rng, ty.value_type)
+                for _ in range(int(rng.integers(0, 4)))]
+    if pa.types.is_struct(ty):
+        return {f.name: _random_value(rng, f.type) for f in ty}
+    if pa.types.is_map(ty):
+        return [(f"k{j}", _random_value(rng, ty.item_type))
+                for j in range(int(rng.integers(0, 3)))]
+    if pa.types.is_string(ty):
+        return f"s{int(rng.integers(0, 50))}"
+    if pa.types.is_boolean(ty):
+        return bool(rng.integers(0, 2))
+    if pa.types.is_floating(ty):
+        return float(rng.standard_normal())
+    if pa.types.is_date(ty):
+        return int(rng.integers(-50000, 50000))   # python date range
+    return int(rng.integers(-10**6, 10**6))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_parquet_nested_write_read(seed):
+    """Random nested schemas through the NATIVE parquet writer, read by
+    BOTH Arrow C++ and our reader (levels.rs / array_reader fuzz tier)."""
+    import io as _io
+    from arrow_tpu.io.parquet_io import _native_writable
+    from arrow_tpu.io.parquet_native import ParquetFile
+    from arrow_tpu.io.parquet_writer import write_parquet_native
+    rng = np.random.default_rng(seed + 100)
+    n = int(rng.integers(1, 120))
+    fields, cols = [], {}
+    for i in range(int(rng.integers(1, 5))):
+        ty = _random_dtype(rng)
+        vals = [_random_value(rng, ty) for _ in range(n)]
+        try:
+            cols[f"c{i}"] = pa.array(vals, ty)
+        except pa.lib.ArrowInvalid:
+            continue
+    if not cols:
+        return
+    tab = pa.table(cols)
+    t = at.Table.from_pyarrow(tab)
+    if not _native_writable(t.schema):
+        return
+    buf = _io.BytesIO()
+    write_parquet_native(buf, t,
+                         data_page_version=["1.0", "2.0"][seed % 2],
+                         compression=["snappy", "none", "zstd"][seed % 3])
+    data = buf.getvalue()
+    import pyarrow.parquet as _pq
+    ref = _pq.read_table(_io.BytesIO(data))
+    ours = ParquetFile(data).read()
+    for name in tab.column_names:
+        assert ref[name].to_pylist() == tab[name].to_pylist(), \
+            (seed, name)
+        assert ours.column(name).to_pylist() == \
+            tab[name].to_pylist(), (seed, name, "ours")
