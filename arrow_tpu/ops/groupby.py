@@ -611,7 +611,12 @@ def _dictionary_fast_path(table: Table, key_cols, keys, aggs
 # only); bin section math composes partition.rs:156's boundary idea with
 # searchsorted instead of scatter.
 
-_BIN_CAP = 1 << 20           # max combined bin count
+_BIN_CAP = 1 << 20           # max combined bin count.  Measured on the
+                             # v5e: at 10M bins x 100M rows the bin plan
+                             # is 2x SLOWER than discovery (8.1 s vs
+                             # 4.0 s — the per-bin searchsorted sections
+                             # and finalize gather dominate), so high
+                             # cardinalities stay on the sort path.
 _BIN_CHUNK = 125_000_000     # rows per sort chunk (HBM sort-buffer bound)
 
 # class codes packed into the low bits of the bin key when a value
