@@ -229,12 +229,42 @@ def read_json(source, schema: Optional[dt.Schema] = None) -> Table:
     rec_of_key = np.searchsorted(rec_starts, key_pos, side="right") - 1
     names: List[str] = []
     cols = {}
-    for kp, r in zip(key_pos, rec_of_key):
-        name = tape.text(kp)
-        if name not in cols:
-            cols[name] = np.full(n, -1, np.int64)
+    if len(key_pos):
+        # vectorized key dedupe: keys repeat from a tiny column-name
+        # set, so group key tokens by CONTENT via a fixed-width byte
+        # matrix + np.unique — one host decode per COLUMN, not per
+        # token (the per-token Python loop was 60% of read time)
+        lens = tape.ends[key_pos] - tape.starts[key_pos]
+        L = max(int(lens.max()), 1)
+        idx = tape.starts[key_pos][:, None] + np.arange(L)
+        valid = np.arange(L)[None, :] < lens[:, None]
+        mat = np.where(valid,
+                       tape.raw[np.minimum(idx, len(tape.raw) - 1)],
+                       np.uint8(0))
+        # 64-bit polynomial hash per key (np.unique(axis=0) lexsorts
+        # the whole matrix — 10x slower); grouped members are then
+        # verified EXACTLY against their representative, with a
+        # unique(axis=0) fallback on a true collision
+        h = np.zeros(len(key_pos), np.uint64)
+        mult = np.uint64(1099511628211)
+        for j in range(L):
+            h = h * mult + mat[:, j]
+        hu, inv = np.unique(h, return_inverse=True)
+        reps = np.full(len(hu), len(key_pos), np.int64)
+        np.minimum.at(reps, inv, np.arange(len(key_pos)))
+        if not (mat == mat[reps[inv]]).all():
+            _, inv = np.unique(mat, axis=0, return_inverse=True)
+            hu = np.unique(inv)
+        uniq = hu
+        first_pos = np.full(len(uniq), len(key_pos), np.int64)
+        np.minimum.at(first_pos, inv, np.arange(len(key_pos)))
+        for uid in np.argsort(first_pos):      # first-seen order
+            sel = np.nonzero(inv == uid)[0]
+            name = tape.text(int(key_pos[sel[0]]))
+            toks = np.full(n, -1, np.int64)
+            toks[rec_of_key[sel]] = key_pos[sel] + 1
+            cols[name] = toks
             names.append(name)
-        cols[name][r] = kp + 1
     columns = tuple(_column_from_tokens(tape, cols[nm]) for nm in names)
     fields = tuple(dt.Field(nm, c.dtype) for nm, c in zip(names, columns))
     t = Table(columns, dt.Schema(fields))
