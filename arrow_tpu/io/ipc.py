@@ -107,13 +107,18 @@ class StreamWriter:
         self._sink.write(b)
         self._pos += len(b)
 
-    def _emit_message(self, meta: bytes, body: bytes,
-                      blocks: Optional[list]) -> None:
+    def _emit_message(self, meta: bytes, body, blocks: Optional[list]
+                      ) -> None:
+        """body: bytes, or a chunk list streamed to the sink without
+        assembly (one fewer full-body memcpy)."""
         framed = _frame(meta)
+        chunks = body if isinstance(body, list) else [body]
+        blen = sum(len(c) for c in chunks)
         if blocks is not None:
-            blocks.append((self._pos, len(framed), len(body)))
+            blocks.append((self._pos, len(framed), blen))
         self._emit(framed)
-        self._emit(body)
+        for c in chunks:
+            self._emit(c)
 
     def write(self, table: Table) -> None:
         if tuple(f.dtype for f in table.schema.fields) != \
@@ -132,8 +137,8 @@ class StreamWriter:
                 dict_id, values, self._codec)
             self._emit_message(meta, body, self._dict_blocks)
             self._written_dicts[dict_id] = id(values)
-        meta, body = fmt.encode_record_batch(table, self._codec)
-        self._emit_message(meta, body, self._batch_blocks)
+        meta, chunks = fmt.encode_record_batch_chunks(table, self._codec)
+        self._emit_message(meta, chunks, self._batch_blocks)
 
     def close(self) -> None:
         self._emit(struct.pack("<Ii", _CONT, 0))    # EOS
@@ -181,6 +186,7 @@ class StreamDecoder:
 
     def __init__(self):
         self._buf = bytearray()
+        self._pos = 0
         self._schema: Optional[dt.Schema] = None
         self._dict_fields: Dict[int, dt.Field] = {}
         self._dict_id_of: Dict[int, int] = {}
@@ -196,6 +202,35 @@ class StreamDecoder:
         self._buf.extend(data)
         self._drain()
 
+    def consume_buffer(self, data) -> None:
+        """Whole-buffer decode (read_stream path): messages parse IN
+        PLACE over memoryview slices — zero body copies and no buffer
+        shifting (the incremental path must copy because its bytearray
+        mutates under later feeds)."""
+        mv = memoryview(data)
+        n = len(data)
+        pos = 0
+        while n - pos >= 8:
+            cont, length = struct.unpack_from("<Ii", data, pos)
+            if cont != _CONT:
+                length = struct.unpack_from("<i", data, pos)[0]
+                header = 4
+            else:
+                header = 8
+            if length == 0:
+                self._eos = True
+                pos += header
+                continue
+            if n - pos < header + length:
+                break
+            meta = bytes(mv[pos + header:pos + header + length])
+            _, msg, body_len = fmt.parse_message(meta)
+            total = header + length + body_len
+            if n - pos < total:
+                break
+            self._consume(meta, mv[pos + header + length:pos + total])
+            pos += total
+
     def _drain(self) -> None:
         while True:
             got = self._try_consume()
@@ -204,30 +239,41 @@ class StreamDecoder:
 
     def _try_consume(self) -> bool:
         b = self._buf
-        if len(b) < 8:
+        p = self._pos
+        if len(b) - p < 8:
             return False
-        cont, length = struct.unpack_from("<Ii", b, 0)
+        cont, length = struct.unpack_from("<Ii", b, p)
         if cont != _CONT:
             # legacy pre-0.15 framing: bare i32 length
-            length = struct.unpack_from("<i", b, 0)[0]
+            length = struct.unpack_from("<i", b, p)[0]
             header = 4
         else:
             header = 8
         if length == 0:
             self._eos = True
-            del b[:header]
-            return len(b) >= 8
-        if len(b) < header + length:
+            self._pos = p + header
+            self._compact()
+            return len(b) - self._pos >= 8
+        if len(b) - p < header + length:
             return False
-        meta = bytes(b[header:header + length])
+        meta = bytes(b[p + header:p + header + length])
         _, msg, body_len = fmt.parse_message(meta)
         total = header + length + body_len
-        if len(b) < total:
+        if len(b) - p < total:
             return False
-        body = bytes(b[header + length:total])
-        del b[:total]
+        body = bytes(b[p + header + length:p + total])
+        self._pos = p + total
+        self._compact()
         self._consume(meta, body)
         return True
+
+    def _compact(self) -> None:
+        # drop consumed bytes only when they dominate the buffer —
+        # a del-per-message shifts the whole tail (O(n^2) over a
+        # stream)
+        if self._pos > (1 << 20) and self._pos * 2 > len(self._buf):
+            del self._buf[:self._pos]
+            self._pos = 0
 
     def _consume(self, meta: bytes, body: bytes) -> None:
         tag, msg, _ = fmt.parse_message(meta)
@@ -272,7 +318,7 @@ def write_stream(sink, tables, compression: Optional[str] = None) -> None:
 def read_stream(source) -> List[Table]:
     data = source.read() if hasattr(source, "read") else bytes(source)
     dec = StreamDecoder()
-    dec.feed(data)
+    dec.consume_buffer(data)
     out = []
     while True:
         t = dec.next_batch()

@@ -449,7 +449,9 @@ class _Flattener:
 
     def buf(self, b) -> None:
         if isinstance(b, np.ndarray):
-            b = np.ascontiguousarray(b).tobytes()
+            # keep a zero-copy view; sinks accept memoryview and the
+            # array is alive via this list
+            b = memoryview(np.ascontiguousarray(b)).cast("B")
         self.buffers.append(b)
 
     def walk(self, col: Column) -> None:
@@ -639,20 +641,31 @@ def decompress_buffer(raw: bytes, codec: int) -> bytes:
     raise ArrowInvalid(f"unknown compression codec {codec}")
 
 
-def _assemble_body(buffers: List[bytes], codec: Optional[int]
-                   ) -> Tuple[bytes, List[Tuple[int, int]]]:
-    """Pad each buffer to 8 bytes; -> (body, [(offset, length)])."""
-    out = bytearray()
+def _body_chunks(buffers: List[bytes], codec: Optional[int]):
+    """-> (chunks, [(offset, length)]): each buffer 8-aligned, emitted
+    as separate chunks so writers can stream them to the sink without
+    assembling one monolithic body (a full extra memcpy at IPC sizes)."""
+    chunks: List[bytes] = []
     locs = []
+    off = 0
     for raw in buffers:
         if codec is not None:
             raw = compress_buffer(raw, codec)
-        off = len(out)
-        locs.append((off, len(raw)))
-        out += raw
-        pad = -len(out) % 8
-        out += bytes(pad)
-    return bytes(out), locs
+        ln = len(raw)
+        locs.append((off, ln))
+        chunks.append(raw)
+        pad = -ln % 8
+        if pad:
+            chunks.append(bytes(pad))
+        off += ln + pad
+    return chunks, locs
+
+
+def _assemble_body(buffers: List[bytes], codec: Optional[int]
+                   ) -> Tuple[bytes, List[Tuple[int, int]]]:
+    """Pad each buffer to 8 bytes; -> (body, [(offset, length)])."""
+    chunks, locs = _body_chunks(buffers, codec)
+    return b"".join(chunks), locs
 
 
 def _encode_batch_header(length: int, nodes, locs, variadic,
@@ -705,6 +718,19 @@ def encode_record_batch(table: Table, codec: Optional[int] = None
     meta = _encode_batch_header(table.num_rows, fl.nodes, locs,
                                 fl.variadic, codec)
     return meta, body
+
+
+def encode_record_batch_chunks(table: Table,
+                               codec: Optional[int] = None):
+    """encode_record_batch without body assembly: -> (metadata, chunk
+    list) for writers that stream chunks straight to their sink."""
+    fl = _Flattener()
+    for col in table.columns:
+        fl.walk(col)
+    chunks, locs = _body_chunks(fl.buffers, codec)
+    meta = _encode_batch_header(table.num_rows, fl.nodes, locs,
+                                fl.variadic, codec)
+    return meta, chunks
 
 
 def encode_dictionary_batch(dict_id: int, values: Column,
