@@ -251,7 +251,18 @@ def _flatten_leaf(col: Column, nullable: bool):
     fixed-size-list nodes expand the slot axis by per-row element
     counts (every parent slot keeps at least one child slot so level
     runs stay complete); leaves gather exactly the rows whose def
-    reached max_def, so leaf values arrive compacted — no value mask."""
+    reached max_def, so leaf values arrive compacted — no value mask.
+
+    Flat leaves (the dominant case) shortcut the walk entirely."""
+    if not isinstance(col, (StructColumn, ListColumn, MapColumn,
+                            FixedSizeListColumn)):
+        if not nullable:
+            return [(col, None, None)]
+        if col.validity is None:
+            return [(col, np.ones(len(col), np.int64), None)]
+        v = np.asarray(col.validity)
+        rows = np.nonzero(v)[0]
+        return [(_gather_leaf(col, rows), v.astype(np.int64), None)]
     out = []
 
     def walk(c, f_nullable, defs, reps, srow, cur_def, cur_rep):
@@ -477,6 +488,59 @@ def _levels_bytes(levels: np.ndarray, max_level: int) -> bytes:
     return struct.pack("<I", len(rle)) + rle
 
 
+def _minmax_strings(offs: np.ndarray, data: np.ndarray, sel=None):
+    """Exact lexicographic (min, max) over varlen byte strings,
+    vectorized: compare 64-byte zero-padded prefixes as numpy 'S'
+    scalars, then break prefix ties (truncation or trailing NULs) by
+    python-comparing only the tied rows."""
+    n = len(offs) - 1
+    idx = np.arange(n) if sel is None else sel
+    if len(idx) == 0:
+        return None, None
+    lens = offs[idx + 1] - offs[idx]
+    L = min(int(lens.max()), 64) if len(lens) else 1
+    L = max(L, 1)
+    Lp = ((L + 7) // 8) * 8
+    cols = offs[idx][:, None] + np.arange(Lp)
+    valid = np.arange(Lp)[None, :] < lens[:, None]
+    mat = np.where(valid, data[np.minimum(cols, len(data) - 1)],
+                   np.uint8(0))
+    mat = np.ascontiguousarray(mat)
+    # iterative big-endian u64 prefix reduction: each 8-byte block
+    # shrinks the candidate set (numpy has no min/max for byte-string
+    # dtypes)
+    words = mat.view(">u8")                 # (n, Lp/8)
+
+    def reduce(best):
+        sel = np.arange(len(idx))
+        for b in range(Lp // 8):
+            w = words[sel, b]
+            target = best(w)
+            sel = sel[w == target]
+            if len(sel) == 1:
+                break
+        return sel
+
+    raw = data.tobytes()
+
+    def full(i):
+        return raw[offs[i]:offs[i + 1]]
+
+    gmin = idx[reduce(np.min)]
+    gmax = idx[reduce(np.max)]
+    if int(lens.max()) <= 64:
+        # no truncation: tied rows differ only by trailing NULs, so the
+        # shortest is the true min and the longest the true max (no
+        # python loop even for constant columns)
+        lmin = offs[gmin + 1] - offs[gmin]
+        lmax = offs[gmax + 1] - offs[gmax]
+        return (full(int(gmin[np.argmin(lmin)])),
+                full(int(gmax[np.argmax(lmax)])))
+    mn = min(full(int(i)) for i in gmin)
+    mx = max(full(int(i)) for i in gmax)
+    return mn, mx
+
+
 def _stats_full(c: Column, mask):
     """(min_bytes, max_bytes, null_count, min_cmp, max_cmp): the PLAIN
     encodings plus Python-comparable values (page-index boundary order
@@ -486,13 +550,11 @@ def _stats_full(c: Column, mask):
     try:
         if isinstance(c, StringColumn):
             offs = np.asarray(c.offsets).astype(np.int64)
-            data = np.asarray(c.data).tobytes()
-            vals = [data[offs[i]:offs[i + 1]]
-                    for i in (np.nonzero(mask)[0] if mask is not None
-                              else range(n))]
-            if not vals:
+            data = np.asarray(c.data)
+            sel = np.nonzero(mask)[0] if mask is not None else None
+            mn, mx = _minmax_strings(offs, data, sel)
+            if mn is None:
                 return None, None, nulls, None, None
-            mn, mx = min(vals), max(vals)
             return mn, mx, nulls, mn, mx
         if isinstance(c, (FixedSizeBinaryColumn, DecimalColumn)):
             return None, None, nulls, None, None
