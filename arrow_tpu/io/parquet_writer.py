@@ -884,11 +884,15 @@ class NativeParquetWriter:
             if dict_col:
                 codes = np.asarray(c.codes)
                 values_col = c.values
+                # pre-encoded dictionaries may carry unused entries:
+                # stats come from the USED values only
+                stat_col = _gather_leaf(values_col, np.unique(codes))
             else:
                 from ..ops.strings import dictionary_encode
                 dcol = dictionary_encode(c)
                 codes = np.asarray(dcol.codes)
                 values_col = dcol.values
+                stat_col = values_col   # every entry used, by build
             dict_values_plain = _plain_values(values_col, None)
             bw = max(1, int(max(len(values_col) - 1, 1)).bit_length())
             comp = _compress(codec, dict_values_plain)
@@ -973,7 +977,10 @@ class NativeParquetWriter:
         if dict_page_offset is not None:
             md.append((11, T_I64, dict_page_offset))
         if self.write_statistics:
-            mn, mx, _ = _stats_bytes(c, None)
+            # chunk min/max over the dictionary's USED values when dict-
+            # encoded (5000 distinct beats 1M raw strings), else the
+            # compacted column
+            mn, mx, _ = _stats_bytes(stat_col if use_dict else c, None)
             st = [(3, T_I64, chunk_nulls)]
             if mn is not None:
                 st.append((5, T_BINARY, mx))
