@@ -49,6 +49,8 @@ class WriterProperties:
     sorting_columns: Optional[tuple] = None   # ((name, descending), ...)
     bloom_filter_columns: tuple = ()          # native writer sbbf
     encryption: object = None   # parquet_crypto.FileEncryptionProperties
+    key_value_metadata: Optional[dict] = None
+    store_schema: bool = True   # embed ARROW:schema for exact round-trip
 
 
 @dataclass
@@ -247,7 +249,9 @@ def write_parquet(path, table: Table,
             write_page_index=props.write_page_index,
             write_page_checksum=props.write_page_checksum,
             sorting_columns=props.sorting_columns,
-            encryption=props.encryption)
+            encryption=props.encryption,
+            key_value_metadata=props.key_value_metadata,
+            store_schema=props.store_schema)
         return
     w = ParquetWriter(path, table, properties)
     w.write(table)

@@ -116,6 +116,9 @@ class SchemaNode:
     max_def: int = 0
     max_rep: int = 0
     leaf_index: Optional[int] = None
+    # exact Arrow dtype recovered from the embedded ARROW:schema
+    # (advisory; schema/primitive.rs apply_hint)
+    arrow_hint: Optional[dt.DataType] = None
 
     @property
     def is_leaf(self) -> bool:
@@ -166,7 +169,14 @@ def _parse_schema(elems: List[dict]) -> SchemaNode:
 
 
 def _logical_dtype(n: SchemaNode) -> dt.DataType:
-    """Leaf SchemaNode -> arrow dtype (schema/types.rs conversion role)."""
+    """Leaf SchemaNode -> arrow dtype (schema/types.rs conversion role).
+    An ARROW:schema hint validated at annotate time wins outright."""
+    if n.arrow_hint is not None:
+        return n.arrow_hint
+    return _parquet_dtype(n)
+
+
+def _parquet_dtype(n: SchemaNode) -> dt.DataType:
     p = n.physical
     lt = n.logical or {}
     ct = n.converted
@@ -240,8 +250,107 @@ def _logical_dtype(n: SchemaNode) -> dt.DataType:
             return decimal()
         if 15 in lt:     # FLOAT16
             return dt.float16
+        if ct == 21:     # INTERVAL: unit is ambiguous without a hint —
+            # day_time, as the reference picks (primitive.rs:324)
+            return dt.interval("day_time")
         return dt.fixed_size_binary(n.type_length)
     raise ArrowNotImplementedError(f"parquet physical type {p}")
+
+
+def _apply_hint(p: dt.DataType, h: dt.DataType) -> dt.DataType:
+    """Refine the parquet-derived dtype with the ARROW:schema hint when
+    they are compatible (schema/primitive.rs:40 apply_hint)."""
+    if h.name == "dictionary":
+        hinted = _apply_hint(p, h.value_type)
+        return h if hinted == h.value_type else hinted
+    pn, hn = p.name, h.name
+    if pn in ("int32", "int64") and hn == "timestamp":
+        return h
+    if pn == "int32" and hn == "time32":
+        return h
+    if pn == "int64" and hn in ("time64", "duration", "date64"):
+        return h
+    if pn == "date32" and hn == "date64":
+        return h
+    if pn == "timestamp" and hn == "timestamp":
+        if p.unit == h.unit and h.tz is not None:
+            return h
+        if p.unit == "ns" and not p.tz:      # INT96: any resolution
+            return h
+        return p
+    if pn == "utf8" and hn in ("large_utf8", "utf8_view"):
+        return h
+    if pn == "binary" and hn in ("utf8", "large_utf8", "utf8_view",
+                                 "large_binary", "binary_view"):
+        return h
+    if pn == "interval" and hn == "interval" and \
+            h.unit != "month_day_nano":
+        return h
+    if pn == "decimal128" and hn == "decimal256":
+        return h
+    return p
+
+
+def _annotate_hints(root: SchemaNode, schema: dt.Schema) -> None:
+    """Mark leaf SchemaNodes with the exact Arrow dtype from the file's
+    embedded ARROW:schema (matched by name; advisory — incompatible
+    hints are ignored, parquet schema stays authoritative)."""
+
+    def node(n: SchemaNode, hint: dt.DataType):
+        if n.is_leaf:
+            try:
+                base = _parquet_dtype(n)
+            except ArrowNotImplementedError:
+                return
+            refined = _apply_hint(base, hint)
+            if refined != base:
+                n.arrow_hint = refined
+            return
+        lt = n.logical or {}
+        ct = n.converted
+        if 3 in lt or ct == 3:                      # LIST group
+            if hint.name not in ("list", "large_list",
+                                 "fixed_size_list"):
+                return
+            if hint.name != "list":    # structural refinement: the
+                n.arrow_hint = hint    # built list casts to fsl/large
+            mid = n.children[0]
+            elem = mid.children[0] if mid.children else mid
+            node(elem, hint.value_type)
+            return
+        if 2 in lt or ct in (1, 2):                 # MAP group
+            if hint.name != "map":
+                return
+            kv = n.children[0]
+            node(kv.children[0], hint.value_type.fields[0].dtype)
+            node(kv.children[1], hint.value_type.fields[1].dtype)
+            return
+        if n.repetition == 2:                       # legacy repeated
+            if hint.name in ("list", "large_list"):
+                hint = hint.value_type
+        if hint.name == "struct":
+            by_name = {f.name: f.dtype for f in hint.fields}
+            for c in n.children:
+                hd = by_name.get(c.name)
+                if hd is not None:
+                    node(c, hd)
+
+    by_name = {f.name: f.dtype for f in schema.fields}
+    for c in root.children:
+        hd = by_name.get(c.name)
+        if hd is not None:
+            node(c, hd)
+
+
+def decode_embedded_arrow_schema(b64) -> dt.Schema:
+    """ARROW:schema key-value metadata -> Schema (base64 of a
+    length-framed IPC Schema message; schema/mod.rs:146)."""
+    import base64
+    raw = base64.b64decode(b64)
+    if len(raw) > 8 and raw[:4] == b"\xff\xff\xff\xff":
+        raw = raw[8:]
+    from .ipc_format import read_schema
+    return read_schema(raw)[0]
 
 
 def _node_dtype(n: SchemaNode) -> dt.DataType:
@@ -632,7 +741,16 @@ def _build_column(node: SchemaNode, leaf_map: Dict[int, _LeafData],
         elem = mid.children[0] if mid.children else mid
         child = _build_column(elem, leaf_map, n_elems, as_dictionary,
                               mid.max_def, mid.max_rep)
-        return ListColumn(jnp.asarray(offsets), child, validity)
+        out = ListColumn(jnp.asarray(offsets), child, validity)
+        if node.arrow_hint is not None:     # ARROW:schema said
+            try:                            # fixed_size_list/large_list
+                from ..ops.cast import cast, CastOptions
+                # safe=False: a length mismatch raises (and we keep the
+                # plain list) instead of masking rows
+                return cast(out, node.arrow_hint, CastOptions(safe=False))
+            except Exception:               # noqa: BLE001 — advisory
+                pass
+        return out
 
     # struct: children stay on the SAME axis
     children = tuple(_build_column(c, leaf_map, n_rows, as_dictionary,
@@ -670,6 +788,9 @@ def _first_leaf(n: SchemaNode) -> SchemaNode:
 def _build_leaf(node: SchemaNode, ld: _LeafData, n_rows: int,
                 keep_dict: bool, axis_def: int) -> Column:
     d = _logical_dtype(node)
+    if d.name == "dictionary":         # ARROW:schema dictionary hint
+        keep_dict = keep_dict or ld.indices is not None
+        d = d.value_type
     defs = ld.defs
     # restrict slots to the current axis (the element axis of the
     # enclosing repeated group, when any)
@@ -705,9 +826,12 @@ def _values_to_column(node: SchemaNode, values, d: dt.DataType) -> Column:
     """Dictionary values -> engine column (no nulls in parquet dicts)."""
     if isinstance(values, tuple):
         offs, data = values
-        return StringColumn(jnp.asarray(np.asarray(offs, np.int32)),
-                            jnp.asarray(np.asarray(data, np.uint8)),
-                            d if d.name in ("utf8", "binary") else dt.utf8)
+        return StringColumn(
+            jnp.asarray(np.asarray(offs, np.int32)),
+            jnp.asarray(np.asarray(data, np.uint8)),
+            d if d.name in ("utf8", "binary", "large_utf8",
+                            "large_binary", "utf8_view", "binary_view")
+            else dt.utf8)
     return _scatter_leaf(node, values, None, len(values), d)
 
 
@@ -740,6 +864,19 @@ def _scatter_leaf(node: SchemaNode, values, valid: Optional[np.ndarray],
             return _scatter_prim(flat, valid, n, d, vmask)
         if d.is_decimal:
             return _decimal_from_flba(vals, valid, n, d)
+        if d.name == "interval":
+            # FLBA(12) months/days/millis i32 LE
+            # (arrow_writer/mod.rs:1252,1268)
+            if d.unit == "year_month":
+                months = np.ascontiguousarray(vals[:, :4]) \
+                    .view("<i4").ravel()
+                return _scatter_prim(months, valid, n, d, vmask)
+            days = np.ascontiguousarray(vals[:, 4:8]) \
+                .view("<i4").ravel().astype(np.int64)
+            mill = np.ascontiguousarray(vals[:, 8:12]) \
+                .view("<u4").ravel().astype(np.int64)
+            return _scatter_prim((days << 32) | mill, valid, n, d,
+                                 vmask)
         full = np.zeros((n, vals.shape[1]), np.uint8)
         full[valid if valid is not None else slice(None)] = vals
         return FixedSizeBinaryColumn(jnp.asarray(full), vmask)
@@ -884,6 +1021,15 @@ class ParquetFile:
             "utf-8", "replace")
         if self._footer_key is not None or decryption is not None:
             self._decrypt_column_metadata()
+        self.arrow_schema_hint: Optional[dt.Schema] = None
+        raw = self.key_value_metadata().get("ARROW:schema")
+        if raw is not None:
+            try:
+                self.arrow_schema_hint = decode_embedded_arrow_schema(
+                    raw)
+                _annotate_hints(self.root, self.arrow_schema_hint)
+            except Exception:          # noqa: BLE001 — hint is advisory
+                self.arrow_schema_hint = None
 
     def _chunk_crypto(self, chunk, col_ord: int):
         """(key, rg_unused, col_path) for an encrypted chunk, else

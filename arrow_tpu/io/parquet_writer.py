@@ -145,6 +145,17 @@ def _logical_fields(d: dt.DataType):
         lt = [(5, T_STRUCT, [(1, T_I32, d.scale), (2, T_I32,
                                                    d.precision)])]
         return PT_FLBA, 16 if n == "decimal128" else 32, 5, lt
+    if n == "duration":
+        # no parquet logical type: plain INT64, recovered via the
+        # embedded ARROW:schema hint (schema/mod.rs:595)
+        return PT_INT64, None, None, None
+    if n == "interval":
+        if d.unit == "month_day_nano":
+            raise ArrowNotImplementedError(
+                "parquet does not support nanosecond intervals")
+        # FLBA(12) months/days/millis + ConvertedType INTERVAL
+        # (schema/mod.rs:599)
+        return PT_FLBA, 12, 21, None
     raise ArrowNotImplementedError(f"parquet write of {d!r}")
 
 
@@ -363,6 +374,20 @@ def _plain_values(c: Column, mask: Optional[np.ndarray]) -> bytes:
     if d.name == "bool":
         return np.packbits(vals.astype(bool),
                            bitorder="little").tobytes()
+    if d.name == "interval":
+        # FLBA(12): months/days/millis, each i32 LE
+        # (arrow_writer/mod.rs:1252,1268)
+        out = np.zeros((len(vals), 12), np.uint8)
+        if d.unit == "year_month":
+            out[:, :4] = vals.astype("<i4").view(np.uint8) \
+                .reshape(-1, 4)
+        else:                          # day_time: i64 days<<32 | millis
+            v = vals.astype(np.int64)
+            out[:, 4:8] = (v >> 32).astype("<i4").view(np.uint8) \
+                .reshape(-1, 4)
+            out[:, 8:12] = (v & 0xFFFFFFFF).astype("<u4") \
+                .view(np.uint8).reshape(-1, 4)
+        return out.tobytes()
     target = {"int8": np.int32, "int16": np.int32, "uint8": np.int32,
               "uint16": np.int32, "uint32": np.int32,
               "int32": np.int32, "date32": np.int32,
@@ -561,7 +586,8 @@ def _stats_full(c: Column, mask):
         vals = np.asarray(c.values)
         if mask is not None:
             vals = vals[mask]
-        if len(vals) == 0 or c.dtype.name == "bool":
+        if len(vals) == 0 or c.dtype.name in ("bool", "interval"):
+            # INTERVAL's column order is UNDEFINED: no stats
             return None, None, nulls, None, None
         mn, mx = vals.min(), vals.max()
         if c.dtype.name == "float16":
@@ -627,6 +653,17 @@ def _dict_page_stats(values_col, pcodes, n_nulls):
         return None, None, n_nulls, False, None, None
 
 
+def _encode_arrow_schema(schema: dt.Schema) -> str:
+    """base64 of the length-prefixed IPC Schema message (the legacy
+    4-byte-continuation framing arrow-rs/C++ both emit;
+    schema/mod.rs:182 encode_arrow_schema)."""
+    import base64
+    from .ipc_format import write_schema_message
+    fb = write_schema_message(schema)
+    framed = b"\xff\xff\xff\xff" + struct.pack("<I", len(fb)) + fb
+    return base64.b64encode(framed).decode()
+
+
 class NativeParquetWriter:
     def __init__(self, sink, schema: dt.Schema, compression="snappy",
                  dictionary_enabled: bool = True,
@@ -638,7 +675,9 @@ class NativeParquetWriter:
                  write_page_index: bool = False,
                  write_page_checksum: bool = False,
                  sorting_columns: Optional[Sequence] = None,
-                 encryption=None):
+                 encryption=None,
+                 key_value_metadata: Optional[dict] = None,
+                 store_schema: bool = True):
         self._own = isinstance(sink, str)
         self._out = open(sink, "wb") if self._own else sink
         self.schema = schema
@@ -661,6 +700,8 @@ class NativeParquetWriter:
         self.write_page_index = write_page_index
         self.write_page_checksum = write_page_checksum
         self.sorting_columns = sorting_columns
+        self.key_value_metadata = key_value_metadata
+        self.store_schema = store_schema
         self._elems, self._leaves = _schema_elements(schema)
         self._row_groups: List[list] = []
         # per chunk (footer order): (cc_fields_list, colidx_fields|None,
@@ -1104,14 +1145,26 @@ class NativeParquetWriter:
         # ignore them)
         orders = [[(1, T_STRUCT, [(1, T_STRUCT, [])])]
                   for _ in self._leaves]
-        w.write_struct_fields([
+        fmd = [
             (1, T_I32, 2),
             (2, T_LIST, (T_STRUCT, schema_elems)),
             (3, T_I64, self._num_rows),
             (4, T_LIST, (T_STRUCT, self._row_groups)),
             (6, T_BINARY, "arrow_tpu native writer"),
             (7, T_LIST, (T_STRUCT, orders)),
-        ])
+        ]
+        kvs = dict(self.key_value_metadata or {})
+        if self.store_schema:
+            # base64(len-framed IPC Schema message) under ARROW:schema:
+            # exact Arrow type recovery on read (schema/mod.rs:182,
+            # encode_arrow_schema)
+            kvs["ARROW:schema"] = _encode_arrow_schema(self.schema)
+        if kvs:
+            fmd.insert(4, (5, T_LIST, (T_STRUCT,
+                                       [[(1, T_BINARY, k),
+                                         (2, T_BINARY, v)]
+                                        for k, v in kvs.items()])))
+        w.write_struct_fields(fmd)
         footer = w.bytes()
         if self.encryption is None:
             self._emit(footer)

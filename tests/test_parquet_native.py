@@ -336,11 +336,30 @@ class TestNativeWriter:
         self._nested_roundtrip(tab, compression=comp)
 
     def test_fixed_size_list_write(self):
+        # pyarrow cannot read back FSL-with-nulls parquet (it chokes on
+        # its OWN writer's output: "Expected all lists to be of size=2"),
+        # so the pyarrow-oracle leg runs without the ARROW:schema embed
+        # (degrades to plain list, which pyarrow reads fine)
         tab = pa.table({
             "fsl": pa.array([[1, 2], None, [3, None], [5, 6]],
                             pa.list_(pa.int64(), 2)),
         })
-        self._nested_roundtrip(tab)
+        import arrow_tpu as at
+        from arrow_tpu.io.parquet_writer import write_parquet_native
+        t = at.Table.from_pyarrow(tab)
+        buf = io.BytesIO()
+        write_parquet_native(buf, t, store_schema=False)
+        ref = pq.read_table(io.BytesIO(buf.getvalue()))
+        assert ref["fsl"].to_pylist() == tab["fsl"].to_pylist()
+        # with the embed, OUR reader recovers the exact FSL type
+        # (arrow-rs parity: schema/primitive.rs apply_hint + the
+        # FixedSizeList reconstruction)
+        buf = io.BytesIO()
+        write_parquet_native(buf, t)
+        ours = ParquetFile(buf.getvalue()).read()
+        assert str(ours.column("fsl").dtype) == \
+            str(t.column("fsl").dtype)
+        assert ours.column("fsl").to_pylist() == tab["fsl"].to_pylist()
 
     def test_dictionary_in_list(self):
         inner = pa.array(["a", "b", None, "a", "c", "b"]
@@ -678,3 +697,119 @@ def test_reader_builder_bloom_pruning(tmp_path):
     got = sum(b.num_rows for b in batches)
     assert got == 250                      # only row group 2 survives
     assert any(600 in b.column("v").to_pylist() for b in batches)
+
+
+class TestArrowSchemaHint:
+    """ARROW:schema embedded metadata: exact Arrow type recovery on
+    read (schema/mod.rs:146 encode/decode_arrow_schema role)."""
+
+    @staticmethod
+    def _vals(c):
+        v = np.asarray(c.values)
+        m = None if c.validity is None else np.asarray(c.validity)
+        return [None if (m is not None and not m[i]) else int(v[i])
+                for i in range(len(v))]
+
+    def test_native_roundtrip_hint_types(self, tmp_path):
+        import arrow_tpu as at
+        from arrow_tpu import dtypes as dt
+        cols = {
+            "dur": at.column([1, 2, None, 4], dt.duration("ms")),
+            "ym": at.column([12, None, -3, 0],
+                            dt.interval("year_month")),
+            "dtv": at.column([(5 << 32) | 100, None, (1 << 32) | 7, 0],
+                             dt.interval("day_time")),
+            "ts": at.column([10, 20, 30, None],
+                            dt.timestamp("us", "America/New_York")),
+        }
+        t = at.Table.from_pydict(cols)
+        p = str(tmp_path / "hint.parquet")
+        parquet_io.write_parquet(p, t)
+        back = parquet_io.read_parquet(p)
+        for name, col in cols.items():
+            got = back.column(name)
+            assert got.dtype == col.dtype, (name, got.dtype)
+            assert self._vals(got) == self._vals(col), name
+        # pyarrow consumes the same embedded schema (duration has no
+        # parquet logical type: only the hint can produce it)
+        ref = pq.read_table(p)
+        assert ref.schema.field("dur").type == pa.duration("ms")
+        assert ref.schema.field("ts").type == \
+            pa.timestamp("us", "America/New_York")
+        import datetime as _dtm
+        assert ref["dur"].to_pylist() == [
+            _dtm.timedelta(milliseconds=v) if v is not None else None
+            for v in (1, 2, None, 4)]
+
+    def test_hint_from_pyarrow_file(self):
+        t = pa.table({
+            "dur": pa.array([1, None, 3], pa.duration("s")),
+            "lu": pa.array(["a", "bb", None], pa.large_string()),
+            "dct": pa.array(["x", "y", "x"]).dictionary_encode(),
+            "ts": pa.array([1, 2, 3],
+                           pa.timestamp("ms", "Asia/Kathmandu")),
+            "d64": pa.array([86400000, None, 172800000], pa.date64()),
+        })
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        got = ParquetFile(buf.getvalue()).read()
+        names = {f.name: str(f.dtype) for f in got.schema.fields}
+        assert names["dur"] == "duration[s]"
+        assert names["lu"] == "large_utf8"
+        assert names["dct"].startswith("dictionary<")
+        assert names["ts"] == "timestamp[ms, tz=Asia/Kathmandu]"
+        assert names["d64"] == "date64"
+        import datetime as _dtm
+        assert got.column("dur").to_pylist() == [
+            _dtm.timedelta(seconds=1), None, _dtm.timedelta(seconds=3)]
+        assert got.column("lu").to_pylist() == ["a", "bb", None]
+
+    def test_store_schema_false(self, tmp_path):
+        import arrow_tpu as at
+        from arrow_tpu import dtypes as dt
+        t = at.Table.from_pydict(
+            {"dur": at.column([5, 6], dt.duration("us"))})
+        p = str(tmp_path / "nohint.parquet")
+        parquet_io.write_parquet(
+            p, t,
+            properties=parquet_io.WriterProperties(store_schema=False))
+        pf = ParquetFile(p)
+        assert "ARROW:schema" not in pf.key_value_metadata()
+        # without the hint, duration degrades to its physical int64
+        assert str(pf.read().column("dur").dtype) == "int64"
+
+    def test_custom_key_value_metadata(self, tmp_path):
+        import arrow_tpu as at
+        t = at.Table.from_pydict({"v": [1, 2, 3]})
+        p = str(tmp_path / "kv.parquet")
+        parquet_io.write_parquet(
+            p, t, properties=parquet_io.WriterProperties(
+                key_value_metadata={"who": "arrow_tpu", "n": "3"}))
+        kv = ParquetFile(p).key_value_metadata()
+        assert kv["who"] == b"arrow_tpu" and kv["n"] == b"3"
+        # pyarrow sees them too
+        md = pq.read_metadata(p).metadata
+        assert md[b"who"] == b"arrow_tpu"
+
+    def test_interval_pyarrow_reads_flba(self, tmp_path):
+        """Our INTERVAL columns surface to pyarrow as FLBA(12) with the
+        spec's months/days/millis layout (arrow_writer/mod.rs:1252)."""
+        import arrow_tpu as at
+        from arrow_tpu import dtypes as dt
+        t = at.Table.from_pydict({
+            "ym": at.column([14, None], dt.interval("year_month")),
+            "dtv": at.column([(3 << 32) | 250, 0],
+                             dt.interval("day_time")),
+        })
+        p = str(tmp_path / "iv.parquet")
+        parquet_io.write_parquet(
+            p, t,
+            properties=parquet_io.WriterProperties(store_schema=False))
+        ref = pq.read_table(p)
+        assert ref.schema.field("ym").type == pa.binary(12)
+        raw = ref["ym"].to_pylist()
+        assert raw[0][:4] == (14).to_bytes(4, "little") and \
+            raw[1] is None
+        raw = ref["dtv"].to_pylist()
+        assert raw[0][4:8] == (3).to_bytes(4, "little")
+        assert raw[0][8:12] == (250).to_bytes(4, "little")
