@@ -454,8 +454,22 @@ def _column_from_pylist(values: list, dtype, validity) -> Column:
             dtype = dt.utf8
         elif isinstance(v0, (bytes, bytearray)):
             dtype = dt.binary
+        elif isinstance(v0, (list, tuple)):
+            inner = _column_from_pylist(
+                [x for row in non_null for x in row], None, None)
+            dtype = dt.list_(inner.dtype)
         else:
             raise ArrowTypeError(f"cannot infer dtype from {type(v0)}")
+    if dtype.name in ("list", "large_list"):
+        # ListArray::from_iter (list_array.rs:169 FromIterator role)
+        from .builders import ListBuilder, make_builder
+        lb = ListBuilder(make_builder(dtype.value_type))
+        for row in values:
+            lb.append_null() if row is None else lb.append_value(row)
+        out = lb.finish()
+        if dtype.name == "large_list":
+            out.dtype = dtype
+        return out
     if dtype.is_string or dtype.is_binary:
         return StringColumn.from_pylist(values, dtype)
     mask = None

@@ -588,12 +588,31 @@ def execute_sql(tables: Dict[str, Table], query: str) -> Table:
         suffixes[rname] = "_right"     # colliding right columns
 
     where = p.expr() if p.accept("kw", "where") else None
+    def colref():
+        """id [. id] -> resolved column name (aliases + join suffixes,
+        same candidate order as _Evaluator.col)."""
+        name = p.expect("id")[1]
+        tbl = None
+        if p.accept("op", "."):
+            tbl, name = name, p.expect("id")[1]
+        cands = [name]
+        if tbl is not None:
+            tn = aliases.get(tbl, tbl)
+            cands = [f"{tn}.{name}", name]
+            sfx = suffixes.get(tn)
+            if sfx:
+                cands.insert(0, f"{name}{sfx}")
+        for c in cands:
+            if c in t.column_names:
+                return c
+        return name
+
     group = None
     if p.accept("kw", "group"):
         p.expect("kw", "by")
-        group = [p.expect("id")[1]]
+        group = [colref()]
         while p.accept("op", ","):
-            group.append(p.expect("id")[1])
+            group.append(colref())
     having = p.expr() if p.accept("kw", "having") else None
     order = []
     if p.accept("kw", "order"):

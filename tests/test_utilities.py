@@ -2,6 +2,8 @@
 utility surface (arrow-array/builder, arrow-cast/display+pretty,
 arrow-buffer/pool, arrow facade Tensor)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -206,3 +208,25 @@ def test_fuse_pipeline():
     import pytest
     with pytest.raises(RuntimeError, match="arrow_tpu.fuse"):
         bad(dcol)
+
+
+def test_examples_run():
+    """Every example in examples/ runs to completion (the reference
+    ships arrow/examples/ as compiled doc — same contract here)."""
+    import pathlib
+    import subprocess
+    import sys
+    root = pathlib.Path(__file__).resolve().parent.parent
+    examples = sorted((root / "examples").glob("*.py"))
+    assert len(examples) >= 7
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(root) + os.pathsep + \
+        env.get("PYTHONPATH", "")
+    for ex in examples:
+        r = subprocess.run([sys.executable, str(ex)], cwd=str(root),
+                           env=env, capture_output=True, text=True,
+                           timeout=240)
+        assert r.returncode == 0, (ex.name, r.stderr[-2000:])
+        assert r.stdout.strip(), ex.name
