@@ -347,6 +347,21 @@ def struct(fields) -> DataType:
     return DataType("struct", fields=tuple(fields))
 
 
+def _merge_field_lists(existing, incoming):
+    """SchemaBuilder::try_merge role (schema.rs:98): merge by name,
+    append new names in arrival order."""
+    out = list(existing)
+    index = {f.name: i for i, f in enumerate(out)}
+    for f in incoming:
+        i = index.get(f.name)
+        if i is None:
+            index[f.name] = len(out)
+            out.append(f)
+        else:
+            out[i] = out[i].try_merge(f)
+    return out
+
+
 def map_(key_type: DataType, item_type: DataType) -> DataType:
     kv = struct([Field("key", key_type, nullable=False),
                  Field("value", item_type)])
@@ -451,6 +466,47 @@ class Field:
     def with_nullable(self, nullable: bool) -> "Field":
         return dataclasses.replace(self, nullable=nullable)
 
+    def try_merge(self, other: "Field") -> "Field":
+        """Unify with a same-named field from another schema
+        (arrow-schema/src/field.rs:697 Field::try_merge): metadata
+        unions with per-key conflict errors, struct/list children merge
+        recursively, Null widens to the other type, otherwise dtypes
+        must match; nullability ORs."""
+        from .errors import SchemaError
+        meta = dict(self.metadata)
+        for k, v in other.metadata:
+            if k in meta and meta[k] != v:
+                raise SchemaError(
+                    f"conflicting metadata for key {k!r} merging field "
+                    f"{self.name!r}")
+            meta[k] = v
+        sd, od = self.dtype, other.dtype
+        if sd.name == "null":
+            dtype, nullable = od, True
+        elif od.name == "null":
+            dtype, nullable = sd, True
+        elif sd.name == "struct":
+            if od.name != "struct":
+                raise SchemaError(
+                    f"field {self.name!r}: {od!r} is not struct")
+            dtype = struct(_merge_field_lists(sd.fields, od.fields))
+            nullable = self.nullable or other.nullable
+        elif sd.name in ("list", "large_list"):
+            if od.name != sd.name:
+                raise SchemaError(
+                    f"field {self.name!r}: {od!r} is not {sd.name}")
+            elem = Field("item", sd.value_type).try_merge(
+                Field("item", od.value_type))
+            dtype = DataType(sd.name, value_type=elem.dtype)
+            nullable = self.nullable or other.nullable
+        else:
+            if sd != od:
+                raise SchemaError(
+                    f"field {self.name!r}: {od!r} does not equal {sd!r}")
+            dtype = sd
+            nullable = self.nullable or other.nullable
+        return Field(self.name, dtype, nullable, tuple(meta.items()))
+
 
 @dataclass(frozen=True)
 class Schema:
@@ -477,6 +533,23 @@ class Schema:
 
     def project(self, indices) -> "Schema":
         return Schema(tuple(self.fields[i] for i in indices), self.metadata)
+
+    @staticmethod
+    def try_merge(schemas) -> "Schema":
+        """Unify schemas field-by-field (arrow-schema/src/schema.rs:295
+        Schema::try_merge): fields match by name (new names append),
+        schema metadata unions with per-key conflict errors."""
+        from .errors import SchemaError
+        meta: dict = {}
+        fields: list = []
+        for s in schemas:
+            for k, v in s.metadata:
+                if k in meta and meta[k] != v:
+                    raise SchemaError(
+                        f"conflicting schema metadata for key {k!r}")
+                meta[k] = v
+            fields = _merge_field_lists(fields, s.fields)
+        return Schema(tuple(fields), tuple(meta.items()))
 
     def __len__(self):
         return len(self.fields)

@@ -9,6 +9,7 @@ import pyarrow as pa
 import pytest
 
 import arrow_tpu as at
+from arrow_tpu import dtypes as dt
 from arrow_tpu.utils.bench_util import (create_boolean_array,
                                         create_primitive_array,
                                         create_string_array,
@@ -115,3 +116,44 @@ def test_scalar():
     assert s.dtype == at.int64 and s.valid
     sn = at.scalar(None, at.float64)
     assert not sn.valid
+
+
+def test_schema_try_merge():
+    """Schema::try_merge semantics (arrow-schema/src/schema.rs:295):
+    null widening, nullable OR, new fields append, conflicts raise."""
+    from arrow_tpu.errors import SchemaError
+    s1 = dt.Schema((dt.Field("a", dt.int64, False),
+                    dt.Field("b", dt.null),
+                    dt.Field("s", dt.struct([
+                        dt.Field("x", dt.int32, False)]), False)),
+                   (("origin", "s1"),))
+    s2 = dt.Schema((dt.Field("b", dt.utf8, False),
+                    dt.Field("a", dt.int64, True),
+                    dt.Field("c", dt.float64),
+                    dt.Field("s", dt.struct([
+                        dt.Field("y", dt.utf8)]))),
+                   (("kind", "merged"),))
+    m = dt.Schema.try_merge([s1, s2])
+    assert m.names == ["a", "b", "s", "c"]
+    assert m.field("a").nullable          # OR of False, True
+    assert m.field("b").dtype == dt.utf8  # null widened
+    assert m.field("b").nullable
+    assert [f.name for f in m.field("s").dtype.fields] == ["x", "y"]
+    assert dict(m.metadata) == {"origin": "s1", "kind": "merged"}
+
+    # dtype conflict raises
+    import pytest
+    with pytest.raises(SchemaError):
+        dt.Schema.try_merge([
+            dt.Schema((dt.Field("a", dt.int64),)),
+            dt.Schema((dt.Field("a", dt.utf8),))])
+    # list element types merge recursively
+    m2 = dt.Schema.try_merge([
+        dt.Schema((dt.Field("l", dt.list_(dt.int32)),)),
+        dt.Schema((dt.Field("l", dt.list_(dt.int32)),))])
+    assert m2.field("l").dtype == dt.list_(dt.int32)
+    # conflicting metadata raises
+    with pytest.raises(SchemaError):
+        dt.Schema.try_merge([
+            dt.Schema((), (("k", "1"),)),
+            dt.Schema((), (("k", "2"),))])
