@@ -158,7 +158,48 @@ def config2():
         outs = run_fused(i32, ts, codes)
     for o in outs:
         _fetch(o.values[:1])
-    ours = N / ((time.perf_counter() - t0) / reps)
+    fused_1shot = N / ((time.perf_counter() - t0) / reps)
+
+    # steady state: PASSES pipeline executions inside ONE device
+    # program (config1 discipline) — per-pass scalars vary so XLA can't
+    # hoist or fold the pipeline, isolating engine throughput from the
+    # remote tunnel's per-dispatch latency
+    import jax.lax as lax
+    from arrow_tpu.core.datum import Scalar
+    PASSES = 10
+    tsi = PrimitiveColumn(ts.values.astype(jnp.int64), dtp.int64)
+
+    @at.fuse
+    def run_loop(i32, tsi, codes):
+        from arrow_tpu.core.column import DictionaryColumn as DC
+        dc = DC(codes, dvals, _canonical=True)
+        m2 = ops.eq(dc, "word-0042")
+
+        def body(i, acc):
+            x = ops.add_wrapping(i32, Scalar(i.astype(jnp.int32),
+                                             dtp.int32))
+            a = ops.cast(x, dtp.int64)
+            b = ops.cast(x, dtp.float64)
+            t2 = ops.add_wrapping(tsi, Scalar(i.astype(jnp.int64),
+                                              dtp.int64))
+            c = ops.cast(ops.cast(t2, dtp.timestamp("us")),
+                         dtp.timestamp("ns"))
+            m1 = ops.lt(b, Scalar((i * 100000000).astype(jnp.float64),
+                                  dtp.float64))
+            m4 = ops.gt_eq(a, Scalar(-i.astype(jnp.int64), dtp.int64))
+            m3 = ops.gt_eq(c, Scalar(i.astype(jnp.int64) * 1000,
+                                     dtp.timestamp("ns")))
+            keep = (m1.values | m4.values) & m2.values & m3.values
+            return acc + jnp.sum(keep, dtype=jnp.int64)
+        import jax.numpy as _jnp
+        return lax.fori_loop(0, PASSES, body, _jnp.int64(0))
+
+    _fetch(run_loop(i32, tsi, codes))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run_loop(i32, tsi, codes)
+    _fetch(out)
+    ours = N / ((time.perf_counter() - t0) / (reps * PASSES))
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -182,9 +223,12 @@ def config2():
     return {"metric": "cast_cmp_10M_rows_per_s", "value": round(ours),
             "unit": "rows/s", "vs_baseline": round(ours / base, 3),
             "eager_rows_per_s": round(eager),
+            "fused_1shot_rows_per_s": round(fused_1shot),
             "baseline_rows_per_s": round(base),
-            "baseline": "pyarrow.compute (host CPU); value = fused "
-                        "pipeline (arrow_tpu.fuse), eager = per-op API"}
+            "baseline": "pyarrow.compute (host CPU); value = steady-"
+                        "state fused passes loop, fused_1shot = one "
+                        "dispatch/query (incl. tunnel RTT), eager = "
+                        "per-op API"}
 
 
 def config3():
