@@ -149,6 +149,19 @@ def cmd_pretty(args):
     print(pretty_format_table(t))
 
 
+def cmd_json_integration(args):
+    from .io import integration_json as ij
+    if args.mode == "JSON_TO_ARROW":
+        ij.json_to_arrow(args.json, args.arrow)
+    elif args.mode == "ARROW_TO_JSON":
+        ij.arrow_to_json(args.arrow, args.json)
+    else:
+        ok = ij.validate(args.arrow, args.json)
+        if not ok:
+            raise SystemExit("VALIDATE failed: arrow != json")
+        print("OK")
+
+
 def cmd_flight_sql(args):
     """flight_sql_client: run one query against a FlightSQL server."""
     from .io.flightsql import FlightSQLClient
@@ -214,6 +227,15 @@ def main(argv=None):
     s.add_argument("--uri", required=True)
     s.add_argument("query")
     s.set_defaults(fn=cmd_flight_sql)
+
+    # arrow-json-integration-test binary role
+    # (arrow-integration-testing/src/bin/arrow-json-integration-test.rs)
+    s = sub.add_parser("json-integration")
+    s.add_argument("--mode", choices=["JSON_TO_ARROW", "ARROW_TO_JSON",
+                                      "VALIDATE"], required=True)
+    s.add_argument("--json", required=True)
+    s.add_argument("--arrow", required=True)
+    s.set_defaults(fn=cmd_json_integration)
 
     args = p.parse_args(argv)
     args.fn(args)

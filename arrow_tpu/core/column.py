@@ -470,8 +470,71 @@ def _column_from_pylist(values: list, dtype, validity) -> Column:
         if dtype.name == "large_list":
             out.dtype = dtype
         return out
-    if dtype.is_string or dtype.is_binary:
+    if dtype.is_string and dtype.name != "fixed_size_binary" \
+            or dtype.name in ("binary", "large_binary", "binary_view"):
         return StringColumn.from_pylist(values, dtype)
+    if dtype.name in ("decimal128", "decimal256"):
+        # decimal.Decimal values scale exactly; ints are unscaled units
+        import decimal as _dec
+        from .builders import make_builder
+        b = make_builder(dtype)
+        for v in values:
+            if v is None:
+                b.append_null()
+            elif isinstance(v, _dec.Decimal):
+                scaled = v.scaleb(dtype.scale)
+                if scaled != scaled.to_integral_value():
+                    raise ArrowInvalid(f"{v} does not fit scale "
+                                       f"{dtype.scale}")
+                b.append(int(scaled))
+            else:
+                b.append(int(v) * 10 ** dtype.scale)
+        return b.finish()
+    if dtype.name == "interval" and dtype.unit == "month_day_nano":
+        from .nested import IntervalMDNColumn
+        m, d_, nn = [], [], []
+        for v in values:
+            if v is None:
+                m.append(0), d_.append(0), nn.append(0)
+            elif isinstance(v, dict):
+                m.append(v.get("months", 0)), d_.append(v.get("days", 0))
+                nn.append(v.get("nanoseconds", 0))
+            else:
+                mm, dd, ns = v
+                m.append(mm), d_.append(dd), nn.append(ns)
+        mk = None
+        if has_none or validity is not None:
+            mk = jnp.asarray([v is not None for v in values], jnp.bool_) \
+                if validity is None else jnp.asarray(validity, jnp.bool_)
+        return IntervalMDNColumn(jnp.asarray(np.asarray(m, np.int32)),
+                                 jnp.asarray(np.asarray(d_, np.int32)),
+                                 jnp.asarray(np.asarray(nn, np.int64)), mk)
+    if dtype.name == "struct":
+        from .builders import make_builder
+        kids = []
+        for i, f in enumerate(dtype.fields):
+            kids.append(_column_from_pylist(
+                [None if row is None else
+                 (row.get(f.name) if isinstance(row, dict) else row[i])
+                 for row in values], f.dtype, None))
+        mk = None
+        if has_none:
+            mk = jnp.asarray([v is not None for v in values], jnp.bool_)
+        return StructColumn(tuple(kids), tuple(dtype.fields), mk)
+    if dtype.name in ("fixed_size_binary", "fixed_size_list", "map",
+                      "dictionary"):
+        from .builders import make_builder
+        b = make_builder(dtype)
+        for v in values:
+            b.append_null() if v is None else b.append(v)
+        out = b.finish()
+        if dtype.name == "dictionary" and \
+                out.codes.dtype != dtype.index_type.to_jax():
+            out = DictionaryColumn(out.codes.astype(dtype.index_type
+                                                    .to_jax()),
+                                   out.values, out.validity,
+                                   _canonical=True)
+        return out
     mask = None
     if has_none or validity is not None:
         mask = jnp.asarray([v is not None for v in values], jnp.bool_) \

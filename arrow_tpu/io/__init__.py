@@ -11,3 +11,5 @@ from . import csv  # noqa: F401
 from . import json_io  # noqa: F401
 from . import parquet_io  # noqa: F401
 from . import avro  # noqa: F401
+from . import integration_json  # noqa: F401
+from . import records  # noqa: F401

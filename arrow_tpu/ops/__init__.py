@@ -30,7 +30,7 @@ from .row_format import (  # noqa: F401
 )
 from .sort import (  # noqa: F401
     SortColumn, sort_to_indices, sort, lexsort_to_indices, lexsort,
-    sort_table, rank, partition, Partitions,
+    sort_table, rank, partition, partition_mask, Partitions,
 )
 from .aggregate import (  # noqa: F401
     sum_, sum_checked, min_, max_, min_max, count, count_nulls,

@@ -119,6 +119,9 @@ def cast(col: Column, to: dt.DataType,
 
     if isinstance(col, NullColumn):
         return _all_null(to, len(col))
+    if to.is_null:
+        # (_, Null) arm (cast/mod.rs:306): values are discarded
+        return NullColumn(len(col))
 
     if isinstance(col, DictionaryColumn):
         if to.is_dictionary:
@@ -190,12 +193,49 @@ def cast(col: Column, to: dt.DataType,
 
 
 def _all_null(to: dt.DataType, n: int) -> Column:
+    """All-null column of any target type (cast/mod.rs:306 Null->T arms)."""
     if to.is_null:
         return NullColumn(n)
-    mask = jnp.zeros((n,), jnp.bool_)
-    if to.is_string or to.is_binary:
+    mask = jnp.zeros((n,), jnp.bool_) if n else None
+    if (to.is_string or to.is_binary) and to.name != "fixed_size_binary":
         return StringColumn(jnp.zeros((n + 1,), jnp.int32),
                             jnp.zeros((0,), jnp.uint8), to, mask)
+    from ..core.nested import (DecimalColumn, FixedSizeListColumn,
+                               IntervalMDNColumn, MapColumn,
+                               FixedSizeBinaryColumn)
+    from ..core.column import ListColumn, StructColumn, DictionaryColumn
+    name = to.name
+    if name in ("decimal128", "decimal256"):
+        k = 2 if name == "decimal128" else 4
+        return DecimalColumn(jnp.zeros((n, k), jnp.uint64), to, mask)
+    if name == "interval" and to.unit == "month_day_nano":
+        z32 = jnp.zeros((n,), jnp.int32)
+        return IntervalMDNColumn(z32, z32, jnp.zeros((n,), jnp.int64), mask)
+    if name in ("list", "large_list"):
+        out = ListColumn(jnp.zeros((n + 1,), jnp.int64 if
+                                   name == "large_list" else jnp.int32),
+                         _all_null(to.value_type, 0), mask)
+        out.dtype = to
+        return out
+    if name == "fixed_size_list":
+        return FixedSizeListColumn(_all_null(to.value_type,
+                                             n * to.list_size),
+                                   to.list_size, mask)
+    if name == "fixed_size_binary":
+        # fsb rides its width in list_size (dtypes.py fixed_size_binary)
+        return FixedSizeBinaryColumn(
+            jnp.zeros((n, to.list_size), jnp.uint8), mask)
+    if name == "struct":
+        return StructColumn(tuple(_all_null(f.dtype, n) for f in to.fields),
+                            tuple(to.fields), mask)
+    if name == "map":
+        kv = _all_null(to.value_type, 0)       # the {key, value} struct
+        entries = StructColumn(kv.children, kv.fields, None)
+        return MapColumn(jnp.zeros((n + 1,), jnp.int32), entries, mask)
+    if to.is_dictionary:
+        return DictionaryColumn(
+            jnp.zeros((n,), to.index_type.to_jax()),
+            _all_null(to.value_type, 1), mask)
     return PrimitiveColumn(jnp.zeros((n,), to.to_jax()), to, mask)
 
 
@@ -289,10 +329,13 @@ def _cast_primitive(col: PrimitiveColumn, to: dt.DataType,
                 else jnp.zeros(v.shape, jnp.bool_)
         else:
             x = v.astype(jnp.int64)
-            failed = (x < lo) | (x > hi) if (lo > -2 ** 63 or hi < 2 ** 63 - 1) \
-                else jnp.zeros(v.shape, jnp.bool_)
-            if to.is_unsigned_integer:
-                failed = (x < 0) | failed if lo == 0 else failed
+            failed = jnp.zeros(v.shape, jnp.bool_)
+            if lo > -2 ** 63:
+                failed = failed | (x < lo)
+            if hi < 2 ** 63 - 1:
+                # u64's hi (2^64-1) exceeds every signed value: skip —
+                # comparing against it would overflow the i64 literal
+                failed = failed | (x > hi)
         safe_x = jnp.where(failed, 0, x)
         return _apply_failures(safe_x.astype(to.to_jax()), failed,
                                col.validity, to, options)

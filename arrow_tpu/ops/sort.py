@@ -318,6 +318,21 @@ class Partitions:
         return len(self.boundaries) - 1
 
 
+def partition_mask(columns: Sequence[Column]) -> jnp.ndarray:
+    """Device-side run-start mask: out[i] is True iff row i differs from
+    row i-1 (out[0] = True).  The fuse-friendly core of `partition` —
+    stays on device, no host sync, usable inside jitted pipelines
+    (group-by run detection, streaming dedup).  partition.rs:156 computes
+    the same shifted-neq; nulls compare equal (`distinct` semantics)."""
+    if not columns:
+        raise ArrowInvalid("partition of zero columns")
+    n = len(columns[0])
+    if n == 0:
+        return jnp.zeros((0,), jnp.bool_)
+    change = _partition_change(columns)
+    return jnp.concatenate([jnp.ones((1,), jnp.bool_), change])
+
+
 def partition(columns: Sequence[Column]) -> Partitions:
     """Boundaries between consecutive distinct rows (partition.rs:156:
     computed via neq of shifted columns; nulls compare equal —
@@ -327,6 +342,15 @@ def partition(columns: Sequence[Column]) -> Partitions:
     n = len(columns[0])
     if n == 0:
         return Partitions(np.array([0]))
+    change = _partition_change(columns)
+    (pos,) = np.nonzero(np.asarray(change))
+    boundaries = np.concatenate([[0], pos + 1, [n]])
+    return Partitions(boundaries)
+
+
+def _partition_change(columns: Sequence[Column]) -> jnp.ndarray:
+    """Shifted-neq change mask of length n-1 (True where row i+1 != row i)."""
+    n = len(columns[0])
     change = jnp.zeros((n - 1,), jnp.bool_)
     for col in columns:
         if isinstance(col, PrimitiveColumn) and col.dtype.is_floating:
@@ -347,6 +371,4 @@ def partition(columns: Sequence[Column]) -> Partitions:
             both_valid = v[1:] & v[:-1]
             neq = jnp.where(both_valid, vneq, v[1:] != v[:-1])
         change = jnp.logical_or(change, neq)
-    (pos,) = np.nonzero(np.asarray(change))
-    boundaries = np.concatenate([[0], pos + 1, [n]])
-    return Partitions(boundaries)
+    return change

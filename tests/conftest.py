@@ -21,6 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Restrict platform DISCOVERY to cpu (not just selection): when the axon
+# tunnel is unhealthy, initializing its backend at all hangs in retry
+# sleeps, stalling the whole CPU-only suite at collection time.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"

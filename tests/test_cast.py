@@ -155,6 +155,42 @@ def test_null_column_cast():
     assert gs.to_pylist() == [None, None]
 
 
+def test_null_to_nested_casts():
+    """Null -> every composite family (cast/mod.rs:306 Null->T arms)."""
+    dtp = at.dtypes
+    targets = [dtp.decimal128(10, 2), dtp.decimal256(40, 5),
+               dtp.list_(dtp.int32), dtp.large_list(dtp.utf8),
+               dtp.fixed_size_list(dtp.int32, 2),
+               dtp.fixed_size_binary(4),
+               dtp.struct([dtp.Field("a", dtp.int32),
+                           dtp.Field("b", dtp.utf8)]),
+               dtp.map_(dtp.utf8, dtp.int32),
+               dtp.interval("month_day_nano"),
+               dtp.dictionary(dtp.int32, dtp.utf8)]
+    for t in targets:
+        got = ops.cast(at.NullColumn(3), t)
+        assert got.dtype == t, t
+        assert got.to_pylist() == [None, None, None], t
+    # inverse: anything -> null discards values
+    assert ops.cast(at.column(["a", None]).dictionary_encode()
+                    if hasattr(at.column(["a", None]), "dictionary_encode")
+                    else ops.dictionary_encode(at.column(["a", None])),
+                    dtp.null).to_pylist() == [None, None]
+
+
+def test_signed_to_uint64_cast():
+    """i64 -> u64: bounds check must not overflow the i64 literal."""
+    got = ops.cast(at.column([1, None, 2 ** 62]), at.uint64)
+    assert got.dtype == at.uint64
+    assert got.to_pylist() == [1, None, 2 ** 62]
+    import pytest as _pytest
+    from arrow_tpu.errors import CastError
+    with _pytest.raises(CastError):
+        ops.cast(at.column([-1]), at.uint64,
+                 ops.CastOptions(safe=False))
+    assert ops.cast(at.column([-1, 5]), at.uint64).to_pylist() == [None, 5]
+
+
 def test_can_cast():
     assert ops.can_cast(at.int64, at.float32)
     assert ops.can_cast(at.utf8, at.int64)

@@ -130,6 +130,23 @@ def test_partition():
     assert len(ops.partition([at.column([], at.int64)]).ranges()) == 0
 
 
+def test_partition_mask_device_and_jittable():
+    import jax
+    cols = [at.column([1, 1, 2, 2, 2, None, None]),
+            at.column([1.0, 1.0, float("nan"), float("nan"), 2.0, 0.0, 0.0])]
+    m = np.asarray(ops.partition_mask(cols))
+    np.testing.assert_array_equal(
+        m, [True, False, True, False, True, True, False])
+    # NaNs compare equal; float column alone
+    m2 = np.asarray(ops.partition_mask([cols[1]]))
+    np.testing.assert_array_equal(
+        m2, [True, False, True, False, True, True, False])
+    # stays jittable (fuse-friendly): run-count under jit
+    f = jax.jit(lambda: ops.partition_mask(cols).sum())
+    assert int(f()) == 4
+    assert np.asarray(ops.partition_mask([at.column([], at.int64)])).size == 0
+
+
 def test_sort_table():
     t = at.Table.from_pydict({"k": [2, 1, 2, None], "v": [1.0, 2.0, 3.0, 4.0]})
     got = ops.sort_table(t, [("k", SortOptions())])
