@@ -426,6 +426,11 @@ def parse_message(meta: bytes):
 # Column -> buffers (flatten, preorder)
 # ---------------------------------------------------------------------------
 
+# largest value-byte span addressable by a view's i32 in-buffer offset;
+# tests shrink it to exercise multi-buffer splitting without 2GB data
+_VIEW_BUF_LIMIT = (1 << 31) - 64
+
+
 def _np(v) -> np.ndarray:
     return np.asarray(v)
 
@@ -499,8 +504,41 @@ class _Flattener:
                 gathered = np.where(within, gathered, 0)
                 short = lens <= 12
                 views[short, 4:16] = gathered[short]
-                if (~short).any():
-                    li = np.nonzero(~short)[0]
+                li = np.nonzero(~short)[0]
+                if len(li) and int(offs[-1]) > _VIEW_BUF_LIMIT:
+                    # >2GB of value bytes: i32 in-buffer offsets would
+                    # wrap, so long values compact into MULTIPLE
+                    # variadic buffers, none spanning the limit
+                    # (byte_view_array.rs variadic buffer semantics)
+                    llens = lens[li].astype(np.int64)
+                    starts = np.empty(len(li), np.int64)
+                    bufidx = np.empty(len(li), np.int32)
+                    cuts = [0]
+                    cur = b = 0
+                    for k in range(len(li)):
+                        if cur + llens[k] > _VIEW_BUF_LIMIT:
+                            cuts.append(k)
+                            b += 1
+                            cur = 0
+                        starts[k] = cur
+                        bufidx[k] = b
+                        cur += llens[k]
+                    cuts.append(len(li))
+                    views[li, 4:8] = gathered[li, :4]
+                    views[li, 8:12] = bufidx.view(np.uint8).reshape(-1, 4)
+                    views[li, 12:16] = starts.astype(np.int32) \
+                        .view(np.uint8).reshape(-1, 4)
+                    self.buf(vb)
+                    self.buf(views)
+                    pieces = [data[offs[i]:offs[i] + lens[i]] for i in li]
+                    for bi in range(len(cuts) - 1):
+                        self.buf(np.concatenate(
+                            pieces[cuts[bi]:cuts[bi + 1]])
+                            if cuts[bi + 1] > cuts[bi]
+                            else np.zeros(0, np.uint8))
+                    self.variadic.append(len(cuts) - 1)
+                    return
+                if len(li):
                     views[li, 4:8] = gathered[li, :4]
                     views[li, 8:12] = 0      # buffer index 0
                     views[li, 12:16] = offs[:-1][li].astype(np.int32) \

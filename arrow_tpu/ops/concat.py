@@ -162,6 +162,25 @@ def concat(cols: Sequence[Column]) -> Column:
         re = np.concatenate(ends).astype(np.asarray(c0.run_ends).dtype)
         return RunEndColumn(jnp.asarray(re), vals, base)
 
+    from ..core.nested import ListViewColumn
+    if isinstance(c0, ListViewColumn):
+        # views may overlap/reorder within each child, so children
+        # concatenate whole and each batch's offsets shift by the
+        # preceding child lengths (concat.rs list-view arm semantics)
+        child = concat([c.child for c in cols])
+        offs, base = [], 0
+        for c in cols:
+            offs.append(np.asarray(c.offsets) + base)
+            base += len(c.child)
+        wide = c0.dtype.name == "large_list_view"
+        odt = np.int64 if wide else np.int32
+        out = ListViewColumn(
+            jnp.asarray(np.concatenate(offs).astype(odt)),
+            jnp.concatenate([c.sizes for c in cols]), child,
+            _concat_masks(cols))
+        out.dtype = c0.dtype
+        return out
+
     raise ArrowTypeError(f"concat of {type(c0)}")
 
 

@@ -329,6 +329,14 @@ class TestListView:
         assert column_to_pyarrow(s).to_pylist() == [None, [3]]
         assert s.child is c.child
 
+    def test_concat(self):
+        from arrow_tpu.ops.concat import concat
+        c, a = self._col()
+        out = concat([c, c.slice(0, 2)])
+        assert column_to_pyarrow(out).to_pylist() == \
+            [[1, 2], None, [3], [], [1, 2], None]
+        assert out.dtype.name == "list_view"
+
     def test_casts(self):
         from arrow_tpu.ops.cast import cast, can_cast
         c, _ = self._col()

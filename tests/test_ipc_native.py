@@ -290,3 +290,28 @@ def test_fuzz_roundtrip(seed):
     ipc.write_file(buf, t, compression="zstd")
     back2 = ipc.read_file(io.BytesIO(buf.getvalue()))[0]
     assert back2.to_pydict() == t.to_pydict()
+
+
+def test_view_multi_variadic_buffers(monkeypatch):
+    """>2GB of view value bytes split across several variadic data
+    buffers (limit shrunk to test without 2GB); pyarrow reads them."""
+    import io as _io
+    import pyarrow.ipc as paipc
+    from arrow_tpu.io import ipc as aipc
+    from arrow_tpu.io import ipc_format as fmt
+    monkeypatch.setattr(fmt, "_VIEW_BUF_LIMIT", 48)
+    longs = [f"long-string-payload-{i:04d}-abcdefghijklmnop" for i in range(7)]
+    vals = ["tiny", None] + longs + ["x"]
+    from arrow_tpu.io.interop import column_from_pyarrow
+    from arrow_tpu import dtypes as dt
+    col = column_from_pyarrow(pa.array(vals, pa.string_view()))
+    t = at.Table([col], dt.Schema((dt.Field("v", dt.utf8_view),)))
+    buf = _io.BytesIO()
+    aipc.write_stream(buf, [t])
+    raw = buf.getvalue()
+    # our own reader
+    back = aipc.read_stream(_io.BytesIO(raw))[0]
+    assert back.columns[0].to_pylist() == vals
+    # pyarrow oracle reads the multi-buffer stream
+    pt = paipc.open_stream(pa.BufferReader(raw)).read_all()
+    assert pt.column(0).to_pylist() == vals
