@@ -86,12 +86,38 @@ class Column:
         from ..io.interop import column_to_pyarrow
         return column_to_pyarrow(self)
 
+    def equals(self, other) -> bool:
+        """Logical equality (arrow-data/src/equal/ + the arrays'
+        PartialEq): same dtype, same nulls, same values.  Data equality
+        in the reference is byte-level, so NaN == NaN at matching
+        slots — unlike pyarrow's Array.equals."""
+        if self is other:
+            return True
+        if not isinstance(other, Column):
+            return False
+        if self.dtype != other.dtype or len(self) != len(other):
+            return False
+        return _py_equal(self.to_pylist(), other.to_pylist())
+
     def __repr__(self):
         head = f"{type(self).__name__}<{self.dtype!r}>[{len(self)}]"
         try:
             return head + " " + str(self.to_pylist()[:10])
         except Exception:
             return head
+
+
+def _py_equal(a, b) -> bool:
+    """Recursive NaN-equal value comparison (byte-equality semantics)."""
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (a != a and b != b)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(_py_equal(x, y)
+                                        for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_py_equal(v, b[k])
+                                            for k, v in a.items())
+    return a == b
 
 
 @jax.tree_util.register_pytree_node_class

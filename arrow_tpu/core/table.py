@@ -92,6 +92,22 @@ class Table:
     def __len__(self) -> int:
         return self.num_rows
 
+    def equals(self, other) -> bool:
+        """RecordBatch PartialEq role: schema fields match (name, dtype,
+        nullability) and every column is logically equal."""
+        if self is other:
+            return True
+        if not isinstance(other, Table):
+            return False
+        if len(self.schema.fields) != len(other.schema.fields):
+            return False
+        for f, g in zip(self.schema.fields, other.schema.fields):
+            if (f.name, f.dtype, f.nullable) != (g.name, g.dtype,
+                                                 g.nullable):
+                return False
+        return all(c.equals(o) for c, o in zip(self.columns,
+                                               other.columns))
+
     def select(self, names_or_indices) -> "Table":
         idx = [self.schema.index_of(i) if isinstance(i, str) else i
                for i in names_or_indices]

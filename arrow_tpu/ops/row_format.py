@@ -368,16 +368,88 @@ def key_kind(c: Column) -> str:
         if d.is_boolean or d.is_unsigned_integer:
             return "uint"
         return "int"             # incl. decimal32/64 storage ints
+    if _host_rankable(c):
+        return "uint"            # host-computed u32 comparator ranks
     raise ArrowNotImplementedError(f"sort key of {type(c)}")
 
 
-def key_parts(c: Column):
+def _host_rankable(c: Column) -> bool:
+    """Columns sorted via host comparator ranks — the reference's own
+    design for these types (sort.rs:514 child_rank: rank children on
+    CPU, then sort u32 ranks): list/large_list/fsl (sort.rs:208-210,
+    238-240), fixed-size binary (sort.rs:237), interval (primitive
+    dispatch; Ord derives (months, days, nanos) lexicographic,
+    arrow-buffer/src/interval.rs:68), plus struct/list_view which the
+    reference reaches through make_comparator."""
+    from ..core.column import ListColumn, StructColumn
+    from ..core.nested import (FixedSizeBinaryColumn, FixedSizeListColumn,
+                               IntervalMDNColumn, ListViewColumn)
+    return isinstance(c, (ListColumn, ListViewColumn, FixedSizeListColumn,
+                          FixedSizeBinaryColumn, IntervalMDNColumn,
+                          StructColumn))
+
+
+def _pyval_key(v, d: dt.DataType, nf: bool):
+    """Total-order key for a possibly-null python value of dtype `d`;
+    child nulls order by `nf` (child_rank's nulls_first)."""
+    if v is None:
+        return (0,) if nf else (2,)
+    return (1, _pyval_body(v, d, nf))
+
+
+def _pyval_body(v, d: dt.DataType, nf: bool):
+    n = d.name
+    if d.is_floating:
+        f = float(v)
+        return (1, 0.0) if f != f else (0, f)   # NaN above all (totalOrder)
+    if n in ("list", "large_list", "list_view", "large_list_view",
+             "fixed_size_list"):
+        return tuple(_pyval_key(x, d.value_type, nf) for x in v)
+    if n == "struct":
+        vals = [v.get(f.name) if isinstance(v, dict) else v[i]
+                for i, f in enumerate(d.fields)]
+        return tuple(_pyval_key(x, f.dtype, nf)
+                     for x, f in zip(vals, d.fields))
+    if n == "interval" and d.unit == "month_day_nano":
+        m = getattr(v, "months", None)
+        if m is None:
+            m, dd, nn = v
+        else:
+            dd, nn = v.days, v.nanoseconds
+        return (int(m), int(dd), int(nn))
+    if d.is_dictionary:
+        return _pyval_body(v, d.value_type, nf)
+    return v
+
+
+def _host_rank_parts(c: Column, opt):
+    """key_parts for nested/fsb/interval columns: dense u32 comparator
+    ranks computed on host (the reference runs the same comparator work
+    on CPU; the device then sorts ranks)."""
+    desc = bool(opt.descending) if opt is not None else False
+    nf = bool(opt.nulls_first) if opt is not None else True
+    child_nf = nf != desc        # child_rank's inversion (sort.rs:516)
+    py = c.to_pylist()
+    keys = [_pyval_key(v, c.dtype, child_nf) for v in py]
+    rank_of = {k: i for i, k in enumerate(sorted(set(keys)))}
+    ranks = np.fromiter((rank_of[k] for k in keys), np.uint32, len(keys))
+    validity = c.validity
+    if validity is None and any(v is None for v in py):
+        validity = jnp.asarray(np.asarray([v is not None for v in py]))
+    return (jnp.asarray(ranks), None, None, validity)
+
+
+def key_parts(c: Column, opt=None):
     """(values, ranks, entry_valid, validity) arrays for one key column;
-    dictionary/string value ranks are computed on host here (small)."""
+    dictionary/string value ranks are computed on host here (small).
+    `opt` (SortOptions) only matters for host-ranked nested columns,
+    whose child null placement depends on it (sort.rs:514)."""
     from ..core.nested import DecimalColumn, RunEndColumn
     if isinstance(c, RunEndColumn):
         from .ree import run_end_decode
         c = run_end_decode(c)      # logical rows; runs re-expand
+    if _host_rankable(c):
+        return _host_rank_parts(c, opt)
     if isinstance(c, StringColumn):
         from .strings import dictionary_encode
         c = dictionary_encode(c)
@@ -600,6 +672,6 @@ def lexsort_indices_fused(cols: Sequence[Column],
                           limit: Optional[int] = None) -> jnp.ndarray:
     """One-jit sort indices for any mix of key columns."""
     kinds = tuple(key_kind(c) for c in cols)
-    parts = tuple(key_parts(c) for c in cols)
+    parts = tuple(key_parts(c, o) for c, o in zip(cols, opts))
     sopts = tuple((o.descending, o.nulls_first) for o in opts)
     return _lexsort_stage(kinds, sopts, parts, limit)

@@ -78,7 +78,7 @@ def _decode_sort(cols, opts, limit, need_idx, payloads=()):
     for col, opt in zip(cols, opts):
         kinds.append(key_kind(col))
         kopts.append((opt.descending, opt.nulls_first))
-        p = key_parts(col)
+        p = key_parts(col, opt)
         parts.append(p)
         if kinds[-1] == "dict":
             ranks, entry_valid = p[1], p[2]
@@ -272,7 +272,7 @@ def rank(col: Column, options: SortOptions = SortOptions()
     from .row_format import key_kind, key_parts
     return _rank_stage((key_kind(col),),
                        ((options.descending, options.nulls_first),),
-                       (key_parts(col),))
+                       (key_parts(col, options),))
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "opts"))

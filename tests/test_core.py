@@ -157,3 +157,19 @@ def test_schema_try_merge():
         dt.Schema.try_merge([
             dt.Schema((), (("k", "1"),)),
             dt.Schema((), (("k", "2"),))])
+
+
+def test_column_table_equals():
+    """arrow-data equal/ + PartialEq role: NaN-equal data equality."""
+    a = at.column([1.0, float("nan"), None])
+    b = at.column([1.0, float("nan"), None])
+    assert a.equals(b)                      # NaN == NaN (byte equality)
+    assert not a.equals(at.column([1.0, 2.0, None]))
+    assert not a.equals(at.column([1.0, float("nan"), None], at.float32))
+    n = at.column([[1, None], None], at.dtypes.list_(at.int64))
+    assert n.equals(at.column([[1, None], None], at.dtypes.list_(at.int64)))
+    t1 = at.Table.from_pydict({"x": [1, 2], "y": ["a", None]})
+    t2 = at.Table.from_pydict({"x": [1, 2], "y": ["a", None]})
+    assert t1.equals(t2)
+    assert not t1.equals(t2.select(["y", "x"]))
+    assert not t1.equals(at.Table.from_pydict({"x": [1, 2], "z": ["a", None]}))

@@ -363,3 +363,64 @@ def test_sort_table_payload_mode(monkeypatch):
     ref2 = so.sort_table(t, [("k", so.SortOptions(descending=True))],
                          limit=57)
     assert got2.to_pydict() == ref2.to_pydict()
+
+
+class TestNestedSort:
+    """sort of list/fsl/fsb/struct/interval columns (sort.rs:208-240
+    child_rank design; struct via the make_comparator role)."""
+
+    def test_list_asc_nulls_first(self):
+        c = at.column([[3], None, [1, 2], [1], [], [1, None]],
+                      at.dtypes.list_(at.int64))
+        assert ops.sort(c).to_pylist() == \
+            [None, [], [1], [1, None], [1, 2], [3]]
+
+    def test_list_desc_nulls_last(self):
+        # child nulls_first inverts with descending (sort.rs:516) so the
+        # reversed comparator leaves child nulls ordered consistently
+        c = at.column([[3], None, [1, 2], [1], [], [1, None]],
+                      at.dtypes.list_(at.int64))
+        got = ops.sort(c, SortOptions(descending=True,
+                                      nulls_first=False)).to_pylist()
+        assert got == [[3], [1, 2], [1, None], [1], [], None]
+
+    def test_fsb_and_struct(self):
+        f = at.column([b"zz", None, b"aa", b"mm"],
+                      at.dtypes.fixed_size_binary(2))
+        assert ops.sort(f).to_pylist() == [None, b"aa", b"mm", b"zz"]
+        st = at.column(
+            [{"a": 2, "b": "x"}, None, {"a": 1, "b": "z"},
+             {"a": 1, "b": "a"}],
+            at.dtypes.struct([at.dtypes.Field("a", at.int64),
+                              at.dtypes.Field("b", at.utf8)]))
+        assert ops.sort(st).to_pylist() == \
+            [None, {"a": 1, "b": "a"}, {"a": 1, "b": "z"},
+             {"a": 2, "b": "x"}]
+
+    def test_interval_mdn_field_order(self):
+        # Ord derives (months, days, nanos) lexicographic
+        # (arrow-buffer/src/interval.rs:68)
+        m = at.column([(2, 0, 0), (1, 5, 0), None, (1, 2, 3)],
+                      at.dtypes.interval("month_day_nano"))
+        got = [None if v is None else (v.months, v.days, v.nanoseconds)
+               for v in ops.sort(m).to_pylist()]
+        assert got == [None, (1, 2, 3), (1, 5, 0), (2, 0, 0)]
+
+    def test_lexsort_nested_with_primitive(self):
+        from arrow_tpu.ops.sort import SortColumn
+        c = at.column([[2], [1], [1], None], at.dtypes.list_(at.int64))
+        tie = at.column([9, 5, 3, 1])
+        idx = ops.lexsort_to_indices([SortColumn(c), SortColumn(tie)])
+        assert list(np.asarray(idx.values)) == [3, 2, 1, 0]
+
+    def test_rank_and_float_nan_children(self):
+        nan = float("nan")
+        c = at.column([[nan], [1.0], [2.0]],
+                      at.dtypes.list_(at.float64))
+        # NaN ranks above all numbers (totalOrder), so [nan] sorts last
+        out = ops.sort(c).to_pylist()
+        assert out[0] == [1.0] and out[1] == [2.0]
+        assert out[2][0] != out[2][0]
+        r = np.asarray(ops.rank(at.column([[1], [1], None],
+                                          at.dtypes.list_(at.int64))))
+        assert list(r) == [3, 3, 1]
