@@ -30,6 +30,10 @@ def zip_(mask, truthy, falsy) -> Column:
             return vals, m, x.dtype
         return x.values, x.validity, x.dtype
 
+    prim = all(isinstance(x, Scalar)
+               or isinstance(x, PrimitiveColumn) for x in (truthy, falsy))
+    if not prim:
+        return _zip_generic(mask, truthy, falsy, n)
     tv, tm, tdt = parts(truthy)
     fv, fm, fdt = parts(falsy)
     if tdt != fdt:
@@ -39,6 +43,28 @@ def zip_(mask, truthy, falsy) -> Column:
     chosen_valid = jnp.where(cond, vd.make_mask(n, tm), vd.make_mask(n, fm))
     validity = vd.union(mask.validity, chosen_valid)
     return PrimitiveColumn(out, tdt, validity)
+
+
+def _zip_generic(mask, truthy, falsy, n: int) -> Column:
+    """zip over any layout: the reference routes non-primitive zips
+    through MutableArrayData (zip.rs fallback); here the equivalent copy
+    engine is interleave over [truthy, falsy] pairs."""
+    import numpy as np
+    from .concat import interleave
+    if isinstance(truthy, Scalar) or isinstance(falsy, Scalar):
+        raise ArrowTypeError("zip of non-primitive scalars is not "
+                             "supported; broadcast to a column first")
+    if truthy.dtype != falsy.dtype:
+        raise ArrowTypeError(
+            f"zip type mismatch {truthy.dtype!r} vs {falsy.dtype!r}")
+    if len(truthy) != n or len(falsy) != n:
+        raise ArrowInvalid("zip arrays must share the mask's length")
+    cond = np.asarray(mask.values, bool)
+    pairs = [(0 if cond[i] else 1, i) for i in range(n)]
+    out = interleave([truthy, falsy], pairs)
+    if mask.validity is not None:
+        out = out.with_validity(vd.union(out.validity, mask.validity))
+    return out
 
 
 def nullif(col: Column, cond) -> Column:

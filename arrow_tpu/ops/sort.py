@@ -92,7 +92,10 @@ def _decode_sort(cols, opts, limit, need_idx, payloads=()):
             metas.append(np.dtype(col.codes.dtype).name)
         else:
             invs.append(None)
-            metas.append(np.dtype(col.values.dtype).name)
+            # part values, not col.values: host-ranked nested keys
+            # (row_format._host_rank_parts) carry u32 ranks — their
+            # decoded group is discarded, the column rides the gather
+            metas.append(np.dtype(p[0].dtype).name)
     has_nulls = tuple(group_has_null_key(k, p)
                       for k, p in zip(kinds, parts))
     return _sort_decode_stage(

@@ -88,3 +88,29 @@ def test_shift():
     assert ops.shift(col, -2).to_pylist() == [None, 4, None, None]
     assert ops.shift(col, 0).to_pylist() == [1, 2, None, 4]
     assert ops.shift(col, 9).to_pylist() == [None] * 4
+
+
+def test_zip_generic_layouts():
+    """Non-primitive zip rides the interleave copy engine (zip.rs
+    MutableArrayData fallback role)."""
+    m = at.column([True, False, True, None])
+    s = ops.zip_(m, at.column(["a", "b", None, "d"]),
+                 at.column(["w", "x", "y", "z"]))
+    assert s.to_pylist() == ["a", "x", None, None]
+    l = ops.zip_(m, at.column([[1], [2], None, [4]],
+                              at.dtypes.list_(at.int64)),
+                 at.column([[9], [8], [7], [6]],
+                           at.dtypes.list_(at.int64)))
+    assert l.to_pylist() == [[1], [8], None, None]
+    d1 = ops.dictionary_encode(at.column(["p", "q", "p", "r"]))
+    d2 = ops.dictionary_encode(at.column(["z", "z", "y", "y"]))
+    dz = ops.zip_(m, d1, d2)
+    assert dz.to_pylist() == ["p", "z", "p", None]
+    st = ops.zip_(at.column([False, True]),
+                  at.column([{"a": 1}, {"a": 2}],
+                            at.dtypes.struct([at.dtypes.Field("a",
+                                                              at.int64)])),
+                  at.column([{"a": 8}, None],
+                            at.dtypes.struct([at.dtypes.Field("a",
+                                                              at.int64)])))
+    assert st.to_pylist() == [{"a": 8}, {"a": 2}]

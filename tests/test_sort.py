@@ -424,3 +424,14 @@ class TestNestedSort:
         r = np.asarray(ops.rank(at.column([[1], [1], None],
                                           at.dtypes.list_(at.int64))))
         assert list(r) == [3, 3, 1]
+
+
+def test_sort_table_mixed_nested_key():
+    """Decodable primary + host-ranked nested secondary in one table
+    sort; the nested key column itself rides the gather."""
+    t = at.Table.from_pydict({
+        "k": [2, 1, 2, 1],
+        "n": at.column([[1], [2], None, [0]], at.dtypes.list_(at.int64))})
+    out = ops.sort_table(t, [("k", SortOptions()), ("n", SortOptions())])
+    assert out.to_pydict() == {"k": [1, 1, 2, 2],
+                               "n": [[0], [2], None, [1]]}
