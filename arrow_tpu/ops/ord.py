@@ -36,11 +36,25 @@ def _key_matrix(col: Column, opt: SortOptions) -> np.ndarray:
 def make_comparator(a: Column, b: Column,
                     options: SortOptions = SortOptions()
                     ) -> Callable[[int, int], int]:
-    """cmp(i, j): order of a[i] vs b[j] (ord.rs:28)."""
+    """cmp(i, j): order of a[i] vs b[j] (ord.rs:28), nested types
+    included (the reference's headline use: cmp kernels reject nested
+    and point here).  Nested ranks must agree ACROSS both arrays, so
+    they are computed over the concatenation."""
     if a.dtype != b.dtype:
         raise TypeError(f"comparator type mismatch {a.dtype} vs {b.dtype}")
-    ka = _key_matrix(a, options)
-    kb = _key_matrix(b, options)
+    from .row_format import _host_rankable, _host_rank_parts
+    if _host_rankable(a):
+        import jax.numpy as jnp
+        from .. import dtypes as dt
+        from ..core.column import PrimitiveColumn
+        from .concat import concat
+        vals, _, _, validity = _host_rank_parts(concat([a, b]), options)
+        proxy = PrimitiveColumn(vals, dt.uint32, validity)
+        stacked = _key_matrix(proxy, options)
+        ka, kb = stacked[:len(a)], stacked[len(a):]
+    else:
+        ka = _key_matrix(a, options)
+        kb = _key_matrix(b, options)
 
     def cmp(i: int, j: int) -> int:
         ra, rb = ka[i], kb[j]

@@ -435,3 +435,20 @@ def test_sort_table_mixed_nested_key():
     out = ops.sort_table(t, [("k", SortOptions()), ("n", SortOptions())])
     assert out.to_pydict() == {"k": [1, 1, 2, 2],
                                "n": [[0], [2], None, [1]]}
+
+
+def test_make_comparator_nested():
+    """ord.rs:28: nested comparisons go through make_comparator (cmp
+    kernels reject them); ranks agree across the two arrays."""
+    from arrow_tpu.ops.ord import make_comparator
+    a = at.column([[1, 2], None, [5]], at.dtypes.list_(at.int64))
+    b = at.column([[1, 2, 0], [0]], at.dtypes.list_(at.int64))
+    cmp = make_comparator(a, b)
+    assert cmp(0, 0) == -1       # [1,2] < [1,2,0] (prefix shorter)
+    assert cmp(2, 1) == 1        # [5] > [0]
+    assert cmp(1, 0) == -1       # null first by default
+    s = at.dtypes.struct([at.dtypes.Field("x", at.int64)])
+    sa = at.column([{"x": 3}], s)
+    sb = at.column([{"x": 3}, {"x": 9}], s)
+    c2 = make_comparator(sa, sb)
+    assert c2(0, 0) == 0 and c2(0, 1) == -1
