@@ -512,7 +512,16 @@ def pallas_smoke():
 
 
 def main():
-    import arrow_tpu  # noqa: F401 (x64 on; default backend = tpu)
+    try:
+        import arrow_tpu  # noqa: F401 (x64 on; default backend = tpu)
+    except Exception as e:                        # noqa: BLE001
+        # backend init failure (e.g. "UNAVAILABLE: TPU backend setup")
+        # must still leave a diagnostic headline line for the driver
+        print(json.dumps({"metric": "filter_arith_10M_rows_per_s",
+                          "value": 0, "unit": "rows/s", "vs_baseline": 0,
+                          "error": f"backend init: {repr(e)[:300]}"}),
+              flush=True)
+        raise
     results = {}
     headline = None
     order = [("config1", config1), ("config2", config2),

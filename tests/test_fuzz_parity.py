@@ -218,3 +218,29 @@ def test_fuzz_parquet_nested_write_read(seed):
             (seed, name)
         assert ours.column(name).to_pylist() == \
             tab[name].to_pylist(), (seed, name, "ours")
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_integration_json_roundtrip(seed):
+    """Random nested tables through the integration JSON format
+    (arrow-integration-test round-trip tier)."""
+    import json as _json
+    from arrow_tpu.io import integration_json as ij
+    rng = np.random.default_rng(seed + 500)
+    n = int(rng.integers(1, 60))
+    cols = {}
+    for i in range(int(rng.integers(1, 5))):
+        ty = _random_dtype(rng)
+        vals = [_random_value(rng, ty) for _ in range(n)]
+        try:
+            cols[f"c{i}"] = pa.array(vals, ty)
+        except pa.lib.ArrowInvalid:
+            continue
+    if not cols:
+        return
+    t = at.Table.from_pyarrow(pa.table(cols))
+    doc = _json.loads(_json.dumps(ij.table_to_json(t)))
+    t2 = ij.table_from_json(doc)
+    assert t.to_pydict() == t2.to_pydict()
+    assert [f.dtype for f in t.schema.fields] == \
+        [f.dtype for f in t2.schema.fields]
