@@ -82,17 +82,22 @@ def nullif(col: Column, cond) -> Column:
 
 def shift(col: Column, offset: int) -> Column:
     """Window shift with null fill (window.rs:55): positive offset moves
-    values toward higher indices, vacated slots become null."""
+    values toward higher indices, vacated slots become null.  Primitive
+    columns shift in one fused roll; other layouts compose
+    null-pad + slice + concat exactly like the reference."""
     n = len(col)
     if offset == 0:
         return col
-    if abs(offset) >= n:
-        if isinstance(col, PrimitiveColumn):
-            return PrimitiveColumn(jnp.zeros_like(col.values), col.dtype,
-                                   jnp.zeros((n,), jnp.bool_))
-        raise ArrowInvalid("shift beyond length on non-primitive")
-    if not isinstance(col, PrimitiveColumn):
-        raise ArrowInvalid("shift supports primitive columns")
+    if not isinstance(col, PrimitiveColumn) or abs(offset) >= n:
+        from .cast import _all_null
+        from .concat import concat
+        k = min(abs(offset), n)
+        pad = _all_null(col.dtype, k)
+        if k == n:
+            return pad
+        if offset > 0:
+            return concat([pad, col.slice(0, n - k)])
+        return concat([col.slice(k, n - k), pad])
     rolled = jnp.roll(col.values, offset)
     idx = jnp.arange(n)
     in_range = (idx >= offset) if offset > 0 else (idx < n + offset)

@@ -114,3 +114,18 @@ def test_zip_generic_layouts():
                             at.dtypes.struct([at.dtypes.Field("a",
                                                               at.int64)])))
     assert st.to_pylist() == [{"a": 8}, {"a": 2}]
+
+
+def test_shift_generic_layouts():
+    """window.rs:55 composes null-pad + slice + concat for any type."""
+    s = at.column(["a", "b", "c"])
+    assert ops.shift(s, 1).to_pylist() == [None, "a", "b"]
+    assert ops.shift(s, -2).to_pylist() == ["c", None, None]
+    assert ops.shift(s, 5).to_pylist() == [None, None, None]
+    l = at.column([[1], [2, 3], None], at.dtypes.list_(at.int64))
+    assert ops.shift(l, -1).to_pylist() == [[2, 3], None, None]
+    d = ops.dictionary_encode(at.column(["x", "y", "x"]))
+    assert ops.shift(d, 1).to_pylist() == [None, "x", "y"]
+    # primitive beyond-length now also yields typed all-null
+    p = ops.shift(at.column([1, 2]), 9)
+    assert p.to_pylist() == [None, None] and p.dtype == at.int64
