@@ -51,6 +51,9 @@ class WriterProperties:
     encryption: object = None   # parquet_crypto.FileEncryptionProperties
     key_value_metadata: Optional[dict] = None
     store_schema: bool = True   # embed ARROW:schema for exact round-trip
+    # per-column overrides: {column: {compression, dictionary_enabled,
+    # write_statistics}} (properties.rs set_column_* builder roles)
+    column_properties: Optional[dict] = None
 
 
 @dataclass
@@ -251,7 +254,8 @@ def write_parquet(path, table: Table,
             sorting_columns=props.sorting_columns,
             encryption=props.encryption,
             key_value_metadata=props.key_value_metadata,
-            store_schema=props.store_schema)
+            store_schema=props.store_schema,
+            column_properties=props.column_properties)
         return
     w = ParquetWriter(path, table, properties)
     w.write(table)

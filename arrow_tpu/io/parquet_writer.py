@@ -677,7 +677,8 @@ class NativeParquetWriter:
                  sorting_columns: Optional[Sequence] = None,
                  encryption=None,
                  key_value_metadata: Optional[dict] = None,
-                 store_schema: bool = True):
+                 store_schema: bool = True,
+                 column_properties: Optional[dict] = None):
         self._own = isinstance(sink, str)
         self._out = open(sink, "wb") if self._own else sink
         self.schema = schema
@@ -693,6 +694,10 @@ class NativeParquetWriter:
         self.codec = _CODEC_IDS[(compression or "none").lower()]
         self.dictionary_enabled = dictionary_enabled
         self.write_statistics = write_statistics
+        # per-column overrides (file/properties.rs set_column_* roles):
+        # {column-or-leaf-path: {compression, dictionary_enabled,
+        #  write_statistics}}
+        self.column_properties = dict(column_properties or {})
         self.bloom_filter_columns = set(bloom_filter_columns)
         self.row_group_size = row_group_size
         self.data_page_size = data_page_size or (1 << 20)
@@ -717,6 +722,16 @@ class NativeParquetWriter:
     def _emit(self, b: bytes):
         self._out.write(b)
         self._pos += len(b)
+
+    def _col_prop(self, leaf: "_Leaf", key: str, default):
+        """Per-column writer property: dotted leaf path wins, then the
+        leaf name, then the top-level column (properties.rs per-column
+        overrides most-specific-first resolution)."""
+        for probe in (".".join(leaf.path), leaf.path[-1], leaf.path[0]):
+            ov = self.column_properties.get(probe)
+            if ov is not None and key in ov:
+                return ov[key]
+        return default
 
     def _crypto_for(self, leaf: _Leaf, rg_ord: int, col_ord: int):
         """Set the chunk crypto context: (key, mode, rg, col) or None
@@ -822,7 +837,7 @@ class NativeParquetWriter:
                         def_b: bytes, values: bytes):
         """Serialize one data page (v1 or v2) and return its
         (offset, compressed_size_incl_header)."""
-        codec = self.codec
+        codec = getattr(self, "_chunk_codec", self.codec)
         off = self._pos
         encrypting = self._ck is not None
         if self.page_v2:
@@ -889,7 +904,9 @@ class NativeParquetWriter:
         """c arrives COMPACTED (len(c) == number of def==max_def slots);
         defs/reps live on the slot axis.  vpos maps a slot range to its
         value range."""
-        codec = self.codec
+        comp_name = self._col_prop(leaf, "compression", None)
+        codec = self._chunk_codec = (self.codec if comp_name is None
+                                     else _CODEC_IDS[comp_name.lower()])
         n_slots = len(defs) if defs is not None else len(c)
         if defs is not None:
             vpos = np.zeros(n_slots + 1, np.int64)
@@ -899,8 +916,9 @@ class NativeParquetWriter:
         chunk_nulls = int(n_slots - len(c)) if defs is not None else 0
 
         dict_col = isinstance(c, DictionaryColumn)
-        use_dict = dict_col or (
-            self.dictionary_enabled and isinstance(c, StringColumn))
+        dict_on = self._col_prop(leaf, "dictionary_enabled",
+                                 self.dictionary_enabled)
+        use_dict = dict_col or (dict_on and isinstance(c, StringColumn))
 
         start_pos = self._pos
         dict_page_offset = None
@@ -1017,7 +1035,8 @@ class NativeParquetWriter:
               (9, T_I64, data_page_offset)]
         if dict_page_offset is not None:
             md.append((11, T_I64, dict_page_offset))
-        if self.write_statistics:
+        if self._col_prop(leaf, "write_statistics",
+                          self.write_statistics):
             # chunk min/max over the dictionary's USED values when dict-
             # encoded (5000 distinct beats 1M raw strings), else the
             # compacted column

@@ -813,3 +813,35 @@ class TestArrowSchemaHint:
         raw = ref["dtv"].to_pylist()
         assert raw[0][4:8] == (3).to_bytes(4, "little")
         assert raw[0][8:12] == (250).to_bytes(4, "little")
+
+
+def test_per_column_writer_properties(tmp_path):
+    """properties.rs per-column overrides: compression, dictionary, and
+    statistics toggled per column; pyarrow confirms the layout."""
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import WriterProperties, write_parquet
+    t = at.Table.from_pydict({
+        "a": ["x", "y", "x", "z"] * 50,
+        "b": ["p", "q", "r", "s"] * 50,
+        "c": list(range(200)),
+    })
+    p = str(tmp_path / "pc.parquet")
+    write_parquet(p, t, WriterProperties(
+        compression="snappy",
+        column_properties={
+            "a": {"compression": "zstd"},
+            "b": {"dictionary_enabled": False,
+                  "write_statistics": False},
+        }))
+    md = pq.ParquetFile(p).metadata
+    cols = {md.row_group(0).column(i).path_in_schema:
+            md.row_group(0).column(i) for i in range(md.num_columns)}
+    assert cols["a"].compression == "ZSTD"
+    assert cols["c"].compression == "SNAPPY"
+    assert "PLAIN_DICTIONARY" not in str(cols["b"].encodings) and \
+        "RLE_DICTIONARY" not in str(cols["b"].encodings)
+    assert "RLE_DICTIONARY" in str(cols["a"].encodings)
+    assert cols["b"].statistics is None
+    assert cols["c"].statistics is not None
+    # values intact through mixed codecs
+    assert pq.read_table(p).to_pydict() == t.to_pydict()
