@@ -880,7 +880,12 @@ class NativeParquetWriter:
         """(encoding id, encoded bytes) for one non-dictionary page.
         v1 pages are PLAIN; v2 pages use the reference's PARQUET_2_0
         fallbacks (column/writer/mod.rs:1444): RLE booleans,
-        DELTA_BINARY_PACKED int32/64, DELTA_BYTE_ARRAY byte arrays."""
+        DELTA_BINARY_PACKED int32/64, DELTA_BYTE_ARRAY byte arrays.
+        A per-column "encoding" override (set_column_encoding role)
+        forces plain / delta_* / rle / byte_stream_split."""
+        forced = self._col_prop(leaf, "encoding", None)
+        if forced is not None:
+            return self._encode_forced(leaf, pc, forced.lower())
         if self.page_v2:
             d = pc.dtype
             phys = _logical_fields(d)[0]
@@ -900,6 +905,36 @@ class NativeParquetWriter:
                     np.asarray(pc.data))
         return 0, _plain_values(pc, None)
 
+    def _encode_forced(self, leaf: _Leaf, pc: Column, e: str):
+        d = pc.dtype
+        phys = _logical_fields(d)[0]
+        if e == "plain":
+            return 0, _plain_values(pc, None)
+        if e == "rle" and phys == PT_BOOLEAN:
+            return 3, rle_bool_encode(np.asarray(pc.values))
+        if e == "delta_binary_packed" and phys in (PT_INT32, PT_INT64) \
+                and isinstance(pc, PrimitiveColumn):
+            vals = np.asarray(pc.values)
+            if d.name == "uint32":
+                vals = vals.astype(np.uint32).view(np.int32)
+            elif d.name == "uint64":
+                vals = vals.astype(np.uint64).view(np.int64)
+            return 5, delta_binary_packed_encode(vals)
+        if e == "delta_byte_array" and phys == PT_BYTE_ARRAY \
+                and isinstance(pc, StringColumn):
+            return 7, delta_byte_array_encode(
+                np.asarray(pc.offsets).astype(np.int64),
+                np.asarray(pc.data))
+        if e == "byte_stream_split" and phys in (PT_INT32, PT_INT64,
+                                                 PT_FLOAT, PT_DOUBLE):
+            plain = _plain_values(pc, None)
+            w = 4 if phys in (PT_INT32, PT_FLOAT) else 8
+            planes = np.frombuffer(plain, np.uint8).reshape(-1, w)
+            return 9, np.ascontiguousarray(planes.T).tobytes()
+        raise ArrowNotImplementedError(
+            f"encoding {e!r} for physical type {phys} "
+            f"({'.'.join(leaf.path)})")
+
     def _write_chunk(self, leaf: _Leaf, c: Column, defs, reps):
         """c arrives COMPACTED (len(c) == number of def==max_def slots);
         defs/reps live on the slot axis.  vpos maps a slot range to its
@@ -918,6 +953,8 @@ class NativeParquetWriter:
         dict_col = isinstance(c, DictionaryColumn)
         dict_on = self._col_prop(leaf, "dictionary_enabled",
                                  self.dictionary_enabled)
+        if self._col_prop(leaf, "encoding", None) is not None:
+            dict_on = False            # forced encoding bypasses dict
         use_dict = dict_col or (dict_on and isinstance(c, StringColumn))
 
         start_pos = self._pos

@@ -845,3 +845,33 @@ def test_per_column_writer_properties(tmp_path):
     assert cols["c"].statistics is not None
     # values intact through mixed codecs
     assert pq.read_table(p).to_pydict() == t.to_pydict()
+
+
+def test_forced_column_encodings(tmp_path):
+    """set_column_encoding role: BYTE_STREAM_SPLIT floats, DELTA ints,
+    DELTA_BYTE_ARRAY strings forced per column; both readers agree."""
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import WriterProperties, write_parquet
+    t = at.Table.from_pydict({
+        "f": [float(i) * 0.5 for i in range(300)],
+        "i": list(range(300)),
+        "s": [f"str-{i:03d}" for i in range(300)],
+    })
+    p = str(tmp_path / "enc.parquet")
+    write_parquet(p, t, WriterProperties(
+        data_page_version="1.0",
+        column_properties={
+            "f": {"encoding": "byte_stream_split"},
+            "i": {"encoding": "delta_binary_packed"},
+            "s": {"encoding": "delta_byte_array"},
+        }))
+    md = pq.ParquetFile(p).metadata
+    encs = {md.row_group(0).column(i).path_in_schema:
+            str(md.row_group(0).column(i).encodings)
+            for i in range(md.num_columns)}
+    assert "BYTE_STREAM_SPLIT" in encs["f"]
+    assert "DELTA_BINARY_PACKED" in encs["i"]
+    assert "DELTA_BYTE_ARRAY" in encs["s"]
+    assert pq.read_table(p).to_pydict() == t.to_pydict()
+    assert ParquetFile(open(p, "rb").read()).read().to_pydict() == \
+        t.to_pydict()
