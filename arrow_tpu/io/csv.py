@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import io as _io
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -213,7 +213,10 @@ def infer_schema(source, max_records: Optional[int] = 1000,
 
 
 def read_csv(source, schema: Optional[dt.Schema] = None,
-             has_header: bool = True, delimiter: str = ",") -> Table:
+             has_header: bool = True, delimiter: str = ",",
+             projection=None) -> Table:
+    """`projection` (reader/mod.rs with_projection): names or column
+    indices to parse — unselected columns are never typed/parsed."""
     data = _as_bytes(source)
     idx = _Indexed(data, delimiter)
     row0 = 1 if has_header else 0
@@ -222,16 +225,20 @@ def read_csv(source, schema: Optional[dt.Schema] = None,
         names = _header_names(idx)
     else:
         names = [f"column_{i + 1}" for i in range(idx.n_cols)]
+    sel = range(idx.n_cols)
+    if projection is not None:
+        sel = [names.index(p) if isinstance(p, str) else int(p)
+               for p in projection]
     if schema is None:
         fields = [dt.Field(names[c],
                            _infer_column(idx, c, row0, nrows, 1000))
-                  for c in range(idx.n_cols)]
+                  for c in sel]
     else:
         by_name = {f.name: f for f in schema.fields}
         fields = [by_name.get(names[c], dt.Field(names[c], dt.utf8))
-                  for c in range(idx.n_cols)]
+                  for c in sel]
     cols = tuple(_parse_column(idx, c, row0, nrows, f.dtype)
-                 for c, f in enumerate(fields))
+                 for c, f in zip(sel, fields))
     return Table(cols, dt.Schema(tuple(fields)))
 
 
@@ -242,9 +249,11 @@ class ReaderBuilder:
     has_header: bool = True
     delimiter: str = ","
     batch_size: int = 65536
+    projection: Optional[Sequence] = None    # names or indices
 
     def build(self, source) -> List[Table]:
-        t = read_csv(source, self.schema, self.has_header, self.delimiter)
+        t = read_csv(source, self.schema, self.has_header,
+                     self.delimiter, self.projection)
         return [t.slice(i, min(self.batch_size, t.num_rows - i))
                 for i in range(0, max(t.num_rows, 1), self.batch_size)
                 if t.num_rows]

@@ -110,3 +110,14 @@ def test_speed_1M_rows():
     assert t.num_rows == n
     assert np.array_equal(np.asarray(t.column("a").values), vals)
     assert dt_s < 10.0, f"1M-row CSV parse took {dt_s:.1f}s"
+
+
+def test_projection():
+    """reader/mod.rs with_projection: only selected columns parse."""
+    from arrow_tpu.io.csv import ReaderBuilder, read_csv
+    data = b"a,b,c\n1,x,0.5\n2,y,1.5\n"
+    t = read_csv(data, projection=["c", "a"])
+    assert t.schema.names == ["c", "a"]
+    assert t.to_pydict() == {"c": [0.5, 1.5], "a": [1, 2]}
+    t2 = ReaderBuilder(projection=[1]).build(data)[0]
+    assert t2.to_pydict() == {"b": ["x", "y"]}
