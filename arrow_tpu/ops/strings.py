@@ -491,6 +491,29 @@ def length(col) -> PrimitiveColumn:
         inner = length(col.values)
         out = jnp.take(inner.values, col.codes, mode="clip")
         return PrimitiveColumn(out, dt.int32, col.validity)
+    from ..core.column import ListColumn
+    from ..core.nested import (FixedSizeBinaryColumn, FixedSizeListColumn,
+                               ListViewColumn, MapColumn)
+    if isinstance(col, (ListColumn, MapColumn)):
+        # element counts (length.rs list arms); large_list yields i64
+        counts = col.offsets[1:] - col.offsets[:-1]
+        wide = col.dtype.name == "large_list"
+        return PrimitiveColumn(counts.astype(jnp.int64 if wide
+                                             else jnp.int32),
+                               dt.int64 if wide else dt.int32,
+                               col.validity)
+    if isinstance(col, ListViewColumn):
+        return PrimitiveColumn(col.sizes.astype(jnp.int32), dt.int32,
+                               col.validity)
+    if isinstance(col, FixedSizeListColumn):
+        n = len(col)
+        return PrimitiveColumn(jnp.full((n,), col.list_size, jnp.int32),
+                               dt.int32, col.validity)
+    if isinstance(col, FixedSizeBinaryColumn):
+        n = len(col)
+        return PrimitiveColumn(
+            jnp.full((n,), int(col.data.shape[1]), jnp.int32),
+            dt.int32, col.validity)
     if not isinstance(col, StringColumn):
         raise ArrowTypeError(f"length of {type(col)}")
     is_start = ((col.data & jnp.uint8(0xC0)) != jnp.uint8(0x80)) \

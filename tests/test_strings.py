@@ -129,3 +129,21 @@ def test_regexp_match_capture_groups():
     # no capture groups: whole match
     out2 = regexp_match(col, r"\d+")
     assert out2.to_pyarrow().to_pylist() == [["1"], ["22"], None, None]
+
+
+def test_length_of_nested_layouts():
+    """length.rs list/fsl/fsb arms: element counts, not characters."""
+    import pyarrow.compute as _pc
+    l = at.column([[1, 2], None, [3]], at.dtypes.list_(at.int64))
+    assert ops.length(l).to_pylist() == \
+        _pc.list_value_length(pa.array([[1, 2], None, [3]])).to_pylist()
+    ll = at.column([[1], None], at.dtypes.large_list(at.int64))
+    got = ops.length(ll)
+    assert got.dtype == at.int64 and got.to_pylist() == [1, None]
+    fsl = at.column([[1, 2], None], at.dtypes.fixed_size_list(at.int64, 2))
+    assert ops.length(fsl).to_pylist() == [2, None]
+    fsb = at.column([b"abc", None], at.dtypes.fixed_size_binary(3))
+    assert ops.length(fsb).to_pylist() == [3, None]
+    m = at.column([[("k", 1), ("j", 2)], None],
+                  at.dtypes.map_(at.utf8, at.int64))
+    assert ops.length(m).to_pylist() == [2, None]
