@@ -491,3 +491,15 @@ def test_bin_path_all_null_keys(monkeypatch):
         t, ["k"], [_gb.AggSpec("v", "sum"), _gb.AggSpec("v", "mean")],
         monkeypatch)
     assert got.to_pydict()["v_sum"] == [6]
+
+
+def test_group_by_nested_key():
+    """Nested (list/struct) group keys ride the host-rank key encoding —
+    beyond the reference (DataFusion territory), for free."""
+    from arrow_tpu.ops.groupby import AggSpec
+    t = at.Table.from_pydict({
+        "k": at.column([[1], [2], [1], None], at.dtypes.list_(at.int64)),
+        "v": [1.0, 2.0, 3.0, 4.0]})
+    out = ops.group_by(t, ["k"], [AggSpec("v", "sum")])
+    assert out.to_pydict() == {"k": [None, [1], [2]],
+                               "v_sum": [4.0, 4.0, 2.0]}
