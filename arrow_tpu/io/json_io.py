@@ -332,13 +332,33 @@ class WriterBuilder:
 
 
 def _json_value(v):
+    """JSON value for one cell, recursively (writer/encoder.rs arms):
+    binary/fsb -> hex strings (encoder.rs:782), temporal -> ISO strings,
+    decimal -> number when exactly representable else digit string,
+    NaN/inf -> null (JSON has neither; the reference errors)."""
     import datetime
+    import decimal
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
-        return None  # JSON has no NaN/inf; reference errors — we null
+        return None
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
-    if isinstance(v, bytes):
-        return v.decode("utf-8", errors="replace")
+    if isinstance(v, datetime.time):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return f if decimal.Decimal(repr(f)) == v else str(v)
+    if isinstance(v, dict):
+        return {k: _json_value(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        if len(v) and isinstance(v[0], tuple) and len(v[0]) == 2:
+            # map entries render as an object (encoder.rs MapEncoder)
+            try:
+                return {str(k): _json_value(x) for k, x in v}
+            except (TypeError, ValueError):
+                pass
+        return [_json_value(x) for x in v]
     return v
 
 

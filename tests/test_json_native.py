@@ -107,3 +107,30 @@ def test_speed_200k_rows():
     dt_s = time.time() - t0
     assert t.num_rows == 200_000
     assert dt_s < 10.0, f"200k-row JSON parse took {dt_s:.1f}s"
+
+
+def test_writer_binary_decimal_temporal():
+    """encoder.rs arms: hex binary, numeric decimals, ISO temporals,
+    nested values handled recursively."""
+    import decimal
+    import json as _json
+    from arrow_tpu.io.json_io import WriterBuilder
+    t = at.Table.from_pydict({
+        "ts": at.column([1_700_000_000_000_000, None],
+                        at.dtypes.timestamp("us")),
+        "dec": at.column([decimal.Decimal("1.25"), None],
+                         at.dtypes.decimal128(5, 2)),
+        "b": at.column([b"\x01\xff", None], at.dtypes.binary),
+        "lb": at.column([[b"\x02"], None],
+                        at.dtypes.list_(at.dtypes.binary)),
+        "m": at.column([[("k", 1)], None],
+                       at.dtypes.map_(at.utf8, at.int64)),
+    })
+    lines = WriterBuilder().write_str(t).strip().split("\n")
+    r0 = _json.loads(lines[0])
+    assert r0["b"] == "01ff"
+    assert r0["lb"] == ["02"]
+    assert r0["dec"] == 1.25
+    assert r0["ts"].startswith("2023-11-14T22:13:20")
+    assert r0["m"] == {"k": 1}
+    assert _json.loads(lines[1]) == {}     # implicit nulls drop keys
