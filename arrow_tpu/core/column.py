@@ -108,9 +108,11 @@ class Column:
 
 
 def _py_equal(a, b) -> bool:
-    """Recursive NaN-equal value comparison (byte-equality semantics)."""
+    """Recursive NaN-equal value comparison (byte-equality semantics:
+    NaN == NaN at matching bits, -0.0 != 0.0, like arrow-rs PartialEq)."""
     if isinstance(a, float) and isinstance(b, float):
-        return a == b or (a != a and b != b)
+        import struct as _st
+        return _st.pack("<d", a) == _st.pack("<d", b)
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         return len(a) == len(b) and all(_py_equal(x, y)
                                         for x, y in zip(a, b))

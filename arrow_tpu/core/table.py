@@ -93,17 +93,22 @@ class Table:
         return self.num_rows
 
     def equals(self, other) -> bool:
-        """RecordBatch PartialEq role: schema fields match (name, dtype,
-        nullability) and every column is logically equal."""
+        """RecordBatch PartialEq role: full Schema equality (fields incl.
+        metadata, schema-level metadata) and every column logically
+        equal."""
         if self is other:
             return True
         if not isinstance(other, Table):
             return False
         if len(self.schema.fields) != len(other.schema.fields):
             return False
+        if sorted(self.schema.metadata) != sorted(other.schema.metadata):
+            return False
         for f, g in zip(self.schema.fields, other.schema.fields):
             if (f.name, f.dtype, f.nullable) != (g.name, g.dtype,
                                                  g.nullable):
+                return False
+            if sorted(f.metadata) != sorted(g.metadata):
                 return False
         return all(c.equals(o) for c, o in zip(self.columns,
                                                other.columns))

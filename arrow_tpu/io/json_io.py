@@ -313,7 +313,7 @@ class WriterBuilder:
                 v = d[n][i]
                 if v is None and not self.explicit_nulls:
                     continue
-                row[n] = _json_value(v)
+                row[n] = _json_value(v, table.schema.field(n).dtype)
             rows.append(row)
         return rows
 
@@ -331,11 +331,13 @@ class WriterBuilder:
         return buf.getvalue().decode()
 
 
-def _json_value(v):
+def _json_value(v, d: Optional[dt.DataType] = None):
     """JSON value for one cell, recursively (writer/encoder.rs arms):
     binary/fsb -> hex strings (encoder.rs:782), temporal -> ISO strings,
     decimal -> number when exactly representable else digit string,
-    NaN/inf -> null (JSON has neither; the reference errors)."""
+    NaN/inf -> null (JSON has neither; the reference errors).  `d` (the
+    cell's dtype) disambiguates map-vs-list so an empty map renders as
+    {} like the reference's unconditional MapEncoder (encoder.rs:755)."""
     import datetime
     import decimal
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
@@ -349,11 +351,22 @@ def _json_value(v):
     if isinstance(v, decimal.Decimal):
         f = float(v)
         return f if decimal.Decimal(repr(f)) == v else str(v)
+    name = d.name if d is not None else None
+    if d is not None and d.is_dictionary:
+        return _json_value(v, d.value_type)
+    if name == "map" and isinstance(v, (list, tuple)):
+        vf = d.value_type.fields[1]
+        return {str(k): _json_value(x, vf.dtype) for k, x in v}
     if isinstance(v, dict):
-        return {k: _json_value(x) for k, x in v.items()}
+        fmap = {f.name: f.dtype for f in d.fields} if name == "struct" \
+            else {}
+        return {k: _json_value(x, fmap.get(k)) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
+        if name in ("list", "large_list", "list_view", "large_list_view",
+                    "fixed_size_list"):
+            return [_json_value(x, d.value_type) for x in v]
         if len(v) and isinstance(v[0], tuple) and len(v[0]) == 2:
-            # map entries render as an object (encoder.rs MapEncoder)
+            # dtype-less call: map entries still render as an object
             try:
                 return {str(k): _json_value(x) for k, x in v}
             except (TypeError, ValueError):

@@ -178,8 +178,15 @@ class ParquetWriter:
                 write_page_index=properties.write_page_index,
                 write_page_checksum=properties.write_page_checksum,
                 sorting_columns=properties.sorting_columns,
-                encryption=properties.encryption)
+                encryption=properties.encryption,
+                key_value_metadata=properties.key_value_metadata,
+                store_schema=properties.store_schema,
+                column_properties=properties.column_properties)
             return
+        if properties.column_properties:
+            raise ArrowInvalid(
+                "column_properties requires the native writer; schema "
+                "has unsupported layouts")
         if properties.encryption is not None:
             raise ArrowInvalid("encryption requires the native writer; "
                                "schema has unsupported layouts")
@@ -245,6 +252,7 @@ def write_parquet(path, table: Table,
         write_parquet_native(
             path, table, compression=props.compression,
             dictionary_enabled=props.dictionary_enabled,
+            write_statistics=props.write_statistics,
             bloom_filter_columns=props.bloom_filter_columns,
             row_group_size=props.row_group_size,
             data_page_size=props.data_page_size,

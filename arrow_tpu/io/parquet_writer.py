@@ -834,10 +834,11 @@ class NativeParquetWriter:
 
     def _emit_data_page(self, leaf: _Leaf, n_page: int, n_rows: int,
                         n_nulls: int, enc: int, rep_b: bytes,
-                        def_b: bytes, values: bytes):
+                        def_b: bytes, values: bytes,
+                        codec: Optional[int] = None):
         """Serialize one data page (v1 or v2) and return its
         (offset, compressed_size_incl_header)."""
-        codec = getattr(self, "_chunk_codec", self.codec)
+        codec = self.codec if codec is None else codec
         off = self._pos
         encrypting = self._ck is not None
         if self.page_v2:
@@ -940,8 +941,8 @@ class NativeParquetWriter:
         defs/reps live on the slot axis.  vpos maps a slot range to its
         value range."""
         comp_name = self._col_prop(leaf, "compression", None)
-        codec = self._chunk_codec = (self.codec if comp_name is None
-                                     else _CODEC_IDS[comp_name.lower()])
+        codec = (self.codec if comp_name is None
+                 else _CODEC_IDS[comp_name.lower()])
         n_slots = len(defs) if defs is not None else len(c)
         if defs is not None:
             vpos = np.zeros(n_slots + 1, np.int64)
@@ -1022,7 +1023,7 @@ class NativeParquetWriter:
                     if leaf.max_rep and reps is not None else n_page
                 o, sz = self._emit_data_page(
                     leaf, n_page, n_rows, n_nulls, 8, rep_b, def_b,
-                    idx_rle)
+                    idx_rle, codec)
                 page_locs.append((o, sz, s))
                 total_uncomp += len(rep_b) + len(def_b) + len(idx_rle)
                 if self.write_page_index and not leaf.max_rep:
@@ -1044,7 +1045,7 @@ class NativeParquetWriter:
                     int((defs[s:e] != leaf.max_def).sum())
                 o, sz = self._emit_data_page(
                     leaf, n_page, n_rows, n_nulls, enc_id, rep_b,
-                    def_b, payload)
+                    def_b, payload, codec)
                 page_locs.append((o, sz, 0 if leaf.max_rep else s))
                 total_uncomp += len(rep_b) + len(def_b) + len(payload)
                 if self.write_page_index and not leaf.max_rep:

@@ -217,6 +217,33 @@ def _all_null(to: dt.DataType, n: int) -> Column:
                          _all_null(to.value_type, 0), mask)
         out.dtype = to
         return out
+    if name in ("list_view", "large_list_view"):
+        off_dt = jnp.int64 if name == "large_list_view" else jnp.int32
+        from ..core.nested import ListViewColumn
+        return ListViewColumn(jnp.zeros((n,), off_dt),
+                              jnp.zeros((n,), off_dt),
+                              _all_null(to.value_type, 0), mask, dtype=to)
+    if name == "union":
+        # unions carry no top-level validity (Arrow spec): an "all null"
+        # union is rows of the first child with that child all-null
+        from ..core.nested import UnionColumn
+        ids = to.type_ids
+        tid = jnp.full((n,), ids[0], jnp.int8)
+        if to.mode == "sparse":
+            kids = [_all_null(f.dtype, n) for f in to.fields]
+            return UnionColumn(tid, None, kids, to.fields, ids)
+        kids = [_all_null(f.dtype, n if i == 0 else 0)
+                for i, f in enumerate(to.fields)]
+        return UnionColumn(tid, jnp.arange(n, dtype=jnp.int32),
+                           kids, to.fields, ids)
+    if name == "run_end_encoded":
+        from ..core.nested import RunEndColumn
+        re_dt = to.index_type.to_jax()
+        if n == 0:
+            return RunEndColumn(jnp.zeros((0,), re_dt),
+                                _all_null(to.value_type, 0), 0)
+        return RunEndColumn(jnp.full((1,), n, re_dt),
+                            _all_null(to.value_type, 1), n)
     if name == "fixed_size_list":
         return FixedSizeListColumn(_all_null(to.value_type,
                                              n * to.list_size),

@@ -174,12 +174,10 @@ def concat(cols: Sequence[Column]) -> Column:
             base += len(c.child)
         wide = c0.dtype.name == "large_list_view"
         odt = np.int64 if wide else np.int32
-        out = ListViewColumn(
+        return ListViewColumn(
             jnp.asarray(np.concatenate(offs).astype(odt)),
             jnp.concatenate([c.sizes for c in cols]), child,
-            _concat_masks(cols))
-        out.dtype = c0.dtype
-        return out
+            _concat_masks(cols), dtype=c0.dtype)
 
     raise ArrowTypeError(f"concat of {type(c0)}")
 

@@ -383,10 +383,10 @@ def _host_rankable(c: Column) -> bool:
     reference reaches through make_comparator."""
     from ..core.column import ListColumn, StructColumn
     from ..core.nested import (FixedSizeBinaryColumn, FixedSizeListColumn,
-                               IntervalMDNColumn, ListViewColumn)
+                               IntervalMDNColumn, ListViewColumn, MapColumn)
     return isinstance(c, (ListColumn, ListViewColumn, FixedSizeListColumn,
                           FixedSizeBinaryColumn, IntervalMDNColumn,
-                          StructColumn))
+                          StructColumn, MapColumn))
 
 
 def _pyval_key(v, d: dt.DataType, nf: bool):
@@ -417,8 +417,22 @@ def _pyval_body(v, d: dt.DataType, nf: bool):
         else:
             dd, nn = v.days, v.nanoseconds
         return (int(m), int(dd), int(nn))
+    if n == "map":
+        # a map cell is its entries list; order like list<struct<k,v>>
+        kf, vf = d.value_type.fields
+        out = []
+        for e in v:
+            if isinstance(e, dict):
+                k, val = e.get(kf.name), e.get(vf.name)
+            else:
+                k, val = e
+            out.append((_pyval_key(k, kf.dtype, nf),
+                        _pyval_key(val, vf.dtype, nf)))
+        return tuple(out)
     if d.is_dictionary:
         return _pyval_body(v, d.value_type, nf)
+    if isinstance(v, list):          # any other container: hashable form
+        return tuple(v)
     return v
 
 

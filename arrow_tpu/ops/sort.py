@@ -138,9 +138,9 @@ def lexsort_to_indices(columns: Sequence[SortColumn],
 def lexsort(columns: Sequence[SortColumn],
             limit: Optional[int] = None) -> List[Column]:
     if all(_decodable(c.column) for c in columns):
-        groups, _ = _decode_sort([c.column for c in columns],
-                                 [c.options for c in columns],
-                                 limit, False)
+        groups, _, _ = _decode_sort([c.column for c in columns],
+                                    [c.options for c in columns],
+                                    limit, False)
         return [_rebuild_sorted(c.column, *g)
                 for c, g in zip(columns, groups)]
     idx = lexsort_to_indices(columns, limit)

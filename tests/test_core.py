@@ -173,3 +173,18 @@ def test_column_table_equals():
     assert t1.equals(t2)
     assert not t1.equals(t2.select(["y", "x"]))
     assert not t1.equals(at.Table.from_pydict({"x": [1, 2], "z": ["a", None]}))
+
+
+def test_equals_byte_level_and_metadata():
+    """PartialEq is byte-level: -0.0 != 0.0; RecordBatch equality
+    includes schema/field metadata (record_batch.rs PartialEq)."""
+    assert not at.column([0.0, -0.0]).equals(at.column([0.0, 0.0]))
+    assert at.column([-0.0]).equals(at.column([-0.0]))
+    t1 = at.Table.from_pydict({"x": [1]})
+    f = t1.schema.fields[0]
+    s_md = dt.Schema(t1.schema.fields, (("k", "v"),))
+    t2 = at.Table(t1.columns, s_md)
+    assert not t1.equals(t2) and t2.equals(t2)
+    f_md = dt.Field(f.name, f.dtype, f.nullable, (("fk", "fv"),))
+    t3 = at.Table(t1.columns, dt.Schema((f_md,)))
+    assert not t1.equals(t3)

@@ -134,3 +134,15 @@ def test_writer_binary_decimal_temporal():
     assert r0["ts"].startswith("2023-11-14T22:13:20")
     assert r0["m"] == {"k": 1}
     assert _json.loads(lines[1]) == {}     # implicit nulls drop keys
+
+
+def test_json_writer_empty_map_renders_object():
+    """MapEncoder always writes an object (encoder.rs:755): an empty map
+    cell is {}, not [] — dtype-aware cell rendering."""
+    from arrow_tpu.io.interop import column_from_pyarrow
+    from arrow_tpu.io.json_io import WriterBuilder
+    m = pa.array([[], [("a", 1)], None], pa.map_(pa.string(), pa.int64()))
+    cm = column_from_pyarrow(m)
+    t = at.Table((cm,), at.dtypes.Schema((at.dtypes.Field("m", cm.dtype),)))
+    lines = WriterBuilder("lines").write_str(t).strip().split("\n")
+    assert lines == ['{"m": {}}', '{"m": {"a": 1}}', '{}']

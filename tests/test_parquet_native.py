@@ -875,3 +875,21 @@ def test_forced_column_encodings(tmp_path):
     assert pq.read_table(p).to_pydict() == t.to_pydict()
     assert ParquetFile(open(p, "rb").read()).read().to_pydict() == \
         t.to_pydict()
+
+
+def test_streaming_writer_column_properties(tmp_path):
+    """ParquetWriter (streaming) honors per-column overrides
+    (properties.rs set_column_* roles) — regression: silently dropped."""
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import ParquetWriter, WriterProperties
+    t = at.Table.from_pydict({"a": [1, 2, 3] * 50,
+                              "b": [1.5, 2.5, 3.5] * 50})
+    p = str(tmp_path / "colprops.parquet")
+    w = ParquetWriter(p, t, WriterProperties(
+        column_properties={"a": {"compression": "zstd"}}))
+    w.write(t)
+    w.close()
+    md = pq.ParquetFile(p).metadata
+    assert md.row_group(0).column(0).compression == "ZSTD"
+    assert md.row_group(0).column(1).compression == "SNAPPY"
+    assert pq.read_table(p).column("a").to_pylist() == [1, 2, 3] * 50

@@ -129,3 +129,24 @@ def test_shift_generic_layouts():
     # primitive beyond-length now also yields typed all-null
     p = ops.shift(at.column([1, 2]), 9)
     assert p.to_pylist() == [None, None] and p.dtype == at.int64
+
+
+def test_shift_view_union_ree_layouts():
+    """shift() pads with typed all-null columns for list_view, union and
+    run-end layouts too (window.rs:55 + new_null_array roles)."""
+    import jax.numpy as jnp
+    from arrow_tpu.core.nested import (ListViewColumn, RunEndColumn,
+                                       UnionColumn)
+    lv = ListViewColumn(jnp.array([0, 2, 4], jnp.int32),
+                        jnp.array([2, 2, 1], jnp.int32),
+                        at.column([1, 2, 3, 4, 5]))
+    assert ops.shift(lv, 1).to_pylist() == [None, [1, 2], [3, 4]]
+    assert ops.shift(lv, -2).to_pylist() == [[5], None, None]
+    u = UnionColumn(jnp.array([0, 1, 0], jnp.int8), None,
+                    [at.column([1, 2, 3]), at.column([1.5, 2.5, 3.5])],
+                    [at.dtypes.Field("i", at.int64),
+                     at.dtypes.Field("f", at.float64)])
+    assert ops.shift(u, 1).to_pylist() == [None, 1, 2.5]
+    r = RunEndColumn(jnp.array([2, 5], jnp.int32), at.column([7, 9]))
+    assert ops.shift(r, 2).to_pylist() == [None, None, 7, 7, 9]
+    assert ops.shift(r, -2).to_pylist() == [9, 9, 9, None, None]

@@ -452,3 +452,30 @@ def test_make_comparator_nested():
     sb = at.column([{"x": 3}, {"x": 9}], s)
     c2 = make_comparator(sa, sb)
     assert c2(0, 0) == 0 and c2(0, 1) == -1
+
+
+def test_lexsort_decodable_fast_path():
+    """lexsort over all-decodable keys returns sorted columns via the
+    key-bit decode (sort.rs:766 lexsort role) — regression: the fast
+    path mis-unpacked _decode_sort's 3-tuple."""
+    a = at.column([3, 1, 2, 1, None])
+    b = at.column([1.0, 2.0, 3.0, 0.5, 9.9])
+    out = ops.lexsort([ops.SortColumn(a), ops.SortColumn(b)])
+    assert out[0].to_pylist() == [None, 1, 1, 2, 3]
+    assert out[1].to_pylist() == [9.9, 0.5, 2.0, 3.0, 1.0]
+    lim = ops.lexsort([ops.SortColumn(a), ops.SortColumn(b)], limit=2)
+    assert [c.to_pylist() for c in lim] == [[None, 1], [9.9, 0.5]]
+
+
+def test_sort_map_and_list_of_map_keys():
+    """Host comparator ranks cover map cells (entries-list ordering) and
+    maps nested inside lists (sort.rs:514 child_rank composition)."""
+    from arrow_tpu.io.interop import column_from_pyarrow
+    m = pa.array([[("b", 2)], None, [("a", 1)], []],
+                 pa.map_(pa.string(), pa.int64()))
+    got = ops.sort(column_from_pyarrow(m)).to_pylist()
+    assert got == [None, [], [("a", 1)], [("b", 2)]]
+    lm = pa.array([[[("a", 1)]], None, [[("b", 2)], [("a", 1)]], []],
+                  pa.list_(pa.map_(pa.string(), pa.int64())))
+    got = ops.sort(column_from_pyarrow(lm)).to_pylist()
+    assert got == [None, [], [[("a", 1)]], [[("b", 2)], [("a", 1)]]]
