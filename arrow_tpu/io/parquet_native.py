@@ -559,18 +559,27 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
             enc = dph.get(2, ENC_PLAIN)
             raw = _decompress(codec, body, ulen)
             off = 0
+
+            def _v1_levels(raw, off, lvl_enc, max_lvl):
+                bw = _bit_width(max_lvl)
+                if lvl_enc == ENC_BIT_PACKED:
+                    # deprecated legacy level encoding: MSB-first
+                    # bit-packing, no length prefix (Encoding.BIT_PACKED)
+                    ln = (n * bw + 7) // 8
+                    return _bitpacked_levels(raw[off:off + ln],
+                                             bw, n), off + ln
+                (ln,) = struct.unpack_from("<I", raw, off)
+                return nt.rle_bp_decode(raw[off + 4: off + 4 + ln],
+                                        bw, n), off + 4 + ln
+
             if node.max_rep:
-                (ln,) = struct.unpack_from("<I", raw, off)
-                reps[slots_read:slots_read + n] = nt.rle_bp_decode(
-                    raw[off + 4: off + 4 + ln],
-                    _bit_width(node.max_rep), n)
-                off += 4 + ln
+                lv, off = _v1_levels(raw, off, dph.get(4, ENC_RLE),
+                                     node.max_rep)
+                reps[slots_read:slots_read + n] = lv
             if node.max_def:
-                (ln,) = struct.unpack_from("<I", raw, off)
-                defs[slots_read:slots_read + n] = nt.rle_bp_decode(
-                    raw[off + 4: off + 4 + ln],
-                    _bit_width(node.max_def), n)
-                off += 4 + ln
+                lv, off = _v1_levels(raw, off, dph.get(3, ENC_RLE),
+                                     node.max_def)
+                defs[slots_read:slots_read + n] = lv
                 nn = int((defs[slots_read:slots_read + n]
                           == node.max_def).sum())
             else:
@@ -623,6 +632,16 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
 
 def _bit_width(v: int) -> int:
     return max(1, int(v).bit_length()) if v else 0
+
+
+def _bitpacked_levels(buf: bytes, bw: int, n: int) -> np.ndarray:
+    """Deprecated Encoding.BIT_PACKED levels: values packed MSB-first
+    with no length prefix (Encoding.thrift BIT_PACKED note; arrow-rs
+    encodings/levels.rs legacy path)."""
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8),
+                         count=n * bw).reshape(n, bw)
+    weights = (1 << np.arange(bw - 1, -1, -1)).astype(np.uint32)
+    return bits.dot(weights).astype(np.uint32)
 
 
 def _concat_values(node: SchemaNode, chunks, dictionary):
@@ -1038,9 +1057,17 @@ class ParquetFile:
         if cm is None:
             return None
         if 1 in cm:
+            if self._footer_key is None:
+                raise ArrowInvalid(
+                    "column chunk is encrypted with the footer key; pass "
+                    "decryption=FileDecryptionProperties to read it")
             return self._footer_key
         ck = cm[2]
         path = b".".join(ck.get(1, [])).decode()
+        if self._decryption is None:
+            raise ArrowInvalid(
+                f"column chunk {path!r} is encrypted; pass "
+                "decryption=FileDecryptionProperties to read it")
         return self._decryption.resolve_column(path, ck.get(2, b"")
                                                or b"")
 
@@ -1175,12 +1202,47 @@ class ParquetFile:
         return [(p.get(1, 0), p.get(2, 0), p.get(3, 0))
                 for p in oi.get(1, [])]
 
+    def _leaf_paths(self) -> List[str]:
+        """Dotted path_in_schema per leaf, in leaf order."""
+        out = []
+
+        def walk(n, prefix):
+            path = prefix + (n.name,)
+            if n.is_leaf:
+                out.append(".".join(path))
+            for c in n.children:
+                walk(c, path)
+
+        for c in self.root.children:
+            walk(c, ())
+        return out
+
+    def _leaf_index_for(self, column: str) -> Optional[int]:
+        """Resolve a user-facing column reference to a leaf ordinal:
+        exact dotted path first, then unique bare leaf name, then a root
+        column name owning exactly one leaf (mirrors the writer's
+        per-column property resolution)."""
+        paths = self._leaf_paths()
+        if column in paths:
+            return paths.index(column)
+        tails = [p.rsplit(".", 1)[-1] for p in paths]
+        if tails.count(column) == 1:
+            return tails.index(column)
+        heads = [p.split(".", 1)[0] for p in paths]
+        if heads.count(column) == 1:
+            return heads.index(column)
+        if column in tails or column in heads:
+            raise ArrowInvalid(
+                f"column reference {column!r} is ambiguous across leaves "
+                f"{[p for p in paths if column in p.split('.')]}; use the "
+                "dotted path")
+        return None
+
     def _chunk_for(self, rg_index: int, column: str):
-        leaves = self._leaves()
-        names = [l.name for l in leaves]
-        if column not in names:
+        li = self._leaf_index_for(column)
+        if li is None:
             return None
-        return self.row_groups[rg_index].get(1, [])[names.index(column)]
+        return self.row_groups[rg_index].get(1, [])[li]
 
     def _index_blob(self, md_chunk, rg_index, column, off, ln, which):
         """Fetch (and decrypt, for encrypted chunks) a page-index
@@ -1190,8 +1252,7 @@ class ParquetFile:
             return blob
         from .parquet_crypto import (decrypt_module, module_aad,
                                      M_COLIDX, M_OFFIDX)
-        names = [l.name for l in self._leaves()]
-        coli = names.index(column)
+        coli = self._leaf_index_for(column)
         key = self._chunk_crypto(md_chunk, coli)
         mt = M_COLIDX if which == 6 else M_OFFIDX
         out, _ = decrypt_module(
@@ -1211,10 +1272,8 @@ class ParquetFile:
             return None
         rg = self.row_groups[rg_index]
         leaves = self._leaves()
-        names = [l.name for l in leaves]
-        try:
-            li = names.index(column)
-        except ValueError:
+        li = self._leaf_index_for(column)
+        if li is None:
             return None
         md = rg.get(1, [])[li].get(3, {})
         off = md.get(14)
@@ -1255,6 +1314,13 @@ class ParquetFile:
              as_dictionary: Sequence[str] = ()) -> Table:
         # one pool over EVERY (row group, column chunk) pair: small
         # row groups still saturate the cores
+        if columns is not None:
+            known = {c.name for c in self.root.children}
+            missing = [c for c in columns if c not in known]
+            if missing:
+                raise ArrowInvalid(
+                    f"projection references unknown column(s) {missing}; "
+                    f"file has {sorted(known)}")
         plans = [self._rg_plan(i, columns)
                  for i in range(len(self.row_groups))]
         all_jobs = [j for _, jobs in plans for j in jobs]

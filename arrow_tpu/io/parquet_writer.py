@@ -89,7 +89,6 @@ def _logical_fields(d: dt.DataType):
     if n == "bool":
         return PT_BOOLEAN, None, None, None
     if n in ("int8", "int16", "int32", "uint8", "uint16", "uint32"):
-        bits = int(n.lstrip("uint").lstrip("int") or 32)
         bits = {"int8": 8, "int16": 16, "int32": 32, "uint8": 8,
                 "uint16": 16, "uint32": 32}[n]
         signed = not n.startswith("u")
@@ -522,6 +521,8 @@ def _minmax_strings(offs: np.ndarray, data: np.ndarray, sel=None):
     idx = np.arange(n) if sel is None else sel
     if len(idx) == 0:
         return None, None
+    if len(data) == 0:
+        return b"", b""              # every selected string is empty
     lens = offs[idx + 1] - offs[idx]
     L = min(int(lens.max()), 64) if len(lens) else 1
     L = max(L, 1)
@@ -589,6 +590,12 @@ def _stats_full(c: Column, mask):
         if len(vals) == 0 or c.dtype.name in ("bool", "interval"):
             # INTERVAL's column order is UNDEFINED: no stats
             return None, None, nulls, None, None
+        if c.dtype.name in ("float16", "float32", "float64"):
+            # NaNs are excluded from min/max (parquet spec; arrow-rs
+            # statistics.rs skips non-finite-orderable values)
+            vals = vals[~np.isnan(vals)]
+            if len(vals) == 0:
+                return None, None, nulls, None, None
         mn, mx = vals.min(), vals.max()
         if c.dtype.name == "float16":
             return (np.float16(mn).tobytes(), np.float16(mx).tobytes(),
@@ -598,9 +605,16 @@ def _stats_full(c: Column, mask):
         if fmt:
             return struct.pack(fmt, mn), struct.pack(fmt, mx), nulls, \
                 float(mn), float(mx)
-        width = "<i" if c.dtype.to_numpy().itemsize <= 4 else "<q"
-        return struct.pack(width, int(mn)), struct.pack(width, int(mx)), \
-            nulls, int(mn), int(mx)
+        # integers PLAIN-encode at the physical width (INT32/INT64);
+        # unsigned values reinterpret as the same-width bits so u32 >
+        # INT32_MAX round-trips (spec: stats use the logical order,
+        # stored as physical bytes)
+        wide = c.dtype.to_numpy().itemsize > 4
+        unsigned = c.dtype.name.startswith("uint")
+        pdt = (np.uint64 if wide else np.uint32) if unsigned else \
+            (np.int64 if wide else np.int32)
+        return (pdt(int(mn)).tobytes(), pdt(int(mx)).tobytes(),
+                nulls, int(mn), int(mx))
     except Exception:                      # noqa: BLE001
         return None, None, nulls, None, None
 
@@ -951,11 +965,16 @@ class NativeParquetWriter:
             vpos = np.arange(n_slots + 1, dtype=np.int64)
         chunk_nulls = int(n_slots - len(c)) if defs is not None else 0
 
-        dict_col = isinstance(c, DictionaryColumn)
         dict_on = self._col_prop(leaf, "dictionary_enabled",
                                  self.dictionary_enabled)
         if self._col_prop(leaf, "encoding", None) is not None:
             dict_on = False            # forced encoding bypasses dict
+        if isinstance(c, DictionaryColumn) and not dict_on:
+            # dictionary disabled (or encoding forced) for this column:
+            # materialize so the override actually takes effect
+            from ..ops.strings import dictionary_decode
+            c = dictionary_decode(c)
+        dict_col = isinstance(c, DictionaryColumn)
         use_dict = dict_col or (dict_on and isinstance(c, StringColumn))
 
         start_pos = self._pos
@@ -1056,10 +1075,11 @@ class NativeParquetWriter:
         total_comp = self._pos - start_pos
         total_uncomp = max(total_uncomp, total_comp)
 
-        # bloom filter (sbbf over xxh64 of plain-encoded values)
+        # bloom filter (sbbf over xxh64 of plain-encoded values);
+        # resolve like _col_prop: dotted path, leaf name, root column
         bloom_offset = bloom_len = None
-        leaf_name = leaf.path[-1]
-        if leaf_name in self.bloom_filter_columns:
+        if self.bloom_filter_columns.intersection(
+                (".".join(leaf.path), leaf.path[-1], leaf.path[0])):
             bloom_offset, bloom_len = self._write_bloom(c, None)
 
         md = [(1, T_I32, _logical_fields(
@@ -1195,8 +1215,7 @@ class NativeParquetWriter:
             cc.sort(key=lambda f: f[0])
 
         w = CompactWriter()
-        schema_elems = [(e if isinstance(e, list) else e)
-                        for e in self._elems]
+        schema_elems = list(self._elems)
         # column_orders: TypeDefinedOrder per leaf (without it the
         # spec says min/max statistics are undefined and readers must
         # ignore them)

@@ -893,3 +893,95 @@ def test_streaming_writer_column_properties(tmp_path):
     assert md.row_group(0).column(0).compression == "ZSTD"
     assert md.row_group(0).column(1).compression == "SNAPPY"
     assert pq.read_table(p).column("a").to_pylist() == [1, 2, 3] * 50
+
+
+def test_float_stats_skip_nan(tmp_path):
+    """NaN is excluded from min/max statistics (statistics.rs role)."""
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import write_parquet
+    t = at.Table.from_pydict({"x": [1.0, float("nan"), 2.0]})
+    p = str(tmp_path / "nan.parquet")
+    write_parquet(p, t)
+    st = pq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    assert st.min == 1.0 and st.max == 2.0
+    t2 = at.Table.from_pydict({"x": [float("nan")] * 3})
+    p2 = str(tmp_path / "allnan.parquet")
+    write_parquet(p2, t2)
+    st2 = pq.ParquetFile(p2).metadata.row_group(0).column(0).statistics
+    assert st2 is None or not st2.has_min_max
+
+
+def test_unsigned_and_empty_string_stats(tmp_path):
+    """uint32 > INT32_MAX and all-empty-string columns keep statistics
+    (regression: struct.pack raised and stats silently vanished)."""
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import write_parquet
+    t = at.Table.from_pydict({"u": at.column([3_000_000_000, 5],
+                                             at.uint32),
+                              "s": ["", ""]})
+    p = str(tmp_path / "ustats.parquet")
+    write_parquet(p, t)
+    md = pq.ParquetFile(p).metadata.row_group(0)
+    su = md.column(0).statistics
+    assert su.min == 5 and su.max == 3_000_000_000
+    ss = md.column(1).statistics
+    assert ss.min_raw == b"" and ss.max_raw == b""
+
+
+def test_dict_column_override_materializes(tmp_path):
+    """dictionary_enabled=False (or a forced encoding) on a
+    dictionary-typed column materializes it instead of silently keeping
+    RLE_DICTIONARY pages."""
+    import arrow_tpu as at
+    from arrow_tpu import compute as ops
+    from arrow_tpu.io.parquet_io import (ParquetWriter, WriterProperties,
+                                         read_parquet)
+    d = ops.dictionary_encode(at.column(["a", "b", "a", "c"] * 10))
+    t = at.Table.from_pydict({"d": d})
+    p = str(tmp_path / "nodict.parquet")
+    w = ParquetWriter(p, t, WriterProperties(
+        column_properties={"d": {"dictionary_enabled": False}}))
+    w.write(t)
+    w.close()
+    encs = pq.ParquetFile(p).metadata.row_group(0).column(0).encodings
+    assert "RLE_DICTIONARY" not in encs and "PLAIN_DICTIONARY" not in encs
+    assert read_parquet(p).column("d").to_pylist() == \
+        ["a", "b", "a", "c"] * 10
+
+
+def test_nested_chunk_addressing_and_projection_errors(tmp_path):
+    """column_index/bloom filters resolve nested leaves by root or
+    dotted path; ambiguous bare leaf names raise; unknown projection
+    names raise (regression: silent None / silent empty table)."""
+    import arrow_tpu as at
+    from arrow_tpu.errors import ArrowInvalid
+    from arrow_tpu.io.parquet_io import write_parquet, WriterProperties
+    t = at.Table.from_pydict({
+        "v": [7, 5],
+        "a": at.column([[1, 2], [3]], at.dtypes.list_(at.int64)),
+        "b": at.column([[9], [8]], at.dtypes.list_(at.int64))})
+    p = str(tmp_path / "nested.parquet")
+    write_parquet(p, t, WriterProperties(write_page_index=True,
+                                         bloom_filter_columns=("a",)))
+    pf = ParquetFile(open(p, "rb").read())
+    ci = pf.column_index(0, "v")
+    assert ci is not None and ci["min_values"]
+    assert pf._leaf_index_for("a") == 1          # root-name resolution
+    assert pf._leaf_index_for("a.list.element") == 1   # dotted path
+    with pytest.raises(ArrowInvalid):
+        pf._leaf_index_for("element")       # ambiguous across a and b
+    hit = pf.bloom_filter_check(0, "a", [1])
+    assert hit is not None and bool(hit[0])
+    with pytest.raises(ArrowInvalid):
+        pf.read(columns=["typo"])
+
+
+def test_bitpacked_levels_decode():
+    """Deprecated BIT_PACKED level decoding: MSB-first packing."""
+    from arrow_tpu.io.parquet_native import _bitpacked_levels
+    # levels [1,0,1,1,0,1,0,0] at bit width 1 -> one byte 0b10110100
+    out = _bitpacked_levels(bytes([0b10110100]), 1, 8)
+    assert list(out) == [1, 0, 1, 1, 0, 1, 0, 0]
+    # width 2: values [3,1,2] -> bits 11 01 10 xx -> byte 0b11011000
+    out = _bitpacked_levels(bytes([0b11011000]), 2, 3)
+    assert list(out) == [3, 1, 2]
