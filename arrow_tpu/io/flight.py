@@ -119,8 +119,11 @@ class FlightInfo:
             locs = [pb.first_str(pb.parse_fields(l), 1)
                     for l in ef.get(2, [])]
             eps.append((ticket, locs))
-        tr = pb.first(f, 4, -1)
-        tb = pb.first(f, 5, -1)
+        # proto3: a missing int64 field IS zero (varint_field omits
+        # zeros on encode), so known-empty round-trips as 0; unknown is
+        # the explicit -1 arrow-flight convention
+        tr = pb.first(f, 4, 0)
+        tb = pb.first(f, 5, 0)
         # int64 two's complement
         if tr >= 1 << 63:
             tr -= 1 << 64
@@ -161,10 +164,8 @@ def _parse_flight_data(raw: bytes):
 
 def schema_ipc_bytes(schema: dt.Schema) -> bytes:
     """Encapsulated IPC schema message (SchemaAsIpc role)."""
-    meta = fmt.write_schema_message(schema)
-    pad = -len(meta) % 8
-    return struct.pack("<Ii", 0xFFFFFFFF, len(meta) + pad) \
-        + meta + bytes(pad)
+    from .ipc import _frame
+    return _frame(fmt.write_schema_message(schema))
 
 
 def _strip_framing(header: bytes) -> bytes:
@@ -212,16 +213,19 @@ def encode_flight_stream(tables, descriptor: Optional[FlightDescriptor]
     yield _flight_data(
         data_header=fmt.write_schema_message(schema),
         descriptor=descriptor)
-    written: Dict[int, int] = {}
+    written: Dict[int, Column] = {}   # holds the values obj (pins id)
     for t in tables:
         for part in _split_tables(t):
-            for dict_id, col in enumerate(_table_dict_columns(part)):
-                if written.get(dict_id) == id(col.values):
+            # innermost dictionaries first (reversed preorder) so nested
+            # dictionary values decode before their parents
+            for dict_id, col in reversed(
+                    list(enumerate(_table_dict_columns(part)))):
+                if written.get(dict_id) is col.values:
                     continue
                 meta, body = fmt.encode_dictionary_batch(dict_id,
                                                          col.values)
                 yield _flight_data(meta, body)
-                written[dict_id] = id(col.values)
+                written[dict_id] = col.values
             meta, body = fmt.encode_record_batch(part)
             yield _flight_data(meta, body)
 
@@ -233,6 +237,7 @@ class FlightStreamDecoder:
         self.schema: Optional[dt.Schema] = None
         self.descriptor: Optional[FlightDescriptor] = None
         self._dict_fields: Dict[int, dt.Field] = {}
+        self._dict_ids: List[Tuple[int, dt.Field]] = []
         self._dict_id_of: Dict[int, int] = {}
         self._dicts: Dict[int, Column] = {}
 
@@ -247,12 +252,13 @@ class FlightStreamDecoder:
         if tag == fmt.H_SCHEMA:
             schema, dict_ids = fmt.read_schema(header)
             self.schema = schema
+            self._dict_ids = dict_ids
             self._dict_fields = {i: f for i, f in dict_ids}
-            self._dict_id_of = {k: i for k, (i, _) in enumerate(dict_ids)}
+            self._dict_id_of = fmt.walk_dict_ids(dict_ids)
             return None
         if tag == fmt.H_DICTIONARY_BATCH:
             fmt.decode_dictionary_batch(header, body, self._dict_fields,
-                                        self._dicts)
+                                        self._dicts, self._dict_ids)
             return None
         if tag == fmt.H_RECORD_BATCH:
             if self.schema is None:
@@ -430,8 +436,8 @@ class _Handlers(grpc.GenericRpcHandler):
         if name == "DoPut":
             def do_put(req_iter, context):
                 dec = FlightStreamDecoder()
-                tables = dec.decode_all(req_iter)
                 try:
+                    tables = dec.decode_all(req_iter)
                     s.do_put(dec.descriptor, tables)
                 except Exception as e:       # noqa: BLE001
                     _err(context, e)
@@ -443,10 +449,14 @@ class _Handlers(grpc.GenericRpcHandler):
             def do_exchange(req_iter, context):
                 dec = FlightStreamDecoder()
                 outs = []
-                for raw in req_iter:
-                    t = dec.feed(raw)
-                    if t is not None:
-                        outs.append(s._exchange_fn(t))
+                try:
+                    for raw in req_iter:
+                        t = dec.feed(raw)
+                        if t is not None:
+                            outs.append(s._exchange_fn(t))
+                except Exception as e:       # noqa: BLE001
+                    _err(context, e)
+                    return
                 yield from encode_flight_stream(outs)
             return grpc.stream_stream_rpc_method_handler(do_exchange)
 

@@ -61,6 +61,10 @@ def _collect_dict_columns(col: Column, out: List[Column]) -> None:
                                RunEndColumn, UnionColumn, ListViewColumn)
     if isinstance(col, DictionaryColumn):
         out.append(col)
+        # nested dictionaries: the values may themselves hold dictionary
+        # columns with their own ids (preorder, matching
+        # _write_schema_with_seq_ids)
+        _collect_dict_columns(col.values, out)
         return
     if isinstance(col, (ListColumn, ListViewColumn, FixedSizeListColumn)):
         _collect_dict_columns(col.child, out)
@@ -97,7 +101,10 @@ class StreamWriter:
         self._file_mode = _file_mode
         self._dict_blocks: List[Tuple[int, int, int]] = []
         self._batch_blocks: List[Tuple[int, int, int]] = []
-        self._written_dicts: Dict[int, int] = {}   # id -> id(values obj)
+        # dict id -> the values Column last written for it.  Holding the
+        # object (not id()) both pins it against id-recycling and gives
+        # an exact identity compare for replacement detection.
+        self._written_dicts: Dict[int, Column] = {}
         self._pos = 0
         if _file_mode:
             self._emit(_MAGIC + b"\x00\x00")
@@ -124,10 +131,14 @@ class StreamWriter:
         if tuple(f.dtype for f in table.schema.fields) != \
                 tuple(f.dtype for f in self._schema.fields):
             raise ArrowInvalid("batch schema does not match stream schema")
-        for dict_id, col in enumerate(_table_dict_columns(table)):
+        # innermost dictionaries first (reversed preorder): a dictionary
+        # batch whose values reference an inner dictionary needs that
+        # inner batch decoded before it
+        for dict_id, col in reversed(
+                list(enumerate(_table_dict_columns(table)))):
             values = col.values
             prev = self._written_dicts.get(dict_id)
-            if prev == id(values):
+            if prev is values:     # identity; the held ref pins the id
                 continue
             if prev is not None and self._file_mode:
                 raise ArrowInvalid(
@@ -136,7 +147,7 @@ class StreamWriter:
             meta, body = fmt.encode_dictionary_batch(
                 dict_id, values, self._codec)
             self._emit_message(meta, body, self._dict_blocks)
-            self._written_dicts[dict_id] = id(values)
+            self._written_dicts[dict_id] = values
         meta, chunks = fmt.encode_record_batch_chunks(table, self._codec)
         self._emit_message(meta, chunks, self._batch_blocks)
 
@@ -189,6 +200,7 @@ class StreamDecoder:
         self._pos = 0
         self._schema: Optional[dt.Schema] = None
         self._dict_fields: Dict[int, dt.Field] = {}
+        self._dict_ids: List[Tuple[int, dt.Field]] = []
         self._dict_id_of: Dict[int, int] = {}
         self._dictionaries: Dict[int, Column] = {}
         self._batches: List[Table] = []
@@ -230,6 +242,15 @@ class StreamDecoder:
                 break
             self._consume(meta, mv[pos + header + length:pos + total])
             pos += total
+        if n - pos:
+            tail = bytes(mv[pos:])
+            if tail.strip(b"\x00"):
+                # an incomplete trailing message = truncated stream;
+                # arrow-rs StreamReader errors here too (reader.rs:1330)
+                raise ArrowInvalid(
+                    f"truncated IPC stream: {n - pos} trailing bytes do "
+                    "not form a complete message")
+            self._eos = True       # legacy 4-byte zero EOS / padding
 
     def _drain(self) -> None:
         while True:
@@ -280,13 +301,14 @@ class StreamDecoder:
         if tag == fmt.H_SCHEMA:
             schema, dict_ids = fmt.read_schema(meta)
             self._schema = schema
+            self._dict_ids = dict_ids
             self._dict_fields = {i: f for i, f in dict_ids}
-            self._dict_id_of = {ordinal: i
-                                for ordinal, (i, _) in enumerate(dict_ids)}
+            self._dict_id_of = fmt.walk_dict_ids(dict_ids)
             return
         if tag == fmt.H_DICTIONARY_BATCH:
             fmt.decode_dictionary_batch(meta, body, self._dict_fields,
-                                        self._dictionaries)
+                                        self._dictionaries,
+                                        self._dict_ids)
             return
         if tag == fmt.H_RECORD_BATCH:
             if self._schema is None:
@@ -378,14 +400,13 @@ class FileReader:
         (self.schema, dict_ids, dict_blocks,
          batch_blocks) = _read_footer(data)
         self._dict_fields = {i: f for i, f in dict_ids}
-        self._dict_id_of = {ordinal: i
-                            for ordinal, (i, _) in enumerate(dict_ids)}
+        self._dict_id_of = fmt.walk_dict_ids(dict_ids)
         self._dictionaries: Dict[int, Column] = {}
         self._batch_blocks = batch_blocks
         for off, mlen, blen in dict_blocks:
             meta, body = self._message_at(off, mlen, blen)
             fmt.decode_dictionary_batch(meta, body, self._dict_fields,
-                                        self._dictionaries)
+                                        self._dictionaries, dict_ids)
 
     def _message_at(self, off: int, mlen: int, blen: int
                     ) -> Tuple[bytes, bytes]:

@@ -311,21 +311,63 @@ def _read_field(ft: FTable, dict_ids: List[Tuple[int, dt.Field]]
     nullable = ft.scalar(1, "bool", False)
     tag = ft.scalar(2, "u8", 0)
     tt = ft.table(3)
+    denc = ft.table(4)
+    slot = None
+    if denc is not None:
+        # reserve this field's position BEFORE the children so dict_ids
+        # lands in schema preorder — the order dictionary ordinals are
+        # consumed during batch rebuild (writer.rs assigns ids preorder)
+        slot = len(dict_ids)
+        dict_ids.append((denc.scalar(0, "i64", 0), None))
     children = [_read_field(c, dict_ids) for c in ft.vector_tables(5)]
     md_tbl = ft.vector_tables(6)
     metadata = tuple((kv.string(0) or "", kv.string(1) or "")
                      for kv in md_tbl) if md_tbl else ()
 
     d = _decode_type(tag, tt, children)
-    denc = ft.table(4)
     if denc is not None:
         idx_t = denc.table(1)
         index_type = _read_int_type(idx_t) if idx_t is not None else dt.int32
         d = dt.dictionary(index_type, d)
         f = dt.Field(name, d, bool(nullable), metadata)
-        dict_ids.append((denc.scalar(0, "i64", 0), f))
+        dict_ids[slot] = (dict_ids[slot][0], f)
         return f
     return dt.Field(name, d, bool(nullable), metadata)
+
+
+def _subtree_dict_count(d: dt.DataType) -> int:
+    """Dictionary fields in d's flatbuffer subtree, preorder, including
+    beneath dictionary value types."""
+    c = 1 if d.name == "dictionary" else 0
+    return c + sum(_subtree_dict_count(f.dtype)
+                   for f in _type_children(d))
+
+
+def walk_dict_ids(dict_ids: List[Tuple[int, dt.Field]]) -> Dict[int, int]:
+    """Ordinal -> dictionary id for a record-batch column walk: dict
+    fields nested beneath another dictionary's VALUE type are skipped
+    (their codes never appear in a record batch — only in that
+    dictionary's own batch)."""
+    out: Dict[int, int] = {}
+    i = ordv = 0
+    while i < len(dict_ids):
+        did, f = dict_ids[i]
+        out[ordv] = did
+        ordv += 1
+        i += 1 + _subtree_dict_count(f.dtype.value_type)
+    return out
+
+
+def values_dict_ids(dict_ids: List[Tuple[int, dt.Field]],
+                    dict_id: int) -> Dict[int, int]:
+    """Ordinal -> id map for decoding dictionary batch `dict_id`, whose
+    VALUES may themselves contain dictionary columns: the preorder
+    entries immediately after the field are its value-type descendants."""
+    for pos, (did, f) in enumerate(dict_ids):
+        if did == dict_id:
+            cnt = _subtree_dict_count(f.dtype.value_type)
+            return walk_dict_ids(dict_ids[pos + 1: pos + 1 + cnt])
+    return {}
 
 
 def _decode_type(tag: int, t: Optional[FTable],
@@ -481,6 +523,15 @@ class _Flattener:
             vals = _np(col.values)
             if d.name == "bool":
                 self.buf(np.packbits(vals, bitorder="little").tobytes())
+            elif d.name == "interval" and d.unit == "day_time":
+                # engine i64 days<<32|ms -> wire [i32 days][i32 millis]
+                # (little-endian i64 would put ms first on the wire)
+                v64 = vals.astype(np.int64)
+                pair = np.empty((len(v64), 2), np.int32)
+                pair[:, 0] = (v64 >> 32).astype(np.int32)
+                pair[:, 1] = (v64 & 0xFFFFFFFF).astype(np.uint32) \
+                    .view(np.int32)
+                self.buf(pair)
             else:
                 self.buf(vals)
             return
@@ -871,8 +922,10 @@ class _Rebuilder:
         if d.name in ("utf8", "binary", "large_utf8", "large_binary"):
             v = self.validity(n, nc)
             wide = d.name.startswith("large")
-            offs = self.typed_buf(np.int64 if wide else np.int32, n + 1) \
-                if n + 1 else np.zeros(1, np.int32)
+            odt = np.int64 if wide else np.int32
+            oraw = self.raw_buf()     # spec-legal: may be 0 bytes at n=0
+            offs = np.frombuffer(oraw, odt, n + 1) if len(oraw) \
+                else np.zeros(n + 1, odt)
             data = np.frombuffer(self.raw_buf(), np.uint8)
             nbytes = int(offs[-1]) if len(offs) else 0
             return StringColumn(jnp.asarray(offs.copy()),
@@ -994,9 +1047,11 @@ def decode_record_batch(schema: dt.Schema, meta: bytes, body: bytes,
 
 def decode_dictionary_batch(meta: bytes, body: bytes,
                             dict_fields: Dict[int, dt.Field],
-                            dictionaries: Dict[int, Column]) -> int:
+                            dictionaries: Dict[int, Column],
+                            dict_ids=None) -> int:
     """Parse a DictionaryBatch message and store/extend the dictionary.
-    -> dictionary id."""
+    -> dictionary id.  `dict_ids` (the schema's preorder dictionary
+    list) resolves dictionaries nested inside this batch's values."""
     tag, msg, _ = parse_message(meta)
     if tag != H_DICTIONARY_BATCH:
         raise ArrowInvalid(f"expected DictionaryBatch, got {tag}")
@@ -1005,7 +1060,8 @@ def decode_dictionary_batch(meta: bytes, body: bytes,
     is_delta = db.scalar(2, "bool", False)
     rb = db.table(1)
     value_type = dict_fields[dict_id].dtype.value_type
-    r = _Rebuilder(rb, body, dictionaries, {})
+    local = values_dict_ids(dict_ids, dict_id) if dict_ids else {}
+    r = _Rebuilder(rb, body, dictionaries, local)
     values = r.read(value_type)
     if is_delta and dict_id in dictionaries:
         from ..ops.concat import concat

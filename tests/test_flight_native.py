@@ -151,3 +151,15 @@ def test_no_pyarrow_imports_in_wire_modules():
         src = open(mod.__file__).read()
         assert not re.search(r"^\s*(import pyarrow|from pyarrow)", src,
                              re.M), mod.__name__
+
+
+def test_flightinfo_zero_counts_roundtrip():
+    """proto3 omits zero varints: known-empty (0) must decode as 0, and
+    the explicit -1 'unknown' convention still round-trips."""
+    from arrow_tpu.io.flight import FlightDescriptor, FlightInfo
+    z = FlightInfo.decode(FlightInfo(
+        b"s", FlightDescriptor.for_path("p"), [], 0, 0).encode())
+    assert z.total_records == 0 and z.total_bytes == 0
+    u = FlightInfo.decode(FlightInfo(
+        b"s", FlightDescriptor.for_path("p"), [], -1, -1).encode())
+    assert u.total_records == -1 and u.total_bytes == -1

@@ -315,3 +315,73 @@ def test_view_multi_variadic_buffers(monkeypatch):
     # pyarrow oracle reads the multi-buffer stream
     pt = paipc.open_stream(pa.BufferReader(raw)).read_all()
     assert pt.column(0).to_pylist() == vals
+
+
+def test_day_time_interval_wire_order():
+    """Spec layout is [i32 days][i32 ms] — little-endian i64 encode
+    would put ms first (regression: silent days/ms swap on encode)."""
+    import jax.numpy as jnp
+    from arrow_tpu.core.column import PrimitiveColumn
+    import arrow_tpu.dtypes as dt
+    col = PrimitiveColumn(jnp.asarray(np.array([(1 << 32) | 2], np.int64)),
+                          dt.interval("day_time"))
+    t = at.Table((col,), dt.Schema((dt.Field("i", col.dtype),)))
+    buf = io.BytesIO()
+    ipc.write_stream(buf, t)
+    raw = buf.getvalue()
+    assert bytes([1, 0, 0, 0, 2, 0, 0, 0]) in raw   # days first
+    v = np.asarray(ipc.read_stream(raw)[0].column(0).values)
+    assert int(v[0]) == (1 << 32) | 2
+
+
+def test_nested_dictionary_roundtrip():
+    """dict<i32, list<dict<i32,utf8>>>: inner dictionaries get their own
+    ids/batches (preorder, reader.rs nested-dict support); innermost
+    batches are written first."""
+    import jax.numpy as jnp
+    from arrow_tpu.core.column import DictionaryColumn, ListColumn
+    from arrow_tpu import compute as ops
+    import arrow_tpu.dtypes as dt
+    inner = ops.dictionary_encode(at.column(["x", "y", "x"]))
+    lst = ListColumn(jnp.array([0, 2, 3], jnp.int32), inner)
+    outer = DictionaryColumn(jnp.array([0, 1, 0, 1], jnp.int32), lst)
+    t = at.Table((outer,), dt.Schema((dt.Field("d", outer.dtype),)))
+    buf = io.BytesIO()
+    ipc.write_stream(buf, t)
+    t2 = ipc.read_stream(buf.getvalue())[0]
+    assert t2.column(0).to_pylist() == t.column(0).to_pylist()
+
+
+def test_dictionary_replacement_not_fooled_by_id_recycling():
+    """The writer dedups dictionary batches by held object identity —
+    id() of a garbage-collected values column can be recycled by a new,
+    different dictionary (regression: silent skip -> data corruption)."""
+    import gc
+    from arrow_tpu import compute as ops
+    buf = io.BytesIO()
+    t1 = at.Table.from_pydict(
+        {"d": ops.dictionary_encode(at.column(["aa", "bb"]))})
+    w = ipc.StreamWriter(buf, t1)
+    w.write(t1)
+    del t1
+    gc.collect()
+    for k in range(100):          # churn allocations to recycle ids
+        ops.dictionary_encode(at.column([f"junk{k}", "zz"]))
+    t2 = at.Table.from_pydict(
+        {"d": ops.dictionary_encode(at.column(["cc", "dd"]))})
+    w.write(t2)
+    w.close()
+    out = ipc.read_stream(buf.getvalue())
+    assert out[0].column(0).to_pylist() == ["aa", "bb"]
+    assert out[1].column(0).to_pylist() == ["cc", "dd"]
+
+
+def test_truncated_stream_raises():
+    """A partial trailing message raises instead of silently returning
+    fewer batches (reader.rs:1330 errors on truncation too)."""
+    from arrow_tpu.errors import ArrowInvalid
+    buf = io.BytesIO()
+    ipc.write_stream(buf, at.Table.from_pydict({"x": [1, 2, 3, 4]}))
+    raw = buf.getvalue()
+    with pytest.raises(ArrowInvalid):
+        ipc.read_stream(raw[:-12])
