@@ -147,6 +147,8 @@ _LOGICAL_DT = {
     "time-micros": dt.time64("us"),
     "timestamp-millis": dt.timestamp("ms"),
     "timestamp-micros": dt.timestamp("us"),
+    "local-timestamp-millis": dt.timestamp("ms"),
+    "local-timestamp-micros": dt.timestamp("us"),
     "uuid": dt.utf8,
 }
 
@@ -161,6 +163,17 @@ def _field_dtype(schema) -> dt.DataType:
         lt = schema.get("logicalType")
         if lt in _LOGICAL_DT:
             return _LOGICAL_DT[lt]
+        if lt == "decimal":
+            # bytes/fixed big-endian two's-complement unscaled int
+            # (codec.rs:215 Codec::Decimal -> Decimal128/256)
+            p = schema["precision"]
+            s = schema.get("scale", 0)
+            return dt.decimal128(p, s) if p <= 38 else dt.decimal256(p, s)
+        if lt == "duration" and schema.get("type") == "fixed" \
+                and schema.get("size") == 12:
+            # three little-endian u32: months, days, millis
+            # (codec.rs:228 -> Interval(MonthDayNano))
+            return dt.interval("month_day_nano")
         t = schema["type"]
         if t == "enum":
             return dt.dictionary(dt.int32, dt.utf8)
@@ -183,6 +196,19 @@ def _field_dtype(schema) -> dt.DataType:
 def _build_column(vals, d: dt.DataType) -> Column:
     """Recursive host-side assembly via the engine's builders."""
     from ..core import builders as bl
+    if d.name in ("decimal128", "decimal256") and any(
+            isinstance(v, bytes) for v in vals):
+        import decimal as _dec
+        vals = [None if v is None else
+                _dec.Decimal(int.from_bytes(v, "big", signed=True))
+                .scaleb(-d.scale) for v in vals]
+    if d.name == "interval" and d.unit == "month_day_nano" and any(
+            isinstance(v, bytes) for v in vals):
+        vals = [None if v is None else
+                (int.from_bytes(v[0:4], "little"),
+                 int.from_bytes(v[4:8], "little"),
+                 int.from_bytes(v[8:12], "little") * 1_000_000)
+                for v in vals]
     if d.is_dictionary:
         from ..ops.strings import dictionary_encode
         return dictionary_encode(StringColumn.from_pylist(

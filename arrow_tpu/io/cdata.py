@@ -32,7 +32,8 @@ from ..core.column import (Column, DictionaryColumn, ListColumn,
                            NullColumn, PrimitiveColumn, StringColumn,
                            StructColumn)
 from ..core.nested import (DecimalColumn, FixedSizeBinaryColumn,
-                           FixedSizeListColumn, MapColumn)
+                           FixedSizeListColumn, IntervalMDNColumn,
+                           MapColumn)
 from ..errors import ArrowInvalid, ArrowNotImplementedError
 
 __all__ = ["export_column", "import_column", "export_table",
@@ -89,20 +90,6 @@ def _register(keepalive) -> int:
     return token
 
 
-@_SCHEMA_RELEASE
-def _schema_release(ptr):
-    s = ptr.contents
-    _LIVE.pop(int(s.private_data or 0), None)
-    s.release = ctypes.cast(None, _SCHEMA_RELEASE)
-
-
-@_ARRAY_RELEASE
-def _array_release(ptr):
-    a = ptr.contents
-    _LIVE.pop(int(a.private_data or 0), None)
-    a.release = ctypes.cast(None, _ARRAY_RELEASE)
-
-
 # ---------------------------------------------------------------------------
 # format strings (C data interface spec)
 # ---------------------------------------------------------------------------
@@ -146,6 +133,12 @@ def _fmt_for(d: dt.DataType) -> str:
     if n == "duration":
         u = {"s": "s", "ms": "m", "us": "u", "ns": "n"}[d.unit]
         return f"tD{u}"
+    if n == "interval":
+        u = {"year_month": "tiM", "day_time": "tiD",
+             "month_day_nano": "tin"}[d.unit]
+        return u
+    if n == "dictionary":
+        return _fmt_for(d.index_type)
     if n == "list":
         return "+l"
     if n == "large_list":
@@ -192,11 +185,19 @@ def _dtype_from_fmt(fmt: str) -> dt.DataType:
     if fmt.startswith("tD"):
         unit = {"s": "s", "m": "ms", "u": "us", "n": "ns"}[fmt[2]]
         return dt.duration(unit)
+    if fmt in ("tiM", "tiD", "tin"):
+        return dt.interval({"tiM": "year_month", "tiD": "day_time",
+                            "tin": "month_day_nano"}[fmt])
     raise ArrowNotImplementedError(f"C data import of format {fmt!r}")
 
 
 # ---------------------------------------------------------------------------
-# export
+# export — the whole exported tree (structs, format/name strings, buffer
+# bytes) lives in C-malloc'd memory with NATIVE release callbacks from
+# hostcodec (cdata_release_schema/array), so a consumer may release at any
+# time, including after Python interpreter finalization (a Python-trampoline
+# release would segfault there).  Top-level structs handed to capsules are
+# intentionally never freed (~120 B per export; consumers move immediately).
 # ---------------------------------------------------------------------------
 
 def _bitmap(validity, n: int) -> Optional[np.ndarray]:
@@ -206,15 +207,43 @@ def _bitmap(validity, n: int) -> Optional[np.ndarray]:
     return np.packbits(m, bitorder="little")
 
 
-def _build_schema(d: dt.DataType, name: str, nullable: bool,
-                  keep: list) -> ArrowSchema:
-    s = ArrowSchema()
-    fmt = _fmt_for(d).encode()
-    nm = name.encode()
-    keep.append(fmt)
-    keep.append(nm)
-    s.format = fmt
-    s.name = nm
+def _clib():
+    from ..utils import native as _nt
+    lib = _nt._req_lib()
+    if not getattr(lib, "_cdata_bound", False):
+        lib.cdata_malloc.restype = ctypes.c_void_p
+        lib.cdata_malloc.argtypes = [ctypes.c_int64]
+        lib._cdata_bound = True
+    return lib
+
+
+def _c_alloc(size: int) -> int:
+    return int(_clib().cdata_malloc(max(int(size), 1)))
+
+
+def _c_str(b: bytes) -> ctypes.c_char_p:
+    p = _c_alloc(len(b) + 1)
+    if b:
+        ctypes.memmove(p, b, len(b))
+    return ctypes.cast(ctypes.c_void_p(p), ctypes.c_char_p)
+
+
+def _c_buf(a: np.ndarray) -> int:
+    a = np.ascontiguousarray(a)
+    p = _c_alloc(max(a.nbytes, 1))
+    if a.nbytes:
+        ctypes.memmove(p, a.ctypes.data, a.nbytes)
+    return p
+
+
+def _c_new(struct_type):
+    p = _c_alloc(ctypes.sizeof(struct_type))
+    return ctypes.cast(ctypes.c_void_p(p), ctypes.POINTER(struct_type))
+
+
+def _fill_schema(s, d: dt.DataType, name: str, nullable: bool) -> None:
+    s.format = _c_str(_fmt_for(d).encode())
+    s.name = _c_str(name.encode())
     s.metadata = None
     s.flags = ARROW_FLAG_NULLABLE if nullable else 0
     children: List[Tuple[str, dt.DataType, bool]] = []
@@ -225,71 +254,84 @@ def _build_schema(d: dt.DataType, name: str, nullable: bool,
     elif d.name == "map":
         children = [("entries", d.value_type, False)]
     if children:
-        arr = (ctypes.POINTER(ArrowSchema) * len(children))()
+        arrp = _c_alloc(ctypes.sizeof(ctypes.c_void_p) * len(children))
+        arr = ctypes.cast(ctypes.c_void_p(arrp),
+                          ctypes.POINTER(ctypes.POINTER(ArrowSchema)))
         for i, (cn, cd, cnul) in enumerate(children):
-            ch = _build_schema(cd, cn, cnul, keep)
-            keep.append(ch)
-            arr[i] = ctypes.pointer(ch)
-        keep.append(arr)
+            cp = _c_new(ArrowSchema)
+            _fill_schema(cp.contents, cd, cn, cnul)
+            arr[i] = cp
         s.children = arr
         s.n_children = len(children)
     else:
         s.children = None
         s.n_children = 0
-    if d.name == "map":
-        # entries struct is marked non-nullable; key field required
-        pass
-    s.dictionary = None
-    s.release = _schema_release
+    if d.name == "dictionary":
+        vp = _c_new(ArrowSchema)
+        _fill_schema(vp.contents, d.value_type, "", True)
+        s.dictionary = vp
+    else:
+        s.dictionary = None
+    lib = _clib()
+    s.release = ctypes.cast(lib.cdata_release_schema, _SCHEMA_RELEASE)
     s.private_data = None
-    return s
 
 
-def _np_keep(keep: list, a: np.ndarray) -> int:
-    a = np.ascontiguousarray(a)
-    keep.append(a)
-    return a.ctypes.data
-
-
-def _build_array(col: Column, keep: list) -> ArrowArray:
-    a = ArrowArray()
+def _fill_array(a, col: Column) -> None:
     n = len(col)
     a.length = n
     a.offset = 0
     a.dictionary = None
-    a.release = _array_release
     a.private_data = None
     v = None if col.validity is None else np.asarray(col.validity)
     a.null_count = 0 if v is None else int(n - v.sum())
-    bufs: List[Optional[int]] = []
+    bufs: List[int] = []
     bm = _bitmap(col.validity, n)
-    bufs.append(None if bm is None else _np_keep(keep, bm))
+    bufs.append(0 if bm is None else _c_buf(bm))
     children: List[Column] = []
 
     if isinstance(col, NullColumn):
-        bufs = [None]
+        bufs = [0]
         a.null_count = n
+    elif isinstance(col, DictionaryColumn):
+        bufs.append(_c_buf(np.asarray(col.codes)))
+        dp = _c_new(ArrowArray)
+        _fill_array(dp.contents, col.values)
+        a.dictionary = dp
+    elif isinstance(col, IntervalMDNColumn):
+        packed = np.zeros(n, np.dtype([("m", "<i4"), ("d", "<i4"),
+                                       ("n", "<i8")]))
+        packed["m"] = np.asarray(col.months)
+        packed["d"] = np.asarray(col.days)
+        packed["n"] = np.asarray(col.nanos)
+        bufs.append(_c_buf(packed))
     elif isinstance(col, PrimitiveColumn):
         vals = np.asarray(col.values)
         if col.dtype.name == "bool":
             vals = np.packbits(vals.astype(bool), bitorder="little")
-        bufs.append(_np_keep(keep, vals))
+        elif col.dtype.name == "interval" and col.dtype.unit == "day_time":
+            # engine packs i64 days<<32|millis; C ABI is [i32 d][i32 ms]
+            pairs = np.zeros(n, np.dtype([("d", "<i4"), ("ms", "<i4")]))
+            pairs["d"] = (vals >> 32).astype(np.int32)
+            pairs["ms"] = (vals & 0xFFFFFFFF).astype(np.uint32) \
+                .view(np.int32)
+            vals = pairs
+        bufs.append(_c_buf(vals))
     elif isinstance(col, DecimalColumn):
-        bufs.append(_np_keep(keep, np.asarray(col.limbs)))
+        bufs.append(_c_buf(np.asarray(col.limbs)))
     elif isinstance(col, FixedSizeBinaryColumn):
-        bufs.append(_np_keep(keep, np.asarray(col.data)))
+        bufs.append(_c_buf(np.asarray(col.data)))
     elif isinstance(col, StringColumn):
         offs = np.asarray(col.offsets)
         width = np.int64 if col.dtype.name.startswith("large") \
             else np.int32
-        bufs.append(_np_keep(keep, offs.astype(width, copy=False)))
+        bufs.append(_c_buf(offs.astype(width, copy=False)))
         data = np.asarray(col.data)
-        bufs.append(_np_keep(keep, data if len(data) else
-                             np.zeros(1, np.uint8)))
+        bufs.append(_c_buf(data if len(data) else np.zeros(1, np.uint8)))
     elif isinstance(col, (ListColumn, MapColumn)):
         offs = np.asarray(col.offsets)
         width = np.int64 if col.dtype.name == "large_list" else np.int32
-        bufs.append(_np_keep(keep, offs.astype(width, copy=False)))
+        bufs.append(_c_buf(offs.astype(width, copy=False)))
         children = [col.entries if isinstance(col, MapColumn)
                     else col.child]
     elif isinstance(col, FixedSizeListColumn):
@@ -300,24 +342,28 @@ def _build_array(col: Column, keep: list) -> ArrowArray:
         raise ArrowNotImplementedError(
             f"C data export of {type(col).__name__}")
 
-    buf_arr = (ctypes.c_void_p * len(bufs))(
-        *[ctypes.c_void_p(b) for b in bufs])
-    keep.append(buf_arr)
-    a.buffers = buf_arr
+    bufp = _c_alloc(ctypes.sizeof(ctypes.c_void_p) * max(len(bufs), 1))
+    barr = ctypes.cast(ctypes.c_void_p(bufp),
+                       ctypes.POINTER(ctypes.c_void_p))
+    for i, b in enumerate(bufs):
+        barr[i] = b or None
+    a.buffers = barr
     a.n_buffers = len(bufs)
     if children:
-        arr = (ctypes.POINTER(ArrowArray) * len(children))()
+        arrp = _c_alloc(ctypes.sizeof(ctypes.c_void_p) * len(children))
+        arr = ctypes.cast(ctypes.c_void_p(arrp),
+                          ctypes.POINTER(ctypes.POINTER(ArrowArray)))
         for i, ch in enumerate(children):
-            ca = _build_array(ch, keep)
-            keep.append(ca)
-            arr[i] = ctypes.pointer(ca)
-        keep.append(arr)
+            cp = _c_new(ArrowArray)
+            _fill_array(cp.contents, ch)
+            arr[i] = cp
         a.children = arr
         a.n_children = len(children)
     else:
         a.children = None
         a.n_children = 0
-    return a
+    lib = _clib()
+    a.release = ctypes.cast(lib.cdata_release_array, _ARRAY_RELEASE)
 
 
 _PyCapsule_New = ctypes.pythonapi.PyCapsule_New
@@ -337,18 +383,17 @@ def export_column(col: Column, name: str = "",
                   nullable: bool = True):
     """-> (schema_capsule, array_capsule) for any consumer.
 
-    Schema and array keep SEPARATE keepalives: consumers routinely
-    release the schema immediately after copying it while the array
-    outlives it (move semantics, C data interface spec)."""
-    skeep: list = []
-    akeep: list = []
-    s = _build_schema(col.dtype, name, nullable, skeep)
-    a = _build_array(col, akeep)
-    skeep.append(s)
-    akeep.append(a)
-    s.private_data = _register(skeep)
-    a.private_data = _register(akeep)
-    return (_capsule(s, b"arrow_schema"), _capsule(a, b"arrow_array"))
+    The exported tree is wholly C-owned (hostcodec cdata_release_*
+    frees it), so the consumer may release from any thread at any
+    time — no Python object must stay alive."""
+    sp = _c_new(ArrowSchema)
+    ap = _c_new(ArrowArray)
+    _fill_schema(sp.contents, col.dtype, name, nullable)
+    _fill_array(ap.contents, col)
+    return (_PyCapsule_New(ctypes.cast(sp, ctypes.c_void_p),
+                           b"arrow_schema", None),
+            _PyCapsule_New(ctypes.cast(ap, ctypes.c_void_p),
+                           b"arrow_array", None))
 
 
 def export_table(table):
@@ -398,6 +443,9 @@ def _import_schema(s: ArrowSchema):
         raise ArrowNotImplementedError(f"C data import of {fmt!r}")
     else:
         d = _dtype_from_fmt(fmt)
+    if s.dictionary:
+        _, vd_, _ = _import_schema(s.dictionary.contents)
+        d = dt.dictionary(d, vd_)
     return name, d, nullable
 
 
@@ -405,55 +453,91 @@ def _import_array(a: ArrowArray, d: dt.DataType) -> Column:
     import jax.numpy as jnp
     n = int(a.length)
     off = int(a.offset)
-    if off:
-        raise ArrowNotImplementedError("non-zero offset C arrays")
+    total = off + n          # window [off, off+n) of the buffers
 
     def buf(i):
         return int(a.buffers[i]) if a.buffers and i < a.n_buffers \
             and a.buffers[i] else 0
 
-    validity = _unpack_bitmap(buf(0), n) \
-        if int(a.null_count) != 0 else None
+    validity = None
+    if int(a.null_count) != 0:       # -1 = unknown: consult the bitmap
+        full = _unpack_bitmap(buf(0), total)
+        validity = None if full is None else full[off:]
     nm = d.name
     if nm == "null":
         return NullColumn(n)
     if nm == "bool":
-        raw = _read_buffer(buf(1), np.uint8, (n + 7) // 8)
-        vals = np.unpackbits(raw, bitorder="little")[:n].astype(bool)
+        raw = _read_buffer(buf(1), np.uint8, (total + 7) // 8)
+        vals = np.unpackbits(raw, bitorder="little")[off:total] \
+            .astype(bool)
         return PrimitiveColumn(vals, d, validity)
+    if nm == "dictionary":
+        codes = _read_buffer(buf(1), d.index_type.to_numpy(),
+                             total)[off:]
+        values = _import_array(a.dictionary.contents, d.value_type)
+        return DictionaryColumn(jnp.asarray(codes), values, validity)
     if nm in ("decimal128", "decimal256"):
         k = 2 if nm == "decimal128" else 4
-        limbs = _read_buffer(buf(1), np.uint64, n * k).reshape(n, k)
+        limbs = _read_buffer(buf(1), np.uint64,
+                             total * k).reshape(total, k)[off:]
         return DecimalColumn(limbs, d, validity)
     if nm == "fixed_size_binary":
-        data = _read_buffer(buf(1), np.uint8, n * d.list_size) \
-            .reshape(n, d.list_size)
+        data = _read_buffer(buf(1), np.uint8, total * d.list_size) \
+            .reshape(total, d.list_size)[off:]
         return FixedSizeBinaryColumn(data, validity)
     if nm in ("utf8", "large_utf8", "binary", "large_binary"):
         width = np.int64 if nm.startswith("large") else np.int32
-        offs = _read_buffer(buf(1), width, n + 1)
+        offs = _read_buffer(buf(1), width, total + 1)[off:]
         nbytes = int(offs[-1]) if n else 0
         data = _read_buffer(buf(2), np.uint8, nbytes)
+        if off:
+            b0 = int(offs[0])
+            data = data[b0:]
+            offs = offs - b0
         return StringColumn(offs, data, d, validity)
     if nm in ("list", "large_list"):
         width = np.int64 if nm == "large_list" else np.int32
-        offs = _read_buffer(buf(1), width, n + 1)
+        offs = _read_buffer(buf(1), width, total + 1)[off:]
         child = _import_array(a.children[0].contents, d.value_type)
+        if off:
+            b0 = int(offs[0])
+            child = child.slice(b0, int(offs[-1]) - b0)
+            offs = offs - b0
         return ListColumn(offs, child, validity)
     if nm == "fixed_size_list":
         child = _import_array(a.children[0].contents, d.value_type)
+        if off:
+            child = child.slice(off * d.list_size, n * d.list_size)
         return FixedSizeListColumn(child, d.list_size, validity)
     if nm == "map":
-        offs = _read_buffer(buf(1), np.int32, n + 1)
+        offs = _read_buffer(buf(1), np.int32, total + 1)[off:]
         entries = _import_array(a.children[0].contents, d.value_type)
+        if off:
+            b0 = int(offs[0])
+            entries = entries.slice(b0, int(offs[-1]) - b0)
+            offs = offs - b0
         return MapColumn(offs, entries, validity)
     if nm == "struct":
-        kids = tuple(_import_array(a.children[i].contents,
-                                   f.dtype)
-                     for i, f in enumerate(d.fields))
+        kids = tuple(
+            _import_array(a.children[i].contents, f.dtype)
+            .slice(off, n) if off else
+            _import_array(a.children[i].contents, f.dtype)
+            for i, f in enumerate(d.fields))
         return StructColumn(kids, tuple(d.fields), validity)
-    # fixed-width primitive
-    vals = _read_buffer(buf(1), d.to_numpy(), n)
+    if nm == "interval" and d.unit == "month_day_nano":
+        raw = _read_buffer(buf(1), np.dtype([("m", "<i4"), ("d", "<i4"),
+                                             ("n", "<i8")]), total)[off:]
+        return IntervalMDNColumn(jnp.asarray(raw["m"].copy()),
+                                 jnp.asarray(raw["d"].copy()),
+                                 jnp.asarray(raw["n"].copy()), validity)
+    if nm == "interval" and d.unit == "day_time":
+        raw = _read_buffer(buf(1), np.dtype([("d", "<i4"),
+                                             ("ms", "<i4")]), total)[off:]
+        packed = ((raw["d"].astype(np.int64) << 32)
+                  | (raw["ms"].astype(np.int64) & 0xFFFFFFFF))
+        return PrimitiveColumn(packed, d, validity)
+    # fixed-width primitive (incl. interval year_month as i32)
+    vals = _read_buffer(buf(1), d.to_numpy(), total)[off:]
     return PrimitiveColumn(vals, d, validity)
 
 
@@ -529,11 +613,7 @@ def _stream_get_schema(sp, out):
     st = _STREAMS.get(int(sp.contents.private_data or 0))
     if st is None:
         return 5                       # EIO
-    keep: list = []
-    s = _build_schema(st["dtype"], "", False, keep)
-    keep.append(s)
-    s.private_data = _register(keep)
-    ctypes.memmove(out, ctypes.byref(s), ctypes.sizeof(ArrowSchema))
+    _fill_schema(out.contents, st["dtype"], "", False)
     return 0
 
 
@@ -548,11 +628,7 @@ def _stream_get_next(sp, out):
         return 0
     col = st["batches"][st["pos"]]
     st["pos"] += 1
-    keep: list = []
-    a = _build_array(col, keep)
-    keep.append(a)
-    a.private_data = _register(keep)
-    ctypes.memmove(out, ctypes.byref(a), ctypes.sizeof(ArrowArray))
+    _fill_array(out.contents, col)
     return 0
 
 

@@ -187,13 +187,15 @@ def _infer_column(idx: _Indexed, col: int, row0: int, nrows: int,
 
 
 def _header_names(idx: _Indexed) -> List[str]:
-    starts, ends, escaped = idx.column_bounds(0, 0, 1)
     data = idx.data.tobytes()
     names = []
     for c in range(idx.n_cols):
         i = c    # row 0, column c
         s, e = int(idx.starts[i]), int(idx.ends[i])
-        names.append(data[s:e].decode("utf-8"))
+        text = data[s:e].decode("utf-8")
+        if idx.escaped[i]:
+            text = text.replace('""', '"')
+        names.append(text)
     return names
 
 
@@ -306,7 +308,8 @@ class WriterBuilder:
                 out.write((self.delimiter.join(
                     _quote(n, self.delimiter)
                     for n in table.column_names) + "\n").encode())
-            cols = [_format_column(c) for c in table.columns]
+            cols = [_format_column(c, self.delimiter)
+                    for c in table.columns]
             delim = self.delimiter.encode()
             for i in range(table.num_rows):
                 out.write(delim.join(col[i] for col in cols))
@@ -322,7 +325,7 @@ def _quote(v: str, delim: str) -> str:
     return v
 
 
-def _format_column(col: Column) -> List[bytes]:
+def _format_column(col: Column, delim: str = ",") -> List[bytes]:
     """Per-row CSV cell bytes (nulls -> empty; ArrayFormatter for the
     value text, writer.rs formatting semantics)."""
     from ..utils.display import ArrayFormatter, FormatOptions
@@ -333,7 +336,7 @@ def _format_column(col: Column) -> List[bytes]:
         if v is None:
             out.append(b"")
         else:
-            out.append(_quote(fmt.value(i), ",").encode("utf-8"))
+            out.append(_quote(fmt.value(i), delim).encode("utf-8"))
     return out
 
 

@@ -269,16 +269,20 @@ def read_json(source, schema: Optional[dt.Schema] = None) -> Table:
     fields = tuple(dt.Field(nm, c.dtype) for nm, c in zip(names, columns))
     t = Table(columns, dt.Schema(fields))
     if schema is not None:
+        # the schema drives the output (reader/mod.rs:298 builds the
+        # decoder tree from the schema): fields absent from the data
+        # become null columns, data keys absent from the schema are
+        # ignored (non-strict mode), order follows the schema
         from ..ops.cast import cast
-        by = {f.name: f for f in schema.fields}
+        by = {f.name: (f, c) for f, c in zip(t.schema.fields, t.columns)}
         out_cols, out_fields = [], []
-        for f, c in zip(t.schema.fields, t.columns):
-            tgt = by.get(f.name)
-            if tgt is not None and tgt.dtype != c.dtype:
+        for tgt in schema.fields:
+            got = by.get(tgt.name)
+            c = got[1] if got is not None else NullColumn(t.num_rows)
+            if tgt.dtype != c.dtype:
                 c = cast(c, tgt.dtype)
-                f = tgt
             out_cols.append(c)
-            out_fields.append(dt.Field(f.name, c.dtype, f.nullable))
+            out_fields.append(dt.Field(tgt.name, c.dtype, tgt.nullable))
         t = Table(tuple(out_cols), dt.Schema(tuple(out_fields)))
     return t
 

@@ -477,7 +477,7 @@ def octet_length(col) -> PrimitiveColumn:
     if isinstance(col, DictionaryColumn):
         inner = octet_length(col.values)
         out = jnp.take(inner.values, col.codes, mode="clip")
-        return PrimitiveColumn(out, dt.int32, col.validity)
+        return PrimitiveColumn(out, dt.int32, _dict_slot_validity(col))
     if not isinstance(col, StringColumn):
         raise ArrowTypeError(f"octet_length of {type(col)}")
     lens = (col.offsets[1:] - col.offsets[:-1]).astype(jnp.int32)
@@ -490,7 +490,7 @@ def length(col) -> PrimitiveColumn:
     if isinstance(col, DictionaryColumn):
         inner = length(col.values)
         out = jnp.take(inner.values, col.codes, mode="clip")
-        return PrimitiveColumn(out, dt.int32, col.validity)
+        return PrimitiveColumn(out, dt.int32, _dict_slot_validity(col))
     from ..core.column import ListColumn
     from ..core.nested import (FixedSizeBinaryColumn, FixedSizeListColumn,
                                ListViewColumn, MapColumn)

@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 #include <numeric>
 #include <vector>
 
@@ -1720,6 +1721,80 @@ void utf8_char_lengths(const int64_t* offsets, const uint8_t* data,
         for (int64_t k = 0; k < len; ++k) c += (s[k] & 0xC0) != 0x80;
         out[i] = c;
     }
+}
+
+
+// ---------------------------------------------------------------------------
+// Arrow C Data Interface release callbacks (arrow-data/src/ffi.rs:39 role).
+// The Python exporter allocates every nested struct, string, and buffer
+// with cdata_malloc; these releases free the whole tree natively so a
+// consumer may call them at ANY time -- including after the Python
+// interpreter has finalized (ctypes trampolines would crash there).
+struct CArrowSchema {
+    const char* format;
+    const char* name;
+    const char* metadata;
+    int64_t flags;
+    int64_t n_children;
+    CArrowSchema** children;
+    CArrowSchema* dictionary;
+    void (*release)(CArrowSchema*);
+    void* private_data;
+};
+
+struct CArrowArray {
+    int64_t length;
+    int64_t null_count;
+    int64_t offset;
+    int64_t n_buffers;
+    int64_t n_children;
+    const void** buffers;
+    CArrowArray** children;
+    CArrowArray* dictionary;
+    void (*release)(CArrowArray*);
+    void* private_data;
+};
+
+void* cdata_malloc(int64_t size) { return std::calloc(1, (size_t)size); }
+
+void cdata_release_schema(CArrowSchema* s) {
+    if (!s || !s->release) return;
+    std::free((void*)s->format);
+    std::free((void*)s->name);
+    std::free((void*)s->metadata);
+    for (int64_t i = 0; i < s->n_children; ++i) {
+        CArrowSchema* c = s->children[i];
+        if (c) {
+            if (c->release) c->release(c);
+            std::free(c);
+        }
+    }
+    std::free(s->children);
+    if (s->dictionary) {
+        if (s->dictionary->release) s->dictionary->release(s->dictionary);
+        std::free(s->dictionary);
+    }
+    s->release = nullptr;
+}
+
+void cdata_release_array(CArrowArray* a) {
+    if (!a || !a->release) return;
+    for (int64_t i = 0; i < a->n_buffers; ++i)
+        std::free((void*)a->buffers[i]);
+    std::free(a->buffers);
+    for (int64_t i = 0; i < a->n_children; ++i) {
+        CArrowArray* c = a->children[i];
+        if (c) {
+            if (c->release) c->release(c);
+            std::free(c);
+        }
+    }
+    std::free(a->children);
+    if (a->dictionary) {
+        if (a->dictionary->release) a->dictionary->release(a->dictionary);
+        std::free(a->dictionary);
+    }
+    a->release = nullptr;
 }
 
 }  // extern "C"

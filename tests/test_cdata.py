@@ -83,17 +83,30 @@ def test_validity_bitmaps_roundtrip():
     assert back.to_pylist() == arr.to_pylist()
 
 
-def test_release_called_frees_keepalive():
+def test_export_is_c_owned_release():
+    """Exports carry NATIVE release callbacks (hostcodec
+    cdata_release_*) and create no Python keepalives, so a consumer
+    may release after interpreter finalization (the old Python
+    trampolines segfaulted there)."""
+    import ctypes
     from arrow_tpu.io import cdata
     before = len(cdata._LIVE)
     t = table_from_pyarrow(pa.table({"x": [1, 2, 3]}))
     caps = export_column(t.column("x"), "x")
-    assert len(cdata._LIVE) == before + 2     # schema + array alive
+    assert len(cdata._LIVE) == before          # no Python keepalives
+    ap = ctypes.cast(
+        cdata._PyCapsule_GetPointer(caps[1], b"arrow_array"),
+        ctypes.POINTER(cdata.ArrowArray))
+    lib = cdata._clib()
+    native = ctypes.cast(lib.cdata_release_array, ctypes.c_void_p).value
+    ours = ctypes.cast(ap.contents.release, ctypes.c_void_p).value
+    assert ours == native
     back = pa.Array._import_from_c_capsule(*caps)
+    assert back.to_pylist() == [1, 2, 3]
     del back
     import gc
     gc.collect()
-    assert len(cdata._LIVE) == before         # both released
+    assert len(cdata._LIVE) == before
 
 
 def test_stream_roundtrip():
@@ -127,3 +140,45 @@ def test_pa_array_consumes_our_dunder():
     assert a.to_pylist() == [1, None, 3]
     rb = pa.record_batch(t)
     assert rb["s"].to_pylist() == ["a", "b", None]
+
+
+def test_dictionary_ffi_roundtrip():
+    """Dictionary arrays cross the C ABI (arrow-schema ffi.rs
+    dictionary member): ours -> pyarrow and pyarrow -> ours."""
+    from arrow_tpu.io import cdata
+    from arrow_tpu.ops.strings import dictionary_encode
+    from arrow_tpu.core.column import StringColumn
+    d = dictionary_encode(StringColumn.from_pylist(["b", "a", None, "b"]))
+    back = pa.Array._import_from_c_capsule(*cdata.export_column(d))
+    assert pa.types.is_dictionary(back.type)
+    assert back.to_pylist() == ["b", "a", None, "b"]
+    pd = pa.DictionaryArray.from_arrays(
+        pa.array([0, 1, None, 0], pa.int32()), pa.array(["x", "y"]))
+    col = cdata.import_column(pd.__arrow_c_array__())
+    assert col.dtype.name == "dictionary"
+    assert col.to_pylist() == ["x", "y", None, "x"]
+
+
+def test_sliced_import():
+    """Non-zero offset C arrays import correctly (buffers are windowed
+    by `offset`, ffi.rs consumer semantics)."""
+    from arrow_tpu.io import cdata
+    cases = [
+        pa.array([1, 2, 3, 4, 5], pa.int64()).slice(2, 2),
+        pa.array(["aa", "bb", None, "dd"]).slice(1, 3),
+        pa.array([[1], [2, 3], [4], []]).slice(1, 2),
+        pa.array([{"a": 1}, {"a": 2}, {"a": 3}]).slice(1, 2),
+        pa.array([True, False, None, True]).slice(1, 3),
+    ]
+    for arr in cases:
+        col = cdata.import_column(arr.__arrow_c_array__())
+        assert col.to_pylist() == arr.to_pylist(), arr.type
+
+
+def test_interval_ffi():
+    """Interval formats tiM/tiD/tin cross the boundary."""
+    from arrow_tpu.io import cdata
+    mdn = pa.array([(1, 2, 3), None], pa.month_day_nano_interval())
+    col = cdata.import_column(mdn.__arrow_c_array__())
+    back = pa.Array._import_from_c_capsule(*cdata.export_column(col))
+    assert back.to_pylist() == mdn.to_pylist()

@@ -121,3 +121,18 @@ def test_projection():
     assert t.to_pydict() == {"c": [0.5, 1.5], "a": [1, 2]}
     t2 = ReaderBuilder(projection=[1]).build(data)[0]
     assert t2.to_pydict() == {"b": ["x", "y"]}
+
+
+def test_custom_delimiter_write_quotes_and_header_unescape():
+    """writer.rs: quoting keys off the WRITER's delimiter, not ','; and
+    quoted headers with doubled quotes unescape (reader/mod.rs)."""
+    import io
+    from arrow_tpu.io.csv import WriterBuilder, read_csv
+    t = read_csv(b"a,b\nx;y,2\nplain,3\n")
+    buf = io.BytesIO()
+    WriterBuilder(delimiter=";").write(buf, t)
+    assert buf.getvalue() == b'a;b\n"x;y";2\nplain;3\n'
+    rt = read_csv(buf.getvalue(), delimiter=";")
+    assert rt.to_pydict() == t.to_pydict()
+    t2 = read_csv(b'"he""llo",x\n1,2\n')
+    assert t2.column_names == ['he"llo', 'x']

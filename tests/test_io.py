@@ -418,3 +418,52 @@ class TestAvroNested:
         assert t.column("a").dtype.name == "float64"
         assert t.column("extra").to_pylist() == [42, 42]
         assert "drop" not in t.column_names
+
+
+def test_avro_decimal_duration_local_ts():
+    """codec.rs:215 Decimal, :228 Duration(fixed 12)->Interval(MDN),
+    local-timestamp logical types."""
+    import decimal
+    schema_json = json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "dec", "type": {"type": "bytes",
+                                     "logicalType": "decimal",
+                                     "precision": 10, "scale": 2}},
+            {"name": "dur", "type": {"type": "fixed", "name": "dur12",
+                                     "size": 12,
+                                     "logicalType": "duration"}},
+            {"name": "lts", "type": {"type": "long",
+                                     "logicalType":
+                                     "local-timestamp-micros"}},
+        ]})
+
+    def zz(n):
+        n = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def enc_dec(unscaled):
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        b = unscaled.to_bytes(nbytes, "big", signed=True)
+        return zz(len(b)) + b
+
+    rows = [
+        enc_dec(12345) + struct.pack("<III", 1, 2, 3000) + zz(1_000_000),
+        enc_dec(-100) + struct.pack("<III", 0, 10, 0) + zz(-5),
+    ]
+    t = avro.read_avro(_avro_bytes(rows, schema_json))
+    assert t.column("dec").dtype.name == "decimal128"
+    assert t.column("dec").to_pylist() == [decimal.Decimal("123.45"),
+                                           decimal.Decimal("-1.00")]
+    assert t.column("dur").dtype.name == "interval"
+    d0 = t.column("dur").to_pylist()[0]
+    assert (d0.months, d0.days, d0.nanoseconds) == (1, 2, 3_000_000_000)
+    assert t.column("lts").dtype.name == "timestamp"
+    assert np.asarray(t.column("lts").values).tolist() == [1_000_000, -5]

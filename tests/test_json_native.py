@@ -146,3 +146,16 @@ def test_json_writer_empty_map_renders_object():
     t = at.Table((cm,), at.dtypes.Schema((at.dtypes.Field("m", cm.dtype),)))
     lines = WriterBuilder("lines").write_str(t).strip().split("\n")
     assert lines == ['{"m": {}}', '{"m": {"a": 1}}', '{}']
+
+
+def test_schema_drives_output():
+    """reader/mod.rs:298: the schema builds the decoder tree — missing
+    fields decode as nulls, unknown data keys are ignored (non-strict),
+    column order follows the schema."""
+    src = '{"b": 1, "x": 9}\n{"b": 2}\n'
+    schema = at.Schema((at.Field("a", at.int32), at.Field("b", at.int64)))
+    t = json_io.read_json(src, schema=schema)
+    assert t.column_names == ["a", "b"]
+    assert t.column("a").dtype == at.int32
+    assert t.column("a").to_pylist() == [None, None]
+    assert t.column("b").to_pylist() == [1, 2]

@@ -147,3 +147,17 @@ def test_length_of_nested_layouts():
     m = at.column([[("k", 1), ("j", 2)], None],
                   at.dtypes.map_(at.utf8, at.int64))
     assert ops.length(m).to_pylist() == [2, None]
+
+
+def test_length_dict_null_entries():
+    """length/octet_length over a dictionary whose VALUES contain a
+    null: rows coded to the null slot are null (length.rs dictionary
+    arm folds the values' validity through the keys)."""
+    import jax.numpy as jnp
+    from arrow_tpu.core.column import DictionaryColumn, StringColumn
+    from arrow_tpu.ops import strings as st
+    vals = StringColumn.from_pylist(["ab", None, "c"])
+    d = DictionaryColumn(jnp.asarray(np.array([0, 1, 2, 1], np.int32)),
+                         vals, None)
+    assert st.octet_length(d).to_pylist() == [2, None, 1, None]
+    assert st.length(d).to_pylist() == [2, None, 1, None]
