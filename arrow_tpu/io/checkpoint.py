@@ -65,7 +65,7 @@ class CheckpointManager:
     def steps(self) -> List[int]:
         out = []
         for name in os.listdir(self.directory):
-            if name.startswith("step_"):
+            if name.startswith("step_") and name[5:].isdigit():
                 manifest = os.path.join(self.directory, name,
                                         self._MANIFEST)
                 if os.path.exists(manifest):     # only committed steps
@@ -81,7 +81,10 @@ class CheckpointManager:
         manifest LAST (a crash mid-save leaves an uncommitted dir that
         restore ignores)."""
         d = self._step_dir(step)
-        tmp = d + ".tmp"
+        # tmp name must NOT match steps()'s "step_" prefix scan: a crash
+        # after the manifest lands in tmp but before the rename would
+        # otherwise make int(name[5:]) raise forever
+        tmp = os.path.join(self.directory, f".tmp_step_{step:012d}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)

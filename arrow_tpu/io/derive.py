@@ -105,6 +105,27 @@ def records_to_table(records: Sequence, cls: Optional[Type] = None
     return Table(t.columns, schema)
 
 
+def _rebuild(v, h):
+    """Recursively reconstruct typed values from plain dicts/lists
+    (nested dataclasses at any depth, dataclasses inside List[...])."""
+    base = h
+    if _is_optional(h):
+        base = [a for a in typing.get_args(h)
+                if a is not type(None)][0]
+    if v is None:
+        return None
+    if dataclasses.is_dataclass(base) and isinstance(v, dict):
+        hints = typing.get_type_hints(base)
+        return base(**{f.name: _rebuild(v.get(f.name), hints[f.name])
+                       for f in dataclasses.fields(base)})
+    origin = typing.get_origin(base)
+    if origin in (list, typing.List) and isinstance(v, list):
+        (arg,) = typing.get_args(base) or (None,)
+        if arg is not None:
+            return [_rebuild(x, arg) for x in v]
+    return v
+
+
 def table_to_records(table: Table, cls: Type) -> List:
     """ParquetRecordReader analog: Table -> rows of the dataclass."""
     data = table.to_pydict()
@@ -112,18 +133,8 @@ def table_to_records(table: Table, cls: Type) -> List:
     n = table.num_rows
     out = []
     for i in range(n):
-        kwargs = {}
-        for f in dataclasses.fields(cls):
-            v = data[f.name][i]
-            h = hints[f.name]
-            base = h
-            if _is_optional(h):
-                base = [a for a in typing.get_args(h)
-                        if a is not type(None)][0]
-            if v is not None and dataclasses.is_dataclass(base) \
-                    and isinstance(v, dict):
-                v = base(**v)
-            kwargs[f.name] = v
+        kwargs = {f.name: _rebuild(data[f.name][i], hints[f.name])
+                  for f in dataclasses.fields(cls)}
         out.append(cls(**kwargs))
     return out
 

@@ -128,6 +128,7 @@ class FlightSQLServer(FlightServer):
         self._executor = executor or simple_sql_executor
         self._prepared: Dict[bytes, str] = {}
         self._plock = threading.Lock()
+        self._results: Dict[bytes, Table] = {}   # get_flight_info cache
 
     # -- command plumbing ------------------------------------------------
     def _run(self, query: str) -> Table:
@@ -167,6 +168,10 @@ class FlightSQLServer(FlightServer):
     def get_flight_info(self, descriptor: FlightDescriptor) -> FlightInfo:
         if descriptor.type == DESCRIPTOR_CMD:
             table = self._table_for_cmd(descriptor.cmd)
+            # cache for the ticket fetch: execute() would otherwise run
+            # the full query TWICE (FlightInfo then DoGet)
+            with self._plock:
+                self._results[descriptor.cmd] = table
             return FlightInfo(schema_ipc_bytes(table.schema), descriptor,
                               [(descriptor.cmd, [self.uri])],
                               table.num_rows, -1)
@@ -174,7 +179,10 @@ class FlightSQLServer(FlightServer):
 
     def do_get(self, ticket: bytes):
         if ticket.startswith(b"\n") and _TYPE_PREFIX.encode() in ticket:
-            yield self._table_for_cmd(ticket)
+            with self._plock:
+                cached = self._results.pop(ticket, None)
+            yield cached if cached is not None \
+                else self._table_for_cmd(ticket)
             return
         yield from super().do_get(ticket)
 

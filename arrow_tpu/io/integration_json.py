@@ -234,6 +234,12 @@ def field_from_json(obj: Dict[str, Any]) -> Tuple[dt.Field, Dict[int, dt.DataTyp
         idx = dtype_from_json(dct["indexType"], [])
         dict_types[dct["id"]] = base
         base = dt.dictionary(idx, base)
+        # dict ids live only in the SCHEMA field tree; nested dictionary
+        # columns (struct<dict>, list<dict>) are rebuilt from dtypes, so
+        # carry the id on the parsed dtype INSTANCE (identity-preserved
+        # through dtype_from_json composition; frozen dataclass -> via
+        # object.__setattr__, hash/eq unaffected)
+        object.__setattr__(base, "_integration_dict_id", dct["id"])
     md = obj.get("metadata")
     meta: Tuple[Tuple[str, str], ...] = ()
     if isinstance(md, list):
@@ -499,7 +505,11 @@ def column_from_json(obj: Dict[str, Any], field: dt.Field,
 
 
 def _dict_id_of(field: dt.Field) -> int:
-    # carried through metadata during parse; see table_from_json
+    # the parsed dtype instance carries the id (field_from_json); the
+    # metadata key covers fields reconstructed from metadata round-trips
+    did = getattr(field.dtype, "_integration_dict_id", None)
+    if did is not None:
+        return int(did)
     for k, v in field.metadata:
         if k == "__dict_id":
             return int(v)

@@ -86,6 +86,18 @@ class VariantBuilder:
             raise ArrowInvalid("int out of variant int64 range")
         if isinstance(v, float):
             return bytes([_P_DOUBLE << 2]) + struct.pack("<d", v)
+        import datetime as _dt
+        if isinstance(v, _dt.datetime):
+            one_us = _dt.timedelta(microseconds=1)
+            if v.tzinfo is not None:
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                return bytes([_P_TS << 2]) + \
+                    struct.pack("<q", (v - epoch) // one_us)
+            us = (v - _dt.datetime(1970, 1, 1)) // one_us
+            return bytes([_P_TS_NTZ << 2]) + struct.pack("<q", us)
+        if isinstance(v, _dt.date):
+            days = (v - _dt.date(1970, 1, 1)).days
+            return bytes([_P_DATE << 2]) + struct.pack("<i", days)
         if isinstance(v, Decimal):
             sign, digits, exp = v.as_tuple()
             scale = -exp if exp < 0 else 0
@@ -119,9 +131,12 @@ class VariantBuilder:
                 out += b
             return bytes(out)
         if isinstance(v, dict):
-            items = [(self._key_id(str(k)), self._encode(x))
+            # the spec orders object fields lexicographically by field
+            # NAME (builder.rs object finish), not by field id
+            items = [(str(k), self._key_id(str(k)), self._encode(x))
                      for k, x in v.items()]
-            items.sort(key=lambda kv: kv[0])
+            items.sort(key=lambda kv: kv[0].encode())
+            items = [(i, b) for _, i, b in items]
             offs = [0]
             for _, b in items:
                 offs.append(offs[-1] + len(b))
@@ -212,6 +227,16 @@ def _parse_value(buf: bytes, i: int, keys: List[str]) -> Tuple[Any, int]:
             ln = struct.unpack("<I", buf[i:i + 4])[0]
             raw = buf[i + 4:i + 4 + ln]
             return (raw.decode() if tid == _P_STRING else raw), i + 4 + ln
+        import datetime as _dt
+        if tid == _P_DATE:
+            days = struct.unpack("<i", buf[i:i + 4])[0]
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=days), i + 4
+        if tid in (_P_TS, _P_TS_NTZ):
+            us = struct.unpack("<q", buf[i:i + 8])[0]
+            base = _dt.datetime(1970, 1, 1,
+                                tzinfo=_dt.timezone.utc
+                                if tid == _P_TS else None)
+            return base + _dt.timedelta(microseconds=us), i + 8
         raise ArrowInvalid(f"variant primitive type {tid}")
     if basic == 3:                                  # array
         ow = ((head >> 2) & 3) + 1
@@ -254,11 +279,14 @@ def parse_variant(metadata: bytes, value: bytes):
 def variant_to_json(metadata: bytes, value: bytes) -> str:
     """parquet-variant-json: Variant -> JSON text."""
     def default(o):
+        import datetime
         if isinstance(o, Decimal):
             return float(o)
         if isinstance(o, bytes):
             import base64
             return base64.b64encode(o).decode()
+        if isinstance(o, (datetime.date, datetime.datetime)):
+            return o.isoformat()
         raise TypeError(o)
     return _json.dumps(parse_variant(metadata, value), default=default)
 

@@ -370,7 +370,10 @@ class _Evaluator:
         self.aliases = aliases       # table alias -> table name
         self.suffixes = suffixes or {}   # table name -> join suffix
 
-    def col(self, e: Col) -> Column:
+    def colname(self, e: Col) -> str:
+        """The resolved PHYSICAL column name for a (maybe qualified)
+        reference — aliases + join suffixes, same candidate order as
+        the colref() parser helper."""
         cands = [e.name]
         if e.table is not None:
             tname = self.aliases.get(e.table, e.table)
@@ -382,8 +385,11 @@ class _Evaluator:
                 cands.insert(0, f"{e.name}{sfx}")
         for c in cands:
             if c in self.t.column_names:
-                return self.t.column(c)
+                return c
         raise ArrowInvalid(f"no such column {e.name!r}")
+
+    def col(self, e: Col) -> Column:
+        return self.t.column(self.colname(e))
 
     def eval(self, e) -> Column:
         from .ops import boolean as b_ops
@@ -519,7 +525,7 @@ def _select_items(p: _Parser):
         if p.accept("kw", "as"):
             alias = p.expect("id")[1]
         elif p.peek()[0] == "id" and p.peek(1)[1] in (",", "from"):
-            pass
+            alias = p.next()[1]      # bare alias: SELECT expr alias
         items.append((e, alias))
         if not p.accept("op", ","):
             return items
@@ -579,10 +585,36 @@ def execute_sql(tables: Dict[str, Table], query: str) -> Table:
                 and isinstance(cond.right, Col)):
             raise ArrowInvalid("JOIN ON must be t1.a = t2.b")
         a, b = cond.left, cond.right
-        # decide which side each column belongs to
-        l_on, r_on = (a.name, b.name) \
-            if a.name in t.column_names and b.name in rt.column_names \
-            else (b.name, a.name)
+
+        # decide which side each column belongs to: explicit table
+        # qualifiers (resolved through aliases) win; fall back to
+        # unqualified-name membership
+        def _side(c):
+            if c.table is None:
+                return None
+            return "r" if aliases.get(c.table, c.table) == rname else "l"
+
+        sa, sb = _side(a), _side(b)
+        if sa == "r" or sb == "l":
+            a, b = b, a              # a = left column, b = right column
+        elif sa is None and sb is None and not (
+                a.name in t.column_names
+                and b.name in rt.column_names):
+            a, b = b, a
+
+        def _resolve_left(c):
+            # a qualified left ref may carry an earlier join's suffix
+            cands = [c.name]
+            if c.table is not None:
+                sfx = suffixes.get(aliases.get(c.table, c.table))
+                if sfx:
+                    cands.insert(0, f"{c.name}{sfx}")
+            for cand in cands:
+                if cand in t.column_names:
+                    return cand
+            return c.name
+
+        l_on, r_on = _resolve_left(a), b.name
         from .ops.join import join as join_op
         t = join_op(t, rt, [l_on], how=how, right_on=[r_on])
         suffixes[rname] = "_right"     # colliding right columns
@@ -643,8 +675,10 @@ def execute_sql(tables: Dict[str, Table], query: str) -> Table:
         raise ArrowInvalid("GROUP BY requires aggregates in SELECT")
 
     pre_t = None                 # row-aligned source for ORDER BY names
+    hidden: List[str] = []
     if has_agg:
-        t = _aggregate(t, aliases, suffixes, items, group or [])
+        t, having, hidden = _aggregate(t, aliases, suffixes, items,
+                                       group or [], having)
     elif items is not None:
         ev = _Evaluator(t, aliases, suffixes)
         cols, fields = [], []
@@ -659,6 +693,11 @@ def execute_sql(tables: Dict[str, Table], query: str) -> Table:
     if having is not None:
         from .ops.filter import filter_table
         t = filter_table(t, _Evaluator(t, {}).eval(having))
+    if hidden:                   # HAVING-only aggregates: drop them
+        keep = [i for i, f in enumerate(t.schema.fields)
+                if f.name not in hidden]
+        t = Table(tuple(t.columns[i] for i in keep),
+                  dt.Schema(tuple(t.schema.fields[i] for i in keep)))
 
     if distinct:
         from .ops.groupby import group_by
@@ -692,42 +731,83 @@ def execute_sql(tables: Dict[str, Table], query: str) -> Table:
     return t
 
 
+def _rewrite_aggs(e, add_agg):
+    """Replace every Agg node with a Col reference to its aggregate
+    output column (HAVING over aggregate expressions)."""
+    if isinstance(e, Agg):
+        return Col(None, add_agg(e))
+    if isinstance(e, Bin):
+        return Bin(e.op, _rewrite_aggs(e.left, add_agg),
+                   _rewrite_aggs(e.right, add_agg))
+    if isinstance(e, Un):
+        return Un(e.op, _rewrite_aggs(e.operand, add_agg))
+    if isinstance(e, Func):
+        return Func(e.name, [_rewrite_aggs(a, add_agg) for a in e.args],
+                    e.cast_to)
+    if isinstance(e, InList):
+        return InList(_rewrite_aggs(e.expr, add_agg), e.items, e.negated)
+    return e
+
+
 def _aggregate(t: Table, aliases, suffixes, items,
-               group: List[str]) -> Table:
+               group: List[str], having=None):
     """Lower an aggregate SELECT onto ops.group_by (grouped) or the
-    whole-array aggregates (global)."""
+    whole-array aggregates (global).  -> (table, rewritten_having,
+    hidden_names): aggregates referenced only by HAVING are computed
+    as hidden columns the caller drops after filtering."""
     from .ops.groupby import AggSpec, group_by
     ev = _Evaluator(t, aliases, suffixes)
 
     # materialize aggregate ARGUMENT expressions as temp columns
     specs: List[AggSpec] = []
-    out_plan = []                    # (kind, payload, name)
+    out_plan = []                    # (kind, payload, name, agg_expr)
     tmp_cols: Dict[str, Column] = {}
 
     def arg_column(e, i):
         if isinstance(e, Col):
-            return ev.col(e), None
+            # resolved name (qualified refs after a join carry join
+            # suffixes — the raw name would aggregate the wrong column)
+            return ev.col(e), ev.colname(e)
         name = f"__agg_arg{i}"
         tmp_cols[name] = ev.eval(e)
         return tmp_cols[name], name
 
+    def add_spec(e, out_name, i):
+        if e.fn == "count_all":
+            specs.append(AggSpec(t.column_names[0], "count_all",
+                                 name=out_name))
+        else:
+            _, tmp = arg_column(e.arg, i)
+            specs.append(AggSpec(tmp, e.fn, name=out_name))
+
     for i, (e, alias) in enumerate(items):
         name = alias or _default_name(e, i)
         if isinstance(e, Col) and e.name in group:
-            out_plan.append(("group", e.name, name))
+            out_plan.append(("group", e.name, name, None))
             continue
         if isinstance(e, Agg):
-            if e.fn == "count_all":
-                specs.append(AggSpec(t.column_names[0], "count_all",
-                                     name=f"__a{i}"))
-            else:
-                c, tmp = arg_column(e.arg, i)
-                colname = tmp or e.arg.name
-                specs.append(AggSpec(colname, e.fn, name=f"__a{i}"))
-            out_plan.append(("agg", f"__a{i}", name))
+            add_spec(e, f"__a{i}", i)
+            out_plan.append(("agg", f"__a{i}", name, e))
             continue
         raise ArrowInvalid(
             "aggregate SELECT items must be group keys or aggregates")
+
+    hidden: List[str] = []
+    if having is not None and _is_agg(having):
+        counter = [0]
+
+        def add_agg(e):
+            for kind, _, name, pe in out_plan:
+                if kind == "agg" and pe == e:
+                    return name      # reuse a SELECT aggregate
+            hname = f"__h{counter[0]}"
+            counter[0] += 1
+            add_spec(e, hname, hname)
+            out_plan.append(("agg", hname, hname, e))
+            hidden.append(hname)
+            return hname
+
+        having = _rewrite_aggs(having, add_agg)
 
     if tmp_cols:
         cols = list(t.columns) + list(tmp_cols.values())
@@ -738,16 +818,17 @@ def _aggregate(t: Table, aliases, suffixes, items,
     if group:
         g = group_by(t, group, specs)
         cols, fields = [], []
-        for kind, src, name in out_plan:
+        for kind, src, name, _ in out_plan:
             c = g.column(src)
             cols.append(c)
             fields.append(dt.Field(name, c.dtype))
-        return Table(tuple(cols), dt.Schema(tuple(fields)))
+        return (Table(tuple(cols), dt.Schema(tuple(fields))),
+                having, hidden)
 
     # global aggregates
     from .ops import aggregate as agg_ops
     cols, fields = [], []
-    for (kind, src, name), (e, _) in zip(out_plan, items):
+    for kind, src, name, e in out_plan:
         assert kind == "agg"
         if e.fn == "count_all":
             v = t.num_rows
@@ -769,4 +850,4 @@ def _aggregate(t: Table, aliases, suffixes, items,
         col = make_col([v])
         cols.append(col)
         fields.append(dt.Field(name, col.dtype))
-    return Table(tuple(cols), dt.Schema(tuple(fields)))
+    return Table(tuple(cols), dt.Schema(tuple(fields))), having, hidden

@@ -193,3 +193,32 @@ def test_cli_flight_sql():
         assert "| 2" in out
     finally:
         srv.shutdown()
+
+
+def test_derive_deep_nested_dataclasses(tmp_path):
+    """Nested dataclasses reconstruct at ANY depth (round-trip equality,
+    parquet_derive reader role)."""
+    import dataclasses
+    from typing import List, Optional
+    from arrow_tpu.io.derive import read_records, write_records
+
+    @dataclasses.dataclass
+    class C:
+        z: int
+
+    @dataclasses.dataclass
+    class B:
+        c: C
+        tags: List[int]
+
+    @dataclasses.dataclass
+    class A:
+        b: B
+        name: Optional[str]
+
+    rows = [A(B(C(1), [1, 2]), "x"), A(B(C(2), []), None)]
+    p = str(tmp_path / "deep.parquet")
+    write_records(p, rows, A)
+    back = read_records(p, A)
+    assert back == rows
+    assert isinstance(back[0].b.c, C)

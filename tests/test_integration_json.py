@@ -171,3 +171,47 @@ def test_pyarrow_type_oracle():
         obj = ij._field_to_json(f, None, None)
         f2, _ = ij.field_from_json(json.loads(json.dumps(obj)))
         assert f2.dtype == d, d
+
+
+def test_nested_dictionary_ids():
+    """Dictionary ids resolve for NESTED dictionary fields (the id
+    lives only in the schema field tree; lib.rs dictionary tracking)."""
+    doc = {
+        "schema": {"fields": [
+            {"name": "top", "type": {"name": "utf8"}, "nullable": True,
+             "children": [],
+             "dictionary": {"id": 0,
+                            "indexType": {"name": "int",
+                                          "bitWidth": 32,
+                                          "isSigned": True},
+                            "isOrdered": False}},
+            {"name": "st", "type": {"name": "struct"}, "nullable": True,
+             "children": [
+                 {"name": "s", "type": {"name": "utf8"},
+                  "nullable": True, "children": [],
+                  "dictionary": {"id": 1,
+                                 "indexType": {"name": "int",
+                                               "bitWidth": 32,
+                                               "isSigned": True},
+                                 "isOrdered": False}}]},
+        ]},
+        "dictionaries": [
+            {"id": 0, "data": {"count": 2, "columns": [
+                {"name": "DICT0", "count": 2, "VALIDITY": [1, 1],
+                 "OFFSET": [0, 1, 2], "DATA": ["x", "y"]}]}},
+            {"id": 1, "data": {"count": 2, "columns": [
+                {"name": "DICT1", "count": 2, "VALIDITY": [1, 1],
+                 "OFFSET": [0, 1, 2], "DATA": ["p", "q"]}]}},
+        ],
+        "batches": [{"count": 2, "columns": [
+            {"name": "top", "count": 2, "VALIDITY": [1, 1],
+             "DATA": [0, 1]},
+            {"name": "st", "count": 2, "VALIDITY": [1, 1],
+             "children": [
+                 {"name": "s", "count": 2, "VALIDITY": [1, 1],
+                  "DATA": [1, 0]}]},
+        ]}],
+    }
+    t = ij.table_from_json(doc)
+    assert t.column("top").to_pylist() == ["x", "y"]
+    assert t.column("st").to_pylist() == [{"s": "q"}, {"s": "p"}]

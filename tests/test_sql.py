@@ -153,3 +153,45 @@ def test_flightsql_uses_sql_engine(db):
         db, "SELECT cust, SUM(amount) AS s FROM orders "
             "GROUP BY cust HAVING s > 100").to_pydict()
     assert r["cust"] == [2]
+
+
+def test_join_on_qualified_sides():
+    """ON t2.a = t1.b must join by QUALIFIER, not name membership."""
+    t1 = at.Table.from_pydict({"a": [1, 2, 3], "b": [10, 20, 30]})
+    t2 = at.Table.from_pydict({"a": [10, 20, 99], "b": [7, 8, 9]})
+    r = execute_sql({"t1": t1, "t2": t2},
+                    "SELECT t1.a, t2.b FROM t1 JOIN t2 ON t2.a = t1.b")
+    assert r.to_pydict() == {"a": [1, 2], "b": [7, 8]}
+
+
+def test_aggregate_qualified_arg_after_join():
+    """SUM(t4.x) after a join aggregates the RIGHT x, not the left."""
+    t3 = at.Table.from_pydict({"k": [1, 1, 2], "x": [100, 100, 100]})
+    t4 = at.Table.from_pydict({"k": [1, 2], "x": [5, 7]})
+    r = execute_sql(
+        {"t3": t3, "t4": t4},
+        "SELECT t3.k, SUM(t4.x) AS s FROM t3 JOIN t4 ON t3.k = t4.k "
+        "GROUP BY t3.k ORDER BY k")
+    assert r.to_pydict() == {"k": [1, 2], "s": [10, 7]}
+
+
+def test_having_aggregate_expression():
+    """HAVING over an aggregate expr computes hidden aggregates and
+    drops them from the output."""
+    t = at.Table.from_pydict({"k": ["a", "a", "b"], "v": [1, 2, 3]})
+    r = execute_sql({"t": t},
+                    "SELECT k, SUM(v) AS s FROM t GROUP BY k "
+                    "HAVING COUNT(*) > 1")
+    assert r.to_pydict() == {"k": ["a"], "s": [3]}
+    # reuse of a SELECT aggregate (no hidden column needed)
+    r2 = execute_sql({"t": t},
+                     "SELECT k, COUNT(*) AS c FROM t GROUP BY k "
+                     "HAVING COUNT(*) > 1")
+    assert r2.to_pydict() == {"k": ["a"], "c": [2]}
+
+
+def test_bare_select_alias():
+    t = at.Table.from_pydict({"v": [1, 2]})
+    r = execute_sql({"t": t}, "SELECT v total FROM t")
+    assert r.column_names == ["total"]
+    assert r.to_pydict() == {"total": [1, 2]}

@@ -70,3 +70,25 @@ def test_checkpoint_manager_crash_safety(tmp_path, rng):
     os.makedirs(str(tmp_path / "ckpt" / "step_000000000002"))
     assert mgr.latest_step() == 1
     assert mgr.restore()["a"].num_rows == 50
+
+
+def test_checkpoint_tmp_dir_never_breaks_steps(tmp_path):
+    """A crash between manifest write and rename must not poison
+    steps()/restore() (the tmp dir's name must not match the
+    'step_<digits>' scan)."""
+    import os
+    import arrow_tpu as at
+    from arrow_tpu.io.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path))
+    t = at.Table.from_pydict({"x": [1, 2]})
+    mgr.save(3, {"t": t})
+    # simulate a crashed save: committed-looking tmp left behind
+    os.makedirs(tmp_path / ".tmp_step_000000000007")
+    with open(tmp_path / ".tmp_step_000000000007" / "MANIFEST.json",
+              "w") as f:
+        f.write("{}")
+    # and a stray non-numeric step-prefixed dir
+    os.makedirs(tmp_path / "step_junk")
+    assert mgr.steps() == [3]
+    assert mgr.latest_step() == 3
+    assert mgr.restore()["t"].to_pydict() == {"x": [1, 2]}

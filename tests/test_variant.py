@@ -4,6 +4,7 @@ from decimal import Decimal
 
 import pytest
 
+import arrow_tpu.io.variant as variant
 from arrow_tpu.io.variant import (VariantBuilder, parse_variant,
                                   variant_to_json, json_to_variant,
                                   VariantColumn, variant_get)
@@ -99,3 +100,32 @@ def test_variant_column_and_get():
     sc = col.to_struct_column()
     back = VariantColumn.from_struct_column(sc)
     assert back.to_pylist() == [rows[0], rows[1], None]
+
+
+def test_object_fields_sorted_by_name():
+    """Spec: object fields ordered lexicographically by field NAME
+    (builder.rs), not by insertion-order id."""
+    m, v = VariantBuilder().build({"b": 1, "a": 2})
+    keys = variant._parse_metadata(m)
+    # ids follow insertion order; parse respects name-sorted layout
+    assert parse_variant(m, v) == {"b": 1, "a": 2}
+    # first field in the encoded object must be 'a': its id is 1
+    head = v[0]
+    iw = ((head >> 4) & 3) + 1
+    n = v[1]
+    first_id = int.from_bytes(v[2:2 + iw], "little")
+    assert n == 2 and keys[first_id] == "a"
+
+
+def test_date_timestamp_primitives():
+    import datetime
+    d = datetime.date(2021, 3, 4)
+    ts = datetime.datetime(2021, 3, 4, 5, 6, 7, 250,
+                           tzinfo=datetime.timezone.utc)
+    ntz = datetime.datetime(2021, 3, 4, 5, 6, 7, 250)
+    m, v = VariantBuilder().build({"d": d, "ts": ts, "ntz": ntz})
+    back = parse_variant(m, v)
+    assert back["d"] == d and back["ts"] == ts and back["ntz"] == ntz
+    # external bytes with primitive ids 11-13 parse (spec conformance)
+    s = variant_to_json(m, v)
+    assert "2021-03-04" in s
