@@ -629,6 +629,11 @@ def _bind_csv(lib):
     lib.csv_extract.argtypes = [u8p, i64p, i64p, u8p, i64,
                                 ctypes.c_uint8, i64p, u8p]
     lib.csv_extract.restype = i64
+    lib.csv_format_i64.argtypes = [i64p, i64, i64, u8p]
+    lib.csv_format_i64.restype = None
+    lib.csv_join_rows.argtypes = [i64, ctypes.POINTER(ctypes.c_void_p),
+                                  i64p, i64, ctypes.c_uint8, u8p]
+    lib.csv_join_rows.restype = i64
     lib.csv_parse_i64.argtypes = [u8p, i64p, i64p, i64, i64p, u8p]
     lib.csv_parse_i64.restype = i64
     lib.csv_parse_f64.argtypes = [u8p, i64p, i64p, i64, f64p, u8p]

@@ -1797,4 +1797,44 @@ void cdata_release_array(CArrowArray* a) {
     a->release = nullptr;
 }
 
+
+// CSV row assembly: cells[c] is an n x widths[c] NUL-padded byte matrix
+// (numpy S dtype); concatenates cell,delim,...,cell\n per row into out.
+// Returns bytes written (caller sizes out at n*(sum(widths)+ncols)).
+int64_t csv_join_rows(int64_t ncols, const uint8_t** cells,
+                      const int64_t* widths, int64_t n, uint8_t delim,
+                      uint8_t* out) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t c = 0; c < ncols; ++c) {
+            const int64_t w = widths[c];
+            const uint8_t* s = cells[c] + i * w;
+            int64_t len = 0;
+            while (len < w && s[len]) ++len;
+            std::memcpy(out + total, s, (size_t)len);
+            total += len;
+            out[total++] = (c + 1 < ncols) ? delim : (uint8_t)'\n';
+        }
+    }
+    return total;
+}
+
+
+// Integer cell text: NUL-padded n x width S-matrix (itoa role).
+void csv_format_i64(const int64_t* vals, int64_t n, int64_t width,
+                    uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t* dst = out + i * width;
+        std::memset(dst, 0, (size_t)width);
+        int64_t v = vals[i];
+        uint64_t u = v < 0 ? (uint64_t)(-(v + 1)) + 1 : (uint64_t)v;
+        uint8_t tmp[24];
+        int k = 0;
+        do { tmp[k++] = (uint8_t)('0' + u % 10); u /= 10; } while (u);
+        int64_t p = 0;
+        if (v < 0) dst[p++] = '-';
+        while (k) dst[p++] = tmp[--k];
+    }
+}
+
 }  // extern "C"
