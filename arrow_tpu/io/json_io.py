@@ -322,6 +322,11 @@ class WriterBuilder:
         return rows
 
     def write(self, sink, table: Table) -> None:
+        if self.format == "lines":
+            fast = _write_lines_vec(table, self.explicit_nulls)
+            if fast is not None:
+                sink.write(fast)
+                return
         rows = self._rows(table)
         if self.format == "array":
             sink.write(json.dumps(rows).encode())
@@ -377,6 +382,104 @@ def _json_value(v, d: Optional[dt.DataType] = None):
                 pass
         return [_json_value(x) for x in v]
     return v
+
+
+def _json_fragments(col, name: str, explicit: bool):
+    """'"name":value' S-array for one flat column, or None when the
+    type needs the slow path.  Empty cell = field omitted; explicit
+    nulls render '"name":null'."""
+    from ..core.column import (DictionaryColumn, PrimitiveColumn,
+                               StringColumn)
+    from .csv import _bytes_cells_raw
+    prefix = json.dumps(name).encode() + b":"
+    nullfrag = prefix + b"null" if explicit else b""
+    d = col.dtype
+    valid = None if col.validity is None else np.asarray(col.validity)
+
+    def string_frags(scol):
+        offs = np.asarray(scol.offsets).astype(np.int64)
+        data = np.asarray(scol.data)
+        lens = offs[1:] - offs[:-1]
+        cells = _bytes_cells_raw(offs, data)
+        m = len(cells)
+        # rows needing JSON escaping (controls, quote, backslash) or
+        # containing NUL-adjacent risk (trailing NUL is unrepresentable
+        # in S dtype) go through json.dumps
+        if len(data):
+            risky = (data < 0x20) | (data == 0x22) | (data == 0x5C)
+            # per-cell any via prefix-sum over the byte buffer
+            csum = np.concatenate([[0], np.cumsum(risky)])
+            need = (csum[offs[1:]] - csum[offs[:-1]]) > 0
+        else:
+            need = np.zeros(m, bool)
+        a = np.char.add(np.char.add(prefix + b'"', cells), b'"')
+        if need.any():
+            py = scol.to_pylist()
+            frags = [prefix + json.dumps(py[int(i)]).encode()
+                     for i in np.nonzero(need)[0]]
+            w = max(max(len(f) for f in frags), a.dtype.itemsize)
+            if w > a.dtype.itemsize:
+                a = a.astype(f"S{w}")
+            a[need] = np.array(frags, dtype=f"S{w}")
+        return a
+
+    if isinstance(col, PrimitiveColumn) and d.name == "bool":
+        a = np.where(np.asarray(col.values), prefix + b"true",
+                     prefix + b"false")
+    elif isinstance(col, PrimitiveColumn) and d.is_integer:
+        a = np.char.add(prefix, np.asarray(col.values).astype("S21"))
+    elif isinstance(col, PrimitiveColumn) and d.name in ("float32",
+                                                         "float64"):
+        vals = np.asarray(col.values)
+        a = np.char.add(prefix, vals.astype("S32"))
+        fin = np.isfinite(vals)
+        if not fin.all():         # JSON has no NaN/inf -> null
+            a = np.where(fin, a, nullfrag)
+    elif isinstance(col, StringColumn) and d.name in ("utf8",
+                                                      "large_utf8"):
+        a = string_frags(col)
+    elif isinstance(col, DictionaryColumn) \
+            and col.values.dtype.name in ("utf8", "large_utf8"):
+        per_value = string_frags(col.values)
+        codes = np.clip(np.asarray(col.codes), 0,
+                        max(len(per_value) - 1, 0))
+        a = per_value[codes] if len(per_value) else \
+            np.zeros(len(col), "S1")
+        vv = col.values.validity
+        if vv is not None:
+            slot = np.asarray(vv)[codes]
+            valid = slot if valid is None else (valid & slot)
+    else:
+        return None
+    if valid is not None:
+        a = np.where(valid, a, nullfrag)
+    return a
+
+
+def _write_lines_vec(table: Table, explicit: bool) -> Optional[bytes]:
+    """Vectorized LineDelimited writer for flat tables: S-matrix
+    fragments + one C assembly pass (json_join_rows).  None -> caller
+    falls back to the per-row path (nested/temporal columns)."""
+    import ctypes
+    from ..utils import native as nt2
+    if not nt2.available() or table.num_rows == 0:
+        return None
+    frags = []
+    for f, c in zip(table.schema.fields, table.columns):
+        a = _json_fragments(c, f.name, explicit)
+        if a is None:
+            return None
+        frags.append(np.ascontiguousarray(a))
+    lib = nt2.csv_lib()
+    n = table.num_rows
+    widths = np.array([a.dtype.itemsize for a in frags], np.int64)
+    ptrs = (ctypes.c_void_p * len(frags))(
+        *[a.ctypes.data for a in frags])
+    buf = np.zeros(int(n * (widths.sum() + len(frags) + 3)), np.uint8)
+    total = lib.json_join_rows(
+        len(frags), ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        nt2._i64p(widths), n, nt2._u8(buf))
+    return buf[:int(total)].tobytes()
 
 
 def write_json(sink, table: Table, format: str = "lines"):

@@ -1837,4 +1837,31 @@ void csv_format_i64(const int64_t* vals, int64_t n, int64_t width,
     }
 }
 
+
+// JSON line assembly: per-column NUL-padded S-matrices of
+// '"name":value' fragments (empty cell = omitted field); emits
+// {frag,frag,...}\n per row.  Returns bytes written.
+int64_t json_join_rows(int64_t ncols, const uint8_t** cells,
+                       const int64_t* widths, int64_t n, uint8_t* out) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        out[total++] = '{';
+        bool first = true;
+        for (int64_t c = 0; c < ncols; ++c) {
+            const int64_t w = widths[c];
+            const uint8_t* s = cells[c] + i * w;
+            int64_t len = 0;
+            while (len < w && s[len]) ++len;
+            if (!len) continue;
+            if (!first) out[total++] = ',';
+            std::memcpy(out + total, s, (size_t)len);
+            total += len;
+            first = false;
+        }
+        out[total++] = '}';
+        out[total++] = '\n';
+    }
+    return total;
+}
+
 }  // extern "C"

@@ -159,3 +159,24 @@ def test_schema_drives_output():
     assert t.column("a").dtype == at.int32
     assert t.column("a").to_pylist() == [None, None]
     assert t.column("b").to_pylist() == [1, 2]
+
+
+def test_vectorized_lines_writer_matches_slow_path():
+    """The S-matrix fast path and the per-row path agree (escapes,
+    omitted nulls, NaN->omitted, bool casing, explicit nulls)."""
+    import json as js
+    t = at.Table.from_pydict({
+        "i": [1, None, 3],
+        "f": [0.5, float("nan"), 2.5e-8],
+        "b": [True, False, None],
+        "s": ['pl"ai\n', "x", None],
+    })
+    out = json_io.WriterBuilder("lines").write_str(t)
+    rows = [js.loads(ln) for ln in out.strip().split("\n")]
+    assert rows == [{"i": 1, "f": 0.5, "b": True, "s": 'pl"ai\n'},
+                    {"b": False, "s": "x"},
+                    {"i": 3, "f": 2.5e-8}]
+    out2 = json_io.WriterBuilder("lines", explicit_nulls=True) \
+        .write_str(t)
+    rows2 = [js.loads(ln) for ln in out2.strip().split("\n")]
+    assert rows2[1] == {"i": None, "f": None, "b": False, "s": "x"}
