@@ -33,7 +33,7 @@ from ..core.column import (Column, DictionaryColumn, ListColumn,
                            StructColumn)
 from ..core.nested import (DecimalColumn, FixedSizeBinaryColumn,
                            FixedSizeListColumn, IntervalMDNColumn,
-                           MapColumn)
+                           MapColumn, RunEndColumn, UnionColumn)
 from ..errors import ArrowInvalid, ArrowNotImplementedError
 
 __all__ = ["export_column", "import_column", "export_table",
@@ -137,6 +137,12 @@ def _fmt_for(d: dt.DataType) -> str:
         u = {"year_month": "tiM", "day_time": "tiD",
              "month_day_nano": "tin"}[d.unit]
         return u
+    if n == "union":
+        tag = "ud" if d.mode == "dense" else "us"
+        ids = d.type_ids or tuple(range(len(d.fields)))
+        return f"+{tag}:" + ",".join(str(i) for i in ids)
+    if n == "run_end_encoded":
+        return "+r"
     if n == "dictionary":
         return _fmt_for(d.index_type)
     if n == "list":
@@ -249,10 +255,13 @@ def _fill_schema(s, d: dt.DataType, name: str, nullable: bool) -> None:
     children: List[Tuple[str, dt.DataType, bool]] = []
     if d.name in ("list", "large_list", "fixed_size_list"):
         children = [("item", d.value_type, True)]
-    elif d.name == "struct":
+    elif d.name in ("struct", "union"):
         children = [(f.name, f.dtype, f.nullable) for f in d.fields]
     elif d.name == "map":
         children = [("entries", d.value_type, False)]
+    elif d.name == "run_end_encoded":
+        children = [("run_ends", d.index_type, False),
+                    ("values", d.value_type, True)]
     if children:
         arrp = _c_alloc(ctypes.sizeof(ctypes.c_void_p) * len(children))
         arr = ctypes.cast(ctypes.c_void_p(arrp),
@@ -293,6 +302,21 @@ def _fill_array(a, col: Column) -> None:
     if isinstance(col, NullColumn):
         bufs = [0]
         a.null_count = n
+    elif isinstance(col, UnionColumn):
+        # unions carry no validity buffer: [type_ids] (+offsets if dense)
+        a.null_count = 0
+        bufs = [_c_buf(np.asarray(col.type_ids).astype(np.int8))]
+        if col.offsets is not None:
+            bufs.append(_c_buf(np.asarray(col.offsets)
+                               .astype(np.int32)))
+        children = list(col.children)
+    elif isinstance(col, RunEndColumn):
+        # REE: no buffers; children = [run_ends, values]
+        a.null_count = 0
+        bufs = []
+        children = [PrimitiveColumn(col.run_ends,
+                                    col.dtype.index_type),
+                    col.values]
     elif isinstance(col, DictionaryColumn):
         bufs.append(_c_buf(np.asarray(col.codes)))
         dp = _c_new(ArrowArray)
@@ -439,6 +463,13 @@ def _import_schema(s: ArrowSchema):
     elif fmt == "+m":
         kv = kids[0][1]
         d = dt.map_(kv.fields[0].dtype, kv.fields[1].dtype)
+    elif fmt.startswith("+ud:") or fmt.startswith("+us:"):
+        ids = [int(x) for x in fmt[4:].split(",") if x]
+        mode = "dense" if fmt[1:3] == "ud" else "sparse"
+        d = dt.union([dt.Field(kn, kd, knul) for kn, kd, knul in kids],
+                     mode, ids)
+    elif fmt == "+r":
+        d = dt.run_end_encoded(kids[0][1], kids[1][1])
     elif fmt.startswith("+"):
         raise ArrowNotImplementedError(f"C data import of {fmt!r}")
     else:
@@ -459,11 +490,29 @@ def _import_array(a: ArrowArray, d: dt.DataType) -> Column:
         return int(a.buffers[i]) if a.buffers and i < a.n_buffers \
             and a.buffers[i] else 0
 
+    nm = d.name
+    if nm == "union":                # buffer 0 is type_ids, no bitmap
+        tids = _read_buffer(buf(0), np.int8, total)[off:]
+        kids = [_import_array(a.children[i].contents, f.dtype)
+                for i, f in enumerate(d.fields)]
+        if d.mode == "dense":
+            offarr = _read_buffer(buf(1), np.int32, total)[off:]
+            return UnionColumn(jnp.asarray(tids), jnp.asarray(offarr),
+                               kids, d.fields, d.type_ids)
+        if off:
+            kids = [k.slice(off, n) for k in kids]
+        return UnionColumn(jnp.asarray(tids), None, kids, d.fields,
+                           d.type_ids)
+    if nm == "run_end_encoded":      # no buffers, children carry data
+        if off:
+            raise ArrowNotImplementedError("sliced REE C arrays")
+        ends = _import_array(a.children[0].contents, d.index_type)
+        vals = _import_array(a.children[1].contents, d.value_type)
+        return RunEndColumn(ends.values, vals, length=n)
     validity = None
     if int(a.null_count) != 0:       # -1 = unknown: consult the bitmap
         full = _unpack_bitmap(buf(0), total)
         validity = None if full is None else full[off:]
-    nm = d.name
     if nm == "null":
         return NullColumn(n)
     if nm == "bool":

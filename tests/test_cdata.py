@@ -182,3 +182,28 @@ def test_interval_ffi():
     col = cdata.import_column(mdn.__arrow_c_array__())
     back = pa.Array._import_from_c_capsule(*cdata.export_column(col))
     assert back.to_pylist() == mdn.to_pylist()
+
+
+def test_union_and_ree_ffi():
+    """Union (+ud:/+us:) and RunEndEncoded (+r) cross the C ABI."""
+    from arrow_tpu.io import cdata
+    u = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0, 0, 1], pa.int8()),
+        pa.array([0, 0, 1, 2, 1], pa.int32()),
+        [pa.array([1, 2, 3]), pa.array(["a", "b"])], ["i", "s"])
+    col = cdata.import_column(u.__arrow_c_array__())
+    assert col.dtype.name == "union" and col.dtype.mode == "dense"
+    back = pa.Array._import_from_c_capsule(*cdata.export_column(col))
+    assert back.to_pylist() == u.to_pylist()
+    su = pa.UnionArray.from_sparse(
+        pa.array([0, 1, 0], pa.int8()),
+        [pa.array([1, 2, 3]), pa.array(["a", "b", "c"])])
+    col2 = cdata.import_column(su.__arrow_c_array__())
+    back2 = pa.Array._import_from_c_capsule(*cdata.export_column(col2))
+    assert back2.to_pylist() == su.to_pylist()
+    ree = pa.RunEndEncodedArray.from_arrays(
+        pa.array([2, 5], pa.int32()), pa.array(["x", None]))
+    col3 = cdata.import_column(ree.__arrow_c_array__())
+    assert col3.dtype.name == "run_end_encoded"
+    back3 = pa.Array._import_from_c_capsule(*cdata.export_column(col3))
+    assert back3.to_pylist() == ree.to_pylist()
