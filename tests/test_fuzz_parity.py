@@ -244,3 +244,79 @@ def test_fuzz_integration_json_roundtrip(seed):
     assert t.to_pydict() == t2.to_pydict()
     assert [f.dtype for f in t.schema.fields] == \
         [f.dtype for f in t2.schema.fields]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_csv_writer_pyarrow_reads(seed):
+    """Random flat tables through OUR vectorized CSV writer; pyarrow's
+    CSV reader (explicit schema) must recover the exact values —
+    quoting, escapes, unicode, nulls, shortest float repr."""
+    import io
+    import pyarrow.csv as pcsv
+    from arrow_tpu.io.csv import WriterBuilder
+    from arrow_tpu.io.interop import table_from_pyarrow
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(1, 200))
+    tricky = ["", "a,b", 'q"t', "line\nbreak", "semi;co", "βeta",
+              "plain", " lead", "trail ", "\tab"]
+    cols = {
+        "i": _random_array(rng, n, "i64"),
+        "f": _random_array(rng, n, "f64"),
+        "b": _random_array(rng, n, "bool"),
+        "s": pa.array([tricky[i] for i in rng.integers(0, len(tricky),
+                                                       n)],
+                      mask=rng.random(n) < 0.2),
+    }
+    tab = pa.table(cols)
+    ours = table_from_pyarrow(tab)
+    buf = io.BytesIO()
+    WriterBuilder().write(buf, ours)
+    got = pcsv.read_csv(
+        io.BytesIO(buf.getvalue()),
+        convert_options=pcsv.ConvertOptions(
+            column_types={"i": pa.int64(), "f": pa.float64(),
+                          "b": pa.bool_(), "s": pa.string()},
+            strings_can_be_null=False),
+        parse_options=pcsv.ParseOptions(newlines_in_values=True))
+    assert got["i"].to_pylist() == tab["i"].to_pylist()
+    fb = got["f"].to_pylist()
+    fa = tab["f"].to_pylist()
+    for x, y in zip(fa, fb):
+        assert (x is None and y is None) or x == y or \
+            (x in (np.inf, -np.inf) and y == x)
+    assert got["b"].to_pylist() == tab["b"].to_pylist()
+    # CSV cannot distinguish null from "" for strings (both empty field)
+    want_s = ["" if v is None else v for v in tab["s"].to_pylist()]
+    got_s = ["" if v is None else v for v in got["s"].to_pylist()]
+    assert got_s == want_s
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_json_writer_pyarrow_reads(seed):
+    """Random flat tables through OUR vectorized JSON lines writer;
+    pyarrow's JSON reader must recover the exact values."""
+    import io
+    import pyarrow.json as pjson
+    from arrow_tpu.io.json_io import WriterBuilder
+    from arrow_tpu.io.interop import table_from_pyarrow
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(1, 200))
+    tricky = ["", 'q"t', "line\nbreak", "βeta", "back\\slash",
+              "\x01ctl", "plain"]
+    tab = pa.table({
+        "i": _random_array(rng, n, "i64"),
+        "b": _random_array(rng, n, "bool"),
+        "s": pa.array([tricky[i] for i in rng.integers(0, len(tricky),
+                                                       n)],
+                      mask=rng.random(n) < 0.2),
+    })
+    ours = table_from_pyarrow(tab)
+    buf = io.BytesIO()
+    WriterBuilder("lines").write(buf, ours)
+    got = pjson.read_json(
+        io.BytesIO(buf.getvalue()),
+        parse_options=pjson.ParseOptions(explicit_schema=pa.schema(
+            [("i", pa.int64()), ("b", pa.bool_()), ("s", pa.string())])))
+    assert got["i"].to_pylist() == tab["i"].to_pylist()
+    assert got["b"].to_pylist() == tab["b"].to_pylist()
+    assert got["s"].to_pylist() == tab["s"].to_pylist()
