@@ -419,6 +419,28 @@ def _format_column_vec(col: Column, delim: str) -> np.ndarray:
         if valid is not None:
             a = np.where(valid, a, b"")
         return a
+    elif isinstance(col, PrimitiveColumn) and (
+            d.name == "timestamp" and d.tz is None or d.name == "date32"):
+        # C civil-calendar formatter emits the display.rs ISO form
+        # (T separator, unit-width fractional digits) ~100x faster than
+        # np.datetime64 astype('U')
+        vals = np.ascontiguousarray(np.asarray(col.values)
+                                    .astype(np.int64, copy=False))
+        n = len(vals)
+        if d.name == "date32":
+            scale, frac, w = 1, -1, 18      # slack for huge/neg years
+        else:
+            scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[d.unit]
+            frac = {"s": 0, "ms": 3, "us": 6, "ns": 9}[d.unit]
+            # int64 seconds reach ~12-digit years: sign+12+15 chars
+            w = 32 + (frac + 1 if frac else 0)
+        a = np.zeros(n * w, np.uint8)
+        nt.csv_lib().csv_format_timestamp(nt._i64p(vals), n, scale,
+                                          frac, w, nt._u8(a))
+        a = a.view(f"S{w}")
+        if valid is not None:
+            a = np.where(valid, a, b"")
+        return a
     elif isinstance(col, StringColumn) \
             and d.name in ("binary", "large_binary", "binary_view"):
         # the reference hex-encodes binary cells (display.rs Binary arm,

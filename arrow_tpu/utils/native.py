@@ -634,6 +634,8 @@ def _bind_csv(lib):
     lib.json_join_rows.argtypes = [i64, ctypes.POINTER(ctypes.c_void_p),
                                    i64p, i64, u8p]
     lib.json_join_rows.restype = i64
+    lib.csv_format_timestamp.argtypes = [i64p, i64, i64, i64, i64, u8p]
+    lib.csv_format_timestamp.restype = None
     lib.csv_join_rows.argtypes = [i64, ctypes.POINTER(ctypes.c_void_p),
                                   i64p, i64, ctypes.c_uint8, u8p]
     lib.csv_join_rows.restype = i64

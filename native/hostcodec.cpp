@@ -1864,4 +1864,70 @@ int64_t json_join_rows(int64_t ncols, const uint8_t** cells,
     return total;
 }
 
+
+// Timestamp cell text 'YYYY-MM-DDTHH:MM:SS[.f*]' (display.rs ISO form,
+// np.datetime64-identical).  scale = ticks per second, frac = fraction
+// digits; frac==-1 -> date-only cells ('YYYY-MM-DD', vals are DAYS).
+void csv_format_timestamp(const int64_t* vals, int64_t n, int64_t scale,
+                          int64_t frac, int64_t width, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t* dst = out + i * width;
+        std::memset(dst, 0, (size_t)width);
+        int64_t days, rem = 0;
+        if (frac < 0) {
+            days = vals[i];
+        } else {
+            const int64_t per_day = scale * 86400;
+            int64_t v = vals[i];
+            days = v / per_day;
+            rem = v % per_day;
+            if (rem < 0) { rem += per_day; --days; }
+        }
+        // civil_from_days (Howard Hinnant's algorithm)
+        int64_t z = days + 719468;
+        const int64_t era = (z >= 0 ? z : z - 146096) / 146097;
+        const int64_t doe = z - era * 146097;
+        const int64_t yoe = (doe - doe / 1460 + doe / 36524
+                             - doe / 146096) / 365;
+        int64_t y = yoe + era * 400;
+        const int64_t doy = doe - (365 * yoe + yoe / 4 - yoe / 100);
+        const int64_t mp = (5 * doy + 2) / 153;
+        const int64_t dd = doy - (153 * mp + 2) / 5 + 1;
+        const int64_t mm = mp < 10 ? mp + 3 : mp - 9;
+        if (mm <= 2) ++y;
+        int64_t p = 0;
+        if (y < 0) { dst[p++] = '-'; y = -y; }
+        uint8_t yb[24]; int yk = 0;
+        do { yb[yk++] = (uint8_t)('0' + y % 10); y /= 10; } while (y);
+        while (yk < 4) yb[yk++] = '0';
+        while (yk) dst[p++] = yb[--yk];
+        dst[p++] = '-';
+        dst[p++] = (uint8_t)('0' + mm / 10);
+        dst[p++] = (uint8_t)('0' + mm % 10);
+        dst[p++] = '-';
+        dst[p++] = (uint8_t)('0' + dd / 10);
+        dst[p++] = (uint8_t)('0' + dd % 10);
+        if (frac < 0) continue;
+        const int64_t secs = rem / scale;
+        int64_t f = rem % scale;
+        dst[p++] = 'T';
+        dst[p++] = (uint8_t)('0' + secs / 36000);
+        dst[p++] = (uint8_t)('0' + (secs / 3600) % 10);
+        dst[p++] = ':';
+        dst[p++] = (uint8_t)('0' + (secs % 3600) / 600);
+        dst[p++] = (uint8_t)('0' + ((secs % 3600) / 60) % 10);
+        dst[p++] = ':';
+        dst[p++] = (uint8_t)('0' + (secs % 60) / 10);
+        dst[p++] = (uint8_t)('0' + (secs % 60) % 10);
+        if (frac > 0) {
+            dst[p++] = '.';
+            for (int64_t k = frac - 1; k >= 0; --k) {
+                dst[p + k] = (uint8_t)('0' + f % 10);
+                f /= 10;
+            }
+            p += frac;
+        }
+    }
+}
+
 }  // extern "C"

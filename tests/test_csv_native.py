@@ -136,3 +136,37 @@ def test_custom_delimiter_write_quotes_and_header_unescape():
     assert rt.to_pydict() == t.to_pydict()
     t2 = read_csv(b'"he""llo",x\n1,2\n')
     assert t2.column_names == ['he"llo', 'x']
+
+
+def test_timestamp_date_cells_match_numpy_iso():
+    """C civil-calendar formatter == np.datetime64 ISO text across
+    units (plus ISO 4-digit year padding, which numpy drops)."""
+    import io
+    from arrow_tpu.io.csv import write_csv
+    rng = np.random.default_rng(7)
+    scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+    for unit in ("s", "ms", "us", "ns"):
+        lim = min(250_000 * 366 * 86400 * scale[unit], 2**62)
+        vals = rng.integers(-lim, lim, 500)
+        vals = np.where(vals < -62135596800 * scale[unit], -vals, vals)
+        tt = at.Table((at.column(vals, dtype=at.timestamp(unit)),),
+                      at.Schema((at.Field("t", at.timestamp(unit)),)))
+        b = io.BytesIO()
+        write_csv(b, tt)
+        got = b.getvalue().decode().strip().split("\n")[1:]
+        assert got == vals.astype(f"datetime64[{unit}]") \
+            .astype("U").tolist(), unit
+    d = rng.integers(-719162, 10**6, 500).astype(np.int32)  # year >= 1
+    tt = at.Table((at.column(d, dtype=at.date32),),
+                  at.Schema((at.Field("d", at.date32),)))
+    b = io.BytesIO()
+    write_csv(b, tt)
+    assert b.getvalue().decode().strip().split("\n")[1:] == \
+        d.astype("datetime64[D]").astype("U").tolist()
+    # ISO 8601 keeps >=4 year digits for negative years
+    tt = at.Table((at.column(np.array([-87695305876000], np.int64),
+                             dtype=at.timestamp("ms")),),
+                  at.Schema((at.Field("t", at.timestamp("ms")),)))
+    b = io.BytesIO()
+    write_csv(b, tt)
+    assert b.getvalue() == b"t\n-0809-01-18T00:48:44.000\n"
