@@ -435,6 +435,26 @@ def _json_fragments(col, name: str, explicit: bool):
         fin = np.isfinite(vals)
         if not fin.all():         # JSON has no NaN/inf -> null
             a = np.where(fin, a, nullfrag)
+    elif isinstance(col, PrimitiveColumn) and (
+            d.name == "timestamp" and d.tz is None or d.name == "date32"):
+        # C civil-calendar ISO text == encoder.rs unit-width output
+        # ("2018-11-13T17:11:10.011375" for us)
+        from ..utils import native as nt
+        vals = np.ascontiguousarray(np.asarray(col.values)
+                                    .astype(np.int64, copy=False))
+        m = len(vals)
+        if d.name == "date32":
+            scale, frac, w = 1, -1, 18
+        else:
+            scale = {"s": 1, "ms": 10**3, "us": 10**6,
+                     "ns": 10**9}[d.unit]
+            frac = {"s": 0, "ms": 3, "us": 6, "ns": 9}[d.unit]
+            w = 32 + (frac + 1 if frac else 0)
+        cells = np.zeros(m * w, np.uint8)
+        nt.csv_lib().csv_format_timestamp(nt._i64p(vals), m, scale,
+                                          frac, w, nt._u8(cells))
+        a = np.char.add(np.char.add(prefix + b'"',
+                                    cells.view(f"S{w}")), b'"')
     elif isinstance(col, StringColumn) and d.name in ("utf8",
                                                       "large_utf8"):
         a = string_frags(col)

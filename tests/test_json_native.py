@@ -180,3 +180,19 @@ def test_vectorized_lines_writer_matches_slow_path():
         .write_str(t)
     rows2 = [js.loads(ln) for ln in out2.strip().split("\n")]
     assert rows2[1] == {"i": None, "f": None, "b": False, "s": "x"}
+
+
+def test_vectorized_temporal_fragments():
+    """Timestamp/date cells in the lines fast path use the reference's
+    unit-width ISO text (encoder.rs: 2018-11-13T17:11:10.011375)."""
+    import json as js
+    t = at.Table(
+        (at.column([1542129070011375, None], dtype=at.timestamp("us")),
+         at.column([17848, None], dtype=at.date32)),
+        at.Schema((at.Field("ts", at.timestamp("us")),
+                   at.Field("d", at.date32))))
+    s = json_io.WriterBuilder("lines").write_str(t)
+    rows = [js.loads(ln) for ln in s.strip().split("\n")]
+    assert rows[0] == {"ts": "2018-11-13T17:11:10.011375",
+                       "d": "2018-11-13"}
+    assert rows[1] == {}
