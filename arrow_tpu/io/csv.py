@@ -61,7 +61,12 @@ class _Indexed:
                  quote: str = '"'):
         lib = nt.csv_lib()
         self.data = np.frombuffer(data, np.uint8)
-        cap = max(len(data) // 2 + 16, 64)
+        # exact-or-over field count: delimiters + newlines (+2 slack);
+        # quoted delimiters only over-count, never under.  The old
+        # len/2 cap over-allocated ~5x and its first-touch page faults
+        # dominated small parses.
+        cap = max(int((self.data == ord(delimiter)).sum()
+                      + (self.data == 10).sum()) + 2, 64)
         while True:
             starts = np.zeros(cap, np.int64)
             ends = np.zeros(cap, np.int64)
@@ -239,8 +244,19 @@ def read_csv(source, schema: Optional[dt.Schema] = None,
         by_name = {f.name: f for f in schema.fields}
         fields = [by_name.get(names[c], dt.Field(names[c], dt.utf8))
                   for c in sel]
-    cols = tuple(_parse_column(idx, c, row0, nrows, f.dtype)
-                 for c, f in zip(sel, fields))
+    if len(sel) > 1 and nrows >= 100_000:
+        # typed parsers are C calls that release the GIL: one thread
+        # per column (the reference parallelizes at the caller level;
+        # here the column is the natural unit)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(len(sel), 8)) as ex:
+            cols = tuple(ex.map(
+                lambda cf: _parse_column(idx, cf[0], row0, nrows,
+                                         cf[1].dtype),
+                list(zip(sel, fields))))
+    else:
+        cols = tuple(_parse_column(idx, c, row0, nrows, f.dtype)
+                     for c, f in zip(sel, fields))
     return Table(cols, dt.Schema(tuple(fields)))
 
 
