@@ -230,8 +230,10 @@ class DictionaryBuilder(_Base):
     """Hash-interning dictionary builder
     (builder/generic_bytes_dictionary_builder.rs)."""
 
-    def __init__(self, value_builder):
+    def __init__(self, value_builder, index_dtype=None):
         self._value_builder = value_builder
+        self._index_np = np.int32 if index_dtype is None \
+            else index_dtype.to_numpy()
         self._intern: Dict = {}
         self._codes: List[int] = []
         self._valid: List[bool] = []
@@ -262,11 +264,13 @@ class DictionaryBuilder(_Base):
 
     def finish(self) -> DictionaryColumn:
         values = self._value_builder.finish()
-        codes = np.asarray(self._codes, np.int32)
+        codes = np.asarray(self._codes, self._index_np)
         validity = None if all(self._valid) \
             else jnp.asarray(np.asarray(self._valid, bool))
         vb = self._value_builder
+        idx_np = self._index_np
         DictionaryBuilder.__init__(self, vb)
+        self._index_np = idx_np
         return DictionaryColumn(jnp.asarray(codes), values, validity)
 
 
@@ -460,7 +464,8 @@ def make_builder(dtype: dt.DataType):
     if dtype.name == "decimal256":
         return Decimal256Builder(dtype.precision, dtype.scale)
     if dtype.name == "dictionary":
-        return DictionaryBuilder(make_builder(dtype.value_type))
+        return DictionaryBuilder(make_builder(dtype.value_type),
+                                 dtype.index_type)
     if dtype.name in ("list", "large_list"):
         return ListBuilder(make_builder(dtype.value_type))
     if dtype.name == "fixed_size_list":

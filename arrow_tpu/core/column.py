@@ -317,39 +317,49 @@ class ListColumn(Column):
     """List<T> (arrow-array/src/array/list_array.rs:169): offsets + child."""
 
     def __init__(self, offsets: jnp.ndarray, child: Column,
-                 validity: vd.Mask = None):
+                 validity: vd.Mask = None, large: bool = False):
         self.offsets = offsets
         self.child = child
         self.validity = validity
-        self.dtype = dt.list_(child.dtype)
+        self.dtype = (dt.large_list if large else dt.list_)(child.dtype)
 
     def tree_flatten(self):
+        # the large_list tag must survive jit/pytree boundaries (cast
+        # retags via dtype assignment; recomputing as list_ dropped it)
+        large = self.dtype.name == "large_list"
         if self.validity is None:
-            return (self.offsets, self.child), (False,)
-        return (self.offsets, self.child, self.validity), (True,)
+            return (self.offsets, self.child), (False, large)
+        return (self.offsets, self.child, self.validity), (True, large)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (has_validity,) = aux
+        has_validity, large = aux
         obj = cls.__new__(cls)
         obj.offsets = children[0]
         obj.child = children[1]
         obj.validity = children[2] if has_validity else None
-        obj.dtype = dt.list_(obj.child.dtype)
+        obj.dtype = (dt.large_list if large
+                     else dt.list_)(obj.child.dtype)
         return obj
 
     def __len__(self):
         return int(self.offsets.shape[0]) - 1
 
+    def _large(self) -> bool:
+        return self.dtype.name == "large_list"
+
     def with_validity(self, validity):
-        return ListColumn(self.offsets, self.child, validity)
+        return ListColumn(self.offsets, self.child, validity,
+                          self._large())
 
     def slice(self, offset, length):
         offs = self.offsets[offset:offset + length + 1]
         start, end = int(offs[0]), int(offs[-1])
         v = self.validity[offset:offset + length] \
             if self.validity is not None else None
-        return ListColumn(offs - start, self.child.slice(start, end - start), v)
+        return ListColumn(offs - start,
+                          self.child.slice(start, end - start), v,
+                          self._large())
 
 
 @jax.tree_util.register_pytree_node_class
@@ -496,7 +506,8 @@ def _column_from_pylist(values: list, dtype, validity) -> Column:
             lb.append_null() if row is None else lb.append_value(row)
         out = lb.finish()
         if dtype.name == "large_list":
-            out.dtype = dtype
+            out = ListColumn(out.offsets.astype(jnp.int64), out.child,
+                             out.validity, large=True)
         return out
     if dtype.is_string and dtype.name != "fixed_size_binary" \
             or dtype.name in ("binary", "large_binary", "binary_view"):

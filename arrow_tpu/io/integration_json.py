@@ -458,9 +458,8 @@ def column_from_json(obj: Dict[str, Any], field: dt.Field,
                           np.int64 if d.name == "large_list" else np.int32)
         cf = dt.Field("item", d.value_type)
         child = column_from_json(obj["children"][0], cf, dictionaries)
-        out = ListColumn(jnp.asarray(offs), child, mask)
-        out.dtype = d
-        return out
+        return ListColumn(jnp.asarray(offs), child, mask,
+                          large=d.name == "large_list")
 
     if d.name == "fixed_size_list":
         cf = dt.Field("item", d.value_type)

@@ -982,10 +982,8 @@ class _Rebuilder:
             wide = d.name == "large_list"
             offs = self.typed_buf(np.int64 if wide else np.int32, n + 1)
             child = self.read(d.value_type)
-            lc = ListColumn(jnp.asarray(offs.copy()), child, v)
-            if wide:
-                lc.dtype = d
-            return lc
+            return ListColumn(jnp.asarray(offs.copy()), child, v,
+                              large=wide)
 
         if d.name in ("list_view", "large_list_view"):
             v = self.validity(n, nc)

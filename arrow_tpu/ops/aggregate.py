@@ -77,10 +77,17 @@ def _total_order_reduce(col: Column, want_max: bool):
     uniformly); returns index of the extremum among valid slots."""
     from .row_format import encode_value_key
     key, validity = encode_value_key(col)
-    if validity is not None:
-        sentinel = jnp.uint64(0) if want_max else jnp.uint64(0xFFFFFFFFFFFFFFFF)
-        key = jnp.where(validity, key, sentinel)
-    idx = jnp.argmax(key) if want_max else jnp.argmin(key)
+    if validity is None:
+        idx = jnp.argmax(key) if want_max else jnp.argmin(key)
+        return int(idx)
+    # sentinel keys can TIE with extreme valid values (i64::MIN encodes
+    # to key 0), so find the extremum among valid keys first, then the
+    # first valid slot holding it — never a null slot
+    sentinel = jnp.uint64(0) if want_max else \
+        jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    masked = jnp.where(validity, key, sentinel)
+    m = jnp.max(masked) if want_max else jnp.min(masked)
+    idx = jnp.argmax(validity & (key == m))
     return int(idx)
 
 

@@ -43,7 +43,8 @@ from .. import dtypes as dt
 from ..core import validity as vd
 from ..core.column import (Column, DictionaryColumn, NullColumn,
                            PrimitiveColumn, StringColumn)
-from ..errors import ArrowNotImplementedError, CastError
+from ..errors import (ArrowInvalid, ArrowNotImplementedError,
+                      ArrowTypeError, CastError)
 
 __all__ = ["CastOptions", "cast", "can_cast"]
 
@@ -126,9 +127,14 @@ def cast(col: Column, to: dt.DataType,
     if isinstance(col, DictionaryColumn):
         if to.is_dictionary:
             new_values = cast(col.values, to.value_type, options)
-            out = DictionaryColumn(
-                col.codes.astype(to.index_type.to_jax()), new_values,
-                col.validity, _canonical=True)
+            # key narrowing goes through the checked numeric cast
+            # (dictionary_cast, mod.rs:742): out-of-range codes become
+            # null (safe) or raise (unsafe) instead of wrapping
+            key_col = cast(PrimitiveColumn(col.codes, from_dt.index_type,
+                                           col.validity),
+                           to.index_type, options)
+            out = DictionaryColumn(key_col.values, new_values,
+                                   key_col.validity)
             return out
         # unpack: decode then cast (dictionary_cast, mod.rs:742)
         from .strings import dictionary_decode
@@ -212,11 +218,10 @@ def _all_null(to: dt.DataType, n: int) -> Column:
         z32 = jnp.zeros((n,), jnp.int32)
         return IntervalMDNColumn(z32, z32, jnp.zeros((n,), jnp.int64), mask)
     if name in ("list", "large_list"):
-        out = ListColumn(jnp.zeros((n + 1,), jnp.int64 if
-                                   name == "large_list" else jnp.int32),
-                         _all_null(to.value_type, 0), mask)
-        out.dtype = to
-        return out
+        return ListColumn(jnp.zeros((n + 1,), jnp.int64 if
+                                    name == "large_list" else jnp.int32),
+                          _all_null(to.value_type, 0), mask,
+                          large=name == "large_list")
     if name in ("list_view", "large_list_view"):
         off_dt = jnp.int64 if name == "large_list_view" else jnp.int32
         from ..core.nested import ListViewColumn
@@ -706,7 +711,10 @@ def _parse_one(s: str, to: dt.DataType):
         import datetime
         x = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
         if x.tzinfo is not None:
-            x = x.replace(tzinfo=None)
+            # normalize offset-bearing strings to UTC
+            # (string_to_timestamp_nanos, arrow-cast/src/parse.rs)
+            x = x.astimezone(datetime.timezone.utc) \
+                 .replace(tzinfo=None)
         delta = x - datetime.datetime(1970, 1, 1)
         us = delta // datetime.timedelta(microseconds=1)
         return us * 1000 // _UNIT_NS[to.unit] if to.unit == "ns" \
@@ -908,9 +916,10 @@ def _cast_list(col: Column, to: dt.DataType,
     if isinstance(col, ListColumn) and to.name in ("list", "large_list"):
         child = cast(col.child, to.value_type, options) \
             if col.child.dtype != to.value_type else col.child
-        out = ListColumn(col.offsets, child, col.validity)
-        out.dtype = to
-        return out
+        offs = col.offsets.astype(jnp.int64) \
+            if to.name == "large_list" else col.offsets
+        return ListColumn(offs, child, col.validity,
+                          large=to.name == "large_list")
 
     if isinstance(col, ListColumn) and to.name == "fixed_size_list":
         k = to.list_size
@@ -944,9 +953,8 @@ def _cast_list(col: Column, to: dt.DataType,
         child = col.child
         if to.value_type != child.dtype:
             child = cast(child, to.value_type, options)
-        out = ListColumn(jnp.asarray(offs), child, col.validity)
-        out.dtype = to
-        return out
+        return ListColumn(jnp.asarray(offs), child, col.validity,
+                          large=to.name == "large_list")
 
     if isinstance(col, FixedSizeListColumn) and \
             to.name == "fixed_size_list" and to.list_size == col.list_size:
@@ -985,9 +993,8 @@ def _cast_map(col: Column, to: dt.DataType,
             raise ArrowNotImplementedError(f"cast {from_dt!r} -> {to!r}")
         entries = cast_entries(col.entries, dt.struct(
             to.value_type.fields))
-        out = ListColumn(col.offsets, entries, col.validity)
-        out.dtype = to
-        return out
+        return ListColumn(col.offsets, entries, col.validity,
+                          large=to.name == "large_list")
 
     if isinstance(col, ListColumn) and to.name == "map":
         child = col.child

@@ -47,6 +47,8 @@ def _temporal_out(op: str, l: dt.DataType, r: dt.DataType):
             raise ArrowTypeError(f"unit mismatch {l!r} vs {r!r}")
         return l
     if l.name == "duration" and r.name == "timestamp" and op == "add":
+        if l.unit != r.unit:
+            raise ArrowTypeError(f"unit mismatch {l!r} vs {r!r}")
         return r
     if l.name == "timestamp" and r.name == "timestamp" and op == "sub":
         if l.unit != r.unit:
@@ -241,18 +243,21 @@ def _dec_parts(x):
 
 
 def _dec_result_type(op, p1, s1, p2, s2):
+    # precision saturates at the operand family's max (numeric.rs
+    # saturating_add(..).min(MAX_PRECISION)); scale overflow errors
+    mx = 38 if max(p1, p2) <= 38 else 76
     if op in ("add", "sub"):
         s = max(s1, s2)
         p = max(p1 - s1, p2 - s2) + s + 1
     elif op == "mul":
         s = s1 + s2
         p = p1 + p2 + 1
-    else:                                    # div
-        s = max(4, s1 + p2 - s2 + 1)
+    else:                                    # div (numeric.rs:884):
+        s = min(s1 + 4, mx)                  # postgres-style s1 + 4
         p = p1 - s1 + s2 + s
-    if p > 76:
-        raise ArrowInvalid(f"decimal precision out of range: {p}")
-    return p, s
+    if s > mx:
+        raise ArrowInvalid(f"decimal scale out of range: {s}")
+    return min(p, mx), s
 
 
 def _decimal_arith(op, lhs, rhs) -> Column:
@@ -278,9 +283,11 @@ def _decimal_arith(op, lhs, rhs) -> Column:
                 dbz = True
                 out.append(0)
             else:
-                num = a * 10 ** (s - s1 + s2)
-                q = abs(num) // abs(b)       # truncate toward zero
-                out.append(q if (num >= 0) == (b >= 0) else -q)
+                mul_pow = s - s1 + s2
+                num, den = (a * 10 ** mul_pow, b) if mul_pow >= 0 \
+                    else (a, b * 10 ** (-mul_pow))
+                q = abs(num) // abs(den)     # truncate toward zero
+                out.append(q if (num >= 0) == (den >= 0) else -q)
     valid = None
     if lv is not None or rv is not None:
         valid = np.ones(n1, bool)

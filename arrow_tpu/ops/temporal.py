@@ -69,16 +69,96 @@ def _tzif_table(name: str):
         return version, times, idxs, offs, p
 
     version, times, idxs, offs, end = parse_block(0, wide=False)
+    footer_end = end
     if version >= b"2":
-        version, times, idxs, offs, _ = parse_block(end, wide=True)
+        version, times, idxs, offs, footer_end = parse_block(end,
+                                                             wide=True)
+    # v2+ footer POSIX TZ rule: governs instants past the last stored
+    # transition (slim tzdata ships few transitions; fat ends ~2037)
+    tzstr = ""
+    if footer_end < len(data) and data[footer_end:footer_end + 1] == b"\n":
+        nl = data.find(b"\n", footer_end + 1)
+        tzstr = data[footer_end + 1:nl if nl > 0 else len(data)] \
+            .decode("ascii", "ignore")
     if len(times) == 0:
         return (np.array([-(1 << 62)], np.int64),
                 np.array([offs[0] if len(offs) else 0], np.int64))
     # offset BEFORE the first transition: the first non-DST type (or 0)
     trans_offs = offs[idxs]
     first = offs[0]
+    ft, fo = _posix_rule_transitions(tzstr, int(times[-1]))
+    if ft:
+        times = np.concatenate([times, np.asarray(ft, np.int64)])
+        trans_offs = np.concatenate([trans_offs,
+                                     np.asarray(fo, np.int64)])
     return (np.concatenate([[-(1 << 62)], times]).astype(np.int64),
             np.concatenate([[first], trans_offs]).astype(np.int64))
+
+
+def _posix_rule_transitions(tz: str, after: int):
+    """Expand a POSIX TZ footer rule ('EST5EDT,M3.2.0,M11.1.0') into
+    explicit (utc_second, offset) transitions for years after `after`,
+    through 2120 (the chrono-tz role for post-table instants)."""
+    import datetime
+    import re
+    name = r"(?:<[^>]+>|[A-Za-z]+)"
+    off = r"[+-]?\d+(?::\d+(?::\d+)?)?"
+    m = re.match(rf"^({name})({off})(({name})({off})?)?(?:,(.+),(.+))?$",
+                 tz)
+    if not m or not m.group(3) or not m.group(6):
+        return [], []                 # constant offset: table suffices
+
+    def secs(s):
+        sign = -1 if s.startswith("-") else 1
+        parts = [int(x) for x in s.lstrip("+-").split(":")]
+        while len(parts) < 3:
+            parts.append(0)
+        return sign * (parts[0] * 3600 + parts[1] * 60 + parts[2])
+
+    std_off = -secs(m.group(2))       # POSIX offsets are west-positive
+    dst_off = -secs(m.group(5)) if m.group(5) else std_off + 3600
+
+    def parse_rule(s):
+        t = 2 * 3600
+        if "/" in s:
+            s, tp = s.split("/", 1)
+            t = secs(tp)
+        mo, wk, wd = (int(x) for x in s[1:].split("."))
+        if not s.startswith("M"):
+            raise ArrowNotImplementedError(f"TZ rule {s!r}")
+        return mo, wk, wd, t
+
+    try:
+        r_start = parse_rule(m.group(6))
+        r_end = parse_rule(m.group(7))
+    except (ValueError, ArrowNotImplementedError):
+        return [], []                 # Jn/n rules: rare, skip footer
+
+    def m_date(year, mo, wk, wd):
+        if wk == 5:                   # last wd of the month
+            nxt = datetime.date(year + (mo == 12), mo % 12 + 1, 1)
+            d = nxt - datetime.timedelta(days=1)
+            return d - datetime.timedelta(
+                days=((d.weekday() + 1) % 7 - wd) % 7)
+        d = datetime.date(year, mo, 1)
+        dow = (d.weekday() + 1) % 7   # 0=Sunday per POSIX
+        d += datetime.timedelta(days=(wd - dow) % 7 + 7 * (wk - 1))
+        return d
+
+    epoch = datetime.date(1970, 1, 1)
+    y0 = (datetime.date(1970, 1, 1)
+          + datetime.timedelta(seconds=after // 86400 * 86400)).year
+    out_t, out_o = [], []
+    for y in range(max(y0, 1971), 2121):
+        mo, wk, wd, t = r_start     # DST begins (time is in std time)
+        st = (m_date(y, mo, wk, wd) - epoch).days * 86400 + t - std_off
+        mo, wk, wd, t = r_end       # DST ends (time is in dst time)
+        en = (m_date(y, mo, wk, wd) - epoch).days * 86400 + t - dst_off
+        for sec, o in sorted([(st, dst_off), (en, std_off)]):
+            if sec > after:
+                out_t.append(sec)
+                out_o.append(o)
+    return out_t, out_o
 
 
 def _parse_fixed_offset(tz: str):
@@ -308,17 +388,22 @@ def _days_in_month(y, m):
     return jnp.where((m == 2) & leap, 29, d)
 
 
-def _add_months_days_nanos(col: PrimitiveColumn, months, days, nanos,
-                           negate: bool):
-    """Calendar-aware shift of a timestamp/date column: months add with
-    end-of-month clamping (chrono checked_add_months semantics, the rule
-    arrow-rs interval arithmetic uses), then whole days, then
-    nanoseconds."""
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("dname", "unit", "negate", "has_tz"))
+def _add_mdn_stage(v, months, days, nanos, trans, offs, dname, unit,
+                   negate, has_tz):
+    """ONE jitted program for the whole calendar shift (the eager chain
+    was ~25 remote dispatches).  With a tz, the civil math runs in
+    LOCAL wall-clock like the reference (numeric.rs:369-426 passes Tz
+    into add_year_month/add_day_time/add_month_day_nano), then converts
+    back through the reverse transition lookup."""
     if negate:
         months, days, nanos = -months, -days, -nanos
-    d = col.dtype
     ep_days, time_ns = _epoch_days_and_time_ns_traced(
-        col.values.astype(jnp.int64), None, None, d.name, d.unit)
+        v, trans if has_tz else None, offs if has_tz else None,
+        dname, unit)
     y, m, dd = _civil_from_days(ep_days)
     m2 = m - 1 + months.astype(jnp.int64)
     y2 = y + jnp.floor_divide(m2, 12)
@@ -330,16 +415,47 @@ def _add_months_days_nanos(col: PrimitiveColumn, months, days, nanos,
     total_ns = total_ns - jnp.floor_divide(
         total_ns, 86_400_000_000_000) * 86_400_000_000_000
 
-    if d.name == "date32":
-        return PrimitiveColumn(out_days.astype(jnp.int32), d, col.validity,
-                               _canonical=col.validity is None)
-    if d.name == "date64":
-        ms = out_days * 86_400_000 + total_ns // 1_000_000
-        return PrimitiveColumn(ms, d, col.validity,
-                               _canonical=col.validity is None)
-    scale = _UNIT_NS[d.unit]
-    v = out_days * (86_400 * (1_000_000_000 // scale)) + total_ns // scale
-    return PrimitiveColumn(v, d, col.validity,
+    if dname == "date32":
+        return out_days.astype(jnp.int32)
+    if dname == "date64":
+        return out_days * 86_400_000 + total_ns // 1_000_000
+    scale = _UNIT_NS[unit]
+    ns = out_days * (86_400 * 1_000_000_000) + total_ns
+    if has_tz:
+        # local -> UTC: regime i begins at wall-clock trans[i]+offs[i];
+        # ambiguous wall-clocks resolve to the later regime, gap
+        # wall-clocks to the later as well (chrono's from_local picks a
+        # deterministic side; exactness over DST is test-pinned)
+        secs_local = jnp.floor_divide(ns, 1_000_000_000)
+        trans_local = trans + offs
+        idx = jnp.clip(jnp.searchsorted(trans_local, secs_local,
+                                        side="right") - 1,
+                       0, offs.shape[0] - 1)
+        ns = ns - offs[idx] * 1_000_000_000
+    return ns // scale
+
+
+def _add_months_days_nanos(col: PrimitiveColumn, months, days, nanos,
+                           negate: bool):
+    """Calendar-aware shift of a timestamp/date column: months add with
+    end-of-month clamping (chrono checked_add_months semantics, the rule
+    arrow-rs interval arithmetic uses), then whole days, then
+    nanoseconds — in the column's LOCAL time when it carries a tz."""
+    d = col.dtype
+    tz = d.tz if d.name == "timestamp" else None
+    if tz is not None:
+        trans, offs = _tz_tables(tz)
+        has_tz = True
+    else:
+        trans = offs = jnp.zeros((1,), jnp.int64)
+        has_tz = False
+    out = _add_mdn_stage(col.values.astype(jnp.int64),
+                         jnp.asarray(months, jnp.int64),
+                         jnp.asarray(days, jnp.int64),
+                         jnp.asarray(nanos, jnp.int64),
+                         trans, offs, d.name, d.unit or "us", negate,
+                         has_tz)
+    return PrimitiveColumn(out, d, col.validity,
                            _canonical=col.validity is None)
 
 
@@ -366,7 +482,9 @@ def add_interval(col: PrimitiveColumn, interval, *, negate: bool = False
         else:                                     # day_time: days<<32|ms
             packed = interval.values.astype(jnp.int64)
             days = packed >> 32
-            ms = packed - (days << 32)
+            # low 32 bits are SIGNED millis (interval.rs day_time;
+            # unsigned decode turned ms=-500 into +49.7 days)
+            ms = packed.astype(jnp.int32).astype(jnp.int64)
             months = jnp.zeros_like(days)
             nanos = ms * 1_000_000
         iv_valid = interval.validity

@@ -32,7 +32,6 @@ class FormatOptions:
     timestamp_format: Optional[str] = None
 
 
-_UNIT_US = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1 / 1000}
 
 
 class ArrayFormatter:
@@ -61,9 +60,13 @@ class ArrayFormatter:
         if d.is_floating:
             return repr(float(v))
         if name == "timestamp" and isinstance(v, (int, np.integer)):
-            us = int(v) * _UNIT_US[d.unit]
-            s = _datetime.datetime.fromtimestamp(
-                us / 1e6, _datetime.timezone.utc)
+            # exact integer us (float roundtrips lose the last us digit
+            # on ns-epoch magnitudes)
+            scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[d.unit]
+            us = int(v) * scale if d.unit != "ns" else int(v) // 1_000
+            s = _datetime.datetime(1970, 1, 1,
+                                   tzinfo=_datetime.timezone.utc) \
+                + _datetime.timedelta(microseconds=us)
             fmt = self.options.timestamp_format or "%Y-%m-%dT%H:%M:%S.%f"
             return s.strftime(fmt)
         if isinstance(v, _datetime.datetime):

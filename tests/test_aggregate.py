@@ -104,3 +104,19 @@ def test_bit_aggregates():
     assert not bit_xor(empty).valid
     with pytest.raises(at.ArrowTypeError):
         bit_and(column_from_pyarrow(pa.array([1.5], pa.float64())))
+
+
+def test_min_max_sentinel_tie_with_null():
+    """max over [None, i64::MIN] (and min over [None, i64::MAX]):
+    the null slot's sentinel key ties with the extreme value — the
+    extremum must come from a VALID slot."""
+    from arrow_tpu.ops import aggregate as agg
+    lo, hi = -2**63, 2**63 - 1
+    c = at.column([None, lo])
+    assert int(np.asarray(agg.max_(c).value)) == lo
+    assert agg.max_(c).valid
+    c2 = at.column([None, hi])
+    assert int(np.asarray(agg.min_(c2).value)) == hi
+    c3 = at.column([None, float("nan")])
+    import math
+    assert math.isnan(float(np.asarray(agg.min_(c3).value)))

@@ -126,3 +126,14 @@ def test_timestamp_duration_arith():
 def test_type_mismatch_raises():
     with pytest.raises(at.ArrowError):
         ops.add(at.column([1, 2]), at.column([1.0, 2.0]))
+
+
+def test_duration_plus_timestamp_unit_mismatch_raises():
+    """The commuted (duration, timestamp) arm checks units too
+    (numeric.rs dispatch) — raw count addition was silently wrong."""
+    from arrow_tpu.ops import numeric as num
+    from arrow_tpu.errors import ArrowTypeError
+    d = at.column([3_600_000], dtype=at.duration("ms"))
+    ts = at.column([0], dtype=at.timestamp("s"))
+    with pytest.raises(ArrowTypeError):
+        num.add(d, ts)

@@ -240,3 +240,46 @@ def test_base64_roundtrip():
     with pytest.raises(Exception):
         from arrow_tpu.core.column import StringColumn
         base64_decode(StringColumn.from_pylist(["!not-base64!"]))
+
+
+def test_dict_to_dict_key_narrowing_checked():
+    """dictionary<int32> -> dictionary<int8> with >127 distinct codes:
+    out-of-range codes become null (safe) / raise (unsafe), never wrap
+    (dictionary_cast, mod.rs:742)."""
+    import jax.numpy as jnp
+    from arrow_tpu.core.column import DictionaryColumn, StringColumn
+    from arrow_tpu.ops.cast import CastOptions, cast
+    from arrow_tpu.errors import CastError
+    vals = StringColumn.from_pylist([f"v{i:04d}" for i in range(200)])
+    codes = jnp.asarray(np.array([0, 150, 199], np.int32))
+    d = DictionaryColumn(codes, vals, None)
+    out = cast(d, at.dictionary(at.int8, at.utf8))
+    assert out.to_pylist() == ["v0000", None, None]
+    with pytest.raises(CastError):
+        cast(d, at.dictionary(at.int8, at.utf8), CastOptions(safe=False))
+
+
+def test_large_list_survives_pytree_boundary():
+    """cast list->large_list keeps its dtype through jit/pytree
+    round-trips (the retag used to be recomputed away)."""
+    import jax
+    from arrow_tpu.ops.cast import cast
+    c = at.column([[1, 2], [3]])
+    big = cast(c, at.large_list(at.int64))
+    assert big.dtype.name == "large_list"
+    leaves, treedef = jax.tree_util.tree_flatten(big)
+    back = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert back.dtype.name == "large_list"
+    assert back.to_pylist() == [[1, 2], [3]]
+
+
+def test_utf8_to_timestamp_normalizes_offsets():
+    """Offset-bearing strings convert to UTC
+    (string_to_timestamp_nanos, parse.rs) — the offset used to be
+    dropped."""
+    from arrow_tpu.core.column import StringColumn
+    from arrow_tpu.ops.cast import cast
+    c = StringColumn.from_pylist(["1970-01-01T00:00:00+05:00",
+                                  "1970-01-01T00:00:00Z"])
+    out = cast(c, at.timestamp("s"))
+    assert np.asarray(out.values).tolist() == [-18000, 0]

@@ -144,11 +144,18 @@ def test_decimal_arithmetic_matches_pyarrow():
                  pa.decimal128(8, 1))
     ca, cb = column_from_pyarrow(a), column_from_pyarrow(b)
     for op, pcop in (("add", pc.add), ("sub", pc.subtract),
-                     ("mul", pc.multiply), ("div", pc.divide)):
+                     ("mul", pc.multiply)):
         got = column_to_pyarrow(getattr(num, op)(ca, cb))
         want = pcop(a, b)
         assert got.type == want.type, (op, got.type, want.type)
         assert got.to_pylist() == want.to_pylist(), op
+    # division scale: arrow-rs uses the postgres-style s1 + 4
+    # (numeric.rs:884) where Arrow C++ uses s1 + p2 - s2 + 1 — we follow
+    # arrow-rs (same stance as struct-cast-by-position)
+    got = column_to_pyarrow(num.div(ca, cb))
+    assert got.type == pa.decimal128(15, 6), got.type
+    assert [None if v is None else str(v) for v in got.to_pylist()] == \
+        ["0.500000", None, "-7.000000"]
 
 
 def test_decimal_div_truncates_and_dbz():

@@ -206,3 +206,76 @@ class TestTimezoneAware:
                               np.asarray(pc.iso_year(arr)))
         assert np.array_equal(np.asarray(ops.week(col).values),
                               np.asarray(pc.iso_week(arr)))
+
+
+def test_interval_arith_tz_aware():
+    """Interval arithmetic runs in the column's LOCAL civil time
+    (numeric.rs:369-426 passes Tz into add_*): +1 day across the
+    spring-forward keeps the local wall-clock; month adds clamp in
+    local time."""
+    import datetime
+    import zoneinfo
+    from arrow_tpu.ops import temporal as tp
+    ny = "America/New_York"
+    z = zoneinfo.ZoneInfo(ny)
+    utc = datetime.timezone.utc
+
+    def to_us(local):
+        return int(local.replace(tzinfo=z).astimezone(utc)
+                   .replace(tzinfo=None).timestamp() * 1e6)
+
+    def back(us):
+        return (datetime.datetime(1970, 1, 1, tzinfo=utc)
+                + datetime.timedelta(microseconds=us)).astimezone(z) \
+            .replace(tzinfo=None)
+
+    col = at.column([to_us(datetime.datetime(2021, 3, 13, 23, 0))],
+                    dtype=at.timestamp("us", ny))
+    iv = at.column([(0, 1, 0)], dtype=at.interval("month_day_nano"))
+    out = tp.add_interval(col, iv)
+    assert back(int(np.asarray(out.values)[0])) == \
+        datetime.datetime(2021, 3, 14, 23, 0)
+    col2 = at.column([to_us(datetime.datetime(2021, 1, 31, 22, 0))],
+                     dtype=at.timestamp("us", ny))
+    iv2 = at.column([1], dtype=at.interval("year_month"))
+    out2 = tp.add_interval(col2, iv2)
+    assert back(int(np.asarray(out2.values)[0])) == \
+        datetime.datetime(2021, 2, 28, 22, 0)
+
+
+def test_day_time_negative_millis():
+    """Low 32 bits of day_time are SIGNED millis (interval.rs);
+    unsigned decode turned -500ms into +49.7 days."""
+    from arrow_tpu.ops import temporal as tp
+    col = at.column([1_000_000], dtype=at.timestamp("us"))
+    packed = (1 << 32) | (0xFFFFFFFF & -500)     # days=1, ms=-500
+    iv = at.column([packed], dtype=at.interval("day_time"))
+    out = tp.add_interval(col, iv)
+    assert int(np.asarray(out.values)[0]) == \
+        1_000_000 + 86_400_000_000 - 500_000
+
+
+def test_post_2037_tz_extraction():
+    """TZif footer POSIX rule governs instants past the last stored
+    transition (fat tzdata ends 2037) — summer/winter 2045 NY and a
+    southern-hemisphere zone extract local hours correctly."""
+    import datetime
+    import zoneinfo
+    from arrow_tpu.ops import temporal as tp
+    utc = datetime.timezone.utc
+
+    def us_at(zname, *args):
+        z = zoneinfo.ZoneInfo(zname)
+        local = datetime.datetime(*args, tzinfo=z)
+        return int(local.astimezone(utc).replace(tzinfo=None)
+                   .timestamp() * 1e6)
+
+    c = at.column([us_at("America/New_York", 2045, 7, 1, 15, 30)],
+                  dtype=at.timestamp("us", "America/New_York"))
+    assert int(np.asarray(tp.hour(c).values)[0]) == 15
+    c2 = at.column([us_at("America/New_York", 2045, 1, 1, 15, 30)],
+                   dtype=at.timestamp("us", "America/New_York"))
+    assert int(np.asarray(tp.hour(c2).values)[0]) == 15
+    c3 = at.column([us_at("Australia/Sydney", 2044, 1, 15, 10, 0)],
+                   dtype=at.timestamp("us", "Australia/Sydney"))
+    assert int(np.asarray(tp.hour(c3).values)[0]) == 10
