@@ -60,7 +60,6 @@ def _kernel(keep_ref, planes_ref, out_ref, off_smem, pend_smem, staging,
 
     keep = keep_ref[...]                         # (8, 128) i32 0/1
     # flatten logical order: row-major (8,128) -> 4 chunks of 256
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CHUNK), 1)
 
     for c in range(_NSUB):
         rows = keep[2 * c: 2 * c + 2, :]          # (2, 128) = 256 rows

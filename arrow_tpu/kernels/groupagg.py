@@ -207,7 +207,12 @@ def _grouped_aggregate_impl(codes, planes, svalid, mm_planes, mm_valid,
         total = jnp.zeros((g,), jnp.uint64)
         for l in range(_NLIMB):
             total = total + (lo[base + l, :g] << jnp.uint64(8 * l))
-            total = total + (hi[base + l, :g] << jnp.uint64(8 * l + 8))
+            if l < _NLIMB - 1:
+                # the last hi limb's shift would be 64 == bit width:
+                # implementation-defined in XLA (CPU gives 0, a mod-64
+                # lowering would give <<0); its contribution wraps away
+                # mod 2^64 by definition, so skip it
+                total = total + (hi[base + l, :g] << jnp.uint64(8 * l + 8))
         sums.append(jax.lax.bitcast_convert_type(total, jnp.int64))
         cnt = (lo[base + _NLIMB, :g]
                + (hi[base + _NLIMB, :g] << jnp.uint64(8))).astype(jnp.int64)

@@ -53,8 +53,12 @@ def make_comparator(a: Column, b: Column,
         stacked = _key_matrix(proxy, options)
         ka, kb = stacked[:len(a)], stacked[len(a):]
     else:
-        ka = _key_matrix(a, options)
-        kb = _key_matrix(b, options)
+        # string/dictionary keys are RANKS of each array's distinct
+        # values — only comparable when computed over the CONCAT of
+        # both arrays (per-array ranks mis-ordered 'b' vs 'b')
+        from .concat import concat
+        stacked = _key_matrix(concat([a, b]), options)
+        ka, kb = stacked[:len(a)], stacked[len(a):]
 
     def cmp(i: int, j: int) -> int:
         ra, rb = ka[i], kb[j]

@@ -38,6 +38,10 @@ def run_end_encode(col: Column, run_end_type: dt.DataType = dt.int32
         neq = (m[1:] != m[:-1]) | (neq & m[1:] & m[:-1])
     start = jnp.concatenate([jnp.ones((1,), jnp.bool_), neq])
     starts = np.nonzero(np.asarray(start))[0]           # host: run count
+    hi = np.iinfo(np.dtype(run_end_type.to_jax())).max
+    if n > hi:
+        raise ArrowInvalid(
+            f"run ends overflow {run_end_type!r}: length {n} > {hi}")
     run_ends = np.concatenate([starts[1:], [n]]).astype(
         np.dtype(run_end_type.to_jax()))
     from .take import take as take_kernel

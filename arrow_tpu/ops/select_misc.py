@@ -123,6 +123,12 @@ def union_extract(col, field_name: str) -> Column:
     tid = col.ids[i]
     selected = col.type_ids == jnp.int8(tid)
     child = col.children[i]
+    if len(child) == 0:
+        # dense union, no rows of this type: all-null output
+        # (union_extract.rs returns new_null_array)
+        from .cast import cast as _cast
+        from ..core.column import NullColumn
+        return _cast(NullColumn(len(col)), child.dtype)
     if col.offsets is None:                       # sparse
         return child.with_validity(
             vd.union(child.validity, selected))

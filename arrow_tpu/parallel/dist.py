@@ -12,12 +12,11 @@ that trim padding live in parallel.api.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from .mesh import shard_axis
 from .partition import bucketize, exchange, hash_u64, repartition_arrays
@@ -46,8 +45,12 @@ def local_group_aggregate(key: jnp.ndarray, valid: jnp.ndarray,
     k = jnp.where(valid, key, _U64_MAX)
     # ONE payload-carrying sort: the aggregate source tensors ride as
     # extra operands (at 100M a payload operand adds ~0.6 s of merge
-    # bytes vs ~2.4 s for a post-sort random gather, measured on v5e)
-    iota = jnp.arange(n, dtype=jnp.uint32)
+    # bytes vs ~2.4 s for a post-sort random gather, measured on v5e).
+    # ~valid is a SECOND sort key so a valid group whose key equals the
+    # invalid-row sentinel (u64::MAX / i64::MAX) sorts BEFORE the
+    # invalid rows of its run — else its run start is an invalid row,
+    # eligible misses it, and its rows silently merge into the
+    # previous group (the dist_join two-key sort is the same fix)
     uniq_arrays = []
     uniq_pos = {}
     for _, arr in specs:
@@ -55,10 +58,9 @@ def local_group_aggregate(key: jnp.ndarray, valid: jnp.ndarray,
             uniq_pos[id(arr)] = len(uniq_arrays)
             uniq_arrays.append(arr)
     sorted_ops = jax.lax.sort(
-        (k, iota, valid) + tuple(uniq_arrays), num_keys=1,
+        (k, ~valid, valid) + tuple(uniq_arrays), num_keys=2,
         is_stable=True)
     ks = sorted_ops[0]
-    order = sorted_ops[1]
     vs = sorted_ops[2]
     sorted_arrays = sorted_ops[3:]
     run_start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
@@ -173,11 +175,14 @@ def _local_lookup_unique(probe_key, probe_valid, build_key, build_valid,
     """For each probe row find the (unique) matching build row.
     Returns (match_valid, [gathered build values])."""
     bk = jnp.where(build_valid, build_key, _U64_MAX)
-    order = jnp.argsort(bk, stable=True)
-    bks = bk[order]
+    # ~valid as a tiebreak key: probe keys equal to the sentinel must
+    # land on the VALID build row, not an invalid one that ties it
+    iota = jnp.arange(bk.shape[0], dtype=jnp.int32)
+    bks, inv_s, order = jax.lax.sort((bk, ~build_valid, iota),
+                                     num_keys=2, is_stable=True)
     pos = jnp.searchsorted(bks, probe_key)
     pos_c = jnp.clip(pos, 0, bks.shape[0] - 1)
-    hit = (bks[pos_c] == probe_key) & probe_valid & build_valid[order][pos_c]
+    hit = (bks[pos_c] == probe_key) & probe_valid & ~inv_s[pos_c]
     gathered = [bv[order][pos_c] for bv in build_vals]
     return hit, gathered
 

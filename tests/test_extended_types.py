@@ -403,3 +403,13 @@ class TestTypeParser:
                     ""):
             with pytest.raises(at.ArrowInvalid):
                 p(bad)
+
+
+def test_run_end_encode_overflow_raises():
+    """Run ends beyond the run-end type's max raise (pyarrow raises
+    too) instead of wrapping negative."""
+    from arrow_tpu.ops.ree import run_end_encode
+    from arrow_tpu.errors import ArrowInvalid
+    c = at.column(np.arange(40_000, dtype=np.int64))
+    with pytest.raises(ArrowInvalid):
+        run_end_encode(c, at.int16)

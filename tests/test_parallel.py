@@ -335,3 +335,39 @@ def test_dist_sort_overflow_flag(mesh):
 
     assert not bool(run(keys, ok, n * 2))   # generous: fine
     assert bool(run(keys, ok, 8))           # skewed into tiny cap: flags
+
+
+def test_local_group_aggregate_sentinel_key_group():
+    """A valid group whose u64 key equals the invalid-row sentinel
+    (u64::MAX) must not merge into the previous group when null rows
+    tie it in the sort."""
+    import jax.numpy as jnp
+    from arrow_tpu.parallel.dist import local_group_aggregate
+    MAX = 0xFFFFFFFFFFFFFFFF
+    key = jnp.asarray(np.array([MAX, 5, MAX, MAX], np.uint64))
+    valid = jnp.asarray(np.array([False, True, True, True]))
+    vals = jnp.asarray(np.array([100, 1, 10, 20], np.int64))
+    gk, gv, outs, over = local_group_aggregate(
+        key, valid, 4, [("sum", vals), ("count", vals)])
+    got = {int(k): (int(s), int(c))
+           for k, v, s, c in zip(np.asarray(gk), np.asarray(gv),
+                                 np.asarray(outs[0]), np.asarray(outs[1]))
+           if v}
+    assert got == {5: (1, 1), MAX: (30, 2)}, got
+    assert not bool(over)
+
+
+def test_local_lookup_unique_sentinel_probe():
+    """Probe key == sentinel must match the VALID build row, not an
+    invalid row that ties it."""
+    import jax.numpy as jnp
+    from arrow_tpu.parallel.dist import _local_lookup_unique
+    MAX = 0xFFFFFFFFFFFFFFFF
+    bk = jnp.asarray(np.array([0, MAX], np.uint64))
+    bv = jnp.asarray(np.array([False, True]))
+    pk = jnp.asarray(np.array([MAX], np.uint64))
+    pv = jnp.asarray(np.array([True]))
+    vals = jnp.asarray(np.array([111, 222], np.int64))
+    hit, gathered = _local_lookup_unique(pk, pv, bk, bv, [vals])
+    assert bool(np.asarray(hit)[0])
+    assert int(np.asarray(gathered[0])[0]) == 222

@@ -150,3 +150,19 @@ def test_shift_view_union_ree_layouts():
     r = RunEndColumn(jnp.array([2, 5], jnp.int32), at.column([7, 9]))
     assert ops.shift(r, 2).to_pylist() == [None, None, 7, 7, 9]
     assert ops.shift(r, -2).to_pylist() == [9, 9, 9, None, None]
+
+
+def test_union_extract_empty_dense_child():
+    """Dense union with an empty child extracts as all-null
+    (union_extract.rs new_null_array) instead of crashing."""
+    import jax.numpy as jnp
+    from arrow_tpu.core.nested import UnionColumn
+    from arrow_tpu.ops.select_misc import union_extract
+    u = UnionColumn(jnp.asarray(np.array([1, 1], np.int8)),
+                    jnp.asarray(np.array([0, 1], np.int32)),
+                    [at.column(np.zeros(0, np.int32)),
+                     at.column([1.5, 2.5])],
+                    [at.Field("a", at.int32), at.Field("b", at.float64)])
+    out = union_extract(u, "a")
+    assert out.to_pylist() == [None, None]
+    assert out.dtype == at.int32

@@ -479,3 +479,17 @@ def test_sort_map_and_list_of_map_keys():
                   pa.list_(pa.map_(pa.string(), pa.int64())))
     got = ops.sort(column_from_pyarrow(lm)).to_pylist()
     assert got == [None, [], [[("a", 1)]], [[("b", 2)], [("a", 1)]]]
+
+
+def test_make_comparator_strings_cross_array():
+    """String/dict ranks must be computed over the CONCAT of both
+    arrays (ord.rs make_comparator) — per-array ranks mis-ordered
+    'b' vs 'b'."""
+    from arrow_tpu.ops.ord import make_comparator
+    a = at.column(["b", "z"])
+    b = at.column(["a", "b"])
+    cmp = make_comparator(a, b)
+    assert cmp(0, 1) == 0        # 'b' vs 'b'
+    assert cmp(0, 0) == 1        # 'b' vs 'a'
+    assert cmp(1, 1) == 1        # 'z' vs 'b'
+    assert cmp(0, 0) == 1 and cmp(1, 0) == 1
