@@ -67,7 +67,7 @@ def scalar(value, dtype: Optional[dt.DataType] = None) -> Scalar:
             raise ArrowTypeError("null scalar requires a dtype")
         return Scalar(0, dtype, valid=False)
     if dtype is None:
-        if isinstance(value, bool):
+        if isinstance(value, (bool, np.bool_)):
             dtype = dt.bool_
         elif isinstance(value, (int, np.integer)):
             dtype = dt.int64

@@ -50,7 +50,10 @@ def dictionary_occupancy(col: DictionaryColumn) -> float:
         return 0.0
     codes = col.codes
     if col.validity is not None:
-        codes = jnp.where(col.validity, codes, -1)
+        # sentinel must be truly OUT of bounds: mode='drop' normalizes
+        # negative indices first, so -1 would mark values[size-1]
+        codes = jnp.where(col.validity, codes,
+                          jnp.asarray(size, codes.dtype))
     used = jnp.zeros((size,), jnp.bool_).at[codes].set(True, mode="drop")
     return float(jnp.sum(used)) / size
 

@@ -178,8 +178,15 @@ def _strip_framing(header: bytes) -> bytes:
 
 
 def _split_tables(table: Table) -> List[Table]:
-    """Split near MAX_FLIGHT_DATA_SIZE (FlightDataEncoder encode.rs:148)."""
-    nbytes = _approx_bytes(table)
+    """Split near MAX_FLIGHT_DATA_SIZE (FlightDataEncoder encode.rs:148).
+
+    Sizing excludes dictionary VALUES bytes: the dictionary batch is
+    deduped by identity and sent once regardless of how many record
+    batches follow, so a big dictionary must not shred small codes."""
+    from ..core.pool import column_memory_size, table_memory_size
+    nbytes = table_memory_size(table)
+    for dc in _table_dict_columns(table):
+        nbytes -= column_memory_size(dc.values)
     if nbytes <= MAX_FLIGHT_DATA_SIZE or table.num_rows <= 1:
         return [table]
     rows_per = max(int(table.num_rows * MAX_FLIGHT_DATA_SIZE / nbytes), 1)
@@ -187,34 +194,34 @@ def _split_tables(table: Table) -> List[Table]:
             for i in range(0, table.num_rows, rows_per)]
 
 
-def _approx_bytes(table: Table) -> int:
-    import numpy as np
-    total = 0
-    for col in table.columns:
-        for leaf in _tensors_of(col):
-            total += leaf.size * leaf.dtype.itemsize
-    return total or 1
-
-
-def _tensors_of(col):
-    import jax
-    return [x for x in jax.tree_util.tree_leaves(col)
-            if hasattr(x, "size") and hasattr(x, "dtype")]
-
-
 def encode_flight_stream(tables, descriptor: Optional[FlightDescriptor]
-                         = None) -> Iterator[bytes]:
-    """tables -> FlightData protobuf messages (schema, dictionaries,
-    record batches; ~2MB splits)."""
-    tables = [tables] if isinstance(tables, Table) else list(tables)
-    if not tables:
-        return
-    schema = tables[0].schema
+                         = None, schema: Optional[dt.Schema] = None
+                         ) -> Iterator[bytes]:
+    """tables (list OR lazy iterator) -> FlightData protobuf messages
+    (schema, dictionaries, record batches; ~2MB splits).  Streaming:
+    each input table is encoded and yielded before the next is pulled.
+    `schema` lets an EMPTY stream still emit its schema message (a
+    Flight stream must start with one)."""
+    if isinstance(tables, Table):
+        tables = [tables]
+    it = iter(tables)
+    first = None
+    if schema is None:
+        first = next(it, None)
+        if first is None:
+            return
+        schema = first.schema
     yield _flight_data(
         data_header=fmt.write_schema_message(schema),
         descriptor=descriptor)
+
+    def _stream():
+        if first is not None:
+            yield first
+        yield from it
+
     written: Dict[int, Column] = {}   # holds the values obj (pins id)
-    for t in tables:
+    for t in _stream():
         for part in _split_tables(t):
             # innermost dictionaries first (reversed preorder) so nested
             # dictionary values decode before their parents
@@ -315,9 +322,13 @@ class FlightServer:
             self._tables[name] = table
 
     def register_producer(self, name: str,
-                          producer: Callable[[], Iterator[Table]]) -> None:
+                          producer: Callable[[], Iterator[Table]],
+                          schema: Optional[dt.Schema] = None) -> None:
+        """`schema` lets get_flight_info/get_schema advertise the
+        stream's real schema (and lets an empty stream stay decodable)
+        without draining the producer."""
         with self._lock:
-            self._producers[name] = producer
+            self._producers[name] = (producer, schema)
 
     def get_table(self, name: str) -> Table:
         with self._lock:
@@ -334,11 +345,23 @@ class FlightServer:
         for name in names:
             yield self.get_flight_info(FlightDescriptor.for_path(name))
 
-    def get_flight_info(self, descriptor: FlightDescriptor) -> FlightInfo:
-        name = descriptor.path[0] if descriptor.path else ""
+    def schema_for(self, name: str) -> Optional[dt.Schema]:
         with self._lock:
             t = self._tables.get(name)
-        schema = t.schema if t is not None else dt.Schema(())
+            prod = self._producers.get(name)
+        if t is not None:
+            return t.schema
+        if prod is not None and prod[1] is not None:
+            return prod[1]
+        return None
+
+    def get_flight_info(self, descriptor: FlightDescriptor) -> FlightInfo:
+        name = descriptor.path[0] if descriptor.path else ""
+        if isinstance(name, bytes):
+            name = name.decode()
+        with self._lock:
+            t = self._tables.get(name)
+        schema = self.schema_for(name) or dt.Schema(())
         return FlightInfo(schema_ipc_bytes(schema), descriptor,
                           [(name.encode(), [self.uri])],
                           t.num_rows if t is not None else -1, -1)
@@ -352,16 +375,34 @@ class FlightServer:
             producer = self._producers.get(name)
             table = self._tables.get(name)
         if producer is not None:
-            yield from producer()
+            yield from producer[0]()
             return
         if table is None:
             raise KeyError(f"unknown ticket {name!r}")
         yield table
 
-    def do_put(self, descriptor: FlightDescriptor,
-               tables: List[Table]) -> None:
+    def do_put(self, descriptor: Optional[FlightDescriptor],
+               tables: List[Table],
+               schema: Optional[dt.Schema] = None) -> None:
+        if descriptor is None or not descriptor.path:
+            raise ArrowInvalid(
+                "do_put needs a path descriptor naming the dataset "
+                "(command descriptors are for FlightSQL-style services)")
         name = descriptor.path[0]
+        if isinstance(name, bytes):
+            name = name.decode()
         from ..ops.concat import concat_tables
+        if not tables:
+            # schema-only put: register the empty dataset
+            if schema is None:
+                raise ArrowInvalid("do_put stream carried no schema")
+            from ..core.column import NullColumn
+            from .integration_json import _empty_col
+            cols = tuple(NullColumn(0) if f.dtype.is_null
+                         else _empty_col(f.dtype)
+                         for f in schema.fields)
+            self.register(name, Table(cols, schema))
+            return
         self.register(name, tables[0] if len(tables) == 1
                       else concat_tables(tables))
 
@@ -385,7 +426,12 @@ class _Handlers(grpc.GenericRpcHandler):
         s = self._s
 
         def _err(context, e):
-            context.abort(grpc.StatusCode.INTERNAL, repr(e))
+            if isinstance(e, KeyError):
+                context.abort(grpc.StatusCode.NOT_FOUND, str(e))
+            elif isinstance(e, ArrowInvalid):
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            else:
+                context.abort(grpc.StatusCode.INTERNAL, repr(e))
 
         if name == "Handshake":
             def handshake(req_iter, context):
@@ -426,11 +472,17 @@ class _Handlers(grpc.GenericRpcHandler):
                 f = pb.parse_fields(raw)
                 ticket = pb.first_bytes(f, 1)
                 try:
-                    tables = list(s.do_get(ticket))
+                    # STREAMING: each table encodes and ships before
+                    # the next is pulled from the producer; an empty
+                    # producer stream still gets its schema message
+                    try:
+                        schema = s.schema_for(ticket.decode())
+                    except UnicodeDecodeError:
+                        schema = None    # binary (FlightSQL) tickets
+                    yield from encode_flight_stream(s.do_get(ticket),
+                                                    schema=schema)
                 except Exception as e:       # noqa: BLE001
                     _err(context, e)
-                    return
-                yield from encode_flight_stream(tables)
             return grpc.unary_stream_rpc_method_handler(do_get)
 
         if name == "DoPut":
@@ -438,7 +490,7 @@ class _Handlers(grpc.GenericRpcHandler):
                 dec = FlightStreamDecoder()
                 try:
                     tables = dec.decode_all(req_iter)
-                    s.do_put(dec.descriptor, tables)
+                    s.do_put(dec.descriptor, tables, schema=dec.schema)
                 except Exception as e:       # noqa: BLE001
                     _err(context, e)
                     return
@@ -448,16 +500,19 @@ class _Handlers(grpc.GenericRpcHandler):
         if name == "DoExchange":
             def do_exchange(req_iter, context):
                 dec = FlightStreamDecoder()
-                outs = []
-                try:
+
+                def results():
+                    # ping-pong: each response table encodes as soon as
+                    # its input batch lands, not after half-close
                     for raw in req_iter:
                         t = dec.feed(raw)
                         if t is not None:
-                            outs.append(s._exchange_fn(t))
+                            yield s._exchange_fn(t)
+
+                try:
+                    yield from encode_flight_stream(results())
                 except Exception as e:       # noqa: BLE001
                     _err(context, e)
-                    return
-                yield from encode_flight_stream(outs)
             return grpc.stream_stream_rpc_method_handler(do_exchange)
 
         if name == "DoAction":
@@ -519,14 +574,16 @@ class FlightTableClient:
 
     def do_put(self, name: str, table: Table) -> None:
         desc = FlightDescriptor.for_path(name)
-        msgs = list(encode_flight_stream(table, descriptor=desc))
-        results = self._method("stream_stream", "DoPut")(iter(msgs))
+        # the encoder generator streams: one ~2MB message in flight at
+        # a time, never the whole encoded dataset in memory
+        results = self._method("stream_stream", "DoPut")(
+            encode_flight_stream(table, descriptor=desc))
         list(results)                  # drain PutResults
 
     def do_exchange(self, name: str, tables) -> List[Table]:
         desc = FlightDescriptor.for_path(name)
-        msgs = list(encode_flight_stream(tables, descriptor=desc))
-        stream = self._method("stream_stream", "DoExchange")(iter(msgs))
+        stream = self._method("stream_stream", "DoExchange")(
+            encode_flight_stream(tables, descriptor=desc))
         return FlightStreamDecoder().decode_all(stream)
 
     def get_flight_info(self, descriptor: FlightDescriptor) -> FlightInfo:

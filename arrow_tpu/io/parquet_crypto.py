@@ -51,10 +51,20 @@ def module_aad(file_aad: bytes, mtype: int, rg: int = 0, col: int = 0,
     carry (rg, col, page) as i16 LE, everything else (rg, col)."""
     if mtype == M_FOOTER:
         return file_aad + bytes([mtype])
+    for name, v in (("row group", rg), ("column", col)):
+        if v > 32767:
+            raise ArrowInvalid(
+                f"encrypted parquet: {name} ordinal {v} exceeds the "
+                f"spec's i16 AAD limit (32767)")
     aad = file_aad + bytes([mtype]) + struct.pack("<hh", rg, col)
     if mtype in (M_DATAPAGE, M_DATAPAGE_HDR):
         if page is None:
             raise ValueError("page ordinal required for data pages")
+        if page > 32767:
+            raise ArrowInvalid(
+                f"encrypted parquet: page ordinal {page} exceeds the "
+                f"spec's i16 AAD limit (32767); lower data_page_size "
+                f"or split row groups")
         aad += struct.pack("<h", page)
     return aad
 

@@ -66,6 +66,10 @@ def parse_fields(buf: bytes) -> Dict[int, List]:
         tag, wt = key >> 3, key & 7
         if wt == 2:
             ln, i = read_varint(buf, i)
+            if i + ln > len(buf):
+                raise ArrowInvalid(
+                    f"truncated protobuf: field {tag} declares {ln} "
+                    f"bytes, {len(buf) - i} remain")
             val = buf[i:i + ln]
             i += ln
         elif wt == 0:

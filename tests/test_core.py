@@ -188,3 +188,23 @@ def test_equals_byte_level_and_metadata():
     f_md = dt.Field(f.name, f.dtype, f.nullable, (("fk", "fv"),))
     t3 = at.Table(t1.columns, dt.Schema((f_md,)))
     assert not t1.equals(t3)
+
+
+def test_dictionary_occupancy_with_null_codes():
+    """Null codes must not mark values[size-1] as used (JAX mode='drop'
+    normalizes -1 before dropping)."""
+    import jax.numpy as jnp
+    from arrow_tpu.core.column import DictionaryColumn, StringColumn
+    from arrow_tpu.core.pool import dictionary_occupancy
+    vals = StringColumn.from_pylist(["a", "b", "c", "d"])
+    d = DictionaryColumn(jnp.asarray(np.array([0, 0, 1], np.int32)),
+                         vals,
+                         jnp.asarray(np.array([True, False, False])))
+    assert dictionary_occupancy(d) == 0.25
+
+
+def test_np_bool_scalar_datum():
+    from arrow_tpu.ops import cmp as c_ops
+    c = at.column([True, False])
+    out = c_ops.eq(c, np.bool_(True))
+    assert out.to_pylist() == [True, False]

@@ -163,3 +163,34 @@ def test_flightinfo_zero_counts_roundtrip():
     u = FlightInfo.decode(FlightInfo(
         b"s", FlightDescriptor.for_path("p"), [], -1, -1).encode())
     assert u.total_records == -1 and u.total_bytes == -1
+
+
+def test_producer_schema_and_empty_stream():
+    """register_producer(schema=...): get_flight_info advertises the
+    real schema and an EMPTY producer stream still decodes (the stream
+    opens with a schema message)."""
+    srv = FlightServer()
+    try:
+        schema = at.Schema((at.Field("x", at.int64),))
+        srv.register_producer("empty", lambda: iter(()), schema=schema)
+        cli = FlightTableClient(srv.uri)
+        info = cli.get_flight_info(FlightDescriptor.for_path("empty"))
+        from arrow_tpu.io import ipc_format as fmt
+        raw = info.schema_bytes
+        if raw[:4] == b"\xff\xff\xff\xff":
+            raw = raw[8:]
+        got_schema, _ = fmt.read_schema(raw)
+        assert [f.name for f in got_schema.fields] == ["x"]
+        tables = cli.do_get_stream("empty")
+        assert tables == [] or sum(t.num_rows for t in tables) == 0
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_truncated_protobuf_raises():
+    from arrow_tpu.io import pb
+    from arrow_tpu.errors import ArrowInvalid
+    msg = pb.field(1, b"hello")
+    with pytest.raises(ArrowInvalid):
+        pb.parse_fields(msg[:-3])
