@@ -467,6 +467,21 @@ def _dictionary_fast_path(table: Table, key_cols, keys, aggs
         g_total *= s + 1
     if not (0 < g_total <= G_MAX):
         return None
+    # the mixed-radix CODE domain assumes distinct non-null values per
+    # slot; dictionaries with null entries or duplicate values must
+    # take the general path (its key encoding folds entry validity and
+    # value equality — the code domain does neither).  Dictionaries
+    # here are <= G_MAX values, so the host rank check is tiny.
+    from .row_format import dictionary_value_ranks
+    for c in key_cols:
+        if getattr(c.values, "validity", None) is not None:
+            return None
+        try:
+            ranks, is_null = dictionary_value_ranks(c.values)
+        except Exception:          # noqa: BLE001 (unrankable values)
+            return None
+        if is_null.any() or len(np.unique(ranks)) != len(ranks):
+            return None
     for a in aggs:
         if not _pallas_agg_ok(table.column(a.column), a.op):
             return None
@@ -1268,9 +1283,26 @@ def _group_by_chunked(table: Table, keys, aggs, n: int) -> Table:
             partial_specs.append(AggSpec(col, op, seen[key]))
         return seen[key]
 
+    wide_cols = {}
+
+    def mean_source(colname):
+        # mean needs the TRUE sum: partial sums are emitted in the
+        # SOURCE dtype, so narrow ints/bools/f32 must widen first or
+        # each chunk's partial wraps/rounds before the final divide
+        src = table.column(colname)
+        d = src.dtype
+        if d.name in ("int64", "uint64", "float64"):
+            return colname
+        wname = f"__wide_{colname}"
+        if wname not in wide_cols:
+            from .cast import cast as _cast
+            wide_cols[wname] = _cast(
+                src, dt.float64 if d.is_floating else dt.int64)
+        return wname
+
     for a in aggs:
         if a.op == "mean":
-            s = add_partial(a.column, "sum")
+            s = add_partial(mean_source(a.column), "sum")
             c = add_partial(a.column, "count")
             merge_plan.append((a.out_name, "mean", s, c))
         elif a.op in ("count", "count_all"):
@@ -1280,6 +1312,12 @@ def _group_by_chunked(table: Table, keys, aggs, n: int) -> Table:
             merge_plan.append((a.out_name, a.op,
                                add_partial(a.column, a.op)))
 
+    if wide_cols:
+        table = Table(
+            tuple(table.columns) + tuple(wide_cols.values()),
+            dt.Schema(tuple(table.schema.fields)
+                      + tuple(dt.Field(nm, c.dtype)
+                              for nm, c in wide_cols.items())))
     parts = [group_by(table.slice(i * q, min(q, n - i * q)), keys,
                       partial_specs) for i in range(k)]
     merged = concat_tables(parts)
@@ -1491,17 +1529,18 @@ def _agg_stage(plan, num_groups, pallas, order, gid, run_start,
                 # accumulation, and ~30x faster than segment_sum on v5e.
                 # Non-finite inputs take the float_group_sums fixup so a
                 # NaN/inf in one group cannot poison later groups.
-                s_ = float_group_sums(contrib.astype(jnp.float64),
-                                      diff_sums).astype(vs.dtype)
+                s_wide = float_group_sums(contrib.astype(jnp.float64),
+                                          diff_sums)
             else:
-                s_ = diff_sums(contrib.astype(jnp.int64)) \
-                    .astype(vs.dtype)
+                s_wide = diff_sums(contrib.astype(jnp.int64))
             if op == "mean":
-                m = s_.astype(jnp.float64) / jnp.maximum(nonnull, 1) \
-                    .astype(jnp.float64)
+                # divide the WIDE sum: narrowing first wraps int8/16/32
+                # group sums (mean of [100,100] int8 came out -28)
+                m = s_wide.astype(jnp.float64) \
+                    / jnp.maximum(nonnull, 1).astype(jnp.float64)
                 outs.append((m, gvalid))
             else:
-                outs.append((s_, gvalid))
+                outs.append((s_wide.astype(vs.dtype), gvalid))
             continue
         if op == "min":
             outs.append((mm_pick(slot, starts), gvalid))

@@ -110,7 +110,6 @@ _U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 @jax.jit
-@jax.jit
 def _key_range_scan(lkey, lvalid, rkey, rvalid):
     """(combined min, combined max, build min, build max) over VALID
     encoded keys, one fetch — the combined range gates the packed merge
@@ -381,6 +380,15 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
     only host syncs are output-size scalars (arrow-select take.rs:86 /
     interleave.rs:70 are the reassembly primitives this feeds)."""
     right_on = right_on or on
+    if left.num_rows == 0 or right.num_rows == 0:
+        # the range scan reduces over valid keys; empty inputs are
+        # routine (a filter that matched nothing feeding a join)
+        if left.num_rows and how in ("left", "anti"):
+            # no right rows: every left row is unmatched
+            li = jnp.arange(left.num_rows, dtype=jnp.int64)
+            return li, jnp.full((left.num_rows,), -1, jnp.int64)
+        empty = jnp.zeros((0,), jnp.int64)
+        return empty, empty
     lkey, lvalid, rkey, rvalid, lkeys, rkeys = combined_keys(
         [left.column(c) for c in on],
         [right.column(c) for c in right_on])
@@ -418,11 +426,14 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
         counts_orig, start_orig, idxs, total_dev = _probe_stage(
             lkey, lvalid, rkey, rvalid)
 
-    if how in ("semi", "anti"):
+    if how in ("semi", "anti") and not multi:
         matched = counts_orig > 0
         mask = matched if how == "semi" else ~matched
         idx = _indices_of_mask(mask)
         return idx.astype(jnp.int64), jnp.full(idx.shape, -1, jnp.int64)
+    # multi-key semi/anti fall through: the match set must survive the
+    # same mixer-collision verification inner/left get (a 64-bit hash
+    # collision would otherwise fake a membership hit)
 
     total = int(total_dev)
     n_pad = _round_capacity(total)
@@ -446,6 +457,12 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
 
     probe_idx = probe_idx.astype(jnp.int64)
     build_idx = build_idx.astype(jnp.int64)
+    if how in ("semi", "anti"):
+        matched = jnp.zeros(left.num_rows, jnp.bool_) \
+            .at[probe_idx].set(True)
+        mask = matched if how == "semi" else ~matched
+        idx = _indices_of_mask(mask)
+        return idx.astype(jnp.int64), jnp.full(idx.shape, -1, jnp.int64)
     if how == "inner":
         # expansion already emits probe order
         return probe_idx, build_idx

@@ -98,11 +98,23 @@ def dictionary_value_ranks(values: Column) -> Tuple[np.ndarray, np.ndarray]:
         keys = np.array([b"" if v is None else
                          (v.encode() if isinstance(v, str) else v)
                          for v in lst], dtype=object)
-        # dense ranks: equal values share a rank (np.unique sorts bytes
-        # lexicographically = UTF-8 code-point order, matching the
-        # reference's byte comparison)
-        _, inv = np.unique(keys[~is_null].astype(bytes), return_inverse=True) \
-            if (~is_null).any() else (None, np.zeros(0, np.int64))
+        # dense ranks: equal values share a rank; rank by (S-padded
+        # bytes, length) because the S conversion NUL-pads — b'a' and
+        # b'a\x00' must rank apart, and padded-tie + shorter-first IS
+        # byte order (np.unique alone collapsed them)
+        nb = keys[~is_null]
+        if len(nb):
+            padded = nb.astype(bytes)
+            lens = np.array([len(x) for x in nb], np.int64)
+            order = np.lexsort((lens, padded))
+            sp, sl = padded[order], lens[order]
+            neq = np.concatenate(
+                [[True], (sp[1:] != sp[:-1]) | (sl[1:] != sl[:-1])])
+            dense = np.cumsum(neq) - 1
+            inv = np.empty(len(nb), np.int64)
+            inv[order] = dense
+        else:
+            inv = np.zeros(0, np.int64)
         ranks = np.zeros(len(lst), np.uint64)
         ranks[~is_null] = inv.astype(np.uint64)
         return ranks, is_null
@@ -130,6 +142,9 @@ def encode_value_key(col: Column) -> Tuple[jnp.ndarray, vd.Mask]:
             return v.astype(jnp.uint64), col.validity
         if d.is_unsigned_integer:
             return v.astype(jnp.uint64), col.validity
+        if d.name == "interval" and d.unit == "day_time":
+            b = v.astype(jnp.int64) ^ jnp.int64(0x80000000)
+            return (jax_bitcast_u64(b) ^ _SIGN64), col.validity
         # signed ints + temporal
         return (jax_bitcast_u64(v.astype(jnp.int64)) ^ _SIGN64), col.validity
     if isinstance(col, DictionaryColumn):
@@ -311,9 +326,19 @@ def _decode_key(key: jnp.ndarray, validity: jnp.ndarray, src: Column
     d = src.dtype
     if isinstance(src, PrimitiveColumn):
         if d.is_floating:
-            neg = (key & _SIGN64) == jnp.uint64(0)
-            bits = jnp.where(neg, ~key, key & ~_SIGN64)
-            f = jax.lax.bitcast_convert_type(bits, jnp.float64)
+            from .. import config
+            if config.on_tpu():
+                # u64->f64 bitcast cannot compile on the axon backend
+                # (mirror of _float_total_order_bits' host fallback)
+                host = np.asarray(key)
+                neg = (host & np.uint64(1 << 63)) == 0
+                bits = np.where(neg, ~host,
+                                host & np.uint64((1 << 63) - 1))
+                f = jnp.asarray(bits.view(np.float64))
+            else:
+                neg = (key & _SIGN64) == jnp.uint64(0)
+                bits = jnp.where(neg, ~key, key & ~_SIGN64)
+                f = jax.lax.bitcast_convert_type(bits, jnp.float64)
             return PrimitiveColumn(f.astype(d.to_jax()), d, mask)
         if d.is_boolean:
             return PrimitiveColumn(key.astype(jnp.bool_), d, mask)
@@ -324,12 +349,10 @@ def _decode_key(key: jnp.ndarray, validity: jnp.ndarray, src: Column
     if isinstance(src, DictionaryColumn):
         # invert the rank mapping: rank -> dictionary code
         ranks, dict_null = dictionary_value_ranks(src.values)
-        order = np.argsort(ranks[~dict_null], kind="stable")
         valid_codes = np.nonzero(~dict_null)[0]
         # first code for each rank (ranks are dense over valid entries)
         nranks = int(ranks[~dict_null].max()) + 1 if (~dict_null).any() else 0
         rank_to_code = np.zeros(max(nranks, 1), np.int64)
-        seen = np.zeros(max(nranks, 1), bool)
         for c in valid_codes[::-1]:
             rank_to_code[int(ranks[c])] = c
         codes = jnp.take(jnp.asarray(rank_to_code),
@@ -367,6 +390,10 @@ def key_kind(c: Column) -> str:
             return "float"
         if d.is_boolean or d.is_unsigned_integer:
             return "uint"
+        if d.name == "interval" and d.unit == "day_time":
+            # packed days<<32|ms: bias bit 31 so the SIGNED millis low
+            # half orders correctly under the plain int key
+            return "day_time"
         return "int"             # incl. decimal32/64 storage ints
     if _host_rankable(c):
         return "uint"            # host-computed u32 comparator ranks
@@ -572,6 +599,9 @@ def _encode_one_traced(kind, opt, part) -> List[jnp.ndarray]:
             validity = ev if validity is None else (validity & ev)
     elif kind == "uint":
         vkey = _int_key_native(vals, False)
+    elif kind == "day_time":
+        vkey = _int_key_native(vals ^ jnp.asarray(0x80000000, vals.dtype),
+                               True)
     else:
         vkey = _int_key_native(vals, True)
     if descending:
@@ -646,6 +676,8 @@ def decode_sorted_group(kind, opt, has_null, group, out_dtype=None,
     st = {1: jnp.int8, 2: jnp.int16, 4: jnp.int32, 8: jnp.int64}[
         vkey.dtype.itemsize]
     v = jax.lax.bitcast_convert_type(vkey ^ jnp.asarray(sign, ut), st)
+    if kind == "day_time":
+        v = v ^ jnp.asarray(0x80000000, st)
     return v.astype(out_dtype), validity
 
 

@@ -82,13 +82,18 @@ def _decode_sort(cols, opts, limit, need_idx, payloads=()):
         parts.append(p)
         if kinds[-1] == "dict":
             ranks, entry_valid = p[1], p[2]
-            # rank -> slot; null slots masked out of the argsort so a
-            # valid rank never resolves to a null dictionary entry
-            r = ranks
-            if entry_valid is not None:
-                r = jnp.where(entry_valid, r,
-                              jnp.asarray(np.uint64(2**64 - 1)))
-            invs.append(jnp.argsort(r).astype(jnp.int32))
+            # rank -> FIRST valid slot holding it (row_format._decode_key
+            # does the same): argsort(ranks) is wrong when dictionary
+            # values repeat — dense ranks are non-unique, and the
+            # misaligned inverse decoded the wrong slot's value
+            r_np = np.asarray(ranks).astype(np.int64)
+            nslots = len(r_np)
+            inv_np = np.zeros(max(nslots, 1), np.int32)
+            valid_idx = np.arange(nslots) if entry_valid is None \
+                else np.nonzero(np.asarray(entry_valid))[0]
+            inv_np[r_np[valid_idx][::-1]] = \
+                valid_idx[::-1].astype(np.int32)
+            invs.append(jnp.asarray(inv_np))
             metas.append(np.dtype(col.codes.dtype).name)
         else:
             invs.append(None)
@@ -273,6 +278,8 @@ def rank(col: Column, options: SortOptions = SortOptions()
     ranks).  Returns a uint32 tensor.  One jitted scatter-free stage
     (scatter + segment_max measure 0.005-0.014 Grows/s on v5e)."""
     from .row_format import key_kind, key_parts
+    if len(col) == 0:
+        return jnp.zeros((0,), jnp.uint32)
     return _rank_stage((key_kind(col),),
                        ((options.descending, options.nulls_first),),
                        (key_parts(col, options),))

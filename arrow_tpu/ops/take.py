@@ -180,7 +180,9 @@ def _take_bytes(values: StringColumn, indices: PrimitiveColumn
     """Variable-width gather.  Eager/host-assisted: output byte count is
     data-dependent, so the offsets round-trip to host once; the byte gather
     itself stays a device gather."""
-    idx = np.asarray(indices.values)
+    # unchecked mode clamps (the documented device-safe analogue;
+    # numpy fancy indexing would IndexError / wrap negatives)
+    idx = np.clip(np.asarray(indices.values), 0, max(len(values) - 1, 0))
     offs = np.asarray(values.offsets)
     starts = offs[idx]
     lens = offs[idx + 1] - starts
@@ -197,7 +199,7 @@ def _take_bytes(values: StringColumn, indices: PrimitiveColumn
 
 
 def _take_list(values: ListColumn, indices: PrimitiveColumn) -> ListColumn:
-    idx = np.asarray(indices.values)
+    idx = np.clip(np.asarray(indices.values), 0, max(len(values) - 1, 0))
     offs = np.asarray(values.offsets)
     starts = offs[idx]
     lens = offs[idx + 1] - starts

@@ -63,26 +63,21 @@ def bucketize(target: jnp.ndarray, valid: jnp.ndarray, n_shards: int,
     t = jnp.where(valid, target, n_shards)  # invalid rows -> overflow bin
     order = jnp.argsort(t, stable=True)
     t_sorted = t[order]
-    # start offset of each destination's run
-    starts = jnp.searchsorted(t_sorted, jnp.arange(n_shards,
+    # run boundaries of each destination in the sorted order
+    bounds = jnp.searchsorted(t_sorted, jnp.arange(n_shards + 1,
                                                    dtype=t_sorted.dtype))
-    pos_in_bucket = jnp.arange(n) - starts[jnp.clip(t_sorted, 0,
-                                                    n_shards - 1)]
-    wanted = t_sorted < n_shards
-    in_cap = (pos_in_bucket < capacity) & wanted
-    overflow = jnp.any(wanted & (pos_in_bucket >= capacity))
-    dest = jnp.where(in_cap, t_sorted * capacity + pos_in_bucket,
-                     n_shards * capacity)
-    size = n_shards * capacity
-
-    def scatter(a):
-        flat = jnp.zeros((size,), a.dtype).at[dest].set(
-            a[order], mode="drop")
-        return flat.reshape(n_shards, capacity)
-
-    slabs = tuple(scatter(a) for a in arrays)
-    slab_valid = jnp.zeros((size,), jnp.bool_).at[dest].set(
-        in_cap, mode="drop").reshape(n_shards, capacity)
+    starts, counts = bounds[:-1], bounds[1:] - bounds[:-1]
+    overflow = jnp.any(counts > capacity)
+    # slab fill is a GATHER (scatter measures 0.005-0.014 Grows/s on
+    # v5e vs ~0.15 Grows/s gathers): slab[s, p] = row order[starts[s]+p]
+    # when p < counts[s]; out-of-count slots carry garbage bytes masked
+    # by slab_valid (the ShuffleResult contract is mask-driven).
+    slot_pos = jnp.arange(capacity)
+    slab_valid = slot_pos[None, :] < counts[:, None]
+    src = jnp.minimum(starts[:, None] + slot_pos[None, :], n - 1)
+    gidx = order[src.reshape(-1)]
+    slabs = tuple(a[gidx].reshape(n_shards, capacity, *a.shape[1:])
+                  for a in arrays)
     return slabs, slab_valid, overflow
 
 

@@ -110,3 +110,16 @@ def test_filter_empty_and_all():
     assert ops.filter(at.column(arr), at.column([False] * 3)).to_pylist() == []
     assert ops.filter(at.column(arr), at.column([True] * 3)).to_pylist() == \
         [1, 2, 3]
+
+
+def test_take_unchecked_clamps_bytes_and_list():
+    """Unchecked take clamps out-of-range indices on STRING and LIST
+    layouts like the primitive path (numpy fancy indexing crashed)."""
+    s = at.column(["aa", "bb"])
+    out = ops.take(s, at.column(np.array([7, 7], np.int64)))
+    assert out.to_pylist() == ["bb", "bb"]
+    out2 = ops.take(s, at.column(np.array([-1], np.int64)))
+    assert out2.to_pylist() == ["aa"]
+    lst = at.column([[1], [2, 3]])
+    out3 = ops.take(lst, at.column(np.array([5], np.int64)))
+    assert out3.to_pylist() == [[2, 3]]

@@ -183,8 +183,8 @@ def test_group_by_minmax_at_int64_extremes(rng):
     valid = np.array([True, True, False, True, True])
     t = at.Table.from_pydict({"k": at.column(keys),
                               "v": at.column(vals, validity=valid)})
-    d = group_by(t, ["k"], [AggSpec("v", "min"),
-                            AggSpec("v", "max")]).to_pydict()
+    d = ops.group_by(t, ["k"], [ops.AggSpec("v", "min"),
+                                ops.AggSpec("v", "max")]).to_pydict()
     assert d["v_max"] == [imax, 7]
     assert d["v_min"] == [5, imin]
 
@@ -500,6 +500,82 @@ def test_group_by_nested_key():
     t = at.Table.from_pydict({
         "k": at.column([[1], [2], [1], None], at.dtypes.list_(at.int64)),
         "v": [1.0, 2.0, 3.0, 4.0]})
-    out = ops.group_by(t, ["k"], [AggSpec("v", "sum")])
+    out = ops.group_by(t, ["k"], [ops.AggSpec("v", "sum")])
     assert out.to_pydict() == {"k": [None, [1], [2]],
                                "v_sum": [4.0, 4.0, 2.0]}
+
+
+def test_mean_narrow_int_wide_sum():
+    """mean divides the WIDE sum: int8 group sums past 127 must not
+    wrap (was -28.0 for mean of [100, 100])."""
+    t = at.Table(
+        (at.column(["x", "x"]), at.column(np.array([100, 100], np.int8))),
+        at.Schema((at.Field("k", at.utf8), at.Field("v", at.int8))))
+    g = ops.group_by(t, ["k"], [ops.AggSpec("v", "mean")])
+    assert g.column("v_mean").to_pylist() == [100.0]
+
+
+def test_mean_narrow_int_chunked(monkeypatch):
+    """The chunked two-level path widens mean sources before partial
+    sums (per-chunk int8 partials wrapped)."""
+    import arrow_tpu.ops.groupby as gb
+    n = 64
+    t = at.Table(
+        (at.column(["x"] * n), at.column(np.full(n, 100, np.int8))),
+        at.Schema((at.Field("k", at.utf8), at.Field("v", at.int8))))
+    out = gb._group_by_chunked(t, ["k"], [ops.AggSpec("v", "mean")], n)
+    assert out.column("v_mean").to_pylist() == [100.0]
+
+
+def test_join_empty_inputs():
+    """Empty left/right tables are routine (a filter that matched
+    nothing feeding a join) — every join type returns, no crash."""
+    from arrow_tpu.ops.join import join_indices
+    L = at.Table.from_pydict({"k": [1, 2, 3]})
+    E = at.Table.from_pydict({"k": np.zeros(0, np.int64)})
+    li, ri = join_indices(L, E, ["k"], how="left")
+    assert np.asarray(li).tolist() == [0, 1, 2]
+    assert np.asarray(ri).tolist() == [-1, -1, -1]
+    assert len(np.asarray(join_indices(E, L, ["k"], how="inner")[0])) == 0
+    assert np.asarray(join_indices(L, E, ["k"],
+                                   how="anti")[0]).tolist() == [0, 1, 2]
+    assert len(np.asarray(join_indices(L, E, ["k"], how="semi")[0])) == 0
+
+
+def test_multikey_semi_anti():
+    """Multi-key semi/anti take the collision-verified path and stay
+    exact."""
+    from arrow_tpu.ops.join import join
+    L = at.Table.from_pydict({"a": [1, 1, 2], "b": [1, 2, 1],
+                              "v": [10, 20, 30]})
+    R = at.Table.from_pydict({"a": [1, 2], "b": [2, 9]})
+    s = join(L, R, ["a", "b"], how="semi")
+    assert s.column("v").to_pylist() == [20]
+    a = join(L, R, ["a", "b"], how="anti")
+    assert a.column("v").to_pylist() == [10, 30]
+
+
+def test_dictionary_fast_path_gates_null_and_dup_values():
+    """Dictionaries with null entries or duplicate values must produce
+    the GENERAL path's answer on the fast path too (it now gates)."""
+    import os
+    import jax.numpy as jnp
+    from arrow_tpu.core.column import DictionaryColumn, StringColumn
+    vals = StringColumn.from_pylist(["a", None, "a"])
+    key = DictionaryColumn(jnp.asarray(np.array([0, 1, 2, 1], np.int32)),
+                           vals, None)
+    v = at.column([1, 2, 3, 4])
+    t = at.Table((key, v), at.Schema((at.Field("k", key.dtype),
+                                      at.Field("v", at.int64))))
+    old = os.environ.get("ARROW_TPU_USE_PALLAS")
+    try:
+        os.environ["ARROW_TPU_USE_PALLAS"] = "0"
+        want = ops.group_by(t, ["k"], [ops.AggSpec("v", "sum")]).to_pydict()
+        os.environ["ARROW_TPU_USE_PALLAS"] = "1"
+        got = ops.group_by(t, ["k"], [ops.AggSpec("v", "sum")]).to_pydict()
+    finally:
+        if old is None:
+            os.environ.pop("ARROW_TPU_USE_PALLAS", None)
+        else:
+            os.environ["ARROW_TPU_USE_PALLAS"] = old
+    assert got == want

@@ -493,3 +493,39 @@ def test_make_comparator_strings_cross_array():
     assert cmp(0, 0) == 1        # 'b' vs 'a'
     assert cmp(1, 1) == 1        # 'z' vs 'b'
     assert cmp(0, 0) == 1 and cmp(1, 0) == 1
+
+
+def test_sort_dictionary_duplicate_values():
+    """Dense ranks are non-unique for dictionaries with repeated
+    values; the rank->slot inverse must map to a slot with the SAME
+    value (argsort misaligned it)."""
+    import jax.numpy as jnp
+    from arrow_tpu.core.column import DictionaryColumn, StringColumn
+    d = DictionaryColumn(jnp.asarray(np.array([2, 0], np.int32)),
+                         StringColumn.from_pylist(["a", "a", "b"]), None)
+    assert ops.sort(d).to_pylist() == ["a", "b"]
+
+
+def test_string_ranks_trailing_nul():
+    """b'a' and b'a\\x00' are distinct values (S-dtype NUL padding
+    collapsed them); shorter sorts first."""
+    from arrow_tpu.core.column import StringColumn
+    s = StringColumn.from_pylist(["a\x00", "a", "b"])
+    assert ops.sort(s).to_pylist() == ["a", "a\x00", "b"]
+
+
+def test_rank_empty_column():
+    from arrow_tpu.ops.sort import rank
+    out = rank(at.column(np.zeros(0, np.int64)))
+    assert len(np.asarray(out)) == 0
+
+
+def test_day_time_interval_sort_signed_millis():
+    """day_time low 32 bits are SIGNED millis: {0d,-1ms} sorts before
+    {0d,+1ms} (lexicographic signed pair, interval.rs Ord)."""
+    pos = (0 << 32) | 1
+    neg = 0xFFFFFFFF & -1          # days=0, ms=-1
+    c = at.column([pos, neg], dtype=at.interval("day_time"))
+    out = ops.sort(c)
+    got = np.asarray(out.values).tolist()
+    assert got == [neg, pos], got
