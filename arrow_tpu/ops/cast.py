@@ -306,13 +306,19 @@ def _cast_primitive(col: PrimitiveColumn, to: dt.DataType,
     if fs is not None and ts is not None:
         x = v.astype(jnp.int64)
         if fs >= ts:
-            out = x * (fs // ts)
+            ratio = fs // ts
+            # checked_mul (cast/mod.rs:1542 unary_opt): overflow is
+            # null (safe) / error (unsafe), never a wrapped value
+            hi, lo = (2 ** 63 - 1) // ratio, (-2 ** 63) // ratio
+            failed = (x > hi) | (x < lo) if ratio > 1 \
+                else jnp.zeros(v.shape, jnp.bool_)
+            out = jnp.where(failed, 0, x) * ratio
         else:
             div = ts // fs
             # timestamp->coarser floors toward -inf (chrono semantics);
             # date32 extraction from timestamp likewise
             out = jnp.floor_divide(x, div)
-        failed = jnp.zeros(v.shape, jnp.bool_)
+            failed = jnp.zeros(v.shape, jnp.bool_)
         return _apply_failures(out.astype(to.to_jax()), failed,
                                col.validity, to, options)
 
@@ -668,6 +674,27 @@ def _format_temporal(v: int, d: dt.DataType) -> str:
 
 def _cast_from_string(col: StringColumn, to: dt.DataType,
                       options: CastOptions) -> Column:
+    if to.name == "fixed_size_binary":
+        # (Binary, FixedSizeBinary) arm (cast/mod.rs:2268): values whose
+        # length != byte_width become null (safe) or raise (unsafe)
+        from ..core.nested import FixedSizeBinaryColumn
+        w = to.list_size
+        offs = np.asarray(col.offsets).astype(np.int64)
+        lens = np.diff(offs)
+        valid = None if col.validity is None else np.asarray(col.validity)
+        ok = lens == w
+        bad = ~ok if valid is None else (~ok & valid)
+        if bad.any() and not options.safe:
+            raise CastError(f"value length != fixed-size width {w}")
+        data = np.asarray(col.data)
+        rows = np.zeros((len(col), w), np.uint8)
+        idx = offs[:-1][:, None] + np.arange(w)[None, :]
+        sel = np.where(ok[:, None], idx, 0)
+        if len(data):
+            rows = data[np.minimum(sel, len(data) - 1)]
+            rows = np.where(ok[:, None], rows, 0).astype(np.uint8)
+        validity = jnp.asarray(ok if valid is None else (valid & ok))
+        return FixedSizeBinaryColumn(jnp.asarray(rows), validity)
     if to.is_binary or to.is_string:
         return StringColumn(col.offsets, col.data, to, col.validity)
     lst = col.to_pylist_host()
@@ -884,7 +911,9 @@ def _cast_list(col: Column, to: dt.DataType,
         if to.name in ("list_view", "large_list_view"):
             child = cast(col.child, to.value_type, options) \
                 if col.child.dtype != to.value_type else col.child
-            return ListViewColumn(col.offsets, col.sizes, child,
+            off_t = jnp.int64 if to.name == "large_list_view" else jnp.int32
+            return ListViewColumn(col.offsets.astype(off_t),
+                                  col.sizes.astype(off_t), child,
                                   col.validity, to)
         offs = np.asarray(col.offsets).astype(np.int64)
         lens = np.asarray(col.sizes).astype(np.int64)

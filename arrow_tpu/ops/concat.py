@@ -67,12 +67,19 @@ def concat(cols: Sequence[Column]) -> Column:
                             _concat_masks(cols))
 
     if isinstance(c0, DictionaryColumn):
+        total = sum(len(c.values) for c in cols)
+        code_max = int(jnp.iinfo(c0.codes.dtype).max)
+        if total - 1 > code_max:
+            # merge_dictionary_values role (concat.rs:112 /
+            # dictionary.rs:177): dedup values so the combined code
+            # space fits the key type instead of silently wrapping
+            return _concat_dictionaries_merged(cols, code_max)
         # shift each batch's codes into a concatenated dictionary
         dict_concat = concat([c.values for c in cols])
         shifted = []
         base = 0
         for c in cols:
-            shifted.append(c.codes + base)
+            shifted.append(c.codes + jnp.asarray(base, c.codes.dtype))
             base += len(c.values)
         return DictionaryColumn(jnp.concatenate(shifted), dict_concat,
                                 _concat_masks(cols))
@@ -159,7 +166,11 @@ def concat(cols: Sequence[Column]) -> Column:
         for c in cols:
             ends.append(np.asarray(c.run_ends, np.int64) + base)
             base += len(c)
-        re = np.concatenate(ends).astype(np.asarray(c0.run_ends).dtype)
+        re_dt = np.asarray(c0.run_ends).dtype
+        if base > np.iinfo(re_dt).max:
+            raise ArrowInvalid(
+                f"run-end overflow: total length {base} exceeds {re_dt}")
+        re = np.concatenate(ends).astype(re_dt)
         return RunEndColumn(jnp.asarray(re), vals, base)
 
     from ..core.nested import ListViewColumn
@@ -180,6 +191,41 @@ def concat(cols: Sequence[Column]) -> Column:
             _concat_masks(cols), dtype=c0.dtype)
 
     raise ArrowTypeError(f"concat of {type(c0)}")
+
+
+def _concat_dictionaries_merged(cols, code_max: int) -> DictionaryColumn:
+    """Dedup the combined dictionary values (merge_dictionary_values,
+    arrow-select/src/dictionary.rs:177) and remap each batch's codes.
+    Host pass over the VALUES only (codes remap on device)."""
+    c0 = cols[0]
+    uniq: dict = {}
+    order: List = []            # first-occurrence values
+    maps = []
+    for c in cols:
+        vals = c.values.to_pylist()
+        m = np.zeros(max(len(vals), 1), np.int64)
+        for i, v in enumerate(vals):
+            key = v if not isinstance(v, (list, dict)) else repr(v)
+            if key not in uniq:
+                uniq[key] = len(order)
+                order.append((c, i))
+            m[i] = uniq[key]
+        maps.append(m)
+    if len(order) - 1 > code_max:
+        raise ArrowInvalid(
+            f"dictionary key space overflow: {len(order)} merged values "
+            f"exceed {c0.codes.dtype}")
+    merged_values = interleave([c.values for c in cols],
+                               [(cols.index(c), i) for c, i in order]) \
+        if len(cols) > 1 else take_kernel(
+            c0.values, PrimitiveColumn(
+                jnp.asarray(np.asarray([i for _, i in order], np.int64)),
+                dt.int64))
+    shifted = [jnp.take(jnp.asarray(m).astype(c.codes.dtype),
+                        jnp.clip(c.codes, 0, len(m) - 1))
+               for c, m in zip(cols, maps)]
+    return DictionaryColumn(jnp.concatenate(shifted), merged_values,
+                            _concat_masks(cols))
 
 
 def concat_tables(tables: Sequence[Table]) -> Table:

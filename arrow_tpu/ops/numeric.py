@@ -171,12 +171,18 @@ def rem(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
     if _is_int(out_dt):
         def fn(l, r):
             zero = r == 0
-            safe_r = jnp.where(zero, 1, r)
+            if jnp.issubdtype(l.dtype, jnp.signedinteger):
+                # Rust checked_rem: MIN % -1 is an overflow error
+                lo = jnp.array(jnp.iinfo(l.dtype).min, l.dtype)
+                bad = zero | ((l == lo) & (r == -1))
+            else:
+                bad = zero
+            safe_r = jnp.where(bad, 1, r)
             m = jax.lax.rem(l, safe_r)  # truncated remainder (Rust %)
-            return jnp.where(zero, 0, m), zero
+            return jnp.where(bad, 0, m), bad
         col, flag = binary_with_flag(lhs, rhs, fn, out_dt,
                                      require_same_type=False)
-        check_flag(flag, DivideByZero, "integer remainder by zero")
+        check_flag(flag, DivideByZero, "integer remainder by zero/overflow")
         return col
     # float rem: Rust % is truncated fmod, == lax.rem
     return binary(lhs, rhs, jax.lax.rem, out_dt)
@@ -184,7 +190,46 @@ def rem(lhs: Datum, rhs: Datum) -> PrimitiveColumn:
 
 def neg(col) -> PrimitiveColumn:
     col = as_datum(col)
-    if col.dtype.is_signed_integer or col.dtype.name == "duration":
+    d = col.dtype
+    if d.is_decimal:
+        # neg_checked per value (numeric.rs:114-141): any valid decimal's
+        # negation stays within the precision bound, so no check needed
+        # (only the storage MIN would overflow, and it exceeds every
+        # precision limit)
+        from ..core.nested import DecimalColumn
+        if isinstance(col, DecimalColumn):
+            ints = [None if v is None else -v for v in col.to_pyints()]
+            return DecimalColumn.from_pyints(
+                [0 if v is None else v for v in ints], d, col.validity)
+        return PrimitiveColumn(-col.values, d, col.validity,
+                               _canonical=True)
+    if d.name == "interval":
+        from ..core.nested import IntervalMDNColumn
+        if isinstance(col, IntervalMDNColumn):
+            # per-part neg_checked (numeric.rs:159-171)
+            bad = ((col.months == jnp.iinfo(jnp.int32).min)
+                   | (col.days == jnp.iinfo(jnp.int32).min)
+                   | (col.nanos == jnp.iinfo(jnp.int64).min))
+            check_flag(jnp.any(bad & col.is_valid_mask()),
+                       ArithmeticOverflow, "neg overflowed")
+            return IntervalMDNColumn(-col.months, -col.days, -col.nanos,
+                                     col.validity)
+        if d.unit == "day_time":
+            # packed days<<32|ms: negate each i32 part (numeric.rs:147)
+            x = col.values.astype(jnp.int64)
+            days, ms = (x >> 32).astype(jnp.int32), x.astype(jnp.int32)
+            i32min = jnp.iinfo(jnp.int32).min
+            bad = (days == i32min) | (ms == i32min)
+            check_flag(jnp.any(bad & col.is_valid_mask()),
+                       ArithmeticOverflow, "neg overflowed")
+            packed = (((-days).astype(jnp.int64) << 32)
+                      | ((-ms).astype(jnp.int64)
+                         & jnp.int64(0xFFFFFFFF)))
+            return PrimitiveColumn(packed, d, col.validity,
+                                   _canonical=True)
+        # year_month falls through to the checked signed path below
+    if (col.dtype.is_signed_integer or col.dtype.name == "duration"
+            or col.dtype.name == "interval"):
         lo = jnp.iinfo(col.dtype.to_jax()).min
         bad = jnp.any(jnp.logical_and(col.values == lo,
                                       col.is_valid_mask()))

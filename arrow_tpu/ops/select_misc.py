@@ -16,7 +16,9 @@ __all__ = ["zip_", "nullif", "shift", "union_extract"]
 
 def zip_(mask, truthy, falsy) -> Column:
     """Element-wise select: mask ? truthy : falsy (zip.rs:84).
-    A null mask slot yields null."""
+    A null mask slot takes FALSY (zip.rs doc: "Where mask is false or
+    NULL, values of falsy are taken").  pyarrow's if_else DIFFERS (null
+    mask -> null output); we follow arrow-rs."""
     mask = as_datum(mask)
     truthy, falsy = as_datum(truthy), as_datum(falsy)
     if not mask.dtype.is_boolean:
@@ -38,10 +40,10 @@ def zip_(mask, truthy, falsy) -> Column:
     fv, fm, fdt = parts(falsy)
     if tdt != fdt:
         raise ArrowTypeError(f"zip type mismatch {tdt!r} vs {fdt!r}")
-    cond = mask.values
+    cond = mask.values if mask.validity is None \
+        else jnp.logical_and(mask.values, mask.validity)
     out = jnp.where(cond, tv, fv)
-    chosen_valid = jnp.where(cond, vd.make_mask(n, tm), vd.make_mask(n, fm))
-    validity = vd.union(mask.validity, chosen_valid)
+    validity = jnp.where(cond, vd.make_mask(n, tm), vd.make_mask(n, fm))
     return PrimitiveColumn(out, tdt, validity)
 
 
@@ -60,11 +62,10 @@ def _zip_generic(mask, truthy, falsy, n: int) -> Column:
     if len(truthy) != n or len(falsy) != n:
         raise ArrowInvalid("zip arrays must share the mask's length")
     cond = np.asarray(mask.values, bool)
-    pairs = [(0 if cond[i] else 1, i) for i in range(n)]
-    out = interleave([truthy, falsy], pairs)
     if mask.validity is not None:
-        out = out.with_validity(vd.union(out.validity, mask.validity))
-    return out
+        cond = cond & np.asarray(mask.validity)   # null mask -> falsy
+    pairs = [(0 if cond[i] else 1, i) for i in range(n)]
+    return interleave([truthy, falsy], pairs)
 
 
 def nullif(col: Column, cond) -> Column:

@@ -137,3 +137,39 @@ def test_duration_plus_timestamp_unit_mismatch_raises():
     ts = at.column([0], dtype=at.timestamp("s"))
     with pytest.raises(ArrowTypeError):
         num.add(d, ts)
+
+
+def test_neg_interval_and_decimal():
+    """neg covers decimals and all three interval units with per-part
+    checked semantics (numeric.rs:114-171)."""
+    from arrow_tpu.ops import numeric as num
+    from arrow_tpu.errors import ArithmeticOverflow
+    ym = at.column(np.array([5, -3], np.int32),
+                   dtype=at.interval("year_month"))
+    assert np.asarray(num.neg(ym).values).tolist() == [-5, 3]
+    packed = (2 << 32) | (0xFFFFFFFF & -7)      # days=2, ms=-7
+    dti = at.column(np.array([packed], np.int64),
+                    dtype=at.interval("day_time"))
+    out = np.asarray(num.neg(dti).values)[0]
+    assert (out >> 32) == -2 and np.int32(out & 0xFFFFFFFF) == 7
+    bad = at.column(np.array([(-2**31) << 32], np.int64),
+                    dtype=at.interval("day_time"))
+    with pytest.raises(ArithmeticOverflow):
+        num.neg(bad)
+    from arrow_tpu.ops.cast import cast as _cast
+    dec = _cast(at.column([1, -2, 3]), at.decimal128(10, 2))
+    got = num.neg(dec)
+    assert got.to_pylist() == [__import__("decimal").Decimal("-1.00"),
+                               __import__("decimal").Decimal("2.00"),
+                               __import__("decimal").Decimal("-3.00")]
+
+
+def test_rem_min_by_neg_one_checked():
+    """MIN % -1 is a checked error (Rust checked_rem), not 0."""
+    from arrow_tpu.ops import numeric as num
+    from arrow_tpu.errors import DivideByZero
+    lo = np.iinfo(np.int64).min
+    a = at.column(np.array([lo], np.int64))
+    b = at.column(np.array([-1], np.int64))
+    with pytest.raises(DivideByZero):
+        num.rem(a, b)

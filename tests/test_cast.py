@@ -283,3 +283,39 @@ def test_utf8_to_timestamp_normalizes_offsets():
                                   "1970-01-01T00:00:00Z"])
     out = cast(c, at.timestamp("s"))
     assert np.asarray(out.values).tolist() == [-18000, 0]
+
+
+def test_temporal_upscale_overflow_checked():
+    """Unit up-conversion uses checked_mul (cast/mod.rs:1542 unary_opt):
+    overflow -> null (safe) / CastError (unsafe), never a wrapped int."""
+    from arrow_tpu.ops.cast import cast, CastOptions, CastError
+    big = 2 ** 62
+    c = at.column(np.array([big, 1], np.int64), dtype=at.timestamp("s"))
+    out = cast(c, at.timestamp("ns"))
+    assert out.to_pylist()[0] is None
+    assert np.asarray(out.values)[1] == 1_000_000_000
+    with pytest.raises(CastError):
+        cast(c, at.timestamp("ns"), CastOptions(safe=False))
+
+
+def test_utf8_to_fixed_size_binary():
+    """(Binary, FixedSizeBinary) arm (cast/mod.rs:2268): wrong-length
+    values null out (safe) / raise (unsafe); the result is a real
+    FixedSizeBinaryColumn, not a retagged varlen column."""
+    from arrow_tpu.core.column import StringColumn
+    from arrow_tpu.core.nested import FixedSizeBinaryColumn
+    from arrow_tpu.ops.cast import cast, CastOptions, CastError
+    c = StringColumn.from_pylist(["ab", "c", None, "de"])
+    out = cast(c, at.fixed_size_binary(2))
+    assert isinstance(out, FixedSizeBinaryColumn)
+    assert out.to_pylist() == [b"ab", None, None, b"de"]
+    with pytest.raises(CastError):
+        cast(c, at.fixed_size_binary(2), CastOptions(safe=False))
+
+
+def test_list_view_to_large_list_view_offsets_widen():
+    from arrow_tpu.ops.cast import cast
+    c = cast(at.column([[1, 2], [3]]), at.dtypes.list_view(at.int64))
+    big = cast(c, at.dtypes.large_list_view(at.int64))
+    assert big.offsets.dtype == np.int64 and big.sizes.dtype == np.int64
+    assert big.to_pylist() == [[1, 2], [3]]

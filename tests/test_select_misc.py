@@ -62,12 +62,13 @@ def test_interleave_strings():
 
 
 def test_zip_golden():
-    mask = pa.array([True, False, None, True])
-    a = pa.array([1, 2, 3, None])
-    b = pa.array([10, 20, 30, 40])
+    """zip.rs doctest semantics: null mask -> FALSY value (pyarrow's
+    if_else DIFFERS — null mask -> null; we follow arrow-rs)."""
+    mask = pa.array([True, True, False, None, True])
+    a = pa.array([1, None, 3, 4, 5])
+    b = pa.array([10, 20, 30, 40, 50])
     got = ops.zip_(at.column(mask), at.column(a), at.column(b))
-    exp = pc.if_else(mask, a, b)
-    assert_column_equals_pa(got, exp)
+    assert got.to_pylist() == [1, None, 30, 40, 5]
 
 
 def test_zip_scalar():
@@ -96,16 +97,16 @@ def test_zip_generic_layouts():
     m = at.column([True, False, True, None])
     s = ops.zip_(m, at.column(["a", "b", None, "d"]),
                  at.column(["w", "x", "y", "z"]))
-    assert s.to_pylist() == ["a", "x", None, None]
+    assert s.to_pylist() == ["a", "x", None, "z"]
     l = ops.zip_(m, at.column([[1], [2], None, [4]],
                               at.dtypes.list_(at.int64)),
                  at.column([[9], [8], [7], [6]],
                            at.dtypes.list_(at.int64)))
-    assert l.to_pylist() == [[1], [8], None, None]
+    assert l.to_pylist() == [[1], [8], None, [6]]
     d1 = ops.dictionary_encode(at.column(["p", "q", "p", "r"]))
     d2 = ops.dictionary_encode(at.column(["z", "z", "y", "y"]))
     dz = ops.zip_(m, d1, d2)
-    assert dz.to_pylist() == ["p", "z", "p", None]
+    assert dz.to_pylist() == ["p", "z", "p", "y"]
     st = ops.zip_(at.column([False, True]),
                   at.column([{"a": 1}, {"a": 2}],
                             at.dtypes.struct([at.dtypes.Field("a",
@@ -166,3 +167,37 @@ def test_union_extract_empty_dense_child():
     out = union_extract(u, "a")
     assert out.to_pylist() == [None, None]
     assert out.dtype == at.int32
+
+
+def test_concat_dictionary_key_space_merge():
+    """Concat of int8-keyed dictionaries whose combined value count
+    exceeds 127 merges (dedups) values instead of wrapping codes
+    (merge_dictionary_values, dictionary.rs:177)."""
+    from arrow_tpu.core.column import DictionaryColumn, StringColumn
+    import jax.numpy as jnp
+
+    def mkdict(vals, codes):
+        return DictionaryColumn(jnp.asarray(np.asarray(codes, np.int8)),
+                                StringColumn.from_pylist(vals), None)
+
+    vals = [f"v{i}" for i in range(100)]
+    a = mkdict(vals, [0, 50, 99])
+    b = mkdict(vals, [99, 0])            # same values: merge dedups
+    out = ops.concat([a, b])
+    assert out.to_pylist() == ["v0", "v50", "v99", "v99", "v0"]
+    assert len(out.values) == 100
+    # genuinely >127 distinct values cannot fit int8 codes: raise
+    c = mkdict([f"w{i}" for i in range(100)], [0])
+    with pytest.raises(at.errors.ArrowInvalid):
+        ops.concat([a, c])
+
+
+def test_concat_run_end_overflow_raises():
+    from arrow_tpu.core.nested import RunEndColumn
+    import jax.numpy as jnp
+    v = at.column([1])
+    a = RunEndColumn(jnp.asarray(np.array([30000], np.int16)), v, 30000)
+    b = RunEndColumn(jnp.asarray(np.array([30000], np.int16)),
+                     at.column([2]), 30000)
+    with pytest.raises(at.errors.ArrowInvalid):
+        ops.concat([a, b])
