@@ -228,7 +228,9 @@ def _native_writable(schema: dt.Schema) -> bool:
         if d.name == "map":
             return all(ok(f.dtype) for f in d.value_type.fields)
         if d.name == "dictionary":
-            return d.value_type.name in ("utf8", "binary")
+            # any writable value type: codes materialize through the
+            # page dictionary; ARROW:schema restores the dict dtype
+            return ok(d.value_type)
         try:
             _logical_fields(d)
             return True

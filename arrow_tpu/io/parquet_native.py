@@ -192,6 +192,8 @@ def _parquet_dtype(n: SchemaNode) -> dt.DataType:
     if p == PT_BOOLEAN:
         return dt.bool_
     if p == PT_INT32:
+        if 11 in lt:     # UNKNOWN: always-null (primitive.rs:194)
+            return dt.null
         if 10 in lt:     # INTEGER
             bits = lt[10].get(1, 32)
             signed = lt[10].get(2, True)
@@ -287,6 +289,11 @@ def _apply_hint(p: dt.DataType, h: dt.DataType) -> dt.DataType:
             h.unit != "month_day_nano":
         return h
     if pn == "decimal128" and hn == "decimal256":
+        return h
+    if p.is_decimal and h.is_decimal and \
+            (p.precision, p.scale) == (h.precision, h.scale):
+        # width is a storage choice; the hint's width round-trips
+        # (INT32/INT64-physical decimals read as decimal128 otherwise)
         return h
     return p
 
@@ -899,6 +906,24 @@ def _scatter_leaf(node: SchemaNode, values, valid: Optional[np.ndarray],
         full = np.zeros((n, vals.shape[1]), np.uint8)
         full[valid if valid is not None else slice(None)] = vals
         return FixedSizeBinaryColumn(jnp.asarray(full), vmask)
+    if d.is_null:
+        # INT32 + LogicalType UNKNOWN (always-null, primitive.rs:194)
+        from ..core.column import NullColumn
+        return NullColumn(n)
+    if d.name in ("decimal128", "decimal256"):
+        # INT32/INT64-physical DECIMAL without a width hint reads as
+        # decimal128 (primitive.rs:184): widen the ints into limbs
+        k = 2 if d.name == "decimal128" else 4
+        limbs = np.zeros((n, k), np.uint64)
+        rows = np.nonzero(valid)[0] if valid is not None else \
+            np.arange(n)
+        iv = vals.astype(np.int64)
+        limbs[rows, 0] = iv.astype(np.uint64)
+        sign_ext = np.where(iv < 0, np.uint64(0xFFFFFFFFFFFFFFFF),
+                            np.uint64(0))
+        for j in range(1, k):
+            limbs[rows, j] = sign_ext
+        return DecimalColumn(jnp.asarray(limbs), d, vmask)
     return _scatter_prim(vals, valid, n, d, vmask)
 
 

@@ -140,6 +140,15 @@ def _logical_fields(d: dt.DataType):
         return PT_BYTE_ARRAY, None, None, None
     if n == "fixed_size_binary":
         return PT_FLBA, d.list_size, None, None
+    if n == "null":
+        # INT32 + LogicalType UNKNOWN (schema/mod.rs:444)
+        return PT_INT32, None, None, [(11, T_STRUCT, [])]
+    if n in ("decimal32", "decimal64"):
+        # INT32/INT64 physical per the spec's precision rule
+        # (schema/mod.rs:634-644)
+        lt = [(5, T_STRUCT, [(1, T_I32, d.scale), (2, T_I32,
+                                                   d.precision)])]
+        return (PT_INT32 if n == "decimal32" else PT_INT64), None, 5, lt
     if n in ("decimal128", "decimal256"):
         lt = [(5, T_STRUCT, [(1, T_I32, d.scale), (2, T_I32,
                                                    d.precision)])]
@@ -207,7 +216,7 @@ def _schema_elements(schema: dt.Schema):
             fields.insert(1, (2, T_I32, tlen))
         if conv is not None:
             fields.append((6, T_I32, conv))
-        if d.name in ("decimal128", "decimal256"):
+        if d.is_decimal:
             fields.append((7, T_I32, d.scale))
             fields.append((8, T_I32, d.precision))
         if logical is not None:
@@ -229,6 +238,11 @@ def _schema_elements(schema: dt.Schema):
 def _gather_leaf(c: Column, rows: np.ndarray) -> Column:
     """Host-side row gather for leaf column kinds (stays numpy — the
     writer never round-trips through the device)."""
+    from ..core.column import NullColumn
+    if isinstance(c, NullColumn):
+        # null leaves write as INT32/Unknown pages with zero values
+        # (schema/mod.rs:444); every row is null so the gather is empty
+        return PrimitiveColumn(np.zeros(len(rows), np.int32), dt.int32)
     if len(rows) == len(c) and (
             len(rows) == 0 or (int(rows[0]) == 0
                                and int(rows[-1]) == len(c) - 1

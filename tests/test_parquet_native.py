@@ -985,3 +985,63 @@ def test_bitpacked_levels_decode():
     # width 2: values [3,1,2] -> bits 11 01 10 xx -> byte 0b11011000
     out = _bitpacked_levels(bytes([0b11011000]), 2, 3)
     assert list(out) == [3, 1, 2]
+
+
+def test_parquet_decimal32_64_native(tmp_path):
+    """decimal32/64 write as INT32/INT64 + DECIMAL (schema/mod.rs:634);
+    width restores through the ARROW:schema hint; pyarrow agrees."""
+    import arrow_tpu as at
+    from arrow_tpu.io import parquet_io
+    d32 = at.column([1234, None, -567], at.dtypes.decimal32(7, 2))
+    d64 = at.column([98765432101, None, -5], at.dtypes.decimal64(15, 3))
+    t = at.Table((d32, d64), at.Schema((at.Field("a", d32.dtype),
+                                        at.Field("b", d64.dtype))))
+    p = str(tmp_path / "d.parquet")
+    parquet_io.write_parquet(p, t)
+    pa_t = pq.read_table(p)
+    assert pa_t.column("a").to_pylist() == [Decimal("12.34"), None,
+                                            Decimal("-5.67")]
+    assert str(pa_t.schema.field("a").type) == "decimal32(7, 2)"
+    ours = parquet_io.read_parquet(p)
+    assert str(ours.schema.fields[0].dtype) == "decimal32(7, 2)"
+    assert str(ours.schema.fields[1].dtype) == "decimal64(15, 3)"
+    assert ours.column("b").to_pylist() == pa_t.column("b").to_pylist()
+
+
+def test_parquet_null_column_native(tmp_path):
+    """Null columns write as INT32 + LogicalType UNKNOWN
+    (schema/mod.rs:444, primitive.rs:194)."""
+    import arrow_tpu as at
+    from arrow_tpu.core.column import NullColumn
+    from arrow_tpu.io import parquet_io
+    t = at.Table((at.column([1, 2, 3]), NullColumn(3)),
+                 at.Schema((at.Field("x", at.int64),
+                            at.Field("n", at.dtypes.null))))
+    p = str(tmp_path / "n.parquet")
+    parquet_io.write_parquet(p, t)
+    pa_t = pq.read_table(p)
+    assert str(pa_t.schema.field("n").type) == "null"
+    assert pa_t.column("n").to_pylist() == [None] * 3
+    ours = parquet_io.read_parquet(p)
+    assert isinstance(ours.column("n"), NullColumn)
+    assert ours.column("x").to_pylist() == [1, 2, 3]
+
+
+def test_parquet_numeric_dictionary_native(tmp_path):
+    """dictionary<numeric> writes natively (codes materialize through
+    the page dictionary; ARROW:schema restores the dict dtype)."""
+    import arrow_tpu as at
+    import jax.numpy as jnp
+    from arrow_tpu.core.column import DictionaryColumn
+    from arrow_tpu.io import parquet_io
+    d = DictionaryColumn(jnp.asarray(np.array([2, 0, 1, 2], np.int32)),
+                         at.column(np.array([10, 20, 30], np.int64)),
+                         None)
+    t = at.Table((d,), at.Schema((at.Field("d", d.dtype),)))
+    assert parquet_io._native_writable(t.schema)
+    p = str(tmp_path / "dict.parquet")
+    parquet_io.write_parquet(p, t)
+    assert pq.read_table(p).column("d").to_pylist() == [30, 10, 20, 30]
+    ours = parquet_io.read_parquet(p)
+    assert ours.column("d").to_pylist() == [30, 10, 20, 30]
+    assert ours.schema.fields[0].dtype.name == "dictionary"
