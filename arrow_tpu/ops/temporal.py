@@ -293,8 +293,133 @@ def _date_part_stage(v, trans, offs, dname, unit, part, has_tz):
     return out.astype(jnp.int32)
 
 
+_I32_LO, _I32_HI = -2 ** 31, 2 ** 31 - 1
+
+
+@functools.partial(jax.jit, static_argnames=("unit", "part"))
+def _duration_part_stage(v, unit, part):
+    """Duration date_part (temporal.rs:527-650): truncating unit
+    conversion; the fits-i32 mask rides along (unary_opt -> null)."""
+    tps = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
+    part_sec_num, part_sec_den = {
+        "week": (604_800, 1), "day": (86_400, 1), "hour": (3_600, 1),
+        "minute": (60, 1), "second": (1, 1),
+        "millisecond": (1, 1_000), "microsecond": (1, 1_000_000),
+        "nanosecond": (1, 1_000_000_000)}[part]
+    # one part = part_sec_num/part_sec_den seconds = that * tps ticks
+    num, den = part_sec_num * tps, part_sec_den
+    if num % den == 0:                      # coarser: truncating divide
+        q = jax.lax.div(v, jnp.int64(num // den))
+        ok = (q >= _I32_LO) & (q <= _I32_HI)
+    else:                                   # finer: checked multiply
+        mult = den // num
+        # bound BEFORE multiplying (the i64 product can wrap): fits-i32
+        # iff v is within the pre-scaled i32 window
+        lo, hi = -((-_I32_LO) // mult), _I32_HI // mult
+        ok = (v >= lo) & (v <= hi)
+        q = jnp.where(ok, v, 0) * jnp.int64(mult)
+    return q.astype(jnp.int32), ok
+
+
+@functools.partial(jax.jit, static_argnames=("unit", "part"))
+def _interval_part_stage(months, days, nanos, unit, part):
+    """Interval date_part (temporal.rs:424-520).  For day_time, `nanos`
+    carries MILLISECONDS and sub-second parts use the reference's
+    i32 checked_mul (so nanosecond of ms>2147 is null)."""
+    one = jnp.int64(1)
+    if part == "year":
+        q = jax.lax.div(months, jnp.int64(12))
+    elif part == "month":
+        q = jax.lax.rem(months, jnp.int64(12))
+    elif part == "week":
+        q = jax.lax.div(days, jnp.int64(7))
+    elif part == "day":
+        q = days
+    elif unit == "day_time":
+        ms = nanos                           # milliseconds, i64 of i32
+        if part == "hour":
+            q = jax.lax.div(ms, jnp.int64(3_600_000))
+        elif part == "minute":
+            q = jax.lax.rem(jax.lax.div(ms, jnp.int64(60_000)),
+                            jnp.int64(60))
+        elif part == "second":
+            q = jax.lax.rem(jax.lax.div(ms, jnp.int64(1_000)),
+                            jnp.int64(60))
+        elif part == "millisecond":
+            q = jax.lax.rem(ms, jnp.int64(60_000))
+        elif part == "microsecond":
+            q = jax.lax.rem(ms, jnp.int64(60_000)) * jnp.int64(1_000)
+        else:                                # nanosecond
+            q = jax.lax.rem(ms, jnp.int64(60_000)) * jnp.int64(1_000_000)
+    else:                                    # month_day_nano nanos i64
+        if part == "hour":
+            q = jax.lax.div(nanos, jnp.int64(3_600_000_000_000))
+        elif part == "minute":
+            q = jax.lax.rem(jax.lax.div(nanos, jnp.int64(60_000_000_000)),
+                            jnp.int64(60))
+        elif part == "second":
+            q = jax.lax.rem(jax.lax.div(nanos, jnp.int64(1_000_000_000)),
+                            jnp.int64(60))
+        elif part == "millisecond":
+            q = jax.lax.div(jax.lax.rem(nanos, jnp.int64(60_000_000_000)),
+                            jnp.int64(1_000_000))
+        elif part == "microsecond":
+            q = jax.lax.div(jax.lax.rem(nanos, jnp.int64(60_000_000_000)),
+                            jnp.int64(1_000))
+        else:                                # nanosecond
+            q = jax.lax.rem(nanos, jnp.int64(60_000_000_000))
+    ok = (q >= _I32_LO) & (q <= _I32_HI)
+    return q.astype(jnp.int32), ok
+
+
+_DURATION_PARTS = ("week", "day", "hour", "minute", "second",
+                   "millisecond", "microsecond", "nanosecond")
+_YM_PARTS = ("year", "month")
+_DT_PARTS = _DURATION_PARTS
+_MDN_PARTS = _YM_PARTS + ("week", "day", "hour", "minute", "second",
+                          "millisecond", "microsecond", "nanosecond")
+
+
+def _span_date_part(col, part: str) -> PrimitiveColumn:
+    """date_part over Duration/Interval columns (temporal.rs:153-184 +
+    the ExtractDatePartExt impls at :424-650)."""
+    from ..core import validity as vd
+    d = col.dtype
+    if d.name == "duration":
+        if part not in _DURATION_PARTS:
+            raise ArrowTypeError(f"{part} does not support {d!r}")
+        q, ok = _duration_part_stage(col.values.astype(jnp.int64),
+                                     d.unit, part)
+    elif d.unit == "year_month":
+        if part not in _YM_PARTS:
+            raise ArrowTypeError(f"{part} does not support {d!r}")
+        q, ok = _interval_part_stage(col.values.astype(jnp.int64),
+                                     jnp.zeros((len(col),), jnp.int64),
+                                     jnp.zeros((len(col),), jnp.int64),
+                                     "year_month", part)
+    elif d.unit == "day_time":
+        if part not in _DT_PARTS:
+            raise ArrowTypeError(f"{part} does not support {d!r}")
+        x = col.values.astype(jnp.int64)
+        days = x >> 32
+        ms = x.astype(jnp.int32).astype(jnp.int64)   # signed low half
+        q, ok = _interval_part_stage(jnp.zeros_like(days), days, ms,
+                                     "day_time", part)
+    else:                                            # month_day_nano
+        if part not in _MDN_PARTS:
+            raise ArrowTypeError(f"{part} does not support {d!r}")
+        q, ok = _interval_part_stage(col.months.astype(jnp.int64),
+                                     col.days.astype(jnp.int64),
+                                     col.nanos.astype(jnp.int64),
+                                     "month_day_nano", part)
+    validity = vd.union(col.validity, None if bool(jnp.all(ok)) else ok)
+    return PrimitiveColumn(q, dt.int32, validity)
+
+
 def date_part(col: PrimitiveColumn, part: str) -> PrimitiveColumn:
     d = col.dtype
+    if d.name in ("duration", "interval"):
+        return _span_date_part(col, part)
     v = col.values.astype(jnp.int64)
     tz = d.tz if d.name == "timestamp" else None
     if tz:

@@ -279,3 +279,57 @@ def test_post_2037_tz_extraction():
     c3 = at.column([us_at("Australia/Sydney", 2044, 1, 15, 10, 0)],
                    dtype=at.timestamp("us", "Australia/Sydney"))
     assert int(np.asarray(tp.hour(c3).values)[0]) == 10
+
+
+def test_date_part_duration():
+    """Duration date_part (temporal.rs:527-650): truncating unit
+    conversion, i32-overflow -> null."""
+    from arrow_tpu.ops.temporal import date_part
+    d = at.column(np.array([90061, -90061], np.int64),
+                  dtype=at.duration("s"))          # 1d 1h 1m 1s
+    assert date_part(d, "day").to_pylist() == [1, -1]
+    assert date_part(d, "hour").to_pylist() == [25, -25]
+    assert date_part(d, "minute").to_pylist() == [1501, -1501]
+    assert date_part(d, "second").to_pylist() == [90061, -90061]
+    assert date_part(d, "millisecond").to_pylist() == [90061000, -90061000]
+    # 90061 * 1e6 > i32::MAX -> null (checked_mul + try_into)
+    assert date_part(d, "microsecond").to_pylist() == [None, None]
+    big = at.column(np.array([2**62], np.int64), dtype=at.duration("ns"))
+    assert date_part(big, "second").to_pylist() == [None]  # > i32
+    with pytest.raises(at.ArrowError):
+        date_part(d, "year")
+
+
+def test_date_part_intervals():
+    """Interval date_part (temporal.rs:424-520)."""
+    from arrow_tpu.ops.temporal import date_part
+    ym = at.column(np.array([25, -25], np.int32),
+                   dtype=at.interval("year_month"))
+    assert date_part(ym, "year").to_pylist() == [2, -2]
+    assert date_part(ym, "month").to_pylist() == [1, -1]
+    with pytest.raises(at.ArrowError):
+        date_part(ym, "day")
+    packed = (16 << 32) | (0xFFFFFFFF & 3_601_001)
+    dti = at.column(np.array([packed], np.int64),
+                    dtype=at.interval("day_time"))
+    assert date_part(dti, "week").to_pylist() == [2]
+    assert date_part(dti, "day").to_pylist() == [16]
+    assert date_part(dti, "hour").to_pylist() == [1]
+    assert date_part(dti, "second").to_pylist() == [1]
+    assert date_part(dti, "millisecond").to_pylist() == [1001]
+    assert date_part(dti, "microsecond").to_pylist() == [1001000]
+    # 1001 * 1e6 fits i32 -> real value (reference i32 checked_mul)
+    assert date_part(dti, "nanosecond").to_pylist() == [1001000000]
+    # ms%60000 = 50000 -> 5e10 overflows i32 -> null
+    dt2 = at.column(np.array([50_000], np.int64),
+                    dtype=at.interval("day_time"))
+    assert date_part(dt2, "nanosecond").to_pylist() == [None]
+    assert date_part(dt2, "microsecond").to_pylist() == [50_000_000]
+    mdn = at.column([(25, 16, 3_601_001_000_000)],
+                    dtype=at.interval("month_day_nano"))
+    assert date_part(mdn, "year").to_pylist() == [2]
+    assert date_part(mdn, "month").to_pylist() == [1]
+    assert date_part(mdn, "week").to_pylist() == [2]
+    assert date_part(mdn, "hour").to_pylist() == [1]
+    assert date_part(mdn, "millisecond").to_pylist() == [1001]
+    assert date_part(mdn, "nanosecond").to_pylist() == [1001000000]
