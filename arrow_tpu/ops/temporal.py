@@ -276,6 +276,9 @@ def _date_part_stage(v, trans, offs, dname, unit, part, has_tz):
     elif part == "dow":
         # arrow DatePart::DayOfWeekMonday0: Monday=0..Sunday=6
         out = jnp.mod(days + 3, 7)
+    elif part == "dow_sunday0":
+        # DatePart::DayOfWeekSunday0: Sunday=0..Saturday=6
+        out = jnp.mod(days + 4, 7)
     elif part == "hour":
         out = t_ns // (3_600 * 1_000_000_000)
     elif part == "minute":

@@ -333,3 +333,14 @@ def test_date_part_intervals():
     assert date_part(mdn, "hour").to_pylist() == [1]
     assert date_part(mdn, "millisecond").to_pylist() == [1001]
     assert date_part(mdn, "nanosecond").to_pylist() == [1001000000]
+
+
+def test_day_of_week_sunday0():
+    """DatePart::DayOfWeekSunday0 (temporal.rs ChronoDateExt)."""
+    from arrow_tpu.ops.temporal import date_part
+    d = at.column(np.array([0, 3], np.int32), dtype=at.date32)
+    assert date_part(d, "dow_sunday0").to_pylist() == [4, 0]
+    got = date_part(d, "dow_sunday0").to_pylist()
+    exp = pc.day_of_week(pa.array([0, 3], pa.date32()),
+                         count_from_zero=True, week_start=7).to_pylist()
+    assert got == exp
