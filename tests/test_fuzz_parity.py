@@ -320,3 +320,34 @@ def test_fuzz_json_writer_pyarrow_reads(seed):
     assert got["i"].to_pylist() == tab["i"].to_pylist()
     assert got["b"].to_pylist() == tab["b"].to_pylist()
     assert got["s"].to_pylist() == tab["s"].to_pylist()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_join_parity(seed):
+    """Random multi-key joins vs pyarrow acero (config-5 operator
+    tier): inner/left/semi/anti, null keys, duplicate build keys.
+    Row order is implementation-defined, so compare sorted row sets."""
+    from arrow_tpu.ops.join import join
+    rng = np.random.default_rng(300 + seed)
+    nl = int(rng.integers(1, 400))
+    nr = int(rng.integers(1, 200))
+    card = int(rng.integers(2, 40))
+
+    def keys(n):
+        mask = rng.random(n) < rng.choice([0.0, 0.15])
+        return pa.array(rng.integers(0, card, n), pa.int64(), mask=mask)
+
+    lt = pa.table({"a": keys(nl), "b": keys(nl),
+                   "v": pa.array(rng.integers(0, 10**9, nl))})
+    rt = pa.table({"a": keys(nr), "b": keys(nr),
+                   "w": pa.array(rng.integers(0, 10**9, nr))})
+    L, R = at.Table.from_pyarrow(lt), at.Table.from_pyarrow(rt)
+    for how, pa_how in [("inner", "inner"), ("left", "left outer"),
+                        ("semi", "left semi"), ("anti", "left anti")]:
+        got = join(L, R, ["a", "b"], how=how)
+        exp = lt.join(rt, keys=["a", "b"], join_type=pa_how)
+        gd, ed = got.to_pydict(), exp.to_pydict()
+        assert sorted(gd.keys()) == sorted(ed.keys()), how
+        key = lambda d: sorted(zip(*[
+            [(x is not None, x) for x in d[k]] for k in sorted(d)]))
+        assert key(gd) == key(ed), (how, seed)
