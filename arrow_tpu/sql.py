@@ -835,18 +835,21 @@ def _aggregate(t: Table, aliases, suffixes, items,
         else:
             c = t.column(specs[[s.out_name for s in specs]
                                .index(src)].column)
+            from .core.column import NullColumn
             if e.fn == "count":
                 v = int(agg_ops.count(c))
+            elif isinstance(c, NullColumn):
+                v = None             # SUM/AVG/MIN/MAX of the null type
             elif e.fn == "mean":
-                sv = agg_ops.sum_(c)
-                v = (None if sv is None or sv.value is None else
-                     float(np.asarray(sv.value))
-                     / max(int(agg_ops.count(c)), 1))
+                cnt = int(agg_ops.count(c))
+                # AVG of zero non-null rows is NULL (Scalar.valid is the
+                # null flag; .value is always a tensor, never None)
+                v = (None if cnt == 0 else
+                     float(np.asarray(agg_ops.sum_(c).value)) / cnt)
             else:
                 r = getattr(agg_ops, {"sum": "sum_", "min": "min_",
                                       "max": "max_"}[e.fn])(c)
-                v = None if r is None or r.value is None \
-                    else np.asarray(r.value).item()
+                v = None if r is None else r.as_py()
         col = make_col([v])
         cols.append(col)
         fields.append(dt.Field(name, col.dtype))

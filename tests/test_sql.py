@@ -195,3 +195,18 @@ def test_bare_select_alias():
     r = execute_sql({"t": t}, "SELECT v total FROM t")
     assert r.column_names == ["total"]
     assert r.to_pydict() == {"total": [1, 2]}
+
+
+def test_global_aggregates_all_null_are_null():
+    """SUM/MIN/MAX/AVG over zero non-null rows are NULL, not 0
+    (Scalar.valid is the null flag)."""
+    t = at.Table.from_pydict({"x": [None, None],
+                              "y": [1, 2]})
+    out = execute_sql({"t": t},
+                      "SELECT sum(x) AS s, avg(x) AS a, min(x) AS m, "
+                      "count(x) AS c FROM t")
+    d = out.to_pydict()
+    assert d["s"] == [None] and d["a"] == [None] and d["m"] == [None]
+    assert d["c"] == [0]
+    empty = execute_sql({"t": t}, "SELECT max(y) AS m FROM t WHERE y > 99")
+    assert empty.to_pydict()["m"] == [None]
