@@ -283,8 +283,9 @@ class ListBuilder(_Base):
     """ListBuilder (builder/generic_list_builder.rs): append via the
     `values` child builder, close each list with append(True)."""
 
-    def __init__(self, values_builder):
+    def __init__(self, values_builder, large: bool = False):
         self.values = values_builder
+        self.large = large
         self._offsets: List[int] = [0]
         self._valid: List[bool] = []
         self._len = 0
@@ -306,12 +307,13 @@ class ListBuilder(_Base):
 
     def finish(self) -> ListColumn:
         child = self.values.finish()
-        offs = np.asarray(self._offsets, np.int32)
+        offs = np.asarray(self._offsets,
+                          np.int64 if self.large else np.int32)
         validity = None if all(self._valid) \
             else jnp.asarray(np.asarray(self._valid, bool))
-        vb = self.values
-        ListBuilder.__init__(self, vb)
-        return ListColumn(jnp.asarray(offs), child, validity)
+        vb, large = self.values, self.large
+        ListBuilder.__init__(self, vb, large)
+        return ListColumn(jnp.asarray(offs), child, validity, large=large)
 
 
 class FixedSizeListBuilder(_Base):
@@ -467,7 +469,8 @@ def make_builder(dtype: dt.DataType):
         return DictionaryBuilder(make_builder(dtype.value_type),
                                  dtype.index_type)
     if dtype.name in ("list", "large_list"):
-        return ListBuilder(make_builder(dtype.value_type))
+        return ListBuilder(make_builder(dtype.value_type),
+                           large=dtype.name == "large_list")
     if dtype.name == "fixed_size_list":
         return FixedSizeListBuilder(make_builder(dtype.value_type),
                                     dtype.list_size)

@@ -501,14 +501,11 @@ def _column_from_pylist(values: list, dtype, validity) -> Column:
     if dtype.name in ("list", "large_list"):
         # ListArray::from_iter (list_array.rs:169 FromIterator role)
         from .builders import ListBuilder, make_builder
-        lb = ListBuilder(make_builder(dtype.value_type))
+        lb = ListBuilder(make_builder(dtype.value_type),
+                         large=dtype.name == "large_list")
         for row in values:
             lb.append_null() if row is None else lb.append_value(row)
-        out = lb.finish()
-        if dtype.name == "large_list":
-            out = ListColumn(out.offsets.astype(jnp.int64), out.child,
-                             out.validity, large=True)
-        return out
+        return lb.finish()
     if dtype.is_string and dtype.name != "fixed_size_binary" \
             or dtype.name in ("binary", "large_binary", "binary_view"):
         return StringColumn.from_pylist(values, dtype)
