@@ -244,6 +244,19 @@ def _sort_decode_stage(kinds, opts, has_nulls, metas, need_idx, limit,
     groups = encode_key_groups_traced(kinds, opts, parts)
     flat = [k for g in groups for k in g]
     n = flat[0].shape[0]
+    if limit is not None and len(flat) == 1 and 0 < limit < n:
+        # true partial sort (sort.rs partial_sort:853): ONE u64 key ->
+        # lax.top_k of the complemented key gives the smallest `limit`
+        # keys; top_k tie-break is ascending index = stable order
+        # (measured on v5e: compiles on u64)
+        topv, topi = jax.lax.top_k(~flat[0], limit)
+        skey = ~topv
+        idx = topi.astype(jnp.uint32) if need_idx else None
+        sorted_payloads = tuple(p[topi] for p in payloads)
+        vals, validity = decode_sorted_group(
+            kinds[0], opts[0], has_nulls[0], [skey],
+            out_dtype=np.dtype(metas[0]), inv_slots=invs[0])
+        return [(vals, validity)], idx, sorted_payloads
     ops_ = tuple(flat)
     if need_idx:
         ops_ = ops_ + (jnp.arange(n, dtype=jnp.uint32),)

@@ -529,3 +529,26 @@ def test_day_time_interval_sort_signed_millis():
     out = ops.sort(c)
     got = np.asarray(out.values).tolist()
     assert got == [neg, pos], got
+
+
+def test_sort_limit_topk_single_key():
+    """sort(limit=k) on a single-key column rides lax.top_k (the
+    partial_sort role, sort.rs:853); output matches full-sort prefix,
+    indices stay stable."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 50, 500)          # many ties
+    c = at.column(vals)
+    for desc in (False, True):
+        opt = ops.SortOptions(descending=desc)
+        full = ops.sort(c, opt).to_pylist()
+        lim = ops.sort(c, opt, limit=10).to_pylist()
+        assert lim == full[:10], desc
+        idx_full = np.asarray(ops.sort_to_indices(c, opt).values)[:10]
+        idx_lim = np.asarray(ops.sort_to_indices(c, opt, limit=10).values)
+        assert np.array_equal(idx_full, idx_lim), desc
+    # nullable column (extra null-class key) takes the full-sort path
+    # (arrow-rs SortOptions default: nulls first)
+    cn = at.column([3, None, 1, 2, None])
+    assert ops.sort(cn, limit=3).to_pylist() == [None, None, 1]
+    f = at.column(rng.standard_normal(100))
+    assert ops.sort(f, limit=5).to_pylist() == ops.sort(f).to_pylist()[:5]
