@@ -223,7 +223,9 @@ def _native_writable(schema: dt.Schema) -> bool:
     def ok(d: dt.DataType) -> bool:
         if d.name == "struct":
             return all(ok(f.dtype) for f in d.fields)
-        if d.name in ("list", "large_list", "fixed_size_list"):
+        if d.name in ("list", "large_list", "fixed_size_list",
+                      "list_view", "large_list_view"):
+            # views store as lists; ARROW:schema restores the view dtype
             return ok(d.value_type)
         if d.name == "map":
             return all(ok(f.dtype) for f in d.value_type.fields)

@@ -316,11 +316,11 @@ def _annotate_hints(root: SchemaNode, schema: dt.Schema) -> None:
         lt = n.logical or {}
         ct = n.converted
         if 3 in lt or ct == 3:                      # LIST group
-            if hint.name not in ("list", "large_list",
-                                 "fixed_size_list"):
+            if hint.name not in ("list", "large_list", "fixed_size_list",
+                                 "list_view", "large_list_view"):
                 return
             if hint.name != "list":    # structural refinement: the
-                n.arrow_hint = hint    # built list casts to fsl/large
+                n.arrow_hint = hint    # built list casts to fsl/large/view
             mid = n.children[0]
             elem = mid.children[0] if mid.children else mid
             node(elem, hint.value_type)

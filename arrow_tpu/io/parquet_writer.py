@@ -692,6 +692,38 @@ def _encode_arrow_schema(schema: dt.Schema) -> str:
     return base64.b64encode(framed).decode()
 
 
+def _strip_view_dtype(d: dt.DataType) -> dt.DataType:
+    """list_view/large_list_view -> list/large_list, recursively.
+    Parquet has no view layout (the reference rejects them,
+    schema/mod.rs:717); this writer stores views as lists and the
+    ARROW:schema hint restores the view dtype on read."""
+    n = d.name
+    if n == "list_view":
+        return dt.list_(_strip_view_dtype(d.value_type))
+    if n == "large_list_view":
+        return dt.large_list(_strip_view_dtype(d.value_type))
+    if n in ("list", "large_list"):
+        inner = _strip_view_dtype(d.value_type)
+        return d if inner == d.value_type else \
+            (dt.large_list if n == "large_list" else dt.list_)(inner)
+    if n == "fixed_size_list":
+        inner = _strip_view_dtype(d.value_type)
+        return d if inner == d.value_type else \
+            dt.fixed_size_list(inner, d.list_size)
+    if n == "struct":
+        fields = tuple(dt.Field(f.name, _strip_view_dtype(f.dtype),
+                                f.nullable) for f in d.fields)
+        return d if fields == d.fields else dt.struct(fields)
+    if n == "map":
+        kv = d.value_type
+        k2 = _strip_view_dtype(kv.fields[0].dtype)
+        v2 = _strip_view_dtype(kv.fields[1].dtype)
+        if (k2, v2) == (kv.fields[0].dtype, kv.fields[1].dtype):
+            return d
+        return dt.map_(k2, v2)
+    return d
+
+
 class NativeParquetWriter:
     def __init__(self, sink, schema: dt.Schema, compression="snappy",
                  dictionary_enabled: bool = True,
@@ -709,6 +741,11 @@ class NativeParquetWriter:
                  column_properties: Optional[dict] = None):
         self._own = isinstance(sink, str)
         self._out = open(sink, "wb") if self._own else sink
+        self._arrow_schema = schema        # the embed keeps view dtypes
+        stripped = tuple(dt.Field(f.name, _strip_view_dtype(f.dtype),
+                                  f.nullable) for f in schema.fields)
+        if stripped != tuple(schema.fields):
+            schema = dt.Schema(stripped, metadata=schema.metadata)
         self.schema = schema
         self.encryption = encryption
         self._file_aad = b""
@@ -797,6 +834,13 @@ class NativeParquetWriter:
         return hdr_mod + body_mod
 
     def write_table(self, table: Table):
+        if self.schema.fields != tuple(self._arrow_schema.fields):
+            # view columns store as lists (ARROW:schema restores)
+            from ..ops.cast import cast as _cast
+            cols = tuple(
+                _cast(c, f.dtype) if c.dtype != f.dtype else c
+                for c, f in zip(table.columns, self.schema.fields))
+            table = Table(cols, self.schema, _validated=True)
         for start in range(0, table.num_rows, self.row_group_size):
             self._write_row_group(
                 table.slice(start, min(self.row_group_size,
@@ -1248,7 +1292,7 @@ class NativeParquetWriter:
             # base64(len-framed IPC Schema message) under ARROW:schema:
             # exact Arrow type recovery on read (schema/mod.rs:182,
             # encode_arrow_schema)
-            kvs["ARROW:schema"] = _encode_arrow_schema(self.schema)
+            kvs["ARROW:schema"] = _encode_arrow_schema(self._arrow_schema)
         if kvs:
             fmd.insert(4, (5, T_LIST, (T_STRUCT,
                                        [[(1, T_BINARY, k),

@@ -1045,3 +1045,27 @@ def test_parquet_numeric_dictionary_native(tmp_path):
     ours = parquet_io.read_parquet(p)
     assert ours.column("d").to_pylist() == [30, 10, 20, 30]
     assert ours.schema.fields[0].dtype.name == "dictionary"
+
+
+def test_parquet_list_view_native(tmp_path):
+    """list_view/large_list_view store as lists (the reference rejects
+    views, schema/mod.rs:717); the ARROW:schema embed restores the view
+    dtype on read — in pyarrow too."""
+    import arrow_tpu as at
+    import jax.numpy as jnp
+    from arrow_tpu.core.nested import ListViewColumn
+    from arrow_tpu.io import parquet_io
+    lv = ListViewColumn(jnp.asarray(np.array([2, 0, 1], np.int32)),
+                        jnp.asarray(np.array([2, 2, 3], np.int32)),
+                        at.column([10, 20, 30, 40, 50]),
+                        jnp.asarray(np.array([True, True, False])))
+    t = at.Table((lv,), at.Schema((at.Field("v", lv.dtype),)))
+    assert parquet_io._native_writable(t.schema)
+    p = str(tmp_path / "lv.parquet")
+    parquet_io.write_parquet(p, t)
+    pa_t = pq.read_table(p)
+    assert pa_t.column("v").to_pylist() == [[30, 40], [10, 20], None]
+    assert str(pa_t.schema.field("v").type).startswith("list_view")
+    ours = parquet_io.read_parquet(p)
+    assert ours.column("v").to_pylist() == [[30, 40], [10, 20], None]
+    assert ours.schema.fields[0].dtype.name == "list_view"
