@@ -371,3 +371,44 @@ def test_local_lookup_unique_sentinel_probe():
     hit, gathered = _local_lookup_unique(pk, pv, bk, bv, [vals])
     assert bool(np.asarray(hit)[0])
     assert int(np.asarray(gathered[0])[0]) == 222
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_dist_group_by_parity(mesh, seed):
+    """Randomized dist_group_by vs a host oracle: random cardinality,
+    null rates, negative sums (config-4 operator fuzz tier)."""
+    n = 64 * NDEV
+    rng = np.random.default_rng(500 + seed)
+    card = int(rng.integers(1, 50))
+    keys = rng.integers(0, card, n).astype(np.uint64)
+    ok_np = rng.random(n) > rng.choice([0.0, 0.2])
+    vals = rng.integers(-10**9, 10**9, n)
+    cap = 2 * card + 4
+
+    @jax.jit
+    def run(k, o, v):
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(AXIS),) * 3,
+                           out_specs=(P(AXIS),) * 6 + (P(),))
+        def body(k, o, v):
+            gk, gv, outs, over = par.dist_group_by(
+                AXIS, k, o, n, cap,
+                [("sum", v), ("count", v), ("min", v), ("max", v)])
+            return (gk, gv) + tuple(outs) + (over,)
+        return body(k, o, v)
+
+    gk, gv, gsum, gcnt, gmin, gmax, over = (
+        np.asarray(x) for x in run(jnp.asarray(keys), jnp.asarray(ok_np),
+                                   jnp.asarray(vals)))
+    assert not over
+    got = {}
+    for i in range(len(gk)):
+        if gv[i]:
+            got[int(gk[i])] = (int(gsum[i]), int(gcnt[i]),
+                               int(gmin[i]), int(gmax[i]))
+    exp = {}
+    for k in np.unique(keys[ok_np]):
+        sel = vals[(keys == k) & ok_np]
+        exp[int(k)] = (int(sel.sum()), len(sel), int(sel.min()),
+                       int(sel.max()))
+    assert got == exp, seed
