@@ -188,7 +188,7 @@ def _compact_impl(keep, planes, *, nplanes: int, interpret: bool):
                 pl.BlockSpec((nplanes, _SUB, _LANE), lambda b: (0, b, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((nplanes, npad + _BLOCK),
                                            jnp.int32),
             scratch_shapes=[
