@@ -146,8 +146,16 @@ def test_no_pyarrow_imports_in_wire_modules():
     import arrow_tpu.io.ipc as ipc_mod
     import arrow_tpu.io.ipc_format as fmt_mod
     import arrow_tpu.io.parquet_native as pq_mod
+    import arrow_tpu.io.parquet_writer as pw_mod
+    import arrow_tpu.io.csv as csv_mod
+    import arrow_tpu.io.json_io as json_mod
+    import arrow_tpu.io.avro as avro_mod
+    import arrow_tpu.io.thrift as thrift_mod
+    import arrow_tpu.io.fb as fb_mod
+    import arrow_tpu.io.pb as pb_mod
     import re
-    for mod in (flight_mod, ipc_mod, fmt_mod, pq_mod):
+    for mod in (flight_mod, ipc_mod, fmt_mod, pq_mod, pw_mod, csv_mod,
+                json_mod, avro_mod, thrift_mod, fb_mod, pb_mod):
         src = open(mod.__file__).read()
         assert not re.search(r"^\s*(import pyarrow|from pyarrow)", src,
                              re.M), mod.__name__
