@@ -27,7 +27,7 @@ from ..core.column import Column, PrimitiveColumn, StringColumn, column
 from ..core.table import Table
 from ..errors import ArrowInvalid, ArrowNotImplementedError
 
-__all__ = ["read_avro", "ReaderBuilder"]
+__all__ = ["read_avro", "write_avro", "ReaderBuilder"]
 
 _MAGIC = b"Obj\x01"
 
@@ -381,3 +381,293 @@ class ReaderBuilder:
             return [t]
         return [t.slice(i, min(self.batch_size, t.num_rows - i))
                 for i in range(0, t.num_rows, self.batch_size)]
+
+
+# ---------------------------------------------------------------------------
+# Writer (beyond the reference: arrow-avro is decode-only — this engine
+# writes the same object container format its reader consumes, so every
+# IO format in the engine round-trips).
+# ---------------------------------------------------------------------------
+
+def _put_varint(out: bytearray, u: int) -> None:
+    while u >= 0x80:
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+    out.append(u)
+
+
+def _put_zz(out: bytearray, v: int) -> None:
+    """zig-zag varint (inverse of _Cursor.vlq_long)."""
+    _put_varint(out, ((v << 1) ^ (v >> 63)) & 0xFFFFFFFFFFFFFFFF)
+
+
+def _put_bytes(out: bytearray, b: bytes) -> None:
+    _put_zz(out, len(b))
+    out += b
+
+
+_DT_TO_AVRO = {"bool": "boolean", "int8": "int", "int16": "int",
+               "int32": "int", "uint8": "int", "uint16": "int",
+               "int64": "long", "uint32": "long", "uint64": "long",
+               "float16": "float", "float32": "float",
+               "float64": "double", "utf8": "string",
+               "large_utf8": "string", "utf8_view": "string",
+               "binary": "bytes", "large_binary": "bytes",
+               "binary_view": "bytes", "duration": "long"}
+
+
+def _dtype_to_avro(d: dt.DataType, name: str):
+    """Arrow dtype -> Avro schema (inverse of _field_dtype)."""
+    n = d.name
+    if n == "null":
+        return "null"
+    if n == "date32":
+        return {"type": "int", "logicalType": "date"}
+    if n == "date64":                 # ms since epoch
+        return {"type": "long", "logicalType": "timestamp-millis"}
+    if n == "time32":
+        if d.unit != "ms":
+            raise ArrowNotImplementedError("avro time32 must be ms")
+        return {"type": "int", "logicalType": "time-millis"}
+    if n == "time64":
+        if d.unit != "us":
+            raise ArrowNotImplementedError("avro time64 must be us")
+        return {"type": "long", "logicalType": "time-micros"}
+    if n == "timestamp":
+        lt = {"s": "timestamp-millis", "ms": "timestamp-millis",
+              "us": "timestamp-micros", "ns": "timestamp-nanos"}[d.unit]
+        return {"type": "long", "logicalType": lt}
+    if d.is_decimal:
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": d.precision, "scale": d.scale}
+    if n == "interval":
+        if d.unit != "month_day_nano":
+            raise ArrowNotImplementedError(
+                "avro duration needs month_day_nano (cast first)")
+        return {"type": "fixed", "name": f"{name}_duration", "size": 12,
+                "logicalType": "duration"}
+    if n == "fixed_size_binary":
+        return {"type": "fixed", "name": f"{name}_fixed",
+                "size": d.list_size}
+    if n == "dictionary":             # decode: avro enums are closed sets
+        return _dtype_to_avro(d.value_type, name)
+    if n in ("list", "large_list", "fixed_size_list", "list_view",
+             "large_list_view"):
+        return {"type": "array",
+                "items": _dtype_to_avro(d.value_type, name)}
+    if n == "map":
+        kf = d.value_type.fields[0].dtype
+        if not kf.is_string:
+            raise ArrowNotImplementedError("avro map keys must be string")
+        return {"type": "map",
+                "values": _dtype_to_avro(d.value_type.fields[1].dtype,
+                                         name)}
+    if n == "struct":
+        return {"type": "record", "name": f"{name}_record",
+                "fields": [{"name": f.name,
+                            "type": _avro_field_type(f, f.name)}
+                           for f in d.fields]}
+    if n in _DT_TO_AVRO:
+        return _DT_TO_AVRO[n]
+    raise ArrowNotImplementedError(f"avro write of {d!r}")
+
+
+def _avro_field_type(f: dt.Field, name: str):
+    s = _dtype_to_avro(f.dtype, name)
+    if f.nullable and s != "null":
+        return ["null", s]
+    return s
+
+
+def _encode_value(out: bytearray, v, schema) -> None:
+    """Inverse of _decode_value."""
+    if isinstance(schema, list):      # ["null", T]
+        if v is None:
+            _put_zz(out, schema.index("null"))
+            return
+        idx = next(i for i, s in enumerate(schema) if s != "null")
+        _put_zz(out, idx)
+        _encode_value(out, v, schema[idx])
+        return
+    if isinstance(schema, dict):
+        t = schema["type"]
+        lt = schema.get("logicalType")
+        if lt == "decimal":           # unscaled int -> minimal BE bytes
+            u = int(v)
+            nbytes = max((u.bit_length() + 8) // 8, 1)
+            _put_bytes(out, u.to_bytes(nbytes, "big", signed=True))
+            return
+        if lt == "duration":          # (months, days, nanos) -> 3x u32 LE
+            months, days, nanos = v
+            if nanos % 1_000_000:
+                raise ArrowNotImplementedError(
+                    "avro duration stores milliseconds; nanos must be "
+                    "a millisecond multiple")
+            out += struct.pack("<III", months & 0xFFFFFFFF,
+                               days & 0xFFFFFFFF,
+                               (nanos // 1_000_000) & 0xFFFFFFFF)
+            return
+        if t == "record":
+            for f in schema["fields"]:
+                _encode_value(out, v.get(f["name"]), f["type"])
+            return
+        if t == "array":
+            if v:
+                _put_zz(out, len(v))
+                for x in v:
+                    _encode_value(out, x, schema["items"])
+            _put_zz(out, 0)
+            return
+        if t == "map":
+            items = v.items() if isinstance(v, dict) else v
+            items = list(items)
+            if items:
+                _put_zz(out, len(items))
+                for k, x in items:
+                    _put_bytes(out, k.encode())
+                    _encode_value(out, x, schema["values"])
+            _put_zz(out, 0)
+            return
+        if t == "fixed":
+            b = bytes(v)
+            if len(b) != schema["size"]:
+                raise ArrowInvalid("fixed value width mismatch")
+            out += b
+            return
+        schema = t
+    if schema == "null":
+        return
+    if schema == "boolean":
+        out.append(1 if v else 0)
+        return
+    if schema in ("int", "long"):
+        iv = int(v)
+        if not -2 ** 63 <= iv < 2 ** 63:
+            raise ArrowInvalid(f"avro long overflow: {iv}")
+        _put_zz(out, iv)
+        return
+    if schema == "float":
+        out += struct.pack("<f", float(v))
+        return
+    if schema == "double":
+        out += struct.pack("<d", float(v))
+        return
+    if schema == "string":
+        _put_bytes(out, v.encode() if isinstance(v, str) else bytes(v))
+        return
+    if schema == "bytes":
+        _put_bytes(out, bytes(v))
+        return
+    raise ArrowNotImplementedError(f"avro type {schema}")
+
+
+def _avro_cell(v, d: dt.DataType):
+    """to_pylist value -> avro-encodable value for dtype d."""
+    if v is None:
+        return None
+    n = d.name
+    if d.is_decimal:
+        import decimal as _dec
+        return int(_dec.Decimal(v).scaleb(d.scale))
+    if n == "interval":
+        if isinstance(v, dict):
+            return (v.get("months", 0), v.get("days", 0),
+                    v.get("nanoseconds", 0))
+        months, days, nanos = v
+        return (months, days, nanos)
+    if n == "timestamp":
+        scale = {"s": None, "ms": 1, "us": 1, "ns": 1}[d.unit]
+        import datetime as _dt2
+        if isinstance(v, _dt2.datetime):
+            epoch = _dt2.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            us = (v - epoch) // _dt2.timedelta(microseconds=1)
+            return {"s": us // 1_000, "ms": us // 1_000, "us": us,
+                    "ns": us * 1_000}[d.unit]
+        return int(v) * (1_000 if d.unit == "s" else 1)
+    if n == "date32":
+        import datetime as _dt2
+        if isinstance(v, _dt2.date):
+            return (v - _dt2.date(1970, 1, 1)).days
+        return int(v)
+    if n == "date64":
+        import datetime as _dt2
+        if isinstance(v, _dt2.datetime):
+            return int((v - _dt2.datetime(1970, 1, 1))
+                       // _dt2.timedelta(milliseconds=1))
+        return int(v)
+    if n in ("time32", "time64"):
+        import datetime as _dt2
+        if isinstance(v, _dt2.time):
+            us = ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000 \
+                + v.microsecond
+            return us // 1_000 if n == "time32" else us
+        return int(v)
+    if n in ("list", "large_list", "fixed_size_list", "list_view",
+             "large_list_view"):
+        return [_avro_cell(x, d.value_type) for x in v]
+    if n == "map":
+        items = v.items() if isinstance(v, dict) else v
+        vd_ = d.value_type.fields[1].dtype
+        return [(k, _avro_cell(x, vd_)) for k, x in items]
+    if n == "struct":
+        return {f.name: _avro_cell(v.get(f.name), f.dtype)
+                for f in d.fields}
+    if n == "dictionary":
+        return _avro_cell(v, d.value_type)
+    return v
+
+
+def write_avro(sink, table: Table, codec: str = "deflate",
+               block_rows: int = 64_000) -> None:
+    """Table -> Avro object container file (the format read_avro and
+    arrow-avro consume).  codec: null | deflate | snappy."""
+    import os as _os
+    from ..utils import native as nt
+    schema = {"type": "record", "name": "arrow_tpu",
+              "fields": [{"name": f.name,
+                          "type": _avro_field_type(f, f.name)}
+                         for f in table.schema.fields]}
+    out = bytearray()
+    out += _MAGIC
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    _put_zz(out, len(meta))
+    for k, v in meta.items():
+        _put_bytes(out, k.encode())
+        _put_bytes(out, v)
+    _put_zz(out, 0)
+    sync = _os.urandom(16)
+    out += sync
+
+    cols = [c.to_pylist() for c in table.columns]
+    dts = [f.dtype for f in table.schema.fields]
+    ftypes = [f["type"] for f in schema["fields"]]
+    n = table.num_rows
+    for start in range(0, n, block_rows):
+        stop = min(start + block_rows, n)
+        body = bytearray()
+        for i in range(start, stop):
+            for vals, d, ft in zip(cols, dts, ftypes):
+                _encode_value(body, _avro_cell(vals[i], d), ft)
+        payload = bytes(body)
+        if codec == "deflate":
+            co = zlib.compressobj(wbits=-15)
+            payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":
+            comp = nt.snappy_compress(payload)
+            payload = comp + struct.pack(">I",
+                                         zlib.crc32(bytes(body))
+                                         & 0xFFFFFFFF)
+        elif codec != "null":
+            raise ArrowNotImplementedError(f"avro codec {codec}")
+        _put_zz(out, stop - start)
+        _put_zz(out, len(payload))
+        out += payload
+        out += sync
+    if n == 0:
+        pass                            # header-only file is valid
+    if isinstance(sink, str):
+        with open(sink, "wb") as f:
+            f.write(out)
+    else:
+        sink.write(bytes(out))

@@ -467,3 +467,55 @@ def test_avro_decimal_duration_local_ts():
     assert (d0.months, d0.days, d0.nanoseconds) == (1, 2, 3_000_000_000)
     assert t.column("lts").dtype.name == "timestamp"
     assert np.asarray(t.column("lts").values).tolist() == [1_000_000, -5]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+def test_avro_writer_roundtrip(codec):
+    """write_avro (beyond the reference — arrow-avro is decode-only):
+    object container files our reader and spec-compliant readers
+    consume; all three codecs."""
+    import io as _io
+    from arrow_tpu.io.avro import read_avro, write_avro
+    from arrow_tpu.ops.cast import cast
+    pt = pa.table({
+        "i": pa.array([1, None, 3]),
+        "f": pa.array([1.5, 2.5, None]),
+        "s": pa.array(["a", None, "ccc"]),
+        "b": pa.array([b"x", b"yy", None], pa.binary()),
+        "ok": pa.array([True, False, None]),
+        "lst": pa.array([[1, 2], None, []], pa.list_(pa.int64())),
+        "st": pa.array([{"p": 1, "q": "u"}, None, {"p": 3, "q": None}]),
+        "m": pa.array([[("k1", 7)], None, []],
+                      pa.map_(pa.string(), pa.int64())),
+        "d32": pa.array([1, 2, 3], pa.int32()).cast(pa.date32()),
+        "ts": pa.array([10**15, 5, -3], pa.int64())
+            .cast(pa.timestamp("us")),
+        "mdn": pa.array([(1, 2, 3_000_000), None, (0, 0, 0)],
+                        pa.month_day_nano_interval()),
+    })
+    t = at.Table.from_pyarrow(pt)
+    t = t.append_column("dec", cast(at.column([123, -45, 0]),
+                                    at.dtypes.decimal128(10, 2)))
+    buf = _io.BytesIO()
+    write_avro(buf, t, codec=codec)
+    back = read_avro(buf.getvalue())
+    for name in t.column_names:
+        a = t.column(name).to_pylist()
+        b = back.column(name).to_pylist()
+        if name == "m":
+            a = [None if x is None else list(x) for x in a]
+            b = [None if x is None else list(x) for x in b]
+        assert a == b, (codec, name)
+
+
+def test_avro_writer_multi_block():
+    import io as _io
+    from arrow_tpu.io.avro import read_avro, write_avro
+    n = 10_000
+    t = at.Table.from_pydict({"x": list(range(n)),
+                              "s": [f"v{i % 100}" for i in range(n)]})
+    buf = _io.BytesIO()
+    write_avro(buf, t, codec="deflate", block_rows=1000)
+    back = read_avro(buf.getvalue())
+    assert back.column("x").to_pylist() == list(range(n))
+    assert back.column("s").to_pylist()[:3] == ["v0", "v1", "v2"]
