@@ -149,6 +149,8 @@ _LOGICAL_DT = {
     "timestamp-micros": dt.timestamp("us"),
     "local-timestamp-millis": dt.timestamp("ms"),
     "local-timestamp-micros": dt.timestamp("us"),
+    "timestamp-nanos": dt.timestamp("ns"),
+    "local-timestamp-nanos": dt.timestamp("ns"),
     "uuid": dt.utf8,
 }
 
