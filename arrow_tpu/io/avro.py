@@ -578,9 +578,12 @@ def _avro_cell(v, d: dt.DataType):
         months, days, nanos = v
         return (months, days, nanos)
     if n == "timestamp":
-        scale = {"s": None, "ms": 1, "us": 1, "ns": 1}[d.unit]
         import datetime as _dt2
         if isinstance(v, _dt2.datetime):
+            if hasattr(v, "value"):            # pandas Timestamp: exact ns
+                ns = int(v.value)
+                return {"s": ns // 1_000_000, "ms": ns // 1_000_000,
+                        "us": ns // 1_000, "ns": ns}[d.unit]
             epoch = _dt2.datetime(1970, 1, 1, tzinfo=v.tzinfo)
             us = (v - epoch) // _dt2.timedelta(microseconds=1)
             return {"s": us // 1_000, "ms": us // 1_000, "us": us,

@@ -519,3 +519,18 @@ def test_avro_writer_multi_block():
     back = read_avro(buf.getvalue())
     assert back.column("x").to_pylist() == list(range(n))
     assert back.column("s").to_pylist()[:3] == ["v0", "v1", "v2"]
+
+
+def test_avro_writer_ns_timestamp_exact():
+    """timestamp[ns] writes as timestamp-nanos with full precision
+    (pandas Timestamp pylist values carry exact ns via .value)."""
+    import io as _io
+    from arrow_tpu.io.avro import read_avro, write_avro
+    t = at.Table.from_pydict({
+        "ts": at.column(np.array([10**18, -5], np.int64),
+                        dtype=at.timestamp("ns"))})
+    buf = _io.BytesIO()
+    write_avro(buf, t)
+    back = read_avro(buf.getvalue())
+    assert str(back.schema.fields[0].dtype) == "timestamp[ns]"
+    assert back.column("ts").to_pylist() == t.column("ts").to_pylist()
