@@ -746,6 +746,25 @@ def _parse_one(s: str, to: dt.DataType):
         us = delta // datetime.timedelta(microseconds=1)
         return us * 1000 // _UNIT_NS[to.unit] if to.unit == "ns" \
             else us // (_UNIT_NS[to.unit] // 1000)
+    if to.name == "date64":
+        import datetime
+        try:
+            d_ = datetime.date.fromisoformat(s)
+            return (d_ - datetime.date(1970, 1, 1)).days * 86_400_000
+        except ValueError:
+            x = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
+            if x.tzinfo is not None:
+                x = x.astimezone(datetime.timezone.utc) \
+                     .replace(tzinfo=None)
+            return (x - datetime.datetime(1970, 1, 1)) \
+                // datetime.timedelta(milliseconds=1)
+    if to.name in ("time32", "time64"):
+        # 'HH:MM[:SS[.f]]' (string_to_time_nanoseconds, parse.rs:299)
+        import datetime
+        x = datetime.time.fromisoformat(s)
+        ns = ((x.hour * 60 + x.minute) * 60 + x.second) \
+            * 1_000_000_000 + x.microsecond * 1_000
+        return ns // _UNIT_NS[to.unit]
     raise ArrowNotImplementedError(f"parse to {to!r}")
 
 

@@ -319,3 +319,24 @@ def test_list_view_to_large_list_view_offsets_widen():
     big = cast(c, at.dtypes.large_list_view(at.int64))
     assert big.offsets.dtype == np.int64 and big.sizes.dtype == np.int64
     assert big.to_pylist() == [[1, 2], [3]]
+
+
+def test_utf8_to_time_and_date64():
+    """String -> time32/time64/date64 parse arms (parse.rs:299 and the
+    Date64 parser)."""
+    from arrow_tpu.core.column import StringColumn
+    from arrow_tpu.ops.cast import cast
+    s = StringColumn.from_pylist(["02:10:01.123456", "23:59:59", None,
+                                  "bad"])
+    t64 = cast(s, at.time64("us"))
+    assert np.asarray(t64.values)[:2].tolist() == \
+        [(2 * 3600 + 10 * 60 + 1) * 10**6 + 123456,
+         (23 * 3600 + 59 * 60 + 59) * 10**6]
+    assert t64.to_pylist()[2] is None and t64.to_pylist()[3] is None
+    t32 = cast(s, at.time32("ms"))
+    assert np.asarray(t32.values)[0] == (2 * 3600 + 10 * 60 + 1) \
+        * 1000 + 123
+    d64 = cast(StringColumn.from_pylist(
+        ["2020-02-29", "1970-01-02T03:00:00"]), at.date64)
+    assert np.asarray(d64.values).tolist() == \
+        [18321 * 86_400_000, 86_400_000 + 3 * 3_600_000]
