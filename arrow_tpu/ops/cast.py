@@ -664,6 +664,15 @@ def _format_temporal(v: int, d: dt.DataType) -> str:
     if d.name == "date32":
         return (datetime.date(1970, 1, 1)
                 + datetime.timedelta(days=v)).isoformat()
+    if d.name == "date64":
+        ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            milliseconds=v)
+        return ts.isoformat(sep="T")
+    if d.name in ("time32", "time64"):
+        ns = v * _UNIT_NS[d.unit]
+        t = (datetime.datetime(1970, 1, 1)
+             + datetime.timedelta(microseconds=ns // 1000)).time()
+        return t.isoformat()
     if d.name == "timestamp":
         ns = v * _UNIT_NS[d.unit]
         ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
