@@ -670,9 +670,14 @@ def _format_temporal(v: int, d: dt.DataType) -> str:
         return ts.isoformat(sep="T")
     if d.name in ("time32", "time64"):
         ns = v * _UNIT_NS[d.unit]
-        t = (datetime.datetime(1970, 1, 1)
-             + datetime.timedelta(microseconds=ns // 1000)).time()
-        return t.isoformat()
+        secs, frac_ns = divmod(ns, 1_000_000_000)
+        hh, rem = divmod(secs, 3600)
+        mm, ss = divmod(rem, 60)
+        digits = {"s": 0, "ms": 3, "us": 6, "ns": 9}[d.unit]
+        base = f"{hh:02d}:{mm:02d}:{ss:02d}"
+        if digits:
+            base += "." + f"{frac_ns:09d}"[:digits]
+        return base
     if d.name == "timestamp":
         ns = v * _UNIT_NS[d.unit]
         ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
