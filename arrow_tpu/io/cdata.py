@@ -117,6 +117,10 @@ def _fmt_for(d: dt.DataType) -> str:
         return "z"
     if n == "large_binary":
         return "Z"
+    if n == "utf8_view":
+        return "vu"
+    if n == "binary_view":
+        return "vz"
     if n == "fixed_size_binary":
         return f"w:{d.list_size}"
     if n in ("decimal128", "decimal256"):
@@ -172,6 +176,10 @@ def _dtype_from_fmt(fmt: str) -> dt.DataType:
         return dt.binary
     if fmt == "Z":
         return dt.large_binary
+    if fmt == "vu":
+        return dt.utf8_view
+    if fmt == "vz":
+        return dt.binary_view
     if fmt.startswith("w:"):
         return dt.fixed_size_binary(int(fmt[2:]))
     if fmt.startswith("d:"):
@@ -346,12 +354,42 @@ def _fill_array(a, col: Column) -> None:
     elif isinstance(col, FixedSizeBinaryColumn):
         bufs.append(_c_buf(np.asarray(col.data)))
     elif isinstance(col, StringColumn):
-        offs = np.asarray(col.offsets)
-        width = np.int64 if col.dtype.name.startswith("large") \
-            else np.int32
-        bufs.append(_c_buf(offs.astype(width, copy=False)))
-        data = np.asarray(col.data)
-        bufs.append(_c_buf(data if len(data) else np.zeros(1, np.uint8)))
+        if col.dtype.name in ("utf8_view", "binary_view"):
+            # view layout (byte_view_array.rs / C spec): buffers =
+            # [validity, 16B views, data..., i64 variadic sizes]
+            offs = np.asarray(col.offsets).astype(np.int64)
+            data = np.asarray(col.data)
+            if len(data) > (1 << 31) - 64:
+                raise ArrowNotImplementedError(
+                    "C data export of >2GB view data")
+            lens = (offs[1:] - offs[:-1]).astype(np.int32)
+            views = np.zeros((n, 16), np.uint8)
+            views[:, 0:4] = lens.view(np.uint8).reshape(n, 4)
+            padded = np.concatenate([data, np.zeros(16, np.uint8)])
+            take = offs[:-1, None] + np.arange(12)
+            gathered = padded[np.minimum(take, len(padded) - 1)]
+            within = np.arange(12) < lens[:, None]
+            gathered = np.where(within, gathered, 0)
+            short = lens <= 12
+            views[short, 4:16] = gathered[short]
+            li = np.nonzero(~short)[0]
+            if len(li):
+                views[li, 4:8] = gathered[li, :4]
+                views[li, 8:12] = 0          # buffer index 0
+                views[li, 12:16] = offs[:-1][li].astype(np.int32) \
+                    .view(np.uint8).reshape(-1, 4)
+            bufs.append(_c_buf(views))
+            bufs.append(_c_buf(data if len(data)
+                               else np.zeros(1, np.uint8)))
+            bufs.append(_c_buf(np.array([len(data)], np.int64)))
+        else:
+            offs = np.asarray(col.offsets)
+            width = np.int64 if col.dtype.name.startswith("large") \
+                else np.int32
+            bufs.append(_c_buf(offs.astype(width, copy=False)))
+            data = np.asarray(col.data)
+            bufs.append(_c_buf(data if len(data)
+                               else np.zeros(1, np.uint8)))
     elif isinstance(col, (ListColumn, MapColumn)):
         offs = np.asarray(col.offsets)
         width = np.int64 if col.dtype.name == "large_list" else np.int32
@@ -534,6 +572,33 @@ def _import_array(a: ArrowArray, d: dt.DataType) -> Column:
         data = _read_buffer(buf(1), np.uint8, total * d.list_size) \
             .reshape(total, d.list_size)[off:]
         return FixedSizeBinaryColumn(data, validity)
+    if nm in ("utf8_view", "binary_view"):
+        import struct as _st
+        views = _read_buffer(buf(1), np.uint8,
+                             total * 16).reshape(total, 16)[off:]
+        nvar = max(int(a.n_buffers) - 3, 0)
+        sizes = _read_buffer(buf(int(a.n_buffers) - 1), np.int64, nvar) \
+            if nvar else np.zeros(0, np.int64)
+        datas = [_read_buffer(buf(2 + i), np.uint8, int(sizes[i]))
+                 for i in range(nvar)]
+        lens = views[:, 0:4].copy().view(np.int32).ravel()
+        offs_out = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offs_out[1:])
+        out = np.zeros(int(offs_out[-1]), np.uint8)
+        short = lens <= 12
+        if short.any():
+            si = np.nonzero(short)[0]
+            pos = offs_out[si, None] + np.arange(12)
+            src_rows = views[si, 4:16]
+            within = np.arange(12) < lens[si, None]
+            out[pos[within]] = src_rows[within]
+        for i in np.nonzero(~short)[0]:
+            ln = int(lens[i])
+            bi, bo = _st.unpack_from("<ii", views[i].tobytes(), 8)
+            out[offs_out[i]:offs_out[i] + ln] = datas[bi][bo:bo + ln]
+        return StringColumn(offs_out.astype(np.int32)
+                            if int(offs_out[-1]) < 2**31 else offs_out,
+                            out, d, validity)
     if nm in ("utf8", "large_utf8", "binary", "large_binary"):
         width = np.int64 if nm.startswith("large") else np.int32
         offs = _read_buffer(buf(1), width, total + 1)[off:]

@@ -207,3 +207,22 @@ def test_union_and_ree_ffi():
     assert col3.dtype.name == "run_end_encoded"
     back3 = pa.Array._import_from_c_capsule(*cdata.export_column(col3))
     assert back3.to_pylist() == ree.to_pylist()
+
+
+def test_cdata_string_binary_views():
+    """utf8_view/binary_view ride the C data view layout (vu/vz format
+    strings, 16B views + variadic data + trailing i64 sizes buffer) —
+    both directions with pyarrow."""
+    from arrow_tpu.io.cdata import import_column
+    from arrow_tpu.ops.cast import cast
+    vals = ["ab", None, "long-string-beyond-twelve-bytes", "",
+            "exactly12byt"]
+    sv = cast(at.column(vals), at.dtypes.utf8_view)
+    out = pa.array(sv)
+    assert str(out.type) == "string_view" and out.to_pylist() == vals
+    col = import_column(pa.array(vals, pa.string_view()))
+    assert col.dtype.name == "utf8_view" and col.to_pylist() == vals
+    bvals = [b"xy", None, b"a-binary-blob-over-12-bytes!"]
+    colb = import_column(pa.array(bvals, pa.binary_view()))
+    assert colb.to_pylist() == bvals
+    assert str(pa.array(colb).type) == "binary_view"
