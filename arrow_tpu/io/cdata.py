@@ -153,6 +153,10 @@ def _fmt_for(d: dt.DataType) -> str:
         return "+l"
     if n == "large_list":
         return "+L"
+    if n == "list_view":
+        return "+vl"
+    if n == "large_list_view":
+        return "+vL"
     if n == "fixed_size_list":
         return f"+w:{d.list_size}"
     if n == "struct":
@@ -261,7 +265,8 @@ def _fill_schema(s, d: dt.DataType, name: str, nullable: bool) -> None:
     s.metadata = None
     s.flags = ARROW_FLAG_NULLABLE if nullable else 0
     children: List[Tuple[str, dt.DataType, bool]] = []
-    if d.name in ("list", "large_list", "fixed_size_list"):
+    if d.name in ("list", "large_list", "fixed_size_list", "list_view",
+                  "large_list_view"):
         children = [("item", d.value_type, True)]
     elif d.name in ("struct", "union"):
         children = [(f.name, f.dtype, f.nullable) for f in d.fields]
@@ -396,6 +401,14 @@ def _fill_array(a, col: Column) -> None:
         bufs.append(_c_buf(offs.astype(width, copy=False)))
         children = [col.entries if isinstance(col, MapColumn)
                     else col.child]
+    elif type(col).__name__ == "ListViewColumn":
+        width = np.int64 if col.dtype.name == "large_list_view" \
+            else np.int32
+        bufs.append(_c_buf(np.asarray(col.offsets).astype(width,
+                                                          copy=False)))
+        bufs.append(_c_buf(np.asarray(col.sizes).astype(width,
+                                                        copy=False)))
+        children = [col.child]
     elif isinstance(col, FixedSizeListColumn):
         children = [col.child]
     elif isinstance(col, StructColumn):
@@ -496,6 +509,9 @@ def _import_schema(s: ArrowSchema):
                        for kn, kd, knul in kids])
     elif fmt in ("+l", "+L"):
         d = (dt.list_ if fmt == "+l" else dt.large_list)(kids[0][1])
+    elif fmt in ("+vl", "+vL"):
+        d = (dt.list_view if fmt == "+vl"
+             else dt.large_list_view)(kids[0][1])
     elif fmt.startswith("+w:"):
         d = dt.fixed_size_list(kids[0][1], int(fmt[3:]))
     elif fmt == "+m":
@@ -618,6 +634,13 @@ def _import_array(a: ArrowArray, d: dt.DataType) -> Column:
             child = child.slice(b0, int(offs[-1]) - b0)
             offs = offs - b0
         return ListColumn(offs, child, validity)
+    if nm in ("list_view", "large_list_view"):
+        from ..core.nested import ListViewColumn
+        width = np.int64 if nm == "large_list_view" else np.int32
+        offs = _read_buffer(buf(1), width, total)[off:]
+        sizes = _read_buffer(buf(2), width, total)[off:]
+        child = _import_array(a.children[0].contents, d.value_type)
+        return ListViewColumn(offs, sizes, child, validity, d)
     if nm == "fixed_size_list":
         child = _import_array(a.children[0].contents, d.value_type)
         if off:

@@ -226,3 +226,22 @@ def test_cdata_string_binary_views():
     colb = import_column(pa.array(bvals, pa.binary_view()))
     assert colb.to_pylist() == bvals
     assert str(pa.array(colb).type) == "binary_view"
+
+
+def test_cdata_list_views():
+    """list_view/large_list_view C data (+vl/+vL: validity, offsets,
+    sizes buffers) both directions with pyarrow."""
+    import jax.numpy as jnp
+    from arrow_tpu.core.nested import ListViewColumn
+    from arrow_tpu.io.cdata import import_column
+    lv = ListViewColumn(jnp.asarray(np.array([2, 0, 1], np.int32)),
+                        jnp.asarray(np.array([2, 2, 3], np.int32)),
+                        at.column([10, 20, 30, 40, 50]),
+                        jnp.asarray(np.array([True, True, False])))
+    out = pa.array(lv)
+    assert str(out.type).startswith("list_view")
+    assert out.to_pylist() == [[30, 40], [10, 20], None]
+    back = import_column(pa.array([[1], None, [2, 3]],
+                                  pa.list_view(pa.int64())))
+    assert back.dtype.name == "list_view"
+    assert back.to_pylist() == [[1], None, [2, 3]]
