@@ -48,3 +48,26 @@ class IoError(ArrowError):
 
 class SchemaError(ArrowError):
     """Schema mismatch (ArrowError::SchemaError)."""
+
+
+def malformed_guard(what: str):
+    """Context manager converting stdlib parse-time errors over
+    UNTRUSTED bytes into ArrowInvalid (the reference's parsers return
+    ArrowError::ParseError; raw struct.error/KeyError/... must not
+    escape a reader entry point)."""
+    import contextlib
+    import struct as _struct
+    import zlib as _zlib
+
+    @contextlib.contextmanager
+    def _guard():
+        try:
+            yield
+        except ArrowError:
+            raise
+        except (ValueError, KeyError, IndexError, TypeError,
+                AttributeError, OverflowError, MemoryError, EOFError,
+                _struct.error, _zlib.error) as e:
+            raise ArrowInvalid(f"malformed {what}: {e!r}") from e
+
+    return _guard()

@@ -299,7 +299,8 @@ def read_avro(source, batch_size: Optional[int] = None,
               reader_schema: Optional[dict] = None) -> Table:
     """reader_schema: optional Avro schema dict for reader-vs-writer
     resolution (missing fields take their defaults; promoted types
-    convert)."""
+    convert).  Malformed container bytes raise ArrowInvalid (the
+    reference's ParseError role), never raw stdlib errors."""
     if isinstance(source, str):
         with open(source, "rb") as f:
             data = f.read()
@@ -307,6 +308,12 @@ def read_avro(source, batch_size: Optional[int] = None,
         data = source
     else:
         data = source.read()
+    from ..errors import malformed_guard
+    with malformed_guard("avro container"):
+        return _read_avro_impl(data, reader_schema)
+
+
+def _read_avro_impl(data: bytes, reader_schema: Optional[dict]) -> Table:
     cur = _Cursor(data)
     meta, sync = _read_header(cur)
     schema = json.loads(meta["avro.schema"])

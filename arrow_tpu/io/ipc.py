@@ -338,16 +338,18 @@ def write_stream(sink, tables, compression: Optional[str] = None) -> None:
 
 
 def read_stream(source) -> List[Table]:
+    from ..errors import malformed_guard
     data = source.read() if hasattr(source, "read") else bytes(source)
-    dec = StreamDecoder()
-    dec.consume_buffer(data)
-    out = []
-    while True:
-        t = dec.next_batch()
-        if t is None:
-            break
-        out.append(t)
-    return out
+    with malformed_guard("IPC stream"):
+        dec = StreamDecoder()
+        dec.consume_buffer(data)
+        out = []
+        while True:
+            t = dec.next_batch()
+            if t is None:
+                break
+            out.append(t)
+        return out
 
 
 def write_file(path_or_sink, tables, compression: Optional[str] = None
@@ -441,8 +443,10 @@ def read_file(path_or_source) -> List[Table]:
         data = path_or_source.read()
     else:
         data = bytes(path_or_source)
-    r = FileReader(data)
-    return [r.get_batch(i) for i in range(r.num_record_batches)]
+    from ..errors import malformed_guard
+    with malformed_guard("IPC file"):
+        r = FileReader(data)
+        return [r.get_batch(i) for i in range(r.num_record_batches)]
 
 
 def serialize_table(table: Table, compression: Optional[str] = None

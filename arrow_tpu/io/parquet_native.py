@@ -1429,5 +1429,7 @@ def _leaves_under(n: SchemaNode) -> List[SchemaNode]:
 
 def read_parquet_native(source, columns=None, as_dictionary=(),
                         decryption=None) -> Table:
-    return ParquetFile(source, decryption=decryption).read(
-        columns, as_dictionary)
+    from ..errors import malformed_guard
+    with malformed_guard("parquet file"):
+        return ParquetFile(source, decryption=decryption).read(
+            columns, as_dictionary)

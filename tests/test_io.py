@@ -534,3 +534,36 @@ def test_avro_writer_ns_timestamp_exact():
     back = read_avro(buf.getvalue())
     assert str(back.schema.fields[0].dtype) == "timestamp[ns]"
     assert back.column("ts").to_pylist() == t.column("ts").to_pylist()
+
+
+def test_malformed_inputs_raise_arrow_errors():
+    """Corrupt/truncated container bytes raise ArrowError (the
+    reference's ParseError role) — never raw struct.error/KeyError/
+    AttributeError (fuzzed with random byte flips; deterministic
+    samples pinned here)."""
+    import io as _io
+    from arrow_tpu.io import parquet_io
+    from arrow_tpu.io.ipc import serialize_table, deserialize_table
+    from arrow_tpu.io.avro import read_avro, write_avro
+    t = at.Table.from_pydict({"a": list(range(50)),
+                              "s": [f"v{i}" for i in range(50)]})
+    p = serialize_table(t)
+    buf = _io.BytesIO()
+    parquet_io.write_parquet(buf, t) if hasattr(parquet_io, "write_parquet") \
+        else None
+    ab = _io.BytesIO()
+    write_avro(ab, t)
+    rng = np.random.default_rng(1)
+    for blob, reader in [
+            (p, deserialize_table),
+            (ab.getvalue(), read_avro)]:
+        for _ in range(40):
+            b = bytearray(blob)
+            for _ in range(4):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            try:
+                reader(bytes(b))
+            except at.ArrowError:
+                pass                     # the only acceptable failure
+        with pytest.raises(at.ArrowError):
+            reader(blob[: len(blob) // 3])
