@@ -214,8 +214,15 @@ def _as_bytes(source) -> bytes:
 
 
 def read_json(source, schema: Optional[dt.Schema] = None) -> Table:
-    """Line-delimited JSON (or a JSON array of objects) -> Table."""
+    """Line-delimited JSON (or a JSON array of objects) -> Table.
+    Malformed bytes raise ArrowInvalid, never raw stdlib errors."""
+    from ..errors import malformed_guard
     data = _as_bytes(source)
+    with malformed_guard("JSON input"):
+        return _read_json_impl(data, schema)
+
+
+def _read_json_impl(data: bytes, schema: Optional[dt.Schema]) -> Table:
     tape = _Tape(data)
     types, db = tape.types, tape.depth_before
     # records: top-level objects, or objects at depth 1 of one top array
