@@ -547,16 +547,21 @@ def test_malformed_inputs_raise_arrow_errors():
     from arrow_tpu.io.avro import read_avro, write_avro
     t = at.Table.from_pydict({"a": list(range(50)),
                               "s": [f"v{i}" for i in range(50)]})
+    from arrow_tpu.io.json_io import read_json, write_json
     p = serialize_table(t)
-    buf = _io.BytesIO()
-    parquet_io.write_parquet(buf, t) if hasattr(parquet_io, "write_parquet") \
-        else None
+    pqb = _io.BytesIO()
+    parquet_io.write_parquet(pqb, t)
     ab = _io.BytesIO()
     write_avro(ab, t)
+    jb = _io.BytesIO()
+    write_json(jb, t)
     rng = np.random.default_rng(1)
     for blob, reader in [
             (p, deserialize_table),
-            (ab.getvalue(), read_avro)]:
+            (pqb.getvalue(),
+             lambda b: parquet_io.read_parquet(_io.BytesIO(b))),
+            (ab.getvalue(), read_avro),
+            (jb.getvalue(), lambda b: read_json(_io.BytesIO(b)))]:
         for _ in range(40):
             b = bytearray(blob)
             for _ in range(4):
