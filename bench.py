@@ -511,7 +511,31 @@ def pallas_smoke():
     return out
 
 
+def _probe_backend(timeout_s: float = 300.0):
+    """Fast dead-tunnel detection: a DEAD axon tunnel makes the first
+    backend init hang ~25 min before raising (measured, CLAUDE.md).
+    Probe jax.devices() in a SUBPROCESS with a timeout so the bench
+    either proceeds or emits its diagnostic headline within minutes."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            capture_output=True, timeout=timeout_s)
+        if r.returncode != 0:
+            return f"backend probe failed: {r.stderr[-300:]!r}"
+        return None
+    except subprocess.TimeoutExpired:
+        return f"backend probe timed out after {timeout_s:.0f}s (tunnel down)"
+
+
 def main():
+    err = _probe_backend()
+    if err is not None:
+        print(json.dumps({"metric": "filter_arith_10M_rows_per_s",
+                          "value": 0, "unit": "rows/s", "vs_baseline": 0,
+                          "error": err}), flush=True)
+        raise SystemExit(1)
     try:
         import arrow_tpu  # noqa: F401 (x64 on; default backend = tpu)
     except Exception as e:                        # noqa: BLE001
