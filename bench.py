@@ -30,9 +30,9 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache: pre-warmed entries (tools/prewarm
-    runs the same shapes) make driver bench runs survive tunnel days
-    where a single remote AOT compile takes minutes."""
+    """Persistent XLA compile cache: entries from any prior bench run
+    (same shapes) make driver bench runs survive tunnel days where a
+    single remote AOT compile takes minutes."""
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
