@@ -230,3 +230,20 @@ def test_examples_run():
                            timeout=240)
         assert r.returncode == 0, (ex.name, r.stderr[-2000:])
         assert r.stdout.strip(), ex.name
+
+
+def test_bench_scaling_harness():
+    """tools/bench_scaling.py runs against the current parallel API
+    (it rotted once when overflow flags were added to the dist ops)."""
+    import os
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "bench_scaling.py"),
+         "--cpu", "--rows-per-device", "2048", "--reps", "1"],
+        capture_output=True, text=True, timeout=420,
+        env={**os.environ,
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=4"})
+    assert r.returncode == 0, r.stderr[-500:]
+    assert '"dist_weak_scaling_efficiency"' in r.stdout

@@ -42,7 +42,10 @@ def main():
         os.environ.setdefault(
             "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
         import jax
-        jax.config.update("jax_platform_name", "cpu")
+        # restrict platform DISCOVERY, not just selection: merely
+        # selecting cpu still initializes the axon backend, which hangs
+        # ~25 min when the tunnel is dead (CLAUDE.md, measured)
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -72,9 +75,9 @@ def main():
                            in_specs=(P(axis),) * 5,
                            out_specs=(P(axis), P(axis), P()))
         def step(k, v, m, bk, bv):
-            gk, gv, (gsum,) = par.dist_group_by(
+            gk, gv, (gsum,), _gover = par.dist_group_by(
                 axis, k, m, per, per, [("sum", v)])
-            sk, svalid, _ = par.dist_sort(axis, k, m, per * 2)
+            sk, svalid, _, _sover = par.dist_sort(axis, k, m, per * 2)
             total = par.dist_sum(axis, v, m)
             return gsum, sk, total
 
