@@ -210,3 +210,43 @@ def test_global_aggregates_all_null_are_null():
     assert d["c"] == [0]
     empty = execute_sql({"t": t}, "SELECT max(y) AS m FROM t WHERE y > 99")
     assert empty.to_pydict()["m"] == [None]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_sql_where_agg(seed):
+    """Random WHERE + aggregate queries vs a numpy oracle."""
+    rng = np.random.default_rng(700 + seed)
+    n = int(rng.integers(10, 500))
+    a = rng.integers(-50, 50, n)
+    b = rng.normal(0, 10, n)
+    mask = rng.random(n) < 0.2
+    t = at.Table.from_pydict({
+        "a": at.column(a, validity=~mask),
+        "b": at.column(b),
+    })
+    av = np.where(~mask, a, 0)
+    thr = int(rng.integers(-40, 40))
+    op, npop = rng.choice([(">", np.greater), ("<", np.less),
+                           (">=", np.greater_equal), ("=", np.equal)])
+    sel = npop(av, thr) & ~mask
+    out = execute_sql({"t": t},
+                      f"SELECT count(a) AS c, sum(a) AS s, min(b) AS m "
+                      f"FROM t WHERE a {op} {thr}")
+    d = out.to_pydict()
+    assert d["c"] == [int(sel.sum())], (seed, op, thr)
+    if sel.any():
+        assert d["s"] == [int(av[sel].sum())]
+        assert abs(d["m"][0] - float(b[sel].min())) < 1e-9
+    else:
+        assert d["s"] == [None] and d["m"] == [None]
+    # GROUP BY path
+    g = execute_sql({"t": t},
+                    "SELECT a, count(*) AS c FROM t "
+                    "GROUP BY a ORDER BY a LIMIT 5")
+    gd = g.to_pydict()
+    import collections
+    cnt = collections.Counter(
+        [None if m_ else int(x) for x, m_ in zip(a, mask)])
+    want_keys = sorted([k for k in cnt], key=lambda x: (x is not None, x))[:5]
+    assert gd["a"] == want_keys, seed
+    assert gd["c"] == [cnt[k] for k in want_keys]
