@@ -30,7 +30,8 @@ import numpy as np
 
 from .. import dtypes as dt
 from ..core import validity as vd
-from ..core.column import Column, DictionaryColumn, PrimitiveColumn
+from ..core.column import (Column, DictionaryColumn, PrimitiveColumn,
+                           StringColumn)
 from ..core.table import Table
 from ..errors import ArrowInvalid, ArrowNotImplementedError
 from .row_format import encode_keys, SortOptions, lexsort_indices_from_keys
@@ -95,6 +96,13 @@ def group_by(table: Table, keys: Sequence[str],
     for a in aggs:
         if a.op not in _AGG_OPS:
             raise ArrowInvalid(f"unknown aggregate {a.op}")
+    str_mm = [i for i, a in enumerate(aggs)
+              if a.op in ("min", "max") and isinstance(
+                  table.column(a.column), (StringColumn,
+                                           DictionaryColumn))]
+    if str_mm and table.num_rows:
+        return _group_by_string_minmax(table, keys, aggs, str_mm)
+
     key_cols = [table.column(k) for k in keys]
     n = table.num_rows
     if n == 0:
@@ -1243,9 +1251,71 @@ def _bin_range_scan(items):
     return jnp.stack(rows)
 
 
+def _group_by_string_minmax(table: Table, keys, aggs, str_mm) -> Table:
+    """MIN/MAX over string/dictionary sources: aggregate the
+    order-preserving u64 rank key (row_format.encode_value_key — rank
+    order == byte order), then decode each group's winning rank back to
+    a dictionary code and take the value.  The recursive group_by sees
+    only primitive sources, so every fast path (binning, chunking,
+    Pallas) still applies."""
+    from .row_format import dictionary_value_ranks, encode_value_key
+    from .strings import dictionary_encode
+
+    proxies = {}        # source column name -> (proxy name, dict col)
+    new_cols = list(table.columns)
+    new_fields = list(table.schema.fields)
+    new_aggs = list(aggs)
+    for i in str_mm:
+        a = aggs[i]
+        if a.column not in proxies:
+            src = table.column(a.column)
+            dcol = src if isinstance(src, DictionaryColumn) \
+                else dictionary_encode(src)
+            key, eff_valid = encode_value_key(dcol)
+            pname = f"__strmm_{a.column}"
+            new_cols.append(PrimitiveColumn(key, dt.uint64, eff_valid))
+            new_fields.append(dt.Field(pname, dt.uint64))
+            proxies[a.column] = (pname, dcol)
+        pname, _ = proxies[a.column]
+        new_aggs[i] = AggSpec(pname, a.op, name=a.out_name)
+    res = group_by(Table(tuple(new_cols),
+                         dt.Schema(tuple(new_fields))), keys, new_aggs)
+
+    out_cols = list(res.columns)
+    out_fields = list(res.schema.fields)
+    nkeys = len(keys)
+    for i in str_mm:
+        a = aggs[i]
+        pname, dcol = proxies[a.column]
+        rank_col = res.columns[nkeys + i]
+        ranks_np, dict_null = dictionary_value_ranks(dcol.values)
+        valid_codes = np.nonzero(~dict_null)[0]
+        nranks = int(ranks_np[~dict_null].max()) + 1 \
+            if (~dict_null).any() else 0
+        rank_to_code = np.zeros(max(nranks, 1), np.int64)
+        for c in valid_codes[::-1]:
+            rank_to_code[int(ranks_np[c])] = c
+        won = jnp.clip(rank_col.values.astype(jnp.int64), 0,
+                       max(nranks - 1, 0))
+        codes = jnp.take(jnp.asarray(rank_to_code), won, mode="clip")
+        out = take_kernel(dcol.values, PrimitiveColumn(codes, dt.int64))
+        out = out.with_validity(rank_col.validity)
+        src_dt = table.column(a.column).dtype
+        if isinstance(table.column(a.column), DictionaryColumn):
+            out_dt = src_dt.value_type
+        else:
+            out_dt = src_dt
+        out_cols[nkeys + i] = out
+        out_fields[nkeys + i] = dt.Field(a.out_name, out_dt)
+    return Table(tuple(out_cols), dt.Schema(tuple(out_fields)))
+
+
 def _empty_agg(table: Table, a: AggSpec):
     src = table.column(a.column)
     out_dt = _agg_dtype(src.dtype, a.op)
+    if out_dt.is_string or out_dt.is_dictionary:
+        d = out_dt.value_type if out_dt.is_dictionary else out_dt
+        return (StringColumn.from_pylist([], d), dt.Field(a.out_name, d))
     return (PrimitiveColumn(jnp.zeros((0,), out_dt.to_jax()), out_dt),
             dt.Field(a.out_name, out_dt))
 

@@ -579,3 +579,37 @@ def test_dictionary_fast_path_gates_null_and_dup_values():
         else:
             os.environ["ARROW_TPU_USE_PALLAS"] = old
     assert got == want
+
+
+def test_group_by_string_min_max():
+    """MIN/MAX over string and dictionary sources (grouped): aggregate
+    the order-preserving rank key, decode the winning rank (pyarrow
+    min/max oracle)."""
+    t_pa = pa.table({
+        "k": ["x", "y", "x", "y", "x", "z"],
+        "s": ["bb", "a", None, "zz", "aa", None],
+    })
+    t = at.Table.from_pyarrow(t_pa)
+    g = ops.group_by(t, ["k"], [ops.AggSpec("s", "min"),
+                                ops.AggSpec("s", "max"),
+                                ops.AggSpec("s", "count")])
+    d = g.to_pydict()
+    assert d["k"] == ["x", "y", "z"]
+    assert d["s_min"] == ["aa", "a", None]
+    assert d["s_max"] == ["bb", "zz", None]
+    assert d["s_count"] == [2, 2, 0]
+    # dictionary source
+    dcol = ops.dictionary_encode(t.column("s"))
+    t2 = at.Table((t.column("k"), dcol),
+                  at.Schema((at.Field("k", at.utf8),
+                             at.Field("s", dcol.dtype))))
+    g2 = ops.group_by(t2, ["k"], [ops.AggSpec("s", "min")])
+    assert g2.to_pydict()["s_min"] == ["aa", "a", None]
+    # empty table with a string aggregate
+    e = ops.group_by(t.slice(0, 0), ["k"], [ops.AggSpec("s", "max")])
+    assert e.num_rows == 0
+    # oracle cross-check via pyarrow group_by
+    exp = t_pa.group_by("k").aggregate([("s", "min"), ("s", "max")])
+    exp_d = {k: v for k, v in sorted(zip(exp.column("k").to_pylist(),
+                                         exp.column("s_min").to_pylist()))}
+    assert {k: v for k, v in zip(d["k"], d["s_min"])} == exp_d
