@@ -449,6 +449,116 @@ def config5():
             "baseline": "pyarrow acero join @10Mx1M (host CPU)"}
 
 
+def config_io():
+    """Native IO stack (host CPU, no pyarrow in our path): parquet
+    write+scan, IPC stream write+read, CSV read — each vs pyarrow/Arrow
+    C++ on the same host. Records the round-2 native-IO work in
+    BENCH_r*.json instead of leaving it as README claims."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.ipc as paipc
+    import pyarrow.parquet as pq
+
+    import arrow_tpu as at
+    from arrow_tpu.io import csv as at_csv
+    from arrow_tpu.io import ipc as at_ipc
+    from arrow_tpu.io.parquet_native import ParquetFile
+    from arrow_tpu.io.parquet_writer import write_parquet_native
+
+    rng = np.random.default_rng(0)
+    out = {"metric": "native_io_parquet_scan_rows_per_s",
+           "unit": "rows/s"}
+
+    # --- parquet: 1M rows x 4 mixed cols, snappy + dictionary ---------
+    N = 1_000_000
+    pt = pa.table({
+        "i": pa.array(rng.integers(-10**9, 10**9, N), pa.int64()),
+        "f": pa.array(rng.random(N), pa.float64()),
+        "s": pa.array(np.array(["cat", "dog", "emu", None],
+                               object)[rng.integers(0, 4, N)]),
+        "b": pa.array(rng.integers(0, 2, N).astype(bool)),
+    })
+    t = at.Table.from_pyarrow(pt)
+    buf = _io.BytesIO()
+    t0 = time.perf_counter()
+    write_parquet_native(buf, t, compression="snappy")
+    w_ours = time.perf_counter() - t0
+    data = buf.getvalue()
+    t0 = time.perf_counter()
+    ParquetFile(data).read()
+    r_ours = time.perf_counter() - t0
+    buf2 = _io.BytesIO()
+    t0 = time.perf_counter()
+    pq.write_table(pt, buf2, compression="snappy")
+    w_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pq.read_table(_io.BytesIO(buf2.getvalue()))
+    r_base = time.perf_counter() - t0
+    out["value"] = round(N / r_ours)
+    out["vs_baseline"] = round(r_base / r_ours, 3)
+    out["baseline_rows_per_s"] = round(N / r_base) if r_base else 0
+    out["parquet_1M_mixed"] = {
+        "write_s": round(w_ours, 3), "read_s": round(r_ours, 3),
+        "pyarrow_write_s": round(w_base, 3),
+        "pyarrow_read_s": round(r_base, 3)}
+
+    # --- IPC stream: 2M rows x 4 cols ---------------------------------
+    N = 2_000_000
+    pt = pa.table({
+        "i": pa.array(rng.integers(-10**9, 10**9, N), pa.int64()),
+        "f": pa.array(rng.random(N), pa.float64()),
+        "s": pa.array(np.array(["aaaa", "bb", "ccccc", None],
+                               object)[rng.integers(0, 4, N)]),
+        "u": pa.array(rng.integers(0, 2**31, N), pa.int32()),
+    })
+    t = at.Table.from_pyarrow(pt)
+    buf = _io.BytesIO()
+    t0 = time.perf_counter()
+    at_ipc.write_stream(buf, [t])
+    w_ours = time.perf_counter() - t0
+    data = buf.getvalue()
+    t0 = time.perf_counter()
+    at_ipc.read_stream(_io.BytesIO(data))
+    r_ours = time.perf_counter() - t0
+    buf2 = _io.BytesIO()
+    t0 = time.perf_counter()
+    with paipc.new_stream(buf2, pt.schema) as w:
+        w.write_table(pt)
+    w_base = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    paipc.open_stream(_io.BytesIO(buf2.getvalue())).read_all()
+    r_base = time.perf_counter() - t0
+    out["ipc_2M_stream"] = {
+        "write_s": round(w_ours, 3), "read_s": round(r_ours, 3),
+        "pyarrow_write_s": round(w_base, 3),
+        "pyarrow_read_s": round(r_base, 3)}
+
+    # --- CSV read: 500K rows x 3 typed cols ---------------------------
+    N = 500_000
+    pt = pa.table({
+        "i": pa.array(rng.integers(-10**6, 10**6, N), pa.int64()),
+        "f": pa.array(rng.random(N), pa.float64()),
+        "s": pa.array(np.array(["x", "yy", "zzz"],
+                               object)[rng.integers(0, 3, N)]),
+    })
+    buf = _io.BytesIO()
+    pacsv.write_csv(pt, buf)
+    data = buf.getvalue()
+    t0 = time.perf_counter()
+    at_csv.read_csv(_io.BytesIO(data))
+    r_ours = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pacsv.read_csv(_io.BytesIO(data))
+    r_base = time.perf_counter() - t0
+    out["csv_500K_read"] = {
+        "read_s": round(r_ours, 3), "pyarrow_read_s": round(r_base, 3)}
+    out["baseline"] = ("pyarrow/Arrow C++ same host; value/vs_baseline = "
+                       "parquet 1M-row mixed scan")
+    return out
+
+
 def pallas_smoke():
     """Execute each Mosaic kernel NON-interpreted on the chip and compare
     against the XLA path (r1 judge: Mosaic regressions must be visible
@@ -550,7 +660,7 @@ def main():
     headline = None
     order = [("config1", config1), ("config2", config2),
              ("config3", config3), ("config4", config4),
-             ("config5", config5)]
+             ("config5", config5), ("config_io", config_io)]
     for name, fn in order:
         if name != "config1" and _left() < 120:
             results[name] = {"skipped": "budget"}
