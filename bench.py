@@ -338,53 +338,83 @@ def config4():
         return g()
 
     results = {}
-    # 250M: 500M of i64 key+val (8 GB) cannot coexist with the 125M-row
-    # chunk temporaries in 15.75 GB HBM; rows/s is size-invariant past
-    # ~100M (self-chunked)
-    for n, groups, tag in ((250_000_000, 1_000, "250M_1K"),
-                           (100_000_000, 10_000_000, "100M_10M")):
-        if _left() < 200:
+    # BASELINE.md:50 spec scale: 500M rows at BOTH cardinalities.  Both
+    # paths self-chunk (bin path at _BIN_CHUNK; high-card via
+    # _group_by_chunked -> packed-sort per 125M chunk + partial
+    # re-group), so 8 GB of key+val coexists with chunk temporaries in
+    # 15.75 GB HBM; on ResourceExhausted the variant falls back one size
+    # and records it.
+    for sizes, groups, tag in (((500_000_000, 250_000_000), 1_000,
+                                "500M_1K"),
+                               ((500_000_000, 250_000_000, 100_000_000),
+                                10_000_000, "500M_10M")):
+        if _left() < 300:
             results[tag] = "skipped (budget)"
             continue
-        key, val = gen(n, groups, 7)
-        t = Table((PrimitiveColumn(key, dtp.int64),
-                   PrimitiveColumn(val, dtp.int64)),
-                  dtp.Schema((dtp.Field("k", dtp.int64),
-                              dtp.Field("v", dtp.int64))))
         aggs = [AggSpec("v", "sum"), AggSpec("v", "count"),
                 AggSpec("v", "min"), AggSpec("v", "max")]
-        t0 = time.perf_counter()
-        out = group_by(t, ["k"], aggs)
-        _fetch(out.column("v_sum").values[:1])
-        warm = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = group_by(t, ["k"], aggs)
-        _fetch(out.column("v_sum").values[:1])
-        dt_s = time.perf_counter() - t0
-        del out
-        results[tag] = {"rows_per_s": round(n / dt_s),
-                        "elapsed_s": round(dt_s, 3),
-                        "first_call_s": round(warm, 1)}
-        del key, val, t
+        for n in sizes:
+            try:
+                key, val = gen(n, groups, 7)
+                t = Table((PrimitiveColumn(key, dtp.int64),
+                           PrimitiveColumn(val, dtp.int64)),
+                          dtp.Schema((dtp.Field("k", dtp.int64),
+                                      dtp.Field("v", dtp.int64))))
+                t0 = time.perf_counter()
+                out = group_by(t, ["k"], aggs)
+                _fetch(out.column("v_sum").values[:1])
+                warm = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                out = group_by(t, ["k"], aggs)
+                _fetch(out.column("v_sum").values[:1])
+                dt_s = time.perf_counter() - t0
+                del out, key, val, t
+                results[tag] = {"rows_per_s": round(n / dt_s),
+                                "elapsed_s": round(dt_s, 3),
+                                "first_call_s": round(warm, 1),
+                                "rows": n}
+                break
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                # free the failed attempt's arrays BEFORE retrying one
+                # size down, or the retry inherits the OOM
+                key = val = t = out = None  # noqa: F841
+                prev = results.get(tag)
+                results[tag] = {"oom_at": n}
+                if isinstance(prev, dict) and "oom_at" in prev:
+                    results[tag]["oom_at"] = max(n, prev["oom_at"])
 
-    # baseline: pyarrow group_by at 50M x 1K on host
+    # baselines: pyarrow group_by at 50M rows, SAME cardinality as each
+    # variant (a 1K-group hash table and a 10M-entry one are different
+    # machines; comparing across cardinalities flatters nobody)
     import pyarrow as pa
     M = 50_000_000
     rng = np.random.default_rng(3)
-    k_np = rng.integers(0, 1000, M)
-    v_np = rng.integers(0, 1000, M)
-    tab = pa.table({"k": k_np, "v": v_np})
-    t0 = time.perf_counter()
-    tab.group_by("k").aggregate([("v", "sum"), ("v", "count"),
-                                 ("v", "min"), ("v", "max")])
-    base = M / (time.perf_counter() - t0)
-    main = results.get("250M_1K")
-    value = main["rows_per_s"] if isinstance(main, dict) else 0
-    return {"metric": "group_by_250M_rows_per_s", "value": value,
+    bases = {}
+    for groups, tag in ((1_000, "500M_1K"), (10_000_000, "500M_10M")):
+        k_np = rng.integers(0, groups, M)
+        v_np = rng.integers(0, 1000, M)
+        tab = pa.table({"k": k_np, "v": v_np})
+        t0 = time.perf_counter()
+        tab.group_by("k").aggregate([("v", "sum"), ("v", "count"),
+                                     ("v", "min"), ("v", "max")])
+        bases[tag] = M / (time.perf_counter() - t0)
+        del tab, k_np, v_np
+        r = results.get(tag)
+        if isinstance(r, dict) and "rows_per_s" in r:
+            r["baseline_rows_per_s"] = round(bases[tag])
+            r["vs_baseline"] = round(r["rows_per_s"] / bases[tag], 3)
+    main = results.get("500M_1K")
+    value = main.get("rows_per_s", 0) if isinstance(main, dict) else 0
+    return {"metric": "group_by_500M_rows_per_s", "value": value,
             "unit": "rows/s",
-            "vs_baseline": round(value / base, 3) if value else None,
-            "variants": results, "baseline_rows_per_s": round(base),
-            "baseline": "pyarrow group_by @50M (host CPU)"}
+            "vs_baseline": round(value / bases["500M_1K"], 3)
+            if value else None,
+            "variants": results,
+            "baseline_rows_per_s": round(bases["500M_1K"]),
+            "baseline": "pyarrow group_by @50M, per-variant matched "
+                        "cardinality (host CPU)"}
 
 
 def config5():
@@ -452,10 +482,14 @@ def config5():
 def config_io():
     """Native IO stack (host CPU, no pyarrow in our path): parquet
     write+scan, IPC stream write+read, CSV read — each vs pyarrow/Arrow
-    C++ on the same host. Records the round-2 native-IO work in
-    BENCH_r*.json instead of leaving it as README claims."""
+    C++ on the same host.  The whole config is pinned to the CPU
+    backend (jax.default_device) so timed loops measure codec work,
+    not device transfers through the axon tunnel (r2 advisor finding:
+    the r2 numbers conflated tunnel RTT with codec throughput)."""
     import io as _io
+    import contextlib
 
+    import jax
     import pyarrow as pa
     import pyarrow.csv as pacsv
     import pyarrow.ipc as paipc
@@ -470,6 +504,15 @@ def config_io():
     rng = np.random.default_rng(0)
     out = {"metric": "native_io_parquet_scan_rows_per_s",
            "unit": "rows/s"}
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(jax.default_device(jax.devices("cpu")[0]))
+        return _config_io_body(_io, pa, pacsv, paipc, pq, at, at_csv,
+                               at_ipc, ParquetFile,
+                               write_parquet_native, rng, out)
+
+
+def _config_io_body(_io, pa, pacsv, paipc, pq, at, at_csv, at_ipc,
+                    ParquetFile, write_parquet_native, rng, out):
 
     # --- parquet: 1M rows x 4 mixed cols, snappy + dictionary ---------
     N = 1_000_000
@@ -496,13 +539,15 @@ def config_io():
     t0 = time.perf_counter()
     pq.read_table(_io.BytesIO(buf2.getvalue()))
     r_base = time.perf_counter() - t0
-    out["value"] = round(N / r_ours)
-    out["vs_baseline"] = round(r_base / r_ours, 3)
+    out["value"] = round(N / r_ours) if r_ours else 0
+    out["vs_baseline"] = round(r_base / r_ours, 3) if r_ours else None
     out["baseline_rows_per_s"] = round(N / r_base) if r_base else 0
     out["parquet_1M_mixed"] = {
         "write_s": round(w_ours, 3), "read_s": round(r_ours, 3),
         "pyarrow_write_s": round(w_base, 3),
-        "pyarrow_read_s": round(r_base, 3)}
+        "pyarrow_read_s": round(r_base, 3),
+        "read_vs_baseline": round(r_base / r_ours, 3) if r_ours else None,
+        "write_vs_baseline": round(w_base / w_ours, 3) if w_ours else None}
 
     # --- IPC stream: 2M rows x 4 cols ---------------------------------
     N = 2_000_000
@@ -533,7 +578,9 @@ def config_io():
     out["ipc_2M_stream"] = {
         "write_s": round(w_ours, 3), "read_s": round(r_ours, 3),
         "pyarrow_write_s": round(w_base, 3),
-        "pyarrow_read_s": round(r_base, 3)}
+        "pyarrow_read_s": round(r_base, 3),
+        "read_vs_baseline": round(r_base / r_ours, 3) if r_ours else None,
+        "write_vs_baseline": round(w_base / w_ours, 3) if w_ours else None}
 
     # --- CSV read: 500K rows x 3 typed cols ---------------------------
     N = 500_000
@@ -553,7 +600,8 @@ def config_io():
     pacsv.read_csv(_io.BytesIO(data))
     r_base = time.perf_counter() - t0
     out["csv_500K_read"] = {
-        "read_s": round(r_ours, 3), "pyarrow_read_s": round(r_base, 3)}
+        "read_s": round(r_ours, 3), "pyarrow_read_s": round(r_base, 3),
+        "read_vs_baseline": round(r_base / r_ours, 3) if r_ours else None}
     out["baseline"] = ("pyarrow/Arrow C++ same host; value/vs_baseline = "
                        "parquet 1M-row mixed scan")
     return out

@@ -346,14 +346,24 @@ def test_bin_path_chunked(monkeypatch):
 
 
 def test_bin_path_declines_wide_range():
+    # 2^40 key range: beyond perfect binning, but the packed-sort
+    # high-cardinality plan covers it (r3) — answers directly
     t = at.Table.from_pydict({
         "k": np.array([0, 2**40, 7], np.int64),
         "v": np.arange(3, dtype=np.int64)})
     r = _gb._int_range_fast_path(t, [t.column("k")], ["k"],
                                  [_gb.AggSpec("v", "sum")])
-    assert r is None
-    # and group_by still answers through the general path
-    out = _gb.group_by(t, ["k"], [_gb.AggSpec("v", "sum")])
+    assert r is not None
+    assert r.to_pydict()["v_sum"] == [0, 2, 1]
+    # full 64-bit key range: even the packed plan must decline (the
+    # combined code would need >63 bits) and fall to the general path
+    t2 = at.Table.from_pydict({
+        "k": np.array([-2**62, 2**62, 7], np.int64),
+        "v": np.arange(3, dtype=np.int64)})
+    r2 = _gb._int_range_fast_path(t2, [t2.column("k")], ["k"],
+                                  [_gb.AggSpec("v", "sum")])
+    assert r2 is None
+    out = _gb.group_by(t2, ["k"], [_gb.AggSpec("v", "sum")])
     assert out.to_pydict()["v_sum"] == [0, 2, 1]
 
 
