@@ -342,7 +342,7 @@ def _read_avro_impl(data: bytes, reader_schema: Optional[dict]) -> Table:
                 if not (b & 0x80):
                     break
                 shift += 7
-            payload = nt.snappy_decompress(payload[:-4], ulen)
+            payload = nt.snappy_decompress(payload[:-4], ulen).tobytes()
             if zlib.crc32(payload) & 0xFFFFFFFF != crc:
                 raise ArrowInvalid("avro snappy block CRC mismatch")
         elif codec != "null":

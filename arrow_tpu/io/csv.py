@@ -62,15 +62,17 @@ class _Indexed:
         lib = nt.csv_lib()
         self.data = np.frombuffer(data, np.uint8)
         # exact-or-over field count: delimiters + newlines (+2 slack);
-        # quoted delimiters only over-count, never under.  The old
-        # len/2 cap over-allocated ~5x and its first-touch page faults
-        # dominated small parses.
-        cap = max(int((self.data == ord(delimiter)).sum()
-                      + (self.data == 10).sum()) + 2, 64)
+        # quoted delimiters only over-count, never under.  One SWAR C
+        # pass (the old numpy compare+sum pair cost 2 full-buffer temps;
+        # the older len/2 cap over-allocated ~5x and its first-touch
+        # page faults dominated small parses).
+        cap = max(int(lib.csv_count_seps(nt._u8(self.data),
+                                         len(self.data),
+                                         ord(delimiter))) + 2, 64)
         while True:
-            starts = np.zeros(cap, np.int64)
-            ends = np.zeros(cap, np.int64)
-            escaped = np.zeros(cap, np.uint8)
+            starts = np.empty(cap, np.int64)
+            ends = np.empty(cap, np.int64)
+            escaped = np.empty(cap, np.uint8)
             nrows = np.zeros(1, np.int64)
             ncols = np.zeros(1, np.int64)
             nf = lib.csv_index(
@@ -93,10 +95,13 @@ class _Indexed:
         self.escaped = escaped[:self.n_fields]
 
     def column_bounds(self, col: int, row0: int, nrows: int):
-        idx = (np.arange(row0, row0 + nrows) * self.n_cols + col)
-        return (np.ascontiguousarray(self.starts[idx]),
-                np.ascontiguousarray(self.ends[idx]),
-                np.ascontiguousarray(self.escaped[idx]))
+        # fields are laid out row-major: a strided view + one memcpy
+        # beats a fancy-index gather (no 8B/row index array)
+        lo = row0 * self.n_cols + col
+        hi = (row0 + nrows) * self.n_cols
+        return (np.ascontiguousarray(self.starts[lo:hi:self.n_cols]),
+                np.ascontiguousarray(self.ends[lo:hi:self.n_cols]),
+                np.ascontiguousarray(self.escaped[lo:hi:self.n_cols]))
 
 
 def _try_parse(kind: str, data: np.ndarray, starts, ends,
@@ -244,12 +249,15 @@ def read_csv(source, schema: Optional[dt.Schema] = None,
         by_name = {f.name: f for f in schema.fields}
         fields = [by_name.get(names[c], dt.Field(names[c], dt.utf8))
                   for c in sel]
-    if len(sel) > 1 and nrows >= 100_000:
+    import os
+    if len(sel) > 1 and nrows >= 100_000 and (os.cpu_count() or 1) > 1:
         # typed parsers are C calls that release the GIL: one thread
         # per column (the reference parallelizes at the caller level;
-        # here the column is the natural unit)
+        # here the column is the natural unit).  Single-core hosts skip
+        # the pool: thread churn costs ~30% there (measured, r3)
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=min(len(sel), 8)) as ex:
+        with ThreadPoolExecutor(max_workers=min(len(sel), 8,
+                                                os.cpu_count() or 1)) as ex:
             cols = tuple(ex.map(
                 lambda cf: _parse_column(idx, cf[0], row0, nrows,
                                          cf[1].dtype),

@@ -521,6 +521,31 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
     dict_idx_chunks = []
     slots_read = 0
     nonnull_read = 0
+    # all-valid fast path: pages whose def stream is one const run of
+    # max_def skip decode entirely; regions are backfilled only if a
+    # later page breaks constness
+    defs_all_const = True
+    const_regions: list = []
+
+    def _def_levels(payload, n):
+        """Handle one page's def-level stream; -> nn (non-null count)."""
+        nonlocal defs_all_const
+        bw = _bit_width(node.max_def)
+        if _is_const_max_run(payload, bw, n, node.max_def):
+            if defs_all_const:
+                const_regions.append((slots_read, n))
+            else:
+                defs[slots_read:slots_read + n] = node.max_def
+            return n
+        if defs_all_const:
+            defs_all_const = False
+            for s0, n0 in const_regions:
+                defs[s0:s0 + n0] = node.max_def
+            const_regions.clear()
+        defs[slots_read:slots_read + n] = nt.rle_bp_decode(payload, bw,
+                                                           n)
+        return int((defs[slots_read:slots_read + n]
+                    == node.max_def).sum())
 
     page_ord = 0
     while slots_read < num_values and pos < end:
@@ -549,7 +574,8 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
             r = CompactReader(data, pos)
             header = r.read_struct()
             clen = header.get(3)
-            body = data[r.pos: r.pos + clen]
+            # zero-copy page body (a bytes slice would copy every page)
+            body = memoryview(data)[r.pos: r.pos + clen]
             pos = r.pos + clen
         page_type = header.get(1)
         ulen = header.get(2)
@@ -584,11 +610,22 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
                                      node.max_rep)
                 reps[slots_read:slots_read + n] = lv
             if node.max_def:
-                lv, off = _v1_levels(raw, off, dph.get(3, ENC_RLE),
-                                     node.max_def)
-                defs[slots_read:slots_read + n] = lv
-                nn = int((defs[slots_read:slots_read + n]
-                          == node.max_def).sum())
+                lvl_enc = dph.get(3, ENC_RLE)
+                if lvl_enc == ENC_RLE:
+                    (lln,) = struct.unpack_from("<I", raw, off)
+                    nn = _def_levels(raw[off + 4: off + 4 + lln], n)
+                    off += 4 + lln
+                else:
+                    lv, off = _v1_levels(raw, off, lvl_enc,
+                                         node.max_def)
+                    if defs_all_const:
+                        defs_all_const = False
+                        for s0, n0 in const_regions:
+                            defs[s0:s0 + n0] = node.max_def
+                        const_regions.clear()
+                    defs[slots_read:slots_read + n] = lv
+                    nn = int((defs[slots_read:slots_read + n]
+                              == node.max_def).sum())
             else:
                 nn = n
             vals = _decode_values(node, enc, raw[off:], nn, dictionary)
@@ -605,10 +642,7 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
                     body[off:off + rl_len], _bit_width(node.max_rep), n)
             off += rl_len
             if node.max_def:
-                defs[slots_read:slots_read + n] = nt.rle_bp_decode(
-                    body[off:off + dl_len], _bit_width(node.max_def), n)
-                nn = int((defs[slots_read:slots_read + n]
-                          == node.max_def).sum())
+                nn = _def_levels(body[off:off + dl_len], n)
             else:
                 nn = n
             off += dl_len
@@ -628,6 +662,14 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
         slots_read += n
         nonnull_read += nn
 
+    if (defs is not None and defs_all_const and const_regions
+            and not node.max_rep):
+        # every def page was a const run of max_def: the chunk has no
+        # nulls and downstream treats it as required (defs=None)
+        defs = None
+    elif defs is not None and const_regions:
+        for s0, n0 in const_regions:
+            defs[s0:s0 + n0] = node.max_def
     ld = _LeafData(node, defs, reps, None, dictionary=dictionary)
     if dict_idx_chunks and len(dict_idx_chunks) == len(chunks):
         ld.indices = np.concatenate(dict_idx_chunks) \
@@ -639,6 +681,31 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
 
 def _bit_width(v: int) -> int:
     return max(1, int(v).bit_length()) if v else 0
+
+
+def _is_const_max_run(buf, bw: int, n: int, max_lvl: int) -> bool:
+    """True iff an RLE/bit-packed level stream is exactly one RLE run of
+    n copies of max_lvl — the all-valid page shape every writer emits.
+    Lets the reader skip the O(n) decode + the == max_def pass."""
+    v = 0
+    shift = 0
+    pos = 0
+    ln = len(buf)
+    while True:
+        if pos >= ln:
+            return False
+        b = buf[pos]
+        pos += 1
+        v |= (int(b) & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    if (v & 1) or (v >> 1) != n:
+        return False
+    nb = (bw + 7) // 8
+    if pos + nb > ln:
+        return False
+    return int.from_bytes(bytes(buf[pos:pos + nb]), "little") == max_lvl
 
 
 def _bitpacked_levels(buf: bytes, bw: int, n: int) -> np.ndarray:

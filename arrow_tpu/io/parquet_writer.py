@@ -283,7 +283,10 @@ def _flatten_leaf(col: Column, nullable: bool):
         if not nullable:
             return [(col, None, None)]
         if col.validity is None:
-            return [(col, np.ones(len(col), np.int64), None)]
+            # nullable schema, zero nulls: the wire still needs a def-
+            # level stream, but it is ONE constant RLE run — carry a
+            # lazy marker instead of a materialized 8B/row plane
+            return [(col, _ConstDefs(len(col)), None)]
         v = np.asarray(col.validity)
         rows = np.nonzero(v)[0]
         return [(_gather_leaf(col, rows), v.astype(np.int64), None)]
@@ -351,6 +354,30 @@ def _flatten_leaf(col: Column, nullable: bool):
     walk(col, nullable, np.zeros(n, np.int64), np.zeros(n, np.int64),
          np.arange(n, dtype=np.int64), 0, 0)
     return out
+
+
+class _ConstDefs:
+    """All-valid def levels for a flat nullable leaf: every slot's def
+    is max_def.  Encodes as a single RLE run without ever materializing
+    the level plane (arrow_writer/levels.rs fast path role)."""
+
+    __slots__ = ("n",)
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __len__(self) -> int:
+        return self.n
+
+
+def _const_run_bytes(count: int, value: int, max_level: int) -> bytes:
+    """RLE/bit-packed hybrid stream holding `count` copies of `value`."""
+    bw = max(1, int(max_level).bit_length())
+    nbytes = (bw + 7) // 8
+    out = bytearray()
+    _varint(out, count << 1)
+    out += int(value).to_bytes(nbytes, "little")
+    return bytes(out)
 
 
 def _plain_values(c: Column, mask: Optional[np.ndarray]) -> bytes:
@@ -1016,12 +1043,14 @@ class NativeParquetWriter:
         codec = (self.codec if comp_name is None
                  else _CODEC_IDS[comp_name.lower()])
         n_slots = len(defs) if defs is not None else len(c)
-        if defs is not None:
+        const_defs = isinstance(defs, _ConstDefs)
+        if defs is not None and not const_defs:
             vpos = np.zeros(n_slots + 1, np.int64)
             np.cumsum(defs == leaf.max_def, out=vpos[1:])
         else:
-            vpos = np.arange(n_slots + 1, dtype=np.int64)
-        chunk_nulls = int(n_slots - len(c)) if defs is not None else 0
+            vpos = None                # identity: slot i == value i
+        chunk_nulls = int(n_slots - len(c)) \
+            if defs is not None and not const_defs else 0
 
         dict_on = self._col_prop(leaf, "dictionary_enabled",
                                  self.dictionary_enabled)
@@ -1047,7 +1076,12 @@ class NativeParquetWriter:
                 lb = _levels_bytes(reps[s:e], leaf.max_rep)
                 rep_b = lb[4:] if self.page_v2 else lb
             if leaf.max_def and defs is not None:
-                lb = _levels_bytes(defs[s:e], leaf.max_def)
+                if const_defs:
+                    rle = _const_run_bytes(e - s, leaf.max_def,
+                                           leaf.max_def)
+                    lb = struct.pack("<I", len(rle)) + rle
+                else:
+                    lb = _levels_bytes(defs[s:e], leaf.max_def)
                 def_b = lb[4:] if self.page_v2 else lb
             return rep_b, def_b
 
@@ -1089,12 +1123,13 @@ class NativeParquetWriter:
             total_uncomp += len(dict_values_plain)
             data_page_offset = self._pos
             for s, e in self._page_ranges(leaf, c, defs, reps):
-                pcodes = codes[vpos[s]:vpos[e]]
+                pcodes = codes[s:e] if vpos is None \
+                    else codes[vpos[s]:vpos[e]]
                 idx_rle = bytes([bw]) + nt.rle_bp_encode(
                     pcodes.astype(np.uint32), bw)
                 rep_b, def_b = levels_for_page(s, e)
                 n_page = e - s
-                n_nulls = 0 if defs is None else \
+                n_nulls = 0 if defs is None or const_defs else \
                     int((defs[s:e] != leaf.max_def).sum())
                 n_rows = int((reps[s:e] == 0).sum()) \
                     if leaf.max_rep and reps is not None else n_page
@@ -1110,7 +1145,8 @@ class NativeParquetWriter:
         else:
             data_page_offset = self._pos
             for s, e in self._page_ranges(leaf, c, defs, reps):
-                pc = c.slice(int(vpos[s]), int(vpos[e] - vpos[s]))
+                pc = c.slice(s, e - s) if vpos is None \
+                    else c.slice(int(vpos[s]), int(vpos[e] - vpos[s]))
                 n_page = e - s
                 n_rows = int((reps[s:e] == 0).sum()) \
                     if leaf.max_rep and reps is not None else n_page
@@ -1118,7 +1154,7 @@ class NativeParquetWriter:
                 if enc_id not in encodings:
                     encodings.append(enc_id)
                 rep_b, def_b = levels_for_page(s, e)
-                n_nulls = 0 if defs is None else \
+                n_nulls = 0 if defs is None or const_defs else \
                     int((defs[s:e] != leaf.max_def).sum())
                 o, sz = self._emit_data_page(
                     leaf, n_page, n_rows, n_nulls, enc_id, rep_b,

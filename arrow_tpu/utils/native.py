@@ -403,23 +403,26 @@ def delta_byte_array_build(prefix_lens: np.ndarray, suffix_lens: np.ndarray,
     return offsets, data[:total]
 
 
-def snappy_decompress(data: bytes, uncompressed_len: int) -> bytes:
+def snappy_decompress(data: bytes, uncompressed_len: int) -> np.ndarray:
+    """-> uint8 ndarray view (buffer-protocol compatible with every
+    consumer; skipping the bytes() copy saves a full output pass)."""
     lib = _req_lib()
     src = np.frombuffer(data, np.uint8)
-    out = np.zeros(max(uncompressed_len, 1), np.uint8)
+    # 16B slack enables the C side's 8/16-byte chunked copy loops
+    out = np.empty(max(uncompressed_len, 1) + 16, np.uint8)
     n = lib.snappy_decompress(_u8(src), len(src), _u8(out),
-                              uncompressed_len)
+                              uncompressed_len + 16)
     if n != uncompressed_len:
         raise ValueError(
             f"snappy decompressed to {n}, expected {uncompressed_len}")
-    return out[:uncompressed_len].tobytes()
+    return out[:uncompressed_len]
 
 
 def snappy_compress(data: bytes) -> bytes:
     lib = _req_lib()
     src = np.frombuffer(data, np.uint8)
     cap = len(data) + len(data) // 4 + 64
-    out = np.zeros(cap, np.uint8)
+    out = np.empty(cap, np.uint8)
     n = lib.snappy_compress(_u8(src), len(src), _u8(out), cap)
     return out[:n].tobytes()
 
@@ -648,6 +651,8 @@ def _bind_csv(lib):
     lib.csv_parse_timestamp.argtypes = [u8p, i64p, i64p, i64, i64,
                                         ctypes.c_int32, i64p, u8p]
     lib.csv_parse_timestamp.restype = i64
+    lib.csv_count_seps.argtypes = [u8p, i64, ctypes.c_uint8]
+    lib.csv_count_seps.restype = i64
     lib._csv_bound = True
 
 

@@ -514,6 +514,20 @@ def config_io():
 def _config_io_body(_io, pa, pacsv, paipc, pq, at, at_csv, at_ipc,
                     ParquetFile, write_parquet_native, rng, out):
 
+    # Every op is timed best-of-5 on BOTH sides: steady-state codec
+    # throughput is the claim; the first-call time (numpy/ctypes/jit
+    # warmup on our side, lazy init on pyarrow's) is recorded as cold_s.
+    def best3(f):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return min(ts), ts[0]
+
+    def ratio(base, ours):
+        return round(base / ours, 3) if ours else None
+
     # --- parquet: 1M rows x 4 mixed cols, snappy + dictionary ---------
     N = 1_000_000
     pt = pa.table({
@@ -524,30 +538,29 @@ def _config_io_body(_io, pa, pacsv, paipc, pq, at, at_csv, at_ipc,
         "b": pa.array(rng.integers(0, 2, N).astype(bool)),
     })
     t = at.Table.from_pyarrow(pt)
+    w_ours, w_cold = best3(
+        lambda: write_parquet_native(_io.BytesIO(), t,
+                                     compression="snappy"))
     buf = _io.BytesIO()
-    t0 = time.perf_counter()
     write_parquet_native(buf, t, compression="snappy")
-    w_ours = time.perf_counter() - t0
     data = buf.getvalue()
-    t0 = time.perf_counter()
-    ParquetFile(data).read()
-    r_ours = time.perf_counter() - t0
+    r_ours, r_cold = best3(lambda: ParquetFile(data).read())
+    w_base, _ = best3(
+        lambda: pq.write_table(pt, _io.BytesIO(), compression="snappy"))
     buf2 = _io.BytesIO()
-    t0 = time.perf_counter()
     pq.write_table(pt, buf2, compression="snappy")
-    w_base = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    pq.read_table(_io.BytesIO(buf2.getvalue()))
-    r_base = time.perf_counter() - t0
+    data2 = buf2.getvalue()
+    r_base, _ = best3(lambda: pq.read_table(_io.BytesIO(data2)))
     out["value"] = round(N / r_ours) if r_ours else 0
-    out["vs_baseline"] = round(r_base / r_ours, 3) if r_ours else None
+    out["vs_baseline"] = ratio(r_base, r_ours)
     out["baseline_rows_per_s"] = round(N / r_base) if r_base else 0
     out["parquet_1M_mixed"] = {
         "write_s": round(w_ours, 3), "read_s": round(r_ours, 3),
         "pyarrow_write_s": round(w_base, 3),
         "pyarrow_read_s": round(r_base, 3),
-        "read_vs_baseline": round(r_base / r_ours, 3) if r_ours else None,
-        "write_vs_baseline": round(w_base / w_ours, 3) if w_ours else None}
+        "cold_write_s": round(w_cold, 3), "cold_read_s": round(r_cold, 3),
+        "read_vs_baseline": ratio(r_base, r_ours),
+        "write_vs_baseline": ratio(w_base, w_ours)}
 
     # --- IPC stream: 2M rows x 4 cols ---------------------------------
     N = 2_000_000
@@ -559,28 +572,29 @@ def _config_io_body(_io, pa, pacsv, paipc, pq, at, at_csv, at_ipc,
         "u": pa.array(rng.integers(0, 2**31, N), pa.int32()),
     })
     t = at.Table.from_pyarrow(pt)
+    w_ours, w_cold = best3(lambda: at_ipc.write_stream(_io.BytesIO(),
+                                                       [t]))
     buf = _io.BytesIO()
-    t0 = time.perf_counter()
     at_ipc.write_stream(buf, [t])
-    w_ours = time.perf_counter() - t0
     data = buf.getvalue()
-    t0 = time.perf_counter()
-    at_ipc.read_stream(_io.BytesIO(data))
-    r_ours = time.perf_counter() - t0
-    buf2 = _io.BytesIO()
-    t0 = time.perf_counter()
-    with paipc.new_stream(buf2, pt.schema) as w:
-        w.write_table(pt)
-    w_base = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    paipc.open_stream(_io.BytesIO(buf2.getvalue())).read_all()
-    r_base = time.perf_counter() - t0
+    r_ours, r_cold = best3(lambda: at_ipc.read_stream(_io.BytesIO(data)))
+
+    def _pa_ipc_write():
+        b = _io.BytesIO()
+        with paipc.new_stream(b, pt.schema) as w:
+            w.write_table(pt)
+        return b
+    w_base, _ = best3(_pa_ipc_write)
+    data2 = _pa_ipc_write().getvalue()
+    r_base, _ = best3(
+        lambda: paipc.open_stream(_io.BytesIO(data2)).read_all())
     out["ipc_2M_stream"] = {
         "write_s": round(w_ours, 3), "read_s": round(r_ours, 3),
         "pyarrow_write_s": round(w_base, 3),
         "pyarrow_read_s": round(r_base, 3),
-        "read_vs_baseline": round(r_base / r_ours, 3) if r_ours else None,
-        "write_vs_baseline": round(w_base / w_ours, 3) if w_ours else None}
+        "cold_write_s": round(w_cold, 3), "cold_read_s": round(r_cold, 3),
+        "read_vs_baseline": ratio(r_base, r_ours),
+        "write_vs_baseline": ratio(w_base, w_ours)}
 
     # --- CSV read: 500K rows x 3 typed cols ---------------------------
     N = 500_000
@@ -593,15 +607,12 @@ def _config_io_body(_io, pa, pacsv, paipc, pq, at, at_csv, at_ipc,
     buf = _io.BytesIO()
     pacsv.write_csv(pt, buf)
     data = buf.getvalue()
-    t0 = time.perf_counter()
-    at_csv.read_csv(_io.BytesIO(data))
-    r_ours = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    pacsv.read_csv(_io.BytesIO(data))
-    r_base = time.perf_counter() - t0
+    r_ours, r_cold = best3(lambda: at_csv.read_csv(_io.BytesIO(data)))
+    r_base, _ = best3(lambda: pacsv.read_csv(_io.BytesIO(data)))
     out["csv_500K_read"] = {
         "read_s": round(r_ours, 3), "pyarrow_read_s": round(r_base, 3),
-        "read_vs_baseline": round(r_base / r_ours, 3) if r_ours else None}
+        "cold_read_s": round(r_cold, 3),
+        "read_vs_baseline": ratio(r_base, r_ours)}
     out["baseline"] = ("pyarrow/Arrow C++ same host; value/vs_baseline = "
                        "parquet 1M-row mixed scan")
     return out

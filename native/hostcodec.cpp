@@ -13,6 +13,7 @@
 // native.  All functions are pure (caller owns buffers).
 
 #include <algorithm>
+#include <charconv>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -643,16 +644,42 @@ int64_t rle_bp_decode(const uint8_t* src, int64_t len, int32_t bit_width,
             int64_t nbytes = groups * bit_width;   // = nvals*bw/8
             if (pos + nbytes > len) return -1;
             int64_t take = std::min(nvals, count - produced);
-            uint64_t bitpos = 0;
             const uint8_t* base = src + pos;
-            for (int64_t i = 0; i < take; ++i) {
-                int64_t byte_off = bitpos >> 3;
-                int bit_off = bitpos & 7;
-                uint64_t w = 0;
-                int64_t avail = std::min<int64_t>(8, nbytes - byte_off);
-                std::memcpy(&w, base + byte_off, avail);
-                out[produced + i] = (uint32_t)(w >> bit_off) & mask;
-                bitpos += bit_width;
+            if (bit_width <= 8) {
+                // one group of 8 values = bit_width bytes = one u64
+                // load, 8 shifts (vs 8 memcpys in the generic path)
+                int64_t g = 0;
+                uint32_t* o = out + produced;
+                for (; (g + 1) * 8 <= take; ++g) {
+                    uint64_t w = 0;
+                    std::memcpy(&w, base + g * bit_width, bit_width);
+                    for (int k = 0; k < 8; ++k)
+                        o[g * 8 + k] =
+                            (uint32_t)(w >> (k * bit_width)) & mask;
+                }
+                uint64_t bitpos = (uint64_t)g * 8 * bit_width;
+                for (int64_t i = g * 8; i < take; ++i) {
+                    int64_t byte_off = bitpos >> 3;
+                    int bit_off = bitpos & 7;
+                    uint64_t w = 0;
+                    int64_t avail =
+                        std::min<int64_t>(8, nbytes - byte_off);
+                    std::memcpy(&w, base + byte_off, avail);
+                    o[i] = (uint32_t)(w >> bit_off) & mask;
+                    bitpos += bit_width;
+                }
+            } else {
+                uint64_t bitpos = 0;
+                for (int64_t i = 0; i < take; ++i) {
+                    int64_t byte_off = bitpos >> 3;
+                    int bit_off = bitpos & 7;
+                    uint64_t w = 0;
+                    int64_t avail =
+                        std::min<int64_t>(8, nbytes - byte_off);
+                    std::memcpy(&w, base + byte_off, avail);
+                    out[produced + i] = (uint32_t)(w >> bit_off) & mask;
+                    bitpos += bit_width;
+                }
             }
             produced += take;
             pos += nbytes;
@@ -713,16 +740,31 @@ int64_t rle_bp_encode(const uint32_t* vals, int64_t count,
             if (!put_varint(((uint64_t)groups << 1) | 1)) return -1;
             int64_t nbytes = groups * bit_width;
             if (pos + nbytes > cap) return -1;
-            std::memset(dst + pos, 0, nbytes);
-            uint64_t bitpos = 0;
-            for (int64_t k = 0; k < groups * 8; ++k) {
-                uint32_t v = (start + k < count) ? vals[start + k] : 0;
-                int64_t byte_off = bitpos >> 3;
-                int bit_off = bitpos & 7;
-                uint64_t w = ((uint64_t)v) << bit_off;
-                for (int b = 0; b < 8 && byte_off + b < nbytes; ++b)
-                    dst[pos + byte_off + b] |= (uint8_t)(w >> (8 * b));
-                bitpos += bit_width;
+            if (bit_width <= 8) {
+                // 8 values pack into one u64 (bit_width bytes stored)
+                for (int64_t g = 0; g < groups; ++g) {
+                    uint64_t w = 0;
+                    int64_t b0 = start + g * 8;
+                    int64_t lim = std::min<int64_t>(8, count - b0);
+                    for (int64_t k = 0; k < lim; ++k)
+                        w |= (uint64_t)(vals[b0 + k]) << (k * bit_width);
+                    std::memcpy(dst + pos + g * bit_width, &w,
+                                bit_width);
+                }
+            } else {
+                std::memset(dst + pos, 0, nbytes);
+                uint64_t bitpos = 0;
+                for (int64_t k = 0; k < groups * 8; ++k) {
+                    uint32_t v = (start + k < count) ? vals[start + k]
+                                                     : 0;
+                    int64_t byte_off = bitpos >> 3;
+                    int bit_off = bitpos & 7;
+                    uint64_t w = ((uint64_t)v) << bit_off;
+                    for (int b = 0; b < 8 && byte_off + b < nbytes; ++b)
+                        dst[pos + byte_off + b] |=
+                            (uint8_t)(w >> (8 * b));
+                    bitpos += bit_width;
+                }
             }
             pos += nbytes;
             i = j;
@@ -837,12 +879,16 @@ int64_t delta_byte_array_build(const int64_t* prefix_lens,
 // ---- snappy raw codec -------------------------------------------------------
 // (format: varint uncompressed length; then literal/copy elements)
 
+// dst physical capacity must be `cap`; when cap >= ulen + 16 the copy
+// loops run 8/16 bytes at a time and may scribble into the slack past
+// the logical output (the Python wrapper allocates ulen + 16).
 int64_t snappy_decompress(const uint8_t* src, int64_t len,
                           uint8_t* dst, int64_t cap) {
     int64_t pos = 0;
     uint64_t ulen;
     if (uvarint(src, len, &pos, &ulen) < 0) return -1;
     if ((int64_t)ulen > cap) return -1;
+    const bool slack = cap >= (int64_t)ulen + 16;
     int64_t op = 0;
     while (pos < len) {
         uint8_t tag = src[pos++];
@@ -885,7 +931,47 @@ int64_t snappy_decompress(const uint8_t* src, int64_t len,
             if (offset == 0 || offset > op
                 || op + n > (int64_t)ulen) return -1;
             const uint8_t* from = dst + op - offset;
-            for (int64_t i = 0; i < n; ++i) dst[op + i] = from[i];
+            uint8_t* to = dst + op;
+            if (slack && offset >= 8) {
+                // non-overlapping at word granularity: 16B chunks into
+                // the slack region (classic snappy fast copy)
+                int64_t i = 0;
+                do {
+                    std::memcpy(to + i, from + i, 8);
+                    std::memcpy(to + i + 8, from + i + 8, 8);
+                    i += 16;
+                } while (i < n);
+            } else if (slack) {
+                // overlapping run (offset < 8): widen the pattern to an
+                // 8-byte word, then copy 8-at-a-time into the slack
+                if (offset == 1) {
+                    uint64_t pat = 0x0101010101010101ULL * from[0];
+                    for (int64_t i = 0; i < n; i += 8)
+                        std::memcpy(to + i, &pat, 8);
+                } else if (offset == 2) {
+                    uint16_t p2; std::memcpy(&p2, from, 2);
+                    uint64_t pat = 0x0001000100010001ULL * p2;
+                    for (int64_t i = 0; i < n; i += 8)
+                        std::memcpy(to + i, &pat, 8);
+                } else if (offset == 4) {
+                    uint32_t p4; std::memcpy(&p4, from, 4);
+                    uint64_t pat = 0x0000000100000001ULL * p4;
+                    for (int64_t i = 0; i < n; i += 8)
+                        std::memcpy(to + i, &pat, 8);
+                } else {
+                    // 3/5/6/7: seed 8 bytes byte-wise, then copy from
+                    // back = smallest multiple of offset >= 8 (pattern-
+                    // preserving; source stays >= 8 behind the write)
+                    int64_t seed = n < 8 ? n : 8;
+                    for (int64_t i = 0; i < seed; ++i)
+                        to[i] = from[i % offset];
+                    int64_t back = offset * ((8 + offset - 1) / offset);
+                    for (int64_t i = seed; i < n; i += 8)
+                        std::memcpy(to + i, to + i - back, 8);
+                }
+            } else {
+                for (int64_t i = 0; i < n; ++i) to[i] = from[i];
+            }
             op += n;
         }
     }
@@ -944,20 +1030,33 @@ int64_t snappy_compress(const uint8_t* src, int64_t n,
     std::fill(table, table + 16384, -1);
     int64_t ip = 0, anchor = 0;
     const int64_t limit = n - 15;
+    uint32_t skip = 32;   // snappy's incompressible-input acceleration
     while (ip < limit) {
         uint32_t h = (lz4_read32(src + ip) * 0x1e35a7bd) >> 18;
         int64_t cand = table[h];
         table[h] = (int32_t)ip;
         if (cand >= 0 && ip - cand <= 65535 &&
             lz4_read32(src + cand) == lz4_read32(src + ip)) {
+            skip = 32;
+            // extend 8 bytes at a time (XOR + ctz finds the divergence)
             int64_t m = 4;
+            while (ip + m + 8 <= n) {
+                uint64_t a, b;
+                std::memcpy(&a, src + cand + m, 8);
+                std::memcpy(&b, src + ip + m, 8);
+                uint64_t x = a ^ b;
+                if (x) { m += __builtin_ctzll(x) >> 3; goto extended; }
+                m += 8;
+            }
             while (ip + m < n && src[cand + m] == src[ip + m]) ++m;
+        extended:
             if (ip > anchor) emit_literal(anchor, ip - anchor);
             emit_copy(ip - cand, m);
             ip += m;
             anchor = ip;
         } else {
-            ++ip;
+            // on long literal runs, probe sparser and sparser
+            ip += skip++ >> 5;
         }
     }
     if (anchor < n) emit_literal(anchor, n - anchor);
@@ -1367,21 +1466,43 @@ int64_t csv_parse_i64(const uint8_t* data, const int64_t* starts,
 int64_t csv_parse_f64(const uint8_t* data, const int64_t* starts,
                       const int64_t* ends, int64_t n, double* out,
                       uint8_t* valid) {
-    char buf[64];
+    // std::from_chars<double> (GCC >= 11) is a correctly-rounded
+    // Eisel-Lemire-grade parser, ~5x strtod and locale-independent.
     for (int64_t i = 0; i < n; ++i) {
         int64_t p = starts[i], e = ends[i];
-        int64_t ln = e - p;
-        if (ln == 0) { valid[i] = 0; out[i] = 0.0; continue; }
-        if (ln >= 63) return i;
-        std::memcpy(buf, data + p, ln);
-        buf[ln] = 0;
-        char* endp = nullptr;
-        double v = strtod(buf, &endp);
-        if (endp != buf + ln) return i;
+        if (p == e) { valid[i] = 0; out[i] = 0.0; continue; }
+        const char* b = (const char*)data + p;
+        const char* bend = (const char*)data + e;
+        if (*b == '+') ++b;            // from_chars rejects leading '+'
+        double v;
+        auto r = std::from_chars(b, bend, v);
+        if (r.ec != std::errc() || r.ptr != bend) return i;
         out[i] = v;
         valid[i] = 1;
     }
     return -1;
+}
+
+// One pass counting delimiter + newline bytes (the field-count upper
+// bound for csv_index capacity, replacing two numpy compare+sum passes).
+int64_t csv_count_seps(const uint8_t* data, int64_t len, uint8_t delim) {
+    int64_t cnt = 0;
+    int64_t i = 0;
+    for (; i + 8 <= len; i += 8) {
+        uint64_t w;
+        std::memcpy(&w, data + i, 8);
+        // SWAR byte-equality: whole-word compare against both targets
+        uint64_t xd = w ^ (0x0101010101010101ULL * delim);
+        uint64_t xn = w ^ 0x0A0A0A0A0A0A0A0AULL;
+        uint64_t md = (xd - 0x0101010101010101ULL) & ~xd
+                      & 0x8080808080808080ULL;
+        uint64_t mn = (xn - 0x0101010101010101ULL) & ~xn
+                      & 0x8080808080808080ULL;
+        cnt += __builtin_popcountll(md) + __builtin_popcountll(mn);
+    }
+    for (; i < len; ++i)
+        cnt += (data[i] == delim) + (data[i] == '\n');
+    return cnt;
 }
 
 int64_t csv_parse_bool(const uint8_t* data, const int64_t* starts,
