@@ -7,14 +7,14 @@ batch size; and ArrowWriter (arrow_writer/mod.rs:131) with
 WriterProperties (file/properties.rs:156): compression, row-group size,
 dictionary control, statistics.
 
-Both paths are native by default: READ via io/parquet_native.py
-(thrift footer, C++ page decode, level assembly) and WRITE via
-io/parquet_writer.py (thrift metadata, PLAIN/RLE-dict pages, v1/v2
-data pages, page index, checksums, statistics, bloom filters, modular
-encryption, arbitrary nesting).  The pyarrow writer remains only as an
-automatic fallback for the few layouts the native writer does not
-cover yet (views, unions, REE) — an explicit code path, not a hidden
-delegate.
+Both paths are native: READ via io/parquet_native.py (thrift footer,
+C++ page decode, level assembly) and WRITE via io/parquet_writer.py
+(thrift metadata, PLAIN/RLE-dict pages, v1/v2 data pages, page index,
+checksums, statistics, bloom filters, modular encryption, arbitrary
+nesting).  Layouts parquet cannot hold (union, run-end-encoded) are
+REJECTED like the reference (parquet/src/arrow/schema/mod.rs:780
+"Converting RunEndEncodedType to parquet not supported") — there is no
+pyarrow fallback.
 """
 
 from __future__ import annotations
@@ -22,13 +22,9 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Iterator, List, Optional, Sequence
 
-import pyarrow as pa
-import pyarrow.parquet as pq
-
 from .. import dtypes as dt
 from ..core.table import Table
 from ..errors import ArrowInvalid
-from .interop import table_from_pyarrow, table_to_pyarrow
 
 __all__ = ["ParquetReaderBuilder", "WriterProperties", "ParquetWriter",
            "read_parquet", "write_parquet", "read_metadata"]
@@ -156,66 +152,49 @@ def read_parquet(path, columns: Optional[Sequence[str]] = None,
 
 
 class ParquetWriter:
-    """ArrowWriter (arrow_writer/mod.rs:131): streaming batch writer.
-    Native by default; Arrow C++ only for layouts the native writer
-    does not cover (views at top level are fine; unions/REE are not)."""
+    """ArrowWriter (arrow_writer/mod.rs:131): streaming batch writer,
+    fully native.  Layouts parquet cannot represent (union, REE) raise
+    like the reference (schema/mod.rs:780)."""
 
     def __init__(self, path, schema_table: Table,
                  properties: WriterProperties = WriterProperties()):
         self._props = properties
-        self._native = _native_writable(schema_table.schema)
-        if self._native:
-            from .parquet_writer import NativeParquetWriter
-            self._w = NativeParquetWriter(
-                path, schema_table.schema,
-                compression=properties.compression,
-                dictionary_enabled=properties.dictionary_enabled,
-                write_statistics=properties.write_statistics,
-                bloom_filter_columns=properties.bloom_filter_columns,
-                row_group_size=properties.row_group_size,
-                data_page_size=properties.data_page_size,
-                data_page_version=properties.data_page_version,
-                write_page_index=properties.write_page_index,
-                write_page_checksum=properties.write_page_checksum,
-                sorting_columns=properties.sorting_columns,
-                encryption=properties.encryption,
-                key_value_metadata=properties.key_value_metadata,
-                store_schema=properties.store_schema,
-                column_properties=properties.column_properties)
-            return
-        if properties.column_properties:
-            raise ArrowInvalid(
-                "column_properties requires the native writer; schema "
-                "has unsupported layouts")
-        if properties.encryption is not None:
-            raise ArrowInvalid("encryption requires the native writer; "
-                               "schema has unsupported layouts")
-        schema = table_to_pyarrow(schema_table.slice(0, 0)).schema
-        self._schema = schema
-        sorting = None
-        if properties.sorting_columns:
-            names = [f.name for f in schema]
-            sorting = [pq.SortingColumn(names.index(n), descending=d)
-                       for n, d in properties.sorting_columns]
-        self._w = pq.ParquetWriter(
-            path, schema,
+        _require_native_writable(schema_table.schema)
+        from .parquet_writer import NativeParquetWriter
+        self._w = NativeParquetWriter(
+            path, schema_table.schema,
             compression=properties.compression,
-            use_dictionary=properties.dictionary_enabled,
+            dictionary_enabled=properties.dictionary_enabled,
             write_statistics=properties.write_statistics,
+            bloom_filter_columns=properties.bloom_filter_columns,
+            row_group_size=properties.row_group_size,
             data_page_size=properties.data_page_size,
+            data_page_version=properties.data_page_version,
             write_page_index=properties.write_page_index,
             write_page_checksum=properties.write_page_checksum,
-            sorting_columns=sorting)
+            sorting_columns=properties.sorting_columns,
+            encryption=properties.encryption,
+            key_value_metadata=properties.key_value_metadata,
+            store_schema=properties.store_schema,
+            column_properties=properties.column_properties)
 
     def write(self, table: Table) -> None:
-        if self._native:
-            self._w.write_table(table)
-        else:
-            self._w.write_batch(table_to_pyarrow(table),
-                                row_group_size=self._props.row_group_size)
+        self._w.write_table(table)
 
     def close(self) -> None:
         self._w.close()
+
+
+def _require_native_writable(schema: dt.Schema) -> None:
+    """Raise for schemas parquet cannot hold, naming the field — the
+    reference errors the same way (schema/mod.rs:780 for REE; unions
+    have no parquet mapping at all)."""
+    for f in schema.fields:
+        if not _native_writable(dt.Schema((f,))):
+            raise ArrowInvalid(
+                f"column {f.name!r}: {f.dtype} cannot be written to "
+                "parquet (no parquet representation; the reference "
+                "rejects it too)")
 
 
 def _native_writable(schema: dt.Schema) -> bool:
@@ -243,35 +222,25 @@ def _native_writable(schema: dt.Schema) -> bool:
 
 def write_parquet(path, table: Table,
                   properties: WriterProperties = WriterProperties()):
-    """Native writer by default; Arrow C++ fallback for types/features
-    the native writer does not cover (page index, sorting columns)."""
+    """Whole-table native write; unrepresentable layouts raise."""
     props = properties
-    needs_pa = not _native_writable(table.schema)
-    if needs_pa and props.encryption is not None:
-        raise ArrowInvalid(
-            "encryption requires the native writer; schema has types "
-            "it does not support yet")
-    if not needs_pa:
-        from .parquet_writer import write_parquet_native
-        write_parquet_native(
-            path, table, compression=props.compression,
-            dictionary_enabled=props.dictionary_enabled,
-            write_statistics=props.write_statistics,
-            bloom_filter_columns=props.bloom_filter_columns,
-            row_group_size=props.row_group_size,
-            data_page_size=props.data_page_size,
-            data_page_version=props.data_page_version,
-            write_page_index=props.write_page_index,
-            write_page_checksum=props.write_page_checksum,
-            sorting_columns=props.sorting_columns,
-            encryption=props.encryption,
-            key_value_metadata=props.key_value_metadata,
-            store_schema=props.store_schema,
-            column_properties=props.column_properties)
-        return
-    w = ParquetWriter(path, table, properties)
-    w.write(table)
-    w.close()
+    _require_native_writable(table.schema)
+    from .parquet_writer import write_parquet_native
+    write_parquet_native(
+        path, table, compression=props.compression,
+        dictionary_enabled=props.dictionary_enabled,
+        write_statistics=props.write_statistics,
+        bloom_filter_columns=props.bloom_filter_columns,
+        row_group_size=props.row_group_size,
+        data_page_size=props.data_page_size,
+        data_page_version=props.data_page_version,
+        write_page_index=props.write_page_index,
+        write_page_checksum=props.write_page_checksum,
+        sorting_columns=props.sorting_columns,
+        encryption=props.encryption,
+        key_value_metadata=props.key_value_metadata,
+        store_schema=props.store_schema,
+        column_properties=props.column_properties)
 
 
 class ParquetMetadata:

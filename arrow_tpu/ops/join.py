@@ -36,7 +36,7 @@ from ..errors import ArrowInvalid
 from .row_format import encode_value_key
 from .take import take as take_kernel
 
-__all__ = ["join", "join_indices"]
+__all__ = ["join", "join_indices", "HashJoiner"]
 
 _MIX = jnp.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden-ratio constant
 
@@ -483,6 +483,106 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
         order = jnp.argsort(li, stable=True)
         return li[order], ri[order]
     raise ArrowInvalid(f"unknown join type {how}")
+
+
+class HashJoiner:
+    """Build once, probe many: the streaming half of the hash join.
+
+    For probe sides larger than HBM (BASELINE config 5 runs 1B probe
+    rows against a 100M build side on a 15.75 GB chip), the build side
+    is prepared ONCE and probe chunks stream through `probe_indices`.
+    Mirrors the build/probe split of arrow's ecosystem engines (the
+    reference delegates joins to them, SURVEY.md §2); the build
+    structure here is the gather-friendly perfect index of
+    join_indices, with a per-chunk merge fallback for duplicate or
+    wide-range build keys."""
+
+    # dense-table span cap: i32[2^28] = 1 GiB of HBM, sized for a 100M
+    # build side with 2x key spread
+    _SPAN_CAP = 1 << 28
+
+    def __init__(self, right: Table, on: Sequence[str],
+                 right_on: Optional[Sequence[str]] = None):
+        self.right = right
+        self.on = list(on)
+        self.right_on = list(right_on or on)
+        self.multi = len(self.on) > 1
+        self._plan = "merge"               # until proven index-able
+        self.table = None
+        if right.num_rows == 0:
+            self._plan = "empty"
+            return
+        rcols = [right.column(c) for c in self.right_on]
+        from ..core.column import DictionaryColumn, StringColumn
+        stringy = any(isinstance(c, (StringColumn, DictionaryColumn))
+                      for c in rcols)
+        if not self.multi and not stringy:
+            rkey, rvalid = encode_value_key(rcols[0])
+            rvalid = vd.make_mask(rkey.shape[0], rvalid)
+            top = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+            lo = int(jnp.min(jnp.where(rvalid, rkey, top)))
+            hi = int(jnp.max(jnp.where(rvalid, rkey, jnp.uint64(0))))
+            span = hi - lo + 1 if lo <= hi else 0
+            if 0 < span <= self._SPAN_CAP:
+                table, dup = _index_build_stage(rkey, rvalid,
+                                                jnp.uint64(lo), span)
+                if not bool(dup):
+                    self.table = table
+                    self.kmin = lo
+                    self._plan = "index"
+                    return
+
+    def probe_indices(self, left: Table, how: str = "inner"
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(left_indices, right_indices) for one probe chunk; row ids
+        are chunk-local (caller offsets by its chunk start)."""
+        if self._plan == "empty" or left.num_rows == 0:
+            if left.num_rows and how in ("left", "anti"):
+                li = jnp.arange(left.num_rows, dtype=jnp.int64)
+                return li, jnp.full((left.num_rows,), -1, jnp.int64)
+            empty = jnp.zeros((0,), jnp.int64)
+            return empty, empty
+        if self._plan == "merge":
+            # correct for every key type; re-runs the two-sided merge
+            # per chunk (build sort cost repeats — the index plan is
+            # the streaming fast path)
+            return join_indices(left, self.right, self.on, how,
+                                self.right_on)
+        lkey, lvalid = encode_value_key(left.column(self.on[0]))
+        lvalid = vd.make_mask(lkey.shape[0], lvalid)
+        ri32, cnt_dev = _index_probe_stage(lkey, lvalid, self.table,
+                                           jnp.uint64(self.kmin))
+        return _finish_index_join(ri32, cnt_dev, left.num_rows, how)
+
+    def probe_count(self, left: Table) -> Tuple[int, int]:
+        """(matched pair count, checksum of matched build row ids) —
+        one fused device pass, no pair materialization (the streaming
+        aggregate consumers' path)."""
+        if self._plan != "index" or left.num_rows == 0:
+            li, ri = self.probe_indices(left, "inner")
+            return int(li.shape[0]), int(jnp.sum(ri)) if ri.shape[0] \
+                else 0
+        lkey, lvalid = encode_value_key(left.column(self.on[0]))
+        lvalid = vd.make_mask(lkey.shape[0], lvalid)
+        cnt, chk = _index_probe_count(lkey, lvalid, self.table,
+                                      jnp.uint64(self.kmin))
+        return int(cnt), int(chk)
+
+
+@jax.jit
+def _index_probe_count(lkey, lvalid, table, kmin):
+    """Fused probe + reduce: match count and build-id checksum, no
+    intermediate pair arrays (keeps a 1B-row streamed probe inside
+    HBM)."""
+    R = table.shape[0]
+    idx = jnp.where(lvalid, lkey - kmin, jnp.uint64(R))
+    inr = lvalid & (idx < jnp.uint64(R))
+    ri = jnp.where(inr, table[jnp.minimum(
+        idx, jnp.uint64(max(R - 1, 0))).astype(jnp.int64)],
+        jnp.int32(-1))
+    m = ri >= 0
+    return (jnp.sum(m.astype(jnp.int64)),
+            jnp.sum(jnp.where(m, ri.astype(jnp.int64), 0)))
 
 
 def join(left: Table, right: Table, on: Sequence[str], how: str = "inner",

@@ -623,3 +623,73 @@ def test_group_by_string_min_max():
     exp_d = {k: v for k, v in sorted(zip(exp.column("k").to_pylist(),
                                          exp.column("s_min").to_pylist()))}
     assert {k: v for k, v in zip(d["k"], d["s_min"])} == exp_d
+
+
+# ---- HashJoiner: streaming build-once/probe-many (config5 spec scale) ----
+
+def _hj():
+    from arrow_tpu.ops.join import HashJoiner
+    return HashJoiner
+
+
+def test_hash_joiner_index_plan_chunks():
+    """Chunked probes against a unique-int build side reproduce the
+    one-shot join exactly (index plan)."""
+    rng = np.random.default_rng(11)
+    bk = np.arange(0, 4000, 2, dtype=np.int64)        # unique, span 2x
+    pk = rng.integers(-100, 4100, 10_000).astype(np.int64)
+    right = at.Table.from_pydict({"k": bk})
+    left = at.Table.from_pydict({"k": pk})
+    j = _hj()(right, ["k"])
+    assert j._plan == "index"
+    got_pairs = []
+    C = 1500
+    for s in range(0, len(pk), C):
+        chunk = left.slice(s, min(C, len(pk) - s))
+        li, ri = j.probe_indices(chunk, "inner")
+        got_pairs += [(int(a) + s, int(b))
+                      for a, b in zip(np.asarray(li), np.asarray(ri))]
+    from arrow_tpu.ops.join import join_indices
+    li, ri = join_indices(left, right, ["k"])
+    want = list(zip(np.asarray(li).tolist(), np.asarray(ri).tolist()))
+    assert sorted(got_pairs) == sorted(want)
+    # streamed count path agrees
+    n = chk = 0
+    for s in range(0, len(pk), C):
+        c, k = j.probe_count(left.slice(s, min(C, len(pk) - s)))
+        n += c
+        chk += k
+    assert n == len(want)
+    assert chk == int(np.asarray(ri).sum())
+
+
+def test_hash_joiner_merge_fallback_and_hows():
+    """Duplicate build keys decline the index plan; left/semi/anti
+    probes match join_indices per chunk."""
+    bk = np.array([1, 1, 2, 5, 9], np.int64)          # dups
+    right = at.Table.from_pydict({"k": bk})
+    j = _hj()(right, ["k"])
+    assert j._plan == "merge"
+    pk = np.array([2, 3, 1, 9, 9, 4], np.int64)
+    left = at.Table.from_pydict({"k": pk})
+    from arrow_tpu.ops.join import join_indices
+    for how in ("inner", "left", "semi", "anti"):
+        li, ri = j.probe_indices(left, how)
+        wl, wr = join_indices(left, right, ["k"], how)
+        assert np.asarray(li).tolist() == np.asarray(wl).tolist()
+        assert np.asarray(ri).tolist() == np.asarray(wr).tolist()
+
+
+def test_hash_joiner_null_keys_and_empty():
+    """NULL probe keys never match; empty chunks are routine."""
+    right = at.Table.from_pydict({"k": np.arange(10, dtype=np.int64)})
+    j = _hj()(right, ["k"])
+    left = at.Table.from_pyarrow(
+        pa.table({"k": pa.array([3, None, 7, None], pa.int64())}))
+    li, ri = j.probe_indices(left, "inner")
+    assert np.asarray(li).tolist() == [0, 2]
+    assert np.asarray(ri).tolist() == [3, 7]
+    li, ri = j.probe_indices(left.slice(0, 0), "inner")
+    assert li.shape[0] == 0
+    c, k = j.probe_count(left)
+    assert (c, k) == (2, 10)
