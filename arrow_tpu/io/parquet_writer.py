@@ -173,16 +173,24 @@ def _schema_elements(schema: dt.Schema):
     leaves: List[_Leaf] = []
 
     def walk(name: str, d: dt.DataType, nullable: bool,
-             path: List[str], max_def: int, max_rep: int):
+             path: List[str], max_def: int, max_rep: int,
+             field_md: tuple = ()):
         rep = 1 if nullable else 0
         if nullable:
             max_def += 1
         if d.name == "struct":
-            elems.append([(3, T_I32, rep), (4, T_BINARY, name),
-                          (5, T_I32, len(d.fields))])
+            el = [(3, T_I32, rep), (4, T_BINARY, name),
+                  (5, T_I32, len(d.fields))]
+            if dict(field_md).get("ARROW:extension:name") == \
+                    "arrow.variant":
+                # LogicalType VARIANT (parquet.thrift VariantType,
+                # union field 16; specification_version 1)
+                el.append((10, T_STRUCT, [(16, T_STRUCT,
+                                           [(1, T_I8, 1)])]))
+            elems.append(el)
             for f in d.fields:
                 walk(f.name, f.dtype, f.nullable, path + [name],
-                     max_def, max_rep)
+                     max_def, max_rep, f.metadata)
             return
         if d.name in ("list", "large_list", "fixed_size_list"):
             elems.append([(3, T_I32, rep), (4, T_BINARY, name),
@@ -227,7 +235,7 @@ def _schema_elements(schema: dt.Schema):
     root = [(4, T_BINARY, "schema"), (5, T_I32, len(schema.fields))]
     elems.append(root)
     for f in schema.fields:
-        walk(f.name, f.dtype, f.nullable, [], 0, 0)
+        walk(f.name, f.dtype, f.nullable, [], 0, 0, f.metadata)
     return elems, leaves
 
 

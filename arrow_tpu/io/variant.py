@@ -30,7 +30,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..errors import ArrowInvalid
+from ..errors import ArrowInvalid, ArrowNotImplementedError
 
 __all__ = ["VariantBuilder", "parse_variant", "variant_to_json",
            "json_to_variant", "VariantColumn", "variant_get"]
@@ -305,9 +305,17 @@ class VariantColumn:
         assert len(metadata) == len(values)
         self.metadata = list(metadata)
         self.values = list(values)
+        self._packed = None            # lazy (vals, voffs, metas, moffs)
 
     def __len__(self):
         return len(self.values)
+
+    def packed(self):
+        """(values u8, value offsets i64, metas u8, meta offsets i64),
+        cached — the columnar kernels' input form."""
+        if self._packed is None:
+            self._packed = _pack(self.values) + _pack(self.metadata)
+        return self._packed
 
     @staticmethod
     def from_pylist(objs: Sequence) -> "VariantColumn":
@@ -356,25 +364,370 @@ class VariantColumn:
 _NULL_SLOT = object()
 
 
+def _pack(parts: Sequence[Optional[bytes]]):
+    """list of bytes|None -> (packed u8 array, i64 offsets); None rows
+    are empty ranges.  One C-level join, no per-row numpy."""
+    import numpy as np
+    lens = np.fromiter((len(b) if b is not None else 0
+                        for b in parts), np.int64, len(parts))
+    offs = np.zeros(len(parts) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    joined = b"".join(b for b in parts if b)
+    return np.frombuffer(joined, np.uint8), offs
+
+
+def _walk_path(col: VariantColumn, path: Sequence):
+    """C path walk -> (packed values u8, out_start i64, out_len i64);
+    len -1 marks missing/null rows."""
+    import ctypes
+    import numpy as np
+    from ..utils import native as nt
+    lib = nt._req_lib()
+    if not getattr(lib, "_variant_bound", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64 = ctypes.c_int64
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.variant_get_path.argtypes = [u8p, i64p, u8p, i64p, i64,
+                                         i64, u8p, i64p, i64p, u8p,
+                                         i64p, i64p]
+        lib.variant_get_path.restype = i64
+        lib._variant_bound = True
+    vals, voffs, metas, moffs = col.packed()
+    n_steps = len(path)
+    kinds = np.zeros(max(n_steps, 1), np.uint8)
+    idxs = np.zeros(max(n_steps, 1), np.int64)
+    kstarts = np.zeros(n_steps + 1, np.int64)
+    key_parts = []
+    for k, p in enumerate(path):
+        if isinstance(p, str):
+            kb = p.encode()
+            key_parts.append(kb)
+            kinds[k] = 0
+        elif isinstance(p, int):
+            key_parts.append(b"")
+            kinds[k] = 1
+            idxs[k] = p
+        else:
+            raise ArrowInvalid(f"variant path element {p!r}")
+        kstarts[k + 1] = kstarts[k] + len(key_parts[-1])
+    keys_buf = np.frombuffer(b"".join(key_parts) or b"\0", np.uint8)
+    n = len(col)
+    out_start = np.zeros(n, np.int64)
+    out_len = np.zeros(n, np.int64)
+    rc = lib.variant_get_path(
+        nt._u8(vals), nt._i64p(voffs), nt._u8(metas), nt._i64p(moffs),
+        n, n_steps, nt._u8(kinds), nt._i64p(idxs), nt._i64p(kstarts),
+        nt._u8(keys_buf), nt._i64p(out_start), nt._i64p(out_len))
+    if rc != 0:
+        raise ArrowInvalid(f"malformed variant at row {-rc - 1}")
+    return vals, out_start, out_len
+
+
+def variant_get_column(col: VariantColumn, path: Sequence
+                       ) -> VariantColumn:
+    """Columnar path extraction -> VariantColumn (variant_get.rs:35
+    with as_type=None).  The sub-value bytes slice out of the original
+    buffers; metadata is shared with the source row (field ids keep
+    referencing the source dictionary, which remains valid)."""
+    vals, out_start, out_len = _walk_path(col, path)
+    raw = vals.tobytes()
+    values = [None if out_len[i] < 0
+              else raw[out_start[i]:out_start[i] + out_len[i]]
+              for i in range(len(col))]
+    metas = [m if values[i] is not None else None
+             for i, m in enumerate(col.metadata)]
+    return VariantColumn(metas, values)
+
+
+def variant_get_typed(col: VariantColumn, path: Sequence, as_type):
+    """Columnar path extraction decoded straight to an engine column
+    (variant_get.rs GetOptions.as_type — the reference leaves this arm
+    NotYetImplemented; supported here for int64/float64/bool/utf8).
+    Mismatched leaves decode as null (CastOptions safe behavior)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .. import dtypes as dt
+    from ..core.column import PrimitiveColumn, StringColumn
+    vals, start, ln = _walk_path(col, path)
+    n = len(col)
+    present = ln >= 0
+    pos = np.where(present, start, 0)
+    hdr = vals[pos] if len(vals) else np.zeros(n, np.uint8)
+    basic = hdr & 3
+    tid = hdr >> 2
+    name = as_type.name if hasattr(as_type, "name") else str(as_type)
+    if name == "int64":
+        # one C range-gather into an 8B/row little-endian plane, then a
+        # vectorized sign-extend — no per-width fancy gathers
+        width = np.zeros(n, np.int64)
+        for t, w in ((_P_INT8, 1), (_P_INT16, 2), (_P_INT32, 4),
+                     (_P_INT64, 8)):
+            width[present & (basic == 0) & (tid == t)] = w
+        valid = width > 0
+        raw = np.zeros(n * 8, np.uint8)
+        from ..utils import native as nt
+        nt.gather_ranges(vals, pos + 1, width,
+                         np.arange(n, dtype=np.int64) * 8, raw)
+        v = raw.view(np.uint64)
+        bits = (width * 8).astype(np.uint64)
+        sign = np.zeros(n, bool)
+        nz = width > 0
+        sign[nz] = (raw.reshape(n, 8)[nz, width[nz] - 1] & 0x80) != 0
+        ext = np.where(width < 8,
+                       (~np.uint64(0)) << np.minimum(bits, 63), 0)
+        out = np.where(sign & (width < 8), v | ext, v).view(np.int64)
+        out = np.where(valid, out, 0)
+        return PrimitiveColumn(jnp.asarray(out), dt.int64,
+                               jnp.asarray(valid)
+                               if not valid.all() else None)
+    if name == "float64":
+        out = np.zeros(n, np.float64)
+        valid = np.zeros(n, bool)
+        m = present & (basic == 0) & (tid == _P_DOUBLE)
+        if m.any():
+            idx = pos[m, None] + 1 + np.arange(8)
+            out[m] = np.ascontiguousarray(
+                vals[np.minimum(idx, len(vals) - 1)]).view(
+                np.float64).ravel()
+            valid[m] = True
+        m = present & (basic == 0) & (tid == _P_FLOAT)
+        if m.any():
+            idx = pos[m, None] + 1 + np.arange(4)
+            out[m] = np.ascontiguousarray(
+                vals[np.minimum(idx, len(vals) - 1)]).view(
+                np.float32).ravel().astype(np.float64)
+            valid[m] = True
+        return PrimitiveColumn(jnp.asarray(out), dt.float64,
+                               jnp.asarray(valid)
+                               if not valid.all() else None)
+    if name == "bool":
+        m = present & (basic == 0) & ((tid == _P_TRUE)
+                                      | (tid == _P_FALSE))
+        out = (tid == _P_TRUE) & m
+        return PrimitiveColumn(jnp.asarray(out), dt.bool_,
+                               jnp.asarray(m) if not m.all() else None)
+    if name in ("utf8", "large_utf8"):
+        short = present & (basic == 1)
+        longs = present & (basic == 0) & (tid == _P_STRING)
+        valid = short | longs
+        slen = np.where(short, (hdr >> 2).astype(np.int64), 0)
+        if longs.any():
+            lidx = pos[longs, None] + 1 + np.arange(4)
+            lw = np.ascontiguousarray(
+                vals[np.minimum(lidx, len(vals) - 1)]).view(
+                np.uint32).ravel().astype(np.int64)
+            slen[longs] = lw
+        data_pos = np.where(short, pos + 1,
+                            np.where(longs, pos + 5, 0))
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(slen, out=offs[1:])
+        total = int(offs[-1])
+        out = np.zeros(total, np.uint8)
+        from ..utils import native as nt
+        nt.gather_ranges(vals, data_pos, slen, offs, out)
+        return StringColumn(jnp.asarray(offs.astype(np.int32)),
+                            jnp.asarray(out), dt.utf8,
+                            jnp.asarray(valid)
+                            if not valid.all() else None)
+    raise ArrowNotImplementedError(f"variant_get as_type {name}")
+
+
 def variant_get(col: VariantColumn, path: Sequence) -> list:
-    """Path extraction over a variant batch (parquet-variant-compute
-    variant_get): path elements are object keys (str) or list indices
-    (int); missing paths yield None."""
-    out = []
-    for m, v in zip(col.metadata, col.values):
-        if v is None:
-            out.append(None)
+    """Path extraction over a variant batch -> Python values
+    (variant_get.rs role, list form for tests/oracles).  The walk runs
+    in C; only the surviving leaves decode through the Python parser."""
+    sub = variant_get_column(col, path)
+    return sub.to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# shredding: VariantColumn <-> struct-of-binary (+ typed_value) <-> parquet
+# (parquet-variant-compute/src/variant_array.rs:55 — the reference's
+# VariantArray is a StructArray of metadata/value binaries whose shredding
+# arm is NotYetImplemented; here shredding to a typed_value leaf per the
+# Parquet Variant Shredding spec is implemented for the primitive types
+# variant_get_typed covers)
+# ---------------------------------------------------------------------------
+
+_SHRED_TYPES = ("int64", "float64", "bool", "utf8")
+
+
+def _binary_column(parts: Sequence[Optional[bytes]], dtype=None):
+    """list of bytes|None -> engine binary column (None -> null row)."""
+    import jax.numpy as jnp
+    from .. import dtypes as dt
+    from ..core.column import StringColumn
+    data, offs = _pack(parts)
+    valid = np.fromiter((p is not None for p in parts), bool,
+                        len(parts))
+    return StringColumn(jnp.asarray(offs.astype(np.int32)),
+                        jnp.asarray(data), dtype or dt.binary,
+                        jnp.asarray(valid) if not valid.all() else None)
+
+
+def _binary_rows(col) -> List[Optional[bytes]]:
+    """engine binary column -> list of bytes|None."""
+    offs = np.asarray(col.offsets).astype(np.int64)
+    raw = np.asarray(col.data).tobytes()
+    valid = (np.asarray(col.validity) if col.validity is not None
+             else None)
+    return [raw[offs[i]:offs[i + 1]]
+            if valid is None or valid[i] else None
+            for i in range(len(offs) - 1)]
+
+
+def variant_struct_fields(shred_type=None):
+    """Field layout of the Arrow/parquet representation: metadata
+    (required), value (optional), typed_value (optional, shredded)."""
+    from .. import dtypes as dt
+    fields = [dt.Field("metadata", dt.binary, False),
+              dt.Field("value", dt.binary, True)]
+    if shred_type is not None:
+        fields.append(dt.Field("typed_value", shred_type, True))
+    return tuple(fields)
+
+
+def variant_to_struct(col: VariantColumn, shred_type=None):
+    """VariantColumn -> StructColumn of metadata/value[/typed_value].
+    With shred_type, rows whose value IS that primitive move to the
+    typed_value leaf and their value slot becomes null (Variant
+    Shredding spec: value and typed_value never both set)."""
+    import jax.numpy as jnp
+    from ..core.column import StructColumn
+    n = len(col)
+    row_valid = np.fromiter((v is not None for v in col.values),
+                            bool, n)
+    metas = [m if m is not None else b"" for m in col.metadata]
+    typed = None
+    values = list(col.values)
+    if shred_type is not None:
+        name = (shred_type.name if hasattr(shred_type, "name")
+                else str(shred_type))
+        if name not in _SHRED_TYPES:
+            raise ArrowNotImplementedError(
+                f"variant shredding to {name}")
+        typed = variant_get_typed(col, [], shred_type)
+        tv = (np.asarray(typed.validity) if typed.validity is not None
+              else np.ones(n, bool))
+        values = [None if tv[i] else values[i] for i in range(n)]
+    children = [_binary_column(metas), _binary_column(values)]
+    fields = variant_struct_fields(shred_type)
+    if typed is not None:
+        children.append(typed)
+    return StructColumn(tuple(children), fields,
+                        jnp.asarray(row_valid)
+                        if not row_valid.all() else None)
+
+
+def _encode_typed_rows(typed, rows: np.ndarray) -> List[bytes]:
+    """Re-encode typed_value leaves (engine column) at `rows` back into
+    variant value bytes, vectorized per type."""
+    name = typed.dtype.name
+    k = len(rows)
+    if name == "int64":
+        vals = np.asarray(typed.values)[rows].astype("<i8")
+        raw = np.zeros((k, 9), np.uint8)
+        raw[:, 0] = _P_INT64 << 2
+        raw[:, 1:] = vals.view(np.uint8).reshape(k, 8)
+        b = raw.tobytes()
+        return [b[i * 9:i * 9 + 9] for i in range(k)]
+    if name == "float64":
+        vals = np.asarray(typed.values)[rows].astype("<f8")
+        raw = np.zeros((k, 9), np.uint8)
+        raw[:, 0] = _P_DOUBLE << 2
+        raw[:, 1:] = vals.view(np.uint8).reshape(k, 8)
+        b = raw.tobytes()
+        return [b[i * 9:i * 9 + 9] for i in range(k)]
+    if name == "bool":
+        vals = np.asarray(typed.values)[rows]
+        t, f = bytes([_P_TRUE << 2]), bytes([_P_FALSE << 2])
+        return [t if v else f for v in vals]
+    if name in ("utf8", "large_utf8"):
+        offs = np.asarray(typed.offsets).astype(np.int64)
+        data = np.asarray(typed.data)
+        starts, lens = offs[rows], offs[rows + 1] - offs[rows]
+        short = lens < 64
+        out_len = np.where(short, 1 + lens, 5 + lens)
+        out_offs = np.zeros(k + 1, np.int64)
+        np.cumsum(out_len, out=out_offs[1:])
+        out = np.zeros(int(out_offs[-1]), np.uint8)
+        out[out_offs[:-1]] = np.where(
+            short, (lens << 2) | 1, _P_STRING << 2)
+        le = out_offs[:-1][~short]
+        if len(le):
+            lw = lens[~short].astype("<u4").view(np.uint8).reshape(-1, 4)
+            for j in range(4):
+                out[le + 1 + j] = lw[:, j]
+        from ..utils import native as nt
+        nt.gather_ranges(data, starts, lens,
+                         out_offs[:-1] + np.where(short, 1, 5), out)
+        raw = out.tobytes()
+        return [raw[out_offs[i]:out_offs[i + 1]] for i in range(k)]
+    raise ArrowNotImplementedError(f"variant unshred of {name}")
+
+
+def variant_from_struct(sc) -> VariantColumn:
+    """StructColumn of metadata/value[/typed_value] -> VariantColumn
+    (unshred: typed_value rows re-encode to variant bytes)."""
+    names = [f.name for f in sc.fields]
+    meta_c = sc.children[names.index("metadata")]
+    val_c = sc.children[names.index("value")]
+    typed = (sc.children[names.index("typed_value")]
+             if "typed_value" in names else None)
+    n = len(meta_c)
+    row_valid = (np.asarray(sc.validity) if sc.validity is not None
+                 else np.ones(n, bool))
+    metas = _binary_rows(meta_c)
+    values = _binary_rows(val_c)
+    if typed is not None:
+        tvalid = (np.asarray(typed.validity)
+                  if typed.validity is not None else np.ones(n, bool))
+        rows = np.nonzero(row_valid & tvalid
+                          & np.fromiter((v is None for v in values),
+                                        bool, n))[0]
+        if len(rows):
+            enc = _encode_typed_rows(typed, rows)
+            for j, i in enumerate(rows):
+                values[i] = enc[j]
+    out_m, out_v = [], []
+    for i in range(n):
+        if not row_valid[i] or values[i] is None:
+            out_m.append(None)
+            out_v.append(None)
+        else:
+            out_m.append(metas[i] if metas[i] else b"\x01\x00\x00")
+            out_v.append(values[i])
+    return VariantColumn(out_m, out_v)
+
+
+def write_variant_parquet(sink, col: VariantColumn, name: str = "v",
+                          shred_type=None, **props):
+    """Write a VariantColumn to a native parquet file as a VARIANT-
+    annotated group (LogicalType VariantType, parquet.thrift field 16)
+    of metadata/value[/typed_value] — the shredded layout the reference
+    defines but does not yet implement (variant_array.rs:55)."""
+    from .. import dtypes as dt
+    from ..core.table import Table
+    from .parquet_writer import write_parquet_native
+    sc = variant_to_struct(col, shred_type)
+    field = dt.Field(
+        name, dt.struct(sc.fields), True,
+        metadata=(("ARROW:extension:name", "arrow.variant"),))
+    write_parquet_native(sink, Table([sc], dt.Schema((field,))),
+                         **props)
+
+
+def read_variant_parquet(src, name: Optional[str] = None
+                         ) -> VariantColumn:
+    """Read a VARIANT-annotated (or metadata/value-shaped) group from a
+    native parquet file back into a VariantColumn."""
+    from .parquet_native import read_parquet_native
+    t = read_parquet_native(src)
+    for i, f in enumerate(t.schema.fields):
+        if name is not None and f.name != name:
             continue
-        cur = parse_variant(m, v)
-        for p in path:
-            if isinstance(p, str) and isinstance(cur, dict):
-                cur = cur.get(p)
-            elif isinstance(p, int) and isinstance(cur, list) \
-                    and 0 <= p < len(cur):
-                cur = cur[p]
-            else:
-                cur = None
-            if cur is None:
-                break
-        out.append(cur)
-    return out
+        d = f.dtype
+        if d.name == "struct" and {ff.name for ff in d.fields} >= \
+                {"metadata", "value"}:
+            return variant_from_struct(t.columns[i])
+    raise ArrowInvalid("no variant column in file")

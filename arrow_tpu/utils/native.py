@@ -594,6 +594,78 @@ def argsort_varlen(offsets: np.ndarray, data: np.ndarray) -> np.ndarray:
     return out[:n]
 
 
+_REGEX_CACHE: dict = {}          # (pattern, ci) -> handle (0 = unsupported)
+
+
+def _bind_regex(lib):
+    if getattr(lib, "_rex_bound", False):
+        return
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.regex_compile.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32]
+    lib.regex_compile.restype = ctypes.c_void_p
+    lib.regex_free.argtypes = [ctypes.c_void_p]
+    lib.regex_match_batch.argtypes = [ctypes.c_void_p, i64p, u8p,
+                                      ctypes.c_int64, u8p]
+    lib._rex_bound = True
+
+
+def regex_compile(pattern: str, case_insensitive: bool = False):
+    """Compile an ASCII pattern into the native NFA/lazy-DFA engine
+    (hostcodec.cpp rex::). Returns an opaque handle, or None when the
+    pattern uses unsupported constructs (caller falls back to `re`)."""
+    key = (pattern, bool(case_insensitive))
+    h = _REGEX_CACHE.get(key)
+    if h is not None:
+        return h or None
+    lib = _str_lib()
+    if lib is None:
+        return None
+    _bind_regex(lib)
+    pat = np.frombuffer(pattern.encode() or b"\0", np.uint8)
+    h = lib.regex_compile(_u8(pat), len(pattern.encode()),
+                          1 if case_insensitive else 0)
+    if len(_REGEX_CACHE) >= 256:         # bounded: free the oldest half
+        for k in list(_REGEX_CACHE)[:128]:
+            old = _REGEX_CACHE.pop(k)
+            if old:
+                lib.regex_free(old)
+    _REGEX_CACHE[key] = h or 0
+    return h or None
+
+
+def regex_match(handle, offsets: np.ndarray, data: np.ndarray
+                ) -> np.ndarray:
+    """One DFA pass over all values -> bool hits."""
+    lib = _str_lib()
+    _bind_regex(lib)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(offsets) - 1
+    out = np.zeros(max(n, 1), np.uint8)
+    lib.regex_match_batch(handle, _i64p(offsets), _u8(data), n,
+                          _u8(out))
+    return out[:n].view(bool)
+
+
+def gather_ranges(src: np.ndarray, starts: np.ndarray,
+                  lens: np.ndarray, out_offs: np.ndarray,
+                  out: np.ndarray) -> None:
+    """memcpy each (start, len) byte range of src to out[out_offs[i]:]."""
+    lib = _req_lib()
+    if not getattr(lib, "_gr_bound", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.gather_ranges.argtypes = [u8p, i64p, i64p, i64p,
+                                      ctypes.c_int64, u8p]
+        lib.gather_ranges.restype = None
+        lib._gr_bound = True
+    lib.gather_ranges(_u8(src), _i64p(np.ascontiguousarray(starts)),
+                      _i64p(np.ascontiguousarray(lens)),
+                      _i64p(np.ascontiguousarray(out_offs)),
+                      len(starts), _u8(out))
+
+
 def gather_varlen(offsets: np.ndarray, data: np.ndarray,
                   idx: np.ndarray):
     """Byte-string gather -> (offsets i64, data u8)."""

@@ -1483,6 +1483,189 @@ int64_t csv_parse_f64(const uint8_t* data, const int64_t* starts,
     return -1;
 }
 
+// Arbitrary (start, len) byte-range gather into a packed output.
+void gather_ranges(const uint8_t* src, const int64_t* starts,
+                   const int64_t* lens, const int64_t* out_offs,
+                   int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i)
+        if (lens[i] > 0)
+            std::memcpy(out + out_offs[i], src + starts[i], lens[i]);
+}
+
+// ---- variant path extraction ------------------------------------------------
+// Columnar variant_get (parquet-variant-compute/src/variant_get.rs:35
+// re-designed: the reference walks rows in Rust; this walks them here,
+// with a per-batch metadata cache, instead of per-row Python).
+// Binary layout per the Parquet Variant spec (basic type in bits 0-1:
+// 0 primitive / 1 short string / 2 object / 3 array).
+
+static inline uint64_t var_uint(const uint8_t* p, int w) {
+    uint64_t v = 0;
+    std::memcpy(&v, p, w);
+    return v & ((w >= 8) ? ~0ULL : ((1ULL << (8 * w)) - 1));
+}
+
+// total encoded size of the value starting at p (bounded by end)
+static int64_t var_value_size(const uint8_t* p, const uint8_t* end) {
+    if (p >= end) return -1;
+    uint8_t head = *p;
+    int basic = head & 3;
+    if (basic == 1) return 1 + (head >> 2);          // short string
+    if (basic == 0) {
+        int tid = head >> 2;
+        static const int w[] = {0, 0, 0, 1, 2, 4, 8, 8, 5, 9, 17,
+                                4, 8, 8, 4, -1, -1};
+        if (tid <= 14) return 1 + w[tid];
+        if (tid == 15 || tid == 16) {                // binary / string
+            if (p + 5 > end) return -1;
+            uint32_t ln;
+            std::memcpy(&ln, p + 1, 4);
+            return 5 + (int64_t)ln;
+        }
+        return -1;
+    }
+    if (basic == 3) {                                // array
+        int ow = ((head >> 2) & 3) + 1;
+        int large = (head >> 4) & 1;
+        const uint8_t* q = p + 1;
+        if (q + (large ? 4 : 1) > end) return -1;
+        int64_t n = (int64_t)var_uint(q, large ? 4 : 1);
+        q += large ? 4 : 1;
+        if (q + ow * (n + 1) > end) return -1;
+        int64_t last = (int64_t)var_uint(q + ow * n, ow);
+        return (q - p) + ow * (n + 1) + last;
+    }
+    // object
+    {
+        int ow = ((head >> 2) & 3) + 1;
+        int iw = ((head >> 4) & 3) + 1;
+        int large = (head >> 6) & 1;
+        const uint8_t* q = p + 1;
+        if (q + (large ? 4 : 1) > end) return -1;
+        int64_t n = (int64_t)var_uint(q, large ? 4 : 1);
+        q += large ? 4 : 1;
+        if (q + iw * n + ow * (n + 1) > end) return -1;
+        int64_t last = (int64_t)var_uint(q + iw * n + ow * n, ow);
+        return (q - p) + iw * n + ow * (n + 1) + last;
+    }
+}
+
+// Resolve key -> field id in one metadata dictionary; -1 if absent.
+static int64_t var_key_id(const uint8_t* md, int64_t mlen,
+                          const uint8_t* key, int64_t klen) {
+    if (mlen < 1) return -1;
+    int ow = ((md[0] >> 6) & 3) + 1;
+    if (1 + ow > mlen) return -1;
+    int64_t n = (int64_t)var_uint(md + 1, ow);
+    if (1 + ow * (n + 2) > mlen) return -1;
+    const uint8_t* offs = md + 1 + ow;
+    const uint8_t* base = md + 1 + ow * (n + 2);
+    for (int64_t j = 0; j < n; ++j) {
+        int64_t a = (int64_t)var_uint(offs + ow * j, ow);
+        int64_t b = (int64_t)var_uint(offs + ow * (j + 1), ow);
+        if (b - a == klen && base + b <= md + mlen
+            && std::memcmp(base + a, key, klen) == 0)
+            return j;
+    }
+    return -1;
+}
+
+// Path walk over a variant batch.
+//   values/voffs, metas/moffs: packed rows (offsets length n+1)
+//   n_steps, step_kind (0 = object key, 1 = array index),
+//   step_index (array index for kind 1), key_starts (n_steps+1 into
+//   keys_buf, kind-0 key bytes)
+//   out_start/out_len: absolute range of the extracted sub-value in
+//   `values`; len -1 = missing path / null row
+// Returns 0, or -(row+1) on malformed input.
+int64_t variant_get_path(const uint8_t* values, const int64_t* voffs,
+                         const uint8_t* metas, const int64_t* moffs,
+                         int64_t n, int64_t n_steps,
+                         const uint8_t* step_kind,
+                         const int64_t* step_index,
+                         const int64_t* key_starts,
+                         const uint8_t* keys_buf,
+                         int64_t* out_start, int64_t* out_len) {
+    // metadata cache: rows from one builder batch usually share
+    // identical dictionaries, so key->id resolutions carry over
+    const uint8_t* cached_md = nullptr;
+    int64_t cached_mlen = -1;
+    std::vector<int64_t> cached_ids(n_steps, -1);
+    for (int64_t i = 0; i < n; ++i) {
+        out_start[i] = 0;
+        out_len[i] = -1;
+        int64_t vs = voffs[i], ve = voffs[i + 1];
+        if (vs >= ve) continue;                      // null row
+        const uint8_t* md = metas + moffs[i];
+        int64_t mlen = moffs[i + 1] - moffs[i];
+        bool same = cached_md != nullptr && mlen == cached_mlen
+                    && (md == cached_md
+                        || std::memcmp(md, cached_md, mlen) == 0);
+        if (!same) {
+            for (int64_t k = 0; k < n_steps; ++k)
+                if (step_kind[k] == 0)
+                    cached_ids[k] = var_key_id(
+                        md, mlen, keys_buf + key_starts[k],
+                        key_starts[k + 1] - key_starts[k]);
+            cached_md = md;
+            cached_mlen = mlen;
+        }
+        const uint8_t* end = values + ve;
+        int64_t pos = vs;
+        bool miss = false;
+        for (int64_t k = 0; k < n_steps && !miss; ++k) {
+            const uint8_t* p = values + pos;
+            if (p >= end) return -(i + 1);
+            uint8_t head = *p;
+            int basic = head & 3;
+            if (step_kind[k] == 0) {
+                if (basic != 2 || cached_ids[k] < 0) { miss = true; break; }
+                int ow = ((head >> 2) & 3) + 1;
+                int iw = ((head >> 4) & 3) + 1;
+                int large = (head >> 6) & 1;
+                const uint8_t* q = p + 1;
+                if (q + (large ? 4 : 1) > end) return -(i + 1);
+                int64_t cnt = (int64_t)var_uint(q, large ? 4 : 1);
+                q += large ? 4 : 1;
+                if (q + iw * cnt + ow * (cnt + 1) > end) return -(i + 1);
+                int64_t want = cached_ids[k];
+                int64_t found = -1;
+                for (int64_t j = 0; j < cnt; ++j) {
+                    if ((int64_t)var_uint(q + iw * j, iw) == want) {
+                        found = j;
+                        break;
+                    }
+                }
+                if (found < 0) { miss = true; break; }
+                const uint8_t* offs = q + iw * cnt;
+                const uint8_t* base = offs + ow * (cnt + 1);
+                pos = (base - values)
+                      + (int64_t)var_uint(offs + ow * found, ow);
+            } else {
+                if (basic != 3) { miss = true; break; }
+                int ow = ((head >> 2) & 3) + 1;
+                int large = (head >> 4) & 1;
+                const uint8_t* q = p + 1;
+                if (q + (large ? 4 : 1) > end) return -(i + 1);
+                int64_t cnt = (int64_t)var_uint(q, large ? 4 : 1);
+                q += large ? 4 : 1;
+                int64_t idx = step_index[k];
+                if (idx < 0 || idx >= cnt) { miss = true; break; }
+                if (q + ow * (cnt + 1) > end) return -(i + 1);
+                const uint8_t* base = q + ow * (cnt + 1);
+                pos = (base - values)
+                      + (int64_t)var_uint(q + ow * idx, ow);
+            }
+        }
+        if (miss) continue;
+        int64_t sz = var_value_size(values + pos, end);
+        if (sz < 0 || pos + sz > ve) return -(i + 1);
+        out_start[i] = pos;
+        out_len[i] = sz;
+    }
+    return 0;
+}
+
 // One pass counting delimiter + newline bytes (the field-count upper
 // bound for csv_index capacity, replacing two numpy compare+sum passes).
 int64_t csv_count_seps(const uint8_t* data, int64_t len, uint8_t delim) {
@@ -2049,6 +2232,570 @@ void csv_format_timestamp(const int64_t* vals, int64_t n, int64_t scale,
             p += frac;
         }
     }
+}
+
+}  // extern "C"
+
+// ============================================================================
+// regex engine: Thompson NFA compiled lazily to a byte DFA
+// (arrow-string/src/regexp.rs:39 re-designed: the reference compiles a
+// regex::Regex once and scans every value; here an ASCII-subset pattern
+// compiles to an NFA whose lazily-built DFA scans all value bytes in one
+// pass — one table lookup per byte, no per-row interpreter).
+// Supported: literals, '.', [classes] with ranges/negation/escapes,
+// \d\D\w\W\s\S, anchors ^ $, (groups) incl. (?:, alternation, * + ?
+// {m,n} and lazy variants (laziness cannot change is_match). Anything
+// else (backrefs, lookaround, \b, non-ASCII pattern bytes) makes
+// regex_compile return NULL; the caller falls back to Python `re`.
+// ============================================================================
+
+#include <unordered_map>
+#include <string>
+#include <array>
+
+namespace rex {
+
+enum { I_CLS, I_SPLIT, I_JMP, I_MATCH, I_BOL, I_EOL };
+struct Inst { int op; int cls; int x; int y; };
+using Bits = std::array<uint64_t, 4>;
+
+static inline bool bit(const Bits& b, uint8_t c) {
+    return (b[c >> 6] >> (c & 63)) & 1;
+}
+static inline void setbit(Bits& b, uint8_t c) { b[c >> 6] |= 1ULL << (c & 63); }
+
+struct Frag {
+    int start = -1;                          // -1: epsilon fragment
+    std::vector<std::pair<int, int>> outs;   // (inst idx, 0=x 1=y)
+};
+
+struct Parser {
+    const uint8_t* p; const uint8_t* end; bool icase; bool ok = true;
+    std::vector<Inst> ins;
+    std::vector<Bits> classes;
+
+    explicit Parser(const uint8_t* s, int64_t n, bool ic)
+        : p(s), end(s + n), icase(ic) {}
+
+    bool more() const { return p < end; }
+    uint8_t peek() const { return *p; }
+    void fail() { ok = false; p = end; }
+
+    int emit(int op, int cls = 0, int x = -1, int y = -1) {
+        if (ins.size() >= 4000) { fail(); return 0; }
+        ins.push_back({op, cls, x, y});
+        return (int)ins.size() - 1;
+    }
+    int addclass(const Bits& b) {
+        classes.push_back(b);
+        return (int)classes.size() - 1;
+    }
+    void patch(const std::vector<std::pair<int, int>>& outs, int target) {
+        for (auto& o : outs)
+            (o.second ? ins[o.first].y : ins[o.first].x) = target;
+    }
+
+    void fold(Bits& b) {   // case-insensitive: mirror ASCII letters
+        for (int c = 'a'; c <= 'z'; ++c) {
+            if (bit(b, (uint8_t)c)) setbit(b, (uint8_t)(c - 32));
+            if (bit(b, (uint8_t)(c - 32))) setbit(b, (uint8_t)c);
+        }
+    }
+    Bits single(uint8_t c) {
+        Bits b{}; setbit(b, c);
+        if (icase) fold(b);
+        return b;
+    }
+    static Bits perl(uint8_t k) {
+        Bits b{};
+        switch (k) {
+        case 'd': for (int c = '0'; c <= '9'; ++c) setbit(b, (uint8_t)c); break;
+        case 'w':
+            for (int c = '0'; c <= '9'; ++c) setbit(b, (uint8_t)c);
+            for (int c = 'a'; c <= 'z'; ++c) setbit(b, (uint8_t)c);
+            for (int c = 'A'; c <= 'Z'; ++c) setbit(b, (uint8_t)c);
+            setbit(b, '_'); break;
+        case 's': for (uint8_t c : {' ', '\t', '\n', '\r', '\f', '\v'})
+                setbit(b, c); break;
+        }
+        return b;
+    }
+    static Bits negate(Bits b) {
+        for (auto& w : b) w = ~w;
+        return b;
+    }
+
+    // \-escape -> (is_class, bitmap) or literal byte; fails on backrefs etc.
+    bool escape(Bits& out) {
+        if (!more()) { fail(); return false; }
+        uint8_t c = *p++;
+        switch (c) {
+        case 'd': out = perl('d'); return true;
+        case 'D': out = negate(perl('d')); return true;
+        case 'w': out = perl('w'); return true;
+        case 'W': out = negate(perl('w')); return true;
+        case 's': out = perl('s'); return true;
+        case 'S': out = negate(perl('s')); return true;
+        case 'n': out = single('\n'); return true;
+        case 't': out = single('\t'); return true;
+        case 'r': out = single('\r'); return true;
+        case 'f': out = single('\f'); return true;
+        case 'v': out = single('\v'); return true;
+        case '0': out = single('\0'); return true;
+        case 'x': {
+            if (p + 2 > end || !isxdigit(p[0]) || !isxdigit(p[1])) {
+                fail(); return false;
+            }
+            auto hx = [](uint8_t h) {
+                return h <= '9' ? h - '0' : (h | 32) - 'a' + 10;
+            };
+            uint8_t v = (uint8_t)((hx(p[0]) << 4) | hx(p[1]));
+            p += 2;
+            out = single(v); return true;
+        }
+        default:
+            if (isalnum(c)) { fail(); return false; }  // \b \A \1 ...
+            out = single(c); return true;
+        }
+    }
+
+    // [...] -> bitmap
+    bool charclass(Bits& out) {
+        Bits b{};
+        bool neg = false;
+        if (more() && peek() == '^') { neg = true; ++p; }
+        bool first = true;
+        while (more() && (peek() != ']' || first)) {
+            first = false;
+            Bits e{};
+            uint8_t lo;
+            bool is_class = false;
+            if (peek() == '\\') {
+                ++p;
+                const uint8_t* before = p;
+                if (!escape(e)) return false;
+                // single-char escape? recover the byte for ranges
+                is_class = (before < end) && strchr("dDwWsS", before[0]);
+                if (!is_class) {
+                    lo = 0;
+                    for (int c = 0; c < 256; ++c)
+                        if (bit(e, (uint8_t)c)) { lo = (uint8_t)c; break; }
+                }
+            } else {
+                lo = *p++;
+                if (lo >= 0x80) { fail(); return false; }
+                e = single(lo);
+            }
+            if (!is_class && more() && peek() == '-' && p + 1 < end
+                && p[1] != ']') {
+                ++p;
+                uint8_t hi;
+                if (peek() == '\\') {
+                    ++p;
+                    Bits h{};
+                    if (!escape(h)) return false;
+                    hi = 0;
+                    for (int c = 255; c >= 0; --c)
+                        if (bit(h, (uint8_t)c)) { hi = (uint8_t)c; break; }
+                } else {
+                    hi = *p++;
+                    if (hi >= 0x80) { fail(); return false; }
+                }
+                if (hi < lo) { fail(); return false; }
+                for (int c = lo; c <= hi; ++c) setbit(e, (uint8_t)c);
+                if (icase) fold(e);
+            }
+            for (int i = 0; i < 4; ++i) b[i] |= e[i];
+        }
+        if (!more()) { fail(); return false; }
+        ++p;  // ']'
+        if (neg) b = negate(b);
+        out = b;
+        return true;
+    }
+
+    Frag cls_frag(const Bits& b) {
+        int i = emit(I_CLS, addclass(b));
+        return {i, {{i, 0}}};
+    }
+
+    // quantifier duplication: copy [lo, hi) instructions; internal
+    // targets shift by delta, pending (-1) stay pending
+    Frag copy_range(int lo, int hi, const Frag& f) {
+        int delta = (int)ins.size() - lo;
+        if (ins.size() + (hi - lo) > 4000) { fail(); return {}; }
+        for (int i = lo; i < hi; ++i) {
+            Inst c = ins[i];
+            if (c.x >= lo && c.x < hi) c.x += delta;
+            if (c.y >= lo && c.y < hi) c.y += delta;
+            ins.push_back(c);
+        }
+        Frag g;
+        g.start = f.start + delta;
+        for (auto& o : f.outs) g.outs.push_back({o.first + delta, o.second});
+        return g;
+    }
+
+    Frag concat(Frag a, Frag b) {
+        if (a.start < 0) return b;
+        if (b.start < 0) return a;
+        patch(a.outs, b.start);
+        return {a.start, b.outs};
+    }
+
+    // {m,n} on the atom occupying [lo, end) with fragment f
+    Frag repeat_range(Frag f, int lo_i, int m, int n) {
+        int hi_i = (int)ins.size();
+        if (f.start < 0) return f;
+        Frag out;                                  // epsilon
+        for (int k = 0; k < m; ++k)
+            out = concat(out, k == 0 ? f : copy_range(lo_i, hi_i, f));
+        if (n < 0) {                               // {m,}
+            if (m == 0) return star(f);
+            Frag last = copy_range(lo_i, hi_i, f);
+            int s = emit(I_SPLIT, 0, last.start, -1);
+            patch(last.outs, s);
+            Frag plus{last.start, {{s, 1}}};
+            // optional: allow skipping the +-tail entirely when m copies
+            int s2 = emit(I_SPLIT, 0, plus.start, -1);
+            Frag opt{s2, plus.outs};
+            opt.outs.push_back({s2, 1});
+            return concat(out, opt);
+        }
+        for (int k = m; k < n; ++k) {              // optional copies
+            // a{m,n} = a^m (a)?^(n-m): same language as nested optionals
+            Frag c = (k == 0) ? f : copy_range(lo_i, hi_i, f);
+            int s = emit(I_SPLIT, 0, c.start, -1);
+            Frag opt{s, c.outs};
+            opt.outs.push_back({s, 1});
+            out = concat(out, opt);
+        }
+        return out;                                // epsilon when {0,0}
+    }
+
+    Frag star(Frag f) {
+        int s = emit(I_SPLIT, 0, f.start, -1);
+        patch(f.outs, s);
+        return {s, {{s, 1}}};
+    }
+
+    Frag parse_atom() {
+        if (!more()) { fail(); return {}; }
+        uint8_t c = *p++;
+        if (c >= 0x80) { fail(); return {}; }
+        switch (c) {
+        case '(': {
+            if (more() && peek() == '?') {
+                if (p + 1 < end && p[1] == ':') p += 2;
+                else { fail(); return {}; }       // lookaround / flags
+            }
+            Frag f = parse_alt();
+            if (!more() || *p++ != ')') { fail(); return {}; }
+            return f;
+        }
+        case '[': {
+            Bits b{};
+            if (!charclass(b)) return {};
+            return cls_frag(b);
+        }
+        case '.': {
+            Bits b = negate(single('\n'));
+            if (icase) {}                          // '.' unaffected
+            // single('\n') folded nothing; negate gives all-but-\n
+            return cls_frag(b);
+        }
+        case '^': {
+            int i = emit(I_BOL);
+            return {i, {{i, 0}}};
+        }
+        case '$': {
+            int i = emit(I_EOL);
+            return {i, {{i, 0}}};
+        }
+        case '\\': {
+            Bits b{};
+            if (!escape(b)) return {};
+            return cls_frag(b);
+        }
+        case '*': case '+': case '?': fail(); return {};
+        case ')': case '|': --p; fail(); return {};
+        default:
+            return cls_frag(single(c));
+        }
+    }
+
+    Frag parse_piece() {
+        int lo_i = (int)ins.size();
+        Frag f = parse_atom();
+        if (!ok) return {};
+        for (;;) {
+            if (!more()) break;
+            uint8_t c = peek();
+            if (c == '*' || c == '+' || c == '?') {
+                ++p;
+                if (more() && peek() == '+') {      // possessive: atomic
+                    fail(); return {};              // semantics unsupported
+                }
+                if (more() && peek() == '?') ++p;   // lazy: same language
+                int hi_i = (int)ins.size();
+                if (c == '*') f = star(f);
+                else if (c == '+') {
+                    int s = emit(I_SPLIT, 0, f.start, -1);
+                    patch(f.outs, s);
+                    f = {f.start, {{s, 1}}};
+                } else {
+                    int s = emit(I_SPLIT, 0, f.start, -1);
+                    Frag g{s, f.outs};
+                    g.outs.push_back({s, 1});
+                    f = g;
+                }
+                (void)hi_i;
+                lo_i = (int)ins.size();             // no further {m,n} copying of modified atom
+            } else if (c == '{') {
+                // parse {m} {m,} {m,n}; otherwise literal '{'
+                const uint8_t* save = p;
+                ++p;
+                int m = -1, n = -2;
+                if (more() && isdigit(peek())) {
+                    m = 0;
+                    while (more() && isdigit(peek())) {
+                        m = m * 10 + (*p++ - '0');
+                        if (m > 1000) { fail(); return {}; }
+                    }
+                    if (more() && peek() == '}') { ++p; n = m; }
+                    else if (more() && peek() == ',') {
+                        ++p;
+                        if (more() && peek() == '}') { ++p; n = -1; }
+                        else {
+                            n = 0;
+                            while (more() && isdigit(peek())) {
+                                n = n * 10 + (*p++ - '0');
+                                if (n > 1000) { fail(); return {}; }
+                            }
+                            if (!more() || *p++ != '}') { p = save; m = -1; }
+                        }
+                    } else { p = save; m = -1; }
+                } else { p = save; }
+                if (m < 0) {                        // literal '{'
+                    p0_literal_brace = true;        // parse_cat consumes it
+                    return f;
+                }
+                if (n != -1 && n < m) { fail(); return {}; }
+                if (more() && peek() == '+') { fail(); return {}; }
+                if (more() && peek() == '?') ++p;   // lazy
+                f = repeat_range(f, lo_i, m, n);
+                if (!ok) return {};
+                lo_i = (int)ins.size();
+            } else break;
+        }
+        return f;
+    }
+
+    bool p0_literal_brace = false;
+
+    Frag parse_cat() {
+        Frag f;                                     // epsilon
+        while (more() && peek() != '|' && peek() != ')') {
+            if (p0_literal_brace) {
+                p0_literal_brace = false;
+                ++p;                                // consume '{'
+                f = concat(f, cls_frag(single('{')));
+                continue;
+            }
+            Frag g = parse_piece();
+            if (!ok) return {};
+            f = concat(f, g);
+        }
+        return f;
+    }
+
+    Frag parse_alt() {
+        Frag f = parse_cat();
+        if (!ok) return {};
+        while (more() && peek() == '|') {
+            ++p;
+            Frag g = parse_cat();
+            if (!ok) return {};
+            if (f.start < 0 && g.start < 0) continue;
+            if (f.start < 0) {                      // (|a): a optional
+                int s = emit(I_SPLIT, 0, g.start, -1);
+                Frag h{s, g.outs};
+                h.outs.push_back({s, 1});
+                f = h;
+                continue;
+            }
+            if (g.start < 0) {
+                int s = emit(I_SPLIT, 0, f.start, -1);
+                Frag h{s, f.outs};
+                h.outs.push_back({s, 1});
+                f = h;
+                continue;
+            }
+            int s = emit(I_SPLIT, 0, f.start, g.start);
+            Frag h{s, f.outs};
+            for (auto& o : g.outs) h.outs.push_back(o);
+            f = h;
+        }
+        return f;
+    }
+};
+
+struct DState {
+    std::vector<int> pcs;      // CLS pcs (transition basis)
+    std::vector<int> raw;      // pre-closure key set
+    int trans[256];
+    bool match_now, match_end;
+};
+
+struct Re {
+    std::vector<Inst> ins;
+    std::vector<Bits> classes;
+    std::vector<DState> states;
+    std::unordered_map<std::string, int> map;
+    int start = -1;
+    bool accept_empty = false;
+    bool dfa_dead = false;
+    std::vector<uint8_t> seen;                 // closure scratch
+
+    // epsilon closure of `raw`; collects CLS pcs, reports MATCH
+    void closure(const std::vector<int>& raw, bool bol, bool eol,
+                 std::vector<int>& out, bool* match) {
+        std::fill(seen.begin(), seen.end(), 0);
+        out.clear();
+        *match = false;
+        std::vector<int> stk(raw);
+        while (!stk.empty()) {
+            int pc = stk.back(); stk.pop_back();
+            if (pc < 0 || pc >= (int)ins.size() || seen[pc]) continue;
+            seen[pc] = 1;
+            const Inst& I = ins[pc];
+            switch (I.op) {
+            case I_CLS: out.push_back(pc); break;
+            case I_MATCH: *match = true; break;
+            case I_SPLIT: stk.push_back(I.x); stk.push_back(I.y); break;
+            case I_JMP: stk.push_back(I.x); break;
+            case I_BOL: if (bol) stk.push_back(I.x); break;
+            case I_EOL: if (eol) stk.push_back(I.x); break;
+            }
+        }
+        std::sort(out.begin(), out.end());
+    }
+
+    static std::string key(const std::vector<int>& v) {
+        return std::string((const char*)v.data(), v.size() * sizeof(int));
+    }
+
+    int make_state(std::vector<int> raw, bool bol) {
+        std::sort(raw.begin(), raw.end());
+        raw.erase(std::unique(raw.begin(), raw.end()), raw.end());
+        std::string k = key(raw);
+        if (bol) k.push_back('^');
+        auto it = map.find(k);
+        if (it != map.end()) return it->second;
+        DState st;
+        st.raw = raw;
+        closure(raw, bol, false, st.pcs, &st.match_now);
+        std::vector<int> tmp;
+        bool me;
+        closure(raw, bol, true, tmp, &me);
+        st.match_end = me;
+        std::fill(st.trans, st.trans + 256, -1);
+        states.push_back(std::move(st));
+        int id = (int)states.size() - 1;
+        map.emplace(std::move(k), id);
+        return id;
+    }
+
+    int step(int sid, uint8_t c) {
+        std::vector<int> moved;
+        for (int pc : states[sid].pcs)
+            if (bit(classes[ins[pc].cls], c))
+                moved.push_back(ins[pc].x);
+        moved.push_back(0);                    // unanchored re-injection
+        return make_state(std::move(moved), false);
+    }
+
+    bool search(const uint8_t* s, int64_t len) {
+        if (len == 0) return accept_empty;
+        if (!dfa_dead && states.size() > 8192) dfa_dead = true;
+        if (dfa_dead) return nfa_search(s, len);
+        int st = start;
+        for (int64_t i = 0; i < len; ++i) {
+            DState& S = states[st];
+            if (S.match_now) return true;
+            int t = S.trans[s[i]];
+            if (t < 0) {
+                t = step(st, s[i]);
+                states[st].trans[s[i]] = t;
+                if (states.size() > 8192) {    // cap blown mid-string
+                    dfa_dead = true;
+                    return nfa_search(s, len);
+                }
+            }
+            st = t;
+        }
+        return states[st].match_now || states[st].match_end;
+    }
+
+    bool nfa_search(const uint8_t* s, int64_t len) {
+        std::vector<int> raw{0}, pcs, moved;
+        bool m;
+        closure(raw, true, len == 0, pcs, &m);
+        if (m) return true;
+        for (int64_t i = 0; i < len; ++i) {
+            moved.clear();
+            for (int pc : pcs)
+                if (bit(classes[ins[pc].cls], s[i]))
+                    moved.push_back(ins[pc].x);
+            moved.push_back(0);
+            closure(moved, false, i + 1 == len, pcs, &m);
+            if (m) return true;
+        }
+        return false;
+    }
+};
+
+}  // namespace rex
+
+extern "C" {
+
+void* regex_compile(const uint8_t* pat, int64_t plen, int32_t icase) {
+    for (int64_t i = 0; i < plen; ++i)
+        if (pat[i] >= 0x80) return nullptr;
+    rex::Parser P(pat, plen, icase != 0);
+    rex::Frag f = P.parse_alt();
+    if (!P.ok || P.more()) return nullptr;
+    int m = P.emit(rex::I_MATCH);
+    if (!P.ok) return nullptr;
+    if (f.start < 0) f.start = m;              // empty pattern
+    else P.patch(f.outs, m);
+    // entry jump so pc 0 is the program start
+    rex::Re* re = new rex::Re();
+    re->ins.reserve(P.ins.size() + 1);
+    re->ins.push_back({rex::I_JMP, 0, f.start + 1, -1});
+    for (auto& I : P.ins) {
+        rex::Inst c = I;
+        if (c.x >= 0) c.x += 1;
+        if (c.y >= 0) c.y += 1;
+        re->ins.push_back(c);
+    }
+    re->classes = P.classes;
+    re->seen.assign(re->ins.size(), 0);
+    std::vector<int> tmp;
+    bool me;
+    re->closure({0}, true, true, tmp, &me);
+    re->accept_empty = me;
+    re->start = re->make_state({0}, true);
+    return re;
+}
+
+void regex_free(void* h) { delete (rex::Re*)h; }
+
+void regex_match_batch(void* h, const int64_t* offs, const uint8_t* data,
+                       int64_t n, uint8_t* out) {
+    rex::Re* re = (rex::Re*)h;
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = re->search(data + offs[i], offs[i + 1] - offs[i]) ? 1 : 0;
 }
 
 }  // extern "C"

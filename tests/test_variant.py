@@ -129,3 +129,101 @@ def test_date_timestamp_primitives():
     # external bytes with primitive ids 11-13 parse (spec conformance)
     s = variant_to_json(m, v)
     assert "2021-03-04" in s
+
+
+# ---------------------------------------------------------------------------
+# columnar compute + shredding (round 3)
+# ---------------------------------------------------------------------------
+
+def _mixed_objs():
+    return [{"a": 1, "b": "x"}, 42, "hello", "a" * 100, 3.5, True,
+            None, [1, 2, {"c": None}], -2 ** 40, {"k": [False]},
+            {"a": -5}, {"a": 2 ** 33}, {"a": 300}, {"a": "s"},
+            {"a": None}, {"a": [7]}, {"a": {"z": 1}}]
+
+
+def test_variant_get_column_matches_per_row():
+    from arrow_tpu.io.variant import VariantColumn, variant_get_column
+    col = VariantColumn.from_pylist(_mixed_objs())
+    sub = variant_get_column(col, ["a"])
+    exp = [o.get("a", None) if isinstance(o, dict) else None
+           for o in _mixed_objs()]
+    assert sub.to_pylist() == exp
+    # nested path + array index
+    col2 = VariantColumn.from_pylist(
+        [{"u": {"tags": ["a", "b"]}}, {"u": {"tags": []}}, {"u": 3}])
+    assert variant_get_column(col2, ["u", "tags", 1]).to_pylist() == \
+        ["b", None, None]
+
+
+def test_variant_get_typed_int64_widths_and_nulls():
+    import numpy as np
+    from arrow_tpu import dtypes as dt
+    from arrow_tpu.io.variant import VariantColumn, variant_get_typed
+    objs = [{"a": v} for v in (5, -5, 300, -300, 70000, -70000,
+                               2 ** 40, -2 ** 40)] + \
+        [{"b": 1}, {"a": "str"}, {"a": 1.5}, None]
+    col = VariantColumn.from_pylist(objs)
+    c = variant_get_typed(col, ["a"], dt.int64)
+    assert c.to_pylist() == [5, -5, 300, -300, 70000, -70000,
+                             2 ** 40, -2 ** 40, None, None, None, None]
+
+
+def test_variant_get_typed_other_types():
+    from arrow_tpu import dtypes as dt
+    from arrow_tpu.io.variant import VariantColumn, variant_get_typed
+    objs = [{"a": 1.5}, {"a": True}, {"a": False}, {"a": "hi"},
+            {"a": "y" * 80}, {"a": 3}, None]
+    col = VariantColumn.from_pylist(objs)
+    assert variant_get_typed(col, ["a"], dt.float64).to_pylist() == \
+        [1.5, None, None, None, None, None, None]
+    assert variant_get_typed(col, ["a"], dt.bool_).to_pylist() == \
+        [None, True, False, None, None, None, None]
+    assert variant_get_typed(col, ["a"], dt.utf8).to_pylist() == \
+        [None, None, None, "hi", "y" * 80, None, None]
+
+
+def test_variant_shred_struct_roundtrip():
+    from arrow_tpu import dtypes as dt
+    from arrow_tpu.io.variant import (VariantColumn, variant_to_struct,
+                                      variant_from_struct)
+    col = VariantColumn.from_pylist(_mixed_objs())
+    for st in (None, dt.int64, dt.utf8, dt.float64, dt.bool_):
+        sc = variant_to_struct(col, st)
+        assert variant_from_struct(sc).to_pylist() == col.to_pylist()
+    # shredded rows actually moved to typed_value
+    sc = variant_to_struct(col, dt.int64)
+    tv = sc.children[2]
+    assert tv.to_pylist()[1] == 42 and tv.to_pylist()[8] == -2 ** 40
+    import numpy as np
+    vv = sc.children[1]
+    assert np.asarray(vv.validity)[1] == False  # noqa: E712
+
+
+def test_variant_parquet_roundtrip_and_pyarrow_interop():
+    import io
+    from arrow_tpu import dtypes as dt
+    from arrow_tpu.io.variant import (VariantColumn,
+                                      write_variant_parquet,
+                                      read_variant_parquet)
+    col = VariantColumn.from_pylist(_mixed_objs())
+    for st in (None, dt.int64, dt.utf8):
+        b = io.BytesIO()
+        write_variant_parquet(b, col, shred_type=st)
+        b.seek(0)
+        assert read_variant_parquet(b).to_pylist() == col.to_pylist()
+    # pyarrow reads the VARIANT-annotated group as struct-of-binary
+    import pyarrow.parquet as pq
+    b = io.BytesIO()
+    write_variant_parquet(b, col, shred_type=dt.int64)
+    t = pq.read_table(io.BytesIO(b.getvalue()))
+    f = t.schema.field("v")
+    assert f.metadata[b"ARROW:extension:name"] == b"arrow.variant"
+    names = [c.name for c in f.type]
+    assert names == ["metadata", "value", "typed_value"]
+    # every non-shredded value byte string matches ours exactly
+    ours = col.values
+    theirs = [r["v"]["value"] for r in t.to_pylist()]
+    for i, (a, b2) in enumerate(zip(ours, theirs)):
+        if b2 is not None:
+            assert a == b2, i
