@@ -354,9 +354,47 @@ def contains(col, needle: str):
     return _match_mask(col, nt.MATCH_CONTAINS, needle)
 
 
+def _regex_native_mask(col, pattern: str, ci: bool):
+    """One native lazy-DFA pass over all value bytes (regexp.rs:39
+    compile-once role). None when the pattern/data need the Python
+    fallback (non-ASCII, unsupported construct, no native lib)."""
+    pat = pattern.encode()
+    if not _is_ascii(pat):
+        return None
+    try:
+        h = nt.regex_compile(pattern, ci)
+    except (OSError, AttributeError):
+        return None
+    if h is None:
+        return None
+    if isinstance(col, StringColumn):
+        data = np.asarray(col.data)
+        if len(data) and (data & 0x80).any():
+            return None                  # byte-DFA vs codepoint semantics
+        offs = np.asarray(col.offsets).astype(np.int64)
+        hits = nt.regex_match(h, offs, data)
+        return PrimitiveColumn(jnp.asarray(hits), dt.bool_, col.validity)
+    dcol = _as_dict(col)
+    values = dcol.values
+    if not isinstance(values, StringColumn):
+        return None
+    inner = _regex_native_mask(values, pattern, ci)
+    if inner is None:
+        return None
+    out = jnp.take(inner.values, dcol.codes, mode="clip")
+    validity = vd.union(dcol.validity,
+                        None if values.validity is None else
+                        jnp.take(values.validity, dcol.codes,
+                                 mode="clip"))
+    return PrimitiveColumn(out, dt.bool_, validity)
+
+
 def regexp_is_match(col, pattern: str, flags: str = ""):
-    f = re.IGNORECASE if "i" in flags else 0
-    rx = re.compile(pattern, f)
+    ci = "i" in flags
+    rx = re.compile(pattern, re.IGNORECASE if ci else 0)  # validates
+    native = _regex_native_mask(col, pattern, ci)
+    if native is not None:
+        return native
     return _per_value(col, lambda v: rx.search(v) is not None)
 
 

@@ -115,3 +115,66 @@ def test_dict_column_predicate_broadcast():
     got = st.like(d, "a%")
     ref = pc.match_like(pa.array(vals), "a%")
     assert got.to_pylist() == ref.to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# native regex engine (round 3): lazy-DFA vs Python `re` oracle
+# ---------------------------------------------------------------------------
+
+def test_native_regex_against_re_oracle():
+    import re
+    import numpy as np
+    from arrow_tpu.ops import strings as S
+    from arrow_tpu.core.column import StringColumn
+    import jax.numpy as jnp
+    import arrow_tpu.dtypes as dt
+
+    vals = ["", "a", "abc", "aabc", "xabcy", "foo@bar.com", "x.y",
+            "foobaz", "barbaz", "abbbd", "123", "a1_z", " ", "zzza",
+            "AbC", "Hello99", "a}b", "{2}", "end$", "^start", "a-b"]
+    lens = np.array([len(v) for v in vals], np.int64)
+    offs = np.zeros(len(vals) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    data = np.frombuffer("".join(vals).encode() or b"\0", np.uint8)
+    col = StringColumn(jnp.asarray(offs.astype(np.int32)),
+                       jnp.asarray(data), dt.utf8)
+    pats = ["abc", "^abc", "abc$", "a.c", "a{2,3}", "[abc]+", "[^abc]",
+            r"\d+", r"\w+@\w+\.(com|org)", "(foo|bar)baz", "^(a|bb)+$",
+            r"x\.y", "a|", ".*", r"\s", "a{0,2}b", "^$", "[A-Z]\\w*"]
+    for p in pats:
+        got = np.asarray(S.regexp_is_match(col, p).values)
+        exp = np.array([re.search(p, v) is not None for v in vals])
+        assert (got == exp).all(), p
+    # case-insensitive flag
+    got = np.asarray(S.regexp_is_match(col, "abc", "i").values)
+    exp = np.array([re.search("abc", v, re.I) is not None for v in vals])
+    assert (got == exp).all()
+
+
+def test_native_regex_matches_fallback_path():
+    """Native DFA result == per-value Python fallback on the same col."""
+    import numpy as np
+    from arrow_tpu.ops import strings as S
+    from arrow_tpu import column
+    vals = (["foo@bar.com", "nope", None, "a@b.org", "x" * 80] * 7)
+    col = column(vals)
+    native = S._regex_native_mask(col, r"\w+@\w+\.(com|org)", False)
+    assert native is not None, "native engine should cover this pattern"
+    import re
+    rx = re.compile(r"\w+@\w+\.(com|org)")
+    fb = S._per_value(col, lambda v: rx.search(v) is not None)
+    assert native.to_pylist() == fb.to_pylist()
+    # unsupported construct falls back (still correct)
+    r2 = S.regexp_is_match(col, r"\bfoo")
+    assert r2.to_pylist()[:2] == [True, False]
+
+
+def test_native_regex_non_ascii_falls_back():
+    import numpy as np
+    from arrow_tpu.ops import strings as S
+    from arrow_tpu import column
+    col = column(["héllo", "hello", "ß"])
+    # non-ASCII data: byte-DFA skipped, per-value path used; still exact
+    r = S.regexp_is_match(col, "h.llo")
+    assert r.to_pylist() == [True, True, False]
+    assert S._regex_native_mask(col, "h.llo", False) is None
