@@ -92,6 +92,301 @@ def action_close_prepared(handle: bytes) -> bytes:
                      _field(1, handle))
 
 
+def cmd_get_sql_info(info_ids=()) -> bytes:
+    """CommandGetSqlInfo{repeated uint32 info = 1} (packed)."""
+    packed = b"".join(_varint(int(i)) for i in info_ids)
+    return _any_pack("CommandGetSqlInfo",
+                     _field(1, packed) if packed else b"")
+
+
+def cmd_get_table_types() -> bytes:
+    return _any_pack("CommandGetTableTypes", b"")
+
+
+def _opt_str_fields(*pairs) -> bytes:
+    out = b""
+    for tag, v in pairs:
+        if v is not None:
+            out += _field(tag, v.encode())
+    return out
+
+
+def cmd_get_primary_keys(table: str, catalog=None, db_schema=None
+                         ) -> bytes:
+    return _any_pack("CommandGetPrimaryKeys", _opt_str_fields(
+        (1, catalog), (2, db_schema), (3, table)))
+
+
+def cmd_get_exported_keys(table: str, catalog=None, db_schema=None
+                          ) -> bytes:
+    return _any_pack("CommandGetExportedKeys", _opt_str_fields(
+        (1, catalog), (2, db_schema), (3, table)))
+
+
+def cmd_get_imported_keys(table: str, catalog=None, db_schema=None
+                          ) -> bytes:
+    return _any_pack("CommandGetImportedKeys", _opt_str_fields(
+        (1, catalog), (2, db_schema), (3, table)))
+
+
+def cmd_get_cross_reference(pk_table: str, fk_table: str) -> bytes:
+    return _any_pack("CommandGetCrossReference", _opt_str_fields(
+        (3, pk_table), (6, fk_table)))
+
+
+def cmd_get_xdbc_type_info(data_type: Optional[int] = None) -> bytes:
+    from .pb import varint_field as _vf
+    body = b"" if data_type is None else _vf(1, data_type)
+    if data_type == 0:
+        body = _varint(1 << 3) + _varint(0)   # explicit zero
+    return _any_pack("CommandGetXdbcTypeInfo", body)
+
+
+def action_begin_transaction() -> bytes:
+    return _any_pack("ActionBeginTransactionRequest", b"")
+
+
+def action_end_transaction(transaction_id: bytes, commit: bool) -> bytes:
+    from .pb import varint_field as _vf
+    return _any_pack("ActionEndTransactionRequest",
+                     _field(1, transaction_id) + _vf(2, 1 if commit
+                                                     else 2))
+
+
+# ---- SqlInfo metadata (sql/metadata/sql_info.rs) ----------------------------
+
+# SqlInfo enum ids (FlightSql.proto)
+SQL_INFO_SERVER_NAME = 0
+SQL_INFO_SERVER_VERSION = 1
+SQL_INFO_SERVER_ARROW_VERSION = 2
+SQL_INFO_SERVER_READ_ONLY = 3
+SQL_INFO_SERVER_TRANSACTION = 8
+SQL_INFO_DDL_CATALOG = 500
+SQL_INFO_IDENTIFIER_QUOTE_CHAR = 504
+SQL_INFO_KEYWORDS = 508
+SQL_INFO_SUPPORTS_CONVERT = 517
+
+
+def _sql_info_union_fields():
+    from .. import dtypes as _dt
+    return (
+        _dt.Field("string_value", _dt.utf8, False),
+        _dt.Field("bool_value", _dt.bool_, False),
+        _dt.Field("bigint_value", _dt.int64, False),
+        _dt.Field("int32_bitmask", _dt.int32, False),
+        _dt.Field("string_list", _dt.list_(_dt.utf8), True),
+        _dt.Field("int32_to_int32_list_map",
+                  _dt.map_(_dt.int32, _dt.list_(_dt.int32)), True),
+    )
+
+
+class SqlInfoData:
+    """Typed SqlInfo registry -> GetSqlInfo result table
+    (sql_info.rs:386 SqlInfoDataBuilder/GetSqlInfoBuilder: the value
+    column is a DENSE union over six arms)."""
+
+    def __init__(self):
+        self._entries: Dict[int, Tuple[int, object]] = {}
+
+    def with_value(self, info_id: int, value) -> "SqlInfoData":
+        if isinstance(value, str):
+            arm = 0
+        elif isinstance(value, bool):
+            arm = 1
+        elif isinstance(value, int):
+            arm = 2
+        elif isinstance(value, (list, tuple)):
+            arm = 4
+        elif isinstance(value, dict):
+            arm = 5
+        else:
+            raise ArrowInvalid(f"unsupported SqlInfo value {value!r}")
+        self._entries[int(info_id)] = (arm, value)
+        return self
+
+    def with_bitmask(self, info_id: int, value: int) -> "SqlInfoData":
+        self._entries[int(info_id)] = (3, int(value))
+        return self
+
+    def table(self, info_ids=()) -> Table:
+        import numpy as np
+        import jax.numpy as jnp
+        from .. import dtypes as _dt
+        from ..core.column import column, PrimitiveColumn, StructColumn
+        from ..core.column import ListColumn
+        from ..core.nested import UnionColumn, MapColumn
+        from ..core.builders import StringBuilder
+
+        ids = sorted(self._entries if not info_ids
+                     else [i for i in self._entries if i in
+                           set(int(x) for x in info_ids)])
+        strs: list = []
+        bools: list = []
+        bigints: list = []
+        masks: list = []
+        slists: list = []
+        maps: list = []
+        type_ids = np.zeros(len(ids), np.int8)
+        offsets = np.zeros(len(ids), np.int32)
+        arms = [strs, bools, bigints, masks, slists, maps]
+        for row, i in enumerate(ids):
+            arm, v = self._entries[i]
+            type_ids[row] = arm
+            offsets[row] = len(arms[arm])
+            arms[arm].append(v)
+        # child columns (empty children still need the right dtype)
+        c_str = column(strs, _dt.utf8) if strs else column([], _dt.utf8)
+        c_bool = column(bools, _dt.bool_)
+        c_big = column([int(v) for v in bigints], _dt.int64)
+        c_mask = column(masks, _dt.int32)
+        # list<utf8>
+        lens = np.array([len(v) for v in slists], np.int64)
+        loffs = np.zeros(len(slists) + 1, np.int32)
+        np.cumsum(lens, out=loffs[1:])
+        flat = [s for v in slists for s in v]
+        c_slist = ListColumn(jnp.asarray(loffs),
+                             column(flat, _dt.utf8))
+        # map<int32, list<int32>>
+        entry_counts = np.array([len(m) for m in maps], np.int64)
+        moffs = np.zeros(len(maps) + 1, np.int32)
+        np.cumsum(entry_counts, out=moffs[1:])
+        mkeys = [k for m in maps for k in sorted(m)]
+        mvals = [m[k] for m in maps for k in sorted(m)]
+        vlens = np.array([len(v) for v in mvals], np.int64)
+        voffs = np.zeros(len(mvals) + 1, np.int32)
+        np.cumsum(vlens, out=voffs[1:])
+        inner = ListColumn(jnp.asarray(voffs),
+                           column([x for v in mvals for x in v],
+                                  _dt.int32))
+        entries = StructColumn(
+            (column(mkeys, _dt.int32), inner),
+            (_dt.Field("keys", _dt.int32, False),
+             _dt.Field("values", _dt.list_(_dt.int32), True)))
+        c_map = MapColumn(jnp.asarray(moffs), entries)
+        value = UnionColumn(jnp.asarray(type_ids), jnp.asarray(offsets),
+                            (c_str, c_bool, c_big, c_mask, c_slist,
+                             c_map), _sql_info_union_fields())
+        name_col = PrimitiveColumn(
+            jnp.asarray(np.asarray(ids, np.uint32)), _dt.uint32)
+        return Table(
+            [name_col, value],
+            _dt.Schema((_dt.Field("info_name", _dt.uint32, False),
+                        _dt.Field("value", value.dtype, False))))
+
+
+def default_sql_info() -> SqlInfoData:
+    """The engine's server metadata (what arrow-rs examples serve)."""
+    from .. import __version__ as _ver
+    return (SqlInfoData()
+            .with_value(SQL_INFO_SERVER_NAME, "arrow_tpu")
+            .with_value(SQL_INFO_SERVER_VERSION, str(_ver))
+            .with_value(SQL_INFO_SERVER_ARROW_VERSION, "56.0.0")
+            .with_value(SQL_INFO_SERVER_READ_ONLY, True)
+            .with_value(SQL_INFO_SERVER_TRANSACTION, 1)
+            .with_value(SQL_INFO_DDL_CATALOG, False)
+            .with_value(SQL_INFO_IDENTIFIER_QUOTE_CHAR, '"')
+            .with_value(SQL_INFO_KEYWORDS,
+                        ["SELECT", "FROM", "WHERE", "GROUP", "BY",
+                         "HAVING", "ORDER", "LIMIT", "OFFSET", "JOIN"])
+            .with_value(SQL_INFO_SUPPORTS_CONVERT,
+                        {7: [7, 10], 10: [7, 10]}))
+
+
+# ---- keys / xdbc metadata tables ---------------------------------------------
+
+_KEYS_IMPORT_EXPORT_FIELDS = (
+    ("pk_catalog_name", "utf8", True), ("pk_db_schema_name", "utf8", True),
+    ("pk_table_name", "utf8", False), ("pk_column_name", "utf8", False),
+    ("fk_catalog_name", "utf8", True), ("fk_db_schema_name", "utf8", True),
+    ("fk_table_name", "utf8", False), ("fk_column_name", "utf8", False),
+    ("key_sequence", "int32", False), ("fk_key_name", "utf8", True),
+    ("pk_key_name", "utf8", True), ("update_rule", "uint8", False),
+    ("delete_rule", "uint8", False))
+
+
+def _typed_table(fields, rows) -> Table:
+    from .. import dtypes as _dt
+    from ..core.column import column
+    cols = []
+    sch = []
+    for j, (name, tname, nullable) in enumerate(fields):
+        d = getattr(_dt, tname)
+        cols.append(column([r[j] for r in rows], d))
+        sch.append(_dt.Field(name, d, nullable))
+    return Table(cols, _dt.Schema(tuple(sch)))
+
+
+def _primary_keys_table(rows) -> Table:
+    return _typed_table(
+        (("catalog_name", "utf8", True), ("db_schema_name", "utf8", True),
+         ("table_name", "utf8", False), ("column_name", "utf8", False),
+         ("key_name", "utf8", True), ("key_sequence", "int32", False)),
+        rows)
+
+
+def _xdbc_type_info_table(rows) -> Table:
+    """CommandGetXdbcTypeInfo result (metadata/xdbc_info.rs:326)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .. import dtypes as _dt
+    from ..core.column import column, ListColumn
+    names_types = (
+        ("type_name", "utf8", False), ("data_type", "int32", False),
+        ("column_size", "int32", True), ("literal_prefix", "utf8", True),
+        ("literal_suffix", "utf8", True), ("create_params", None, True),
+        ("nullable", "int32", False), ("case_sensitive", "bool_", False),
+        ("searchable", "int32", False),
+        ("unsigned_attribute", "bool_", True),
+        ("fixed_prec_scale", "bool_", False),
+        ("auto_increment", "bool_", True),
+        ("local_type_name", "utf8", True), ("minimum_scale", "int32", True),
+        ("maximum_scale", "int32", True), ("sql_data_type", "int32", False),
+        ("datetime_subcode", "int32", True), ("num_prec_radix", "int32", True),
+        ("interval_precision", "int32", True))
+    cols = []
+    sch = []
+    for j, (name, tname, nullable) in enumerate(names_types):
+        vals = [r[j] for r in rows]
+        if name == "create_params":       # list<utf8 not null>
+            lens = np.array([len(v or ()) for v in vals], np.int64)
+            offs = np.zeros(len(vals) + 1, np.int32)
+            np.cumsum(lens, out=offs[1:])
+            flat = [s for v in vals if v for s in v]
+            child = column(flat, _dt.utf8)
+            valid = np.array([v is not None for v in vals])
+            c = ListColumn(jnp.asarray(offs), child,
+                           None if valid.all() else jnp.asarray(valid))
+            d = c.dtype
+        else:
+            d = getattr(_dt, tname)
+            c = column(vals, d)
+        cols.append(c)
+        sch.append(_dt.Field(name, d, nullable))
+    return Table(cols, _dt.Schema(tuple(sch)))
+
+
+# XDBC data_type codes (ODBC SQL_* constants used by FlightSQL)
+_XDBC_TYPES = [
+    # type_name, data_type, size, prefix, suffix, params, nullable(1),
+    # case_sens, searchable(3), unsigned, fixed_prec, autoinc, local,
+    # min_scale, max_scale, sql_data_type, subcode, radix, interval_prec
+    ("BOOLEAN", 16, 1, None, None, None, 1, False, 3, None, False,
+     None, "bool", None, None, 16, None, None, None),
+    ("BIGINT", -5, 19, None, None, None, 1, False, 3, False, False,
+     False, "int64", 0, 0, -5, None, 10, None),
+    ("INTEGER", 4, 10, None, None, None, 1, False, 3, False, False,
+     False, "int32", 0, 0, 4, None, 10, None),
+    ("DOUBLE", 8, 15, None, None, None, 1, False, 3, False, False,
+     False, "float64", None, None, 8, None, 2, None),
+    ("VARCHAR", 12, 2 ** 31 - 1, "'", "'", ["length"], 1, True, 3,
+     None, False, None, "utf8", None, None, 12, None, None, None),
+    ("DATE", 91, 10, "'", "'", None, 1, False, 3, None, False, None,
+     "date32", None, None, 9, 1, None, None),
+    ("TIMESTAMP", 93, 26, "'", "'", None, 1, False, 3, None, False,
+     None, "timestamp", 0, 6, 9, 3, None, None),
+]
+
+
 # ---- default SQL executor ------------------------------------------------------
 
 _OPS = {"=": "eq", "==": "eq", "!=": "neq", "<>": "neq",
@@ -129,6 +424,40 @@ class FlightSQLServer(FlightServer):
         self._prepared: Dict[bytes, str] = {}
         self._plock = threading.Lock()
         self._results: Dict[bytes, Table] = {}   # get_flight_info cache
+        self.sql_info = default_sql_info()
+        self._transactions: set = set()
+        # table -> [(column_name, key_name, seq)]
+        self._primary_keys: Dict[str, list] = {}
+        # (pk_table, fk_table) -> [(pk_col, fk_col, seq, update, delete)]
+        self._foreign_keys: Dict[Tuple[str, str], list] = {}
+
+    # -- catalog metadata registration ------------------------------------
+    def register_primary_key(self, table: str, columns,
+                             key_name: Optional[str] = None) -> None:
+        self._primary_keys[table] = [
+            (c, key_name, i + 1) for i, c in enumerate(columns)]
+
+    def register_foreign_key(self, pk_table: str, fk_table: str,
+                             column_pairs, update_rule: int = 3,
+                             delete_rule: int = 3) -> None:
+        """column_pairs: [(pk_column, fk_column)]; rules are XDBC codes
+        (0 cascade, 1 restrict, 2 set-null, 3 no-action, 4 default)."""
+        self._foreign_keys[(pk_table, fk_table)] = [
+            (p, f, i + 1, update_rule, delete_rule)
+            for i, (p, f) in enumerate(column_pairs)]
+
+    def _fk_rows(self, pk_table=None, fk_table=None) -> list:
+        rows = []
+        for (pt, ft), pairs in sorted(self._foreign_keys.items()):
+            if pk_table is not None and pt != pk_table:
+                continue
+            if fk_table is not None and ft != fk_table:
+                continue
+            for (pc, fc, seq, ur, dr) in pairs:
+                rows.append(("default", "public", pt, pc,
+                             "default", "public", ft, fc, seq,
+                             f"fk_{ft}", f"pk_{pt}", ur, dr))
+        return rows
 
     # -- command plumbing ------------------------------------------------
     def _run(self, query: str) -> Table:
@@ -162,6 +491,51 @@ class FlightSQLServer(FlightServer):
                 "db_schema_name": column(["public"] * len(names)),
                 "table_name": column(names),
                 "table_type": column(["TABLE"] * len(names))})
+        if name == "CommandGetTableTypes":
+            from ..core.column import column
+            return Table.from_pydict({"table_type": column(["TABLE"])})
+        if name == "CommandGetSqlInfo":
+            ids = []
+            for v in f.get(1, []):
+                if isinstance(v, int):          # unpacked encoding
+                    ids.append(v)
+                else:                           # packed varints
+                    from .pb import read_varint
+                    i = 0
+                    while i < len(v):
+                        x, i = read_varint(v, i)
+                        ids.append(x)
+            return self.sql_info.table(ids)
+        if name == "CommandGetPrimaryKeys":
+            table = f.get(3, [b""])[0].decode()
+            rows = [("default", "public", table, c, k, s)
+                    for (c, k, s) in self._primary_keys.get(table, [])]
+            return _primary_keys_table(rows)
+        if name == "CommandGetExportedKeys":
+            # keys OTHER tables import from `table` (table is the PK side)
+            table = f.get(3, [b""])[0].decode()
+            return _typed_table(_KEYS_IMPORT_EXPORT_FIELDS,
+                                self._fk_rows(pk_table=table))
+        if name == "CommandGetImportedKeys":
+            # keys `table` references (table is the FK side)
+            table = f.get(3, [b""])[0].decode()
+            return _typed_table(_KEYS_IMPORT_EXPORT_FIELDS,
+                                self._fk_rows(fk_table=table))
+        if name == "CommandGetCrossReference":
+            pk = f.get(3, [b""])[0].decode()
+            fk = f.get(6, [b""])[0].decode()
+            return _typed_table(_KEYS_IMPORT_EXPORT_FIELDS,
+                                self._fk_rows(pk_table=pk, fk_table=fk))
+        if name == "CommandGetXdbcTypeInfo":
+            rows = _XDBC_TYPES
+            if 1 in f:
+                want = f[1][0]
+                want = want if isinstance(want, int) else 0
+                want &= (1 << 32) - 1          # int32 over the wire
+                if want >= 1 << 31:
+                    want -= 1 << 32            # negative ODBC codes
+                rows = [r for r in rows if r[1] == want]
+            return _xdbc_type_info_table(rows)
         raise ArrowInvalid(f"unsupported FlightSQL command {name}")
 
     # -- Flight hook overrides (native FlightServer surface) ---------------
@@ -202,6 +576,29 @@ class FlightSQLServer(FlightServer):
             f = _parse_fields(inner)
             with self._plock:
                 self._prepared.pop(f[1][0], None)
+            return
+        if action_type == "BeginTransaction":
+            tid = _uuid.uuid4().bytes
+            with self._plock:
+                self._transactions.add(tid)
+            yield _any_pack("ActionBeginTransactionResult",
+                            _field(1, tid))
+            return
+        if action_type == "EndTransaction":
+            name, inner = _any_unpack(body)
+            f = _parse_fields(inner)
+            tid = f.get(1, [b""])[0]
+            end = f.get(2, [0])[0]
+            if end not in (1, 2):
+                raise ArrowInvalid("EndTransaction action must be "
+                                   "COMMIT or ROLLBACK")
+            with self._plock:
+                if tid not in self._transactions:
+                    raise ArrowInvalid("unknown transaction id")
+                # the engine's tables are immutable snapshots: commit
+                # and rollback both just retire the id (server.rs
+                # delegates transaction semantics to the application)
+                self._transactions.discard(tid)
             return
         yield from super().do_action(action_type, body)
 
@@ -250,6 +647,44 @@ class FlightSQLClient:
 
     def get_tables(self) -> Table:
         return self._get(cmd_get_tables())
+
+    def get_table_types(self) -> Table:
+        return self._get(cmd_get_table_types())
+
+    def get_sql_info(self, info_ids=()) -> Table:
+        return self._get(cmd_get_sql_info(info_ids))
+
+    def get_primary_keys(self, table: str, **kw) -> Table:
+        return self._get(cmd_get_primary_keys(table, **kw))
+
+    def get_exported_keys(self, table: str, **kw) -> Table:
+        return self._get(cmd_get_exported_keys(table, **kw))
+
+    def get_imported_keys(self, table: str, **kw) -> Table:
+        return self._get(cmd_get_imported_keys(table, **kw))
+
+    def get_cross_reference(self, pk_table: str, fk_table: str) -> Table:
+        return self._get(cmd_get_cross_reference(pk_table, fk_table))
+
+    def get_xdbc_type_info(self, data_type: Optional[int] = None
+                           ) -> Table:
+        return self._get(cmd_get_xdbc_type_info(data_type))
+
+    def begin_transaction(self) -> bytes:
+        results = self._client.do_action("BeginTransaction",
+                                         action_begin_transaction())
+        name, body = _any_unpack(results[0])
+        return _parse_fields(body)[1][0]
+
+    def commit(self, transaction_id: bytes) -> None:
+        self._client.do_action(
+            "EndTransaction", action_end_transaction(transaction_id,
+                                                     commit=True))
+
+    def rollback(self, transaction_id: bytes) -> None:
+        self._client.do_action(
+            "EndTransaction", action_end_transaction(transaction_id,
+                                                     commit=False))
 
     def close(self):
         self._client.close()

@@ -93,3 +93,123 @@ def test_sql_executor_aggregates_and_order():
         simple_sql_executor(tables, "SELECT * FROM t JOIN u ON t.x = u.x")
     with pytest.raises(ArrowInvalid):
         simple_sql_executor(tables, "DELETE FROM t")
+
+
+# ---------------------------------------------------------------------------
+# round 3: GetSqlInfo / keys / xdbc / transactions
+# (arrow-flight/src/sql/mod.rs:251-280 command set)
+# ---------------------------------------------------------------------------
+
+def _server_client():
+    import numpy as np
+    from arrow_tpu.core.table import Table
+    from arrow_tpu.io.flightsql import FlightSQLServer, FlightSQLClient
+    t = Table.from_pydict({"id": np.arange(5), "v": np.arange(5) * 2.0})
+    srv = FlightSQLServer("grpc://127.0.0.1:0")
+    srv.register("t", t)
+    cli = FlightSQLClient(srv.uri)
+    return srv, cli
+
+
+def test_get_sql_info_all_and_filtered():
+    from arrow_tpu.io import flightsql as fs
+    srv, cli = _server_client()
+    try:
+        info = cli.get_sql_info()
+        names = info.columns[0].to_pylist()
+        assert fs.SQL_INFO_SERVER_NAME in names
+        assert info.schema.fields[0].name == "info_name"
+        assert info.schema.fields[1].dtype.name == "union"
+        # dense union arms round-trip through native Flight IPC
+        vals = info.columns[1].to_pylist()
+        by_id = dict(zip(names, vals))
+        assert by_id[fs.SQL_INFO_SERVER_NAME] == "arrow_tpu"
+        assert by_id[fs.SQL_INFO_SERVER_READ_ONLY] is True
+        assert by_id[fs.SQL_INFO_SERVER_TRANSACTION] == 1
+        assert "SELECT" in by_id[fs.SQL_INFO_KEYWORDS]
+        conv = by_id[fs.SQL_INFO_SUPPORTS_CONVERT]
+        assert dict(conv)[7] == [7, 10]
+        # filtered request returns only the asked ids
+        one = cli.get_sql_info([fs.SQL_INFO_SERVER_NAME])
+        assert one.columns[0].to_pylist() == [fs.SQL_INFO_SERVER_NAME]
+    finally:
+        cli.close()
+        srv.shutdown()
+
+
+def test_primary_and_foreign_keys():
+    srv, cli = _server_client()
+    try:
+        srv.register_primary_key("t", ["id"], key_name="pk_t")
+        srv.register_foreign_key("t", "orders", [("id", "t_id")])
+        pk = cli.get_primary_keys("t")
+        assert pk.num_rows == 1
+        row = {f.name: c.to_pylist()[0]
+               for f, c in zip(pk.schema.fields, pk.columns)}
+        assert row["table_name"] == "t" and row["column_name"] == "id"
+        assert row["key_sequence"] == 1 and row["key_name"] == "pk_t"
+        # exported keys of t = FKs pointing at t
+        exp = cli.get_exported_keys("t")
+        assert exp.num_rows == 1
+        erow = {f.name: c.to_pylist()[0]
+                for f, c in zip(exp.schema.fields, exp.columns)}
+        assert erow["pk_table_name"] == "t"
+        assert erow["fk_table_name"] == "orders"
+        assert erow["update_rule"] == 3
+        # imported keys of orders = same edge seen from the FK side
+        imp = cli.get_imported_keys("orders")
+        assert imp.num_rows == 1
+        # cross reference pk=t fk=orders
+        xr = cli.get_cross_reference("t", "orders")
+        assert xr.num_rows == 1
+        # unknown table: empty but well-formed (13-column schema)
+        empty = cli.get_exported_keys("nope")
+        assert empty.num_rows == 0 and len(empty.schema.fields) == 13
+        # schema matches the spec'd field list exactly
+        assert [f.name for f in empty.schema.fields] == [
+            "pk_catalog_name", "pk_db_schema_name", "pk_table_name",
+            "pk_column_name", "fk_catalog_name", "fk_db_schema_name",
+            "fk_table_name", "fk_column_name", "key_sequence",
+            "fk_key_name", "pk_key_name", "update_rule", "delete_rule"]
+    finally:
+        cli.close()
+        srv.shutdown()
+
+
+def test_xdbc_type_info_and_table_types():
+    srv, cli = _server_client()
+    try:
+        ti = cli.get_xdbc_type_info()
+        assert ti.num_rows >= 6
+        names = [f.name for f in ti.schema.fields]
+        assert names[:2] == ["type_name", "data_type"]
+        assert "create_params" in names and len(names) == 19
+        # filter by ODBC code (negative code exercises int32 wire enc)
+        big = cli.get_xdbc_type_info(-5)
+        assert big.num_rows == 1
+        assert big.columns[0].to_pylist() == ["BIGINT"]
+        tt = cli.get_table_types()
+        assert tt.columns[0].to_pylist() == ["TABLE"]
+    finally:
+        cli.close()
+        srv.shutdown()
+
+
+def test_transactions_begin_commit_rollback():
+    import pytest
+    from arrow_tpu.errors import ArrowInvalid
+    srv, cli = _server_client()
+    try:
+        tid = cli.begin_transaction()
+        assert len(tid) == 16
+        cli.commit(tid)
+        # double-commit: unknown id now
+        with pytest.raises(Exception):
+            cli.commit(tid)
+        tid2 = cli.begin_transaction()
+        cli.rollback(tid2)
+        with pytest.raises(Exception):
+            cli.rollback(tid2)
+    finally:
+        cli.close()
+        srv.shutdown()
