@@ -37,7 +37,8 @@ from .ipc import _table_dict_columns
 from . import pb
 
 __all__ = ["FlightServer", "FlightTableClient", "MAX_FLIGHT_DATA_SIZE",
-           "FlightDescriptor", "FlightInfo"]
+           "FlightDescriptor", "FlightInfo", "BasicAuthHandler",
+           "FlightUnauthenticated", "FlightError"]
 
 MAX_FLIGHT_DATA_SIZE = 2 * 1024 * 1024  # encode.rs:148 default target
 
@@ -287,15 +288,65 @@ class FlightStreamDecoder:
 # Server
 # ---------------------------------------------------------------------------
 
+class FlightUnauthenticated(Exception):
+    """Raised by auth handlers / middleware to reject a call."""
+
+
+class FlightError(Exception):
+    """Client-side RPC failure carrying the server's error trailers
+    (client.rs FlightError::Tonic keeps the Status metadata)."""
+
+    def __init__(self, message: str, code=None, trailers=()):
+        super().__init__(message)
+        self.code = code
+        self.trailers = dict(trailers)
+
+
+class BasicAuthHandler:
+    """Username/password handshake -> bearer token
+    (the reference's auth scenario: BasicAuth in HandshakeRequest,
+    token in HandshakeResponse, `authorization: Bearer <t>` after;
+    arrow-flight/src/client.rs:139 handshake contract)."""
+
+    def __init__(self, users: Dict[str, str]):
+        self._users = dict(users)
+        self._tokens: Dict[str, str] = {}
+
+    def authenticate(self, username: str, password: str) -> str:
+        if self._users.get(username) != password:
+            raise FlightUnauthenticated("invalid username/password")
+        import uuid as _uuid
+        token = _uuid.uuid4().hex
+        self._tokens[token] = username
+        return token
+
+    def is_valid(self, token: str) -> bool:
+        return token in self._tokens
+
+    def peer_identity(self, token: str) -> Optional[str]:
+        return self._tokens.get(token)
+
+
 class FlightServer:
     """FlightService over grpcio generic handlers (the
-    arrow.flight.protocol.rs:861 service surface, hand-rolled)."""
+    arrow.flight.protocol.rs:861 service surface, hand-rolled).
+
+    `auth_handler` gates every RPC but Handshake behind a bearer token
+    issued by the handshake; `middleware` is a list of objects with
+    `start_call(method, metadata) -> optional response-header dict`
+    (may raise FlightUnauthenticated) — the reference's server
+    middleware hook (arrow-integration-testing flight_server_scenarios
+    middleware.rs)."""
 
     def __init__(self, location: str = "grpc://0.0.0.0:0",
-                 exchange_fn: Optional[Callable[[Table], Table]] = None):
+                 exchange_fn: Optional[Callable[[Table], Table]] = None,
+                 auth_handler: Optional[BasicAuthHandler] = None,
+                 middleware=()):
         self._tables: Dict[str, Table] = {}
         self._producers: Dict[str, Callable[[], Iterator[Table]]] = {}
         self._exchange_fn = exchange_fn or (lambda t: t)
+        self._auth_handler = auth_handler
+        self._middleware = tuple(middleware)
         self._lock = threading.Lock()
         host_port = location.split("://", 1)[-1]
         self._server = grpc.server(
@@ -334,10 +385,45 @@ class FlightServer:
         with self._lock:
             return self._tables[name]
 
+    # -- auth / middleware ------------------------------------------------
+    def _before_call(self, method: str, context) -> None:
+        """Runs middleware and enforces bearer auth; aborts the RPC on
+        rejection (error class recorded in the trailers)."""
+        meta = {k: v for k, v in context.invocation_metadata()}
+        hdrs: Dict[str, str] = {}
+        try:
+            for mw in self._middleware:
+                extra = mw.start_call(method, meta)
+                if extra:
+                    hdrs.update(extra)
+        except FlightUnauthenticated as e:
+            context.set_trailing_metadata(
+                (("x-arrow-error-class", "FlightUnauthenticated"),))
+            context.abort(grpc.StatusCode.UNAUTHENTICATED, str(e))
+        if hdrs:
+            context.send_initial_metadata(tuple(hdrs.items()))
+        if self._auth_handler is not None and method != "Handshake":
+            auth = meta.get("authorization", "")
+            token = auth[7:] if auth.startswith("Bearer ") else ""
+            if not token or not self._auth_handler.is_valid(token):
+                context.set_trailing_metadata(
+                    (("x-arrow-error-class", "FlightUnauthenticated"),))
+                context.abort(grpc.StatusCode.UNAUTHENTICATED,
+                              "invalid bearer token")
+
     # -- handler hooks (overridable; flightsql.py overrides these) -----------
     def handshake(self, payloads: Iterator[bytes]) -> Iterator[bytes]:
+        if self._auth_handler is None:
+            for p in payloads:
+                yield p               # echo
+            return
         for p in payloads:
-            yield p                   # echo
+            # payload is a Flight BasicAuth{username=2, password=3}
+            f = pb.parse_fields(p)
+            user = pb.first_bytes(f, 2).decode()
+            pw = pb.first_bytes(f, 3).decode()
+            token = self._auth_handler.authenticate(user, pw)
+            yield token.encode()
 
     def list_flights(self) -> Iterator[FlightInfo]:
         with self._lock:
@@ -426,12 +512,25 @@ class _Handlers(grpc.GenericRpcHandler):
         s = self._s
 
         def _err(context, e):
+            # error class rides the trailers (client.rs keeps Status
+            # metadata on FlightError)
+            context.set_trailing_metadata(
+                (("x-arrow-error-class", type(e).__name__),))
             if isinstance(e, KeyError):
                 context.abort(grpc.StatusCode.NOT_FOUND, str(e))
             elif isinstance(e, ArrowInvalid):
                 context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+            elif isinstance(e, FlightUnauthenticated):
+                context.abort(grpc.StatusCode.UNAUTHENTICATED, str(e))
             else:
                 context.abort(grpc.StatusCode.INTERNAL, repr(e))
+
+        def guarded(fn):
+            # middleware + bearer-token gate run before the handler
+            def inner(req, context):
+                s._before_call(name, context)
+                return fn(req, context)
+            return inner
 
         if name == "Handshake":
             def handshake(req_iter, context):
@@ -439,15 +538,19 @@ class _Handlers(grpc.GenericRpcHandler):
                     for raw in req_iter:
                         f = pb.parse_fields(raw)
                         yield pb.first_bytes(f, 2)
-                for p in s.handshake(payloads()):
-                    yield pb.field(2, p)
-            return grpc.stream_stream_rpc_method_handler(handshake)
+                try:
+                    for p in s.handshake(payloads()):
+                        yield pb.field(2, p)
+                except FlightUnauthenticated as e:
+                    _err(context, e)
+            return grpc.stream_stream_rpc_method_handler(
+                guarded(handshake))
 
         if name == "ListFlights":
             def list_flights(raw, context):
                 for info in s.list_flights():
                     yield info.encode()
-            return grpc.unary_stream_rpc_method_handler(list_flights)
+            return grpc.unary_stream_rpc_method_handler(guarded(list_flights))
 
         if name == "GetFlightInfo":
             def get_info(raw, context):
@@ -456,7 +559,7 @@ class _Handlers(grpc.GenericRpcHandler):
                         FlightDescriptor.decode(raw)).encode()
                 except Exception as e:       # noqa: BLE001
                     _err(context, e)
-            return grpc.unary_unary_rpc_method_handler(get_info)
+            return grpc.unary_unary_rpc_method_handler(guarded(get_info))
 
         if name == "GetSchema":
             def get_schema(raw, context):
@@ -465,7 +568,7 @@ class _Handlers(grpc.GenericRpcHandler):
                         1, s.get_schema(FlightDescriptor.decode(raw)))
                 except Exception as e:       # noqa: BLE001
                     _err(context, e)
-            return grpc.unary_unary_rpc_method_handler(get_schema)
+            return grpc.unary_unary_rpc_method_handler(guarded(get_schema))
 
         if name == "DoGet":
             def do_get(raw, context):
@@ -483,7 +586,7 @@ class _Handlers(grpc.GenericRpcHandler):
                                                     schema=schema)
                 except Exception as e:       # noqa: BLE001
                     _err(context, e)
-            return grpc.unary_stream_rpc_method_handler(do_get)
+            return grpc.unary_stream_rpc_method_handler(guarded(do_get))
 
         if name == "DoPut":
             def do_put(req_iter, context):
@@ -495,7 +598,7 @@ class _Handlers(grpc.GenericRpcHandler):
                     _err(context, e)
                     return
                 yield b""                   # one empty PutResult
-            return grpc.stream_stream_rpc_method_handler(do_put)
+            return grpc.stream_stream_rpc_method_handler(guarded(do_put))
 
         if name == "DoExchange":
             def do_exchange(req_iter, context):
@@ -513,7 +616,7 @@ class _Handlers(grpc.GenericRpcHandler):
                     yield from encode_flight_stream(results())
                 except Exception as e:       # noqa: BLE001
                     _err(context, e)
-            return grpc.stream_stream_rpc_method_handler(do_exchange)
+            return grpc.stream_stream_rpc_method_handler(guarded(do_exchange))
 
         if name == "DoAction":
             def do_action(raw, context):
@@ -527,13 +630,13 @@ class _Handlers(grpc.GenericRpcHandler):
                     context.abort(grpc.StatusCode.NOT_FOUND, str(e))
                 except Exception as e:       # noqa: BLE001
                     _err(context, e)
-            return grpc.unary_stream_rpc_method_handler(do_action)
+            return grpc.unary_stream_rpc_method_handler(guarded(do_action))
 
         if name == "ListActions":
             def list_actions(raw, context):
                 for atype, desc in s.list_actions():
                     yield pb.field(1, atype) + pb.field(2, desc)
-            return grpc.unary_stream_rpc_method_handler(list_actions)
+            return grpc.unary_stream_rpc_method_handler(guarded(list_actions))
 
         return None
 
@@ -541,6 +644,34 @@ class _Handlers(grpc.GenericRpcHandler):
 # ---------------------------------------------------------------------------
 # Client
 # ---------------------------------------------------------------------------
+
+def _to_flight_error(e: "grpc.RpcError") -> FlightError:
+    trailers = ()
+    try:
+        trailers = e.trailing_metadata() or ()
+    except Exception:        # noqa: BLE001
+        pass
+    code = None
+    try:
+        code = e.code()
+    except Exception:        # noqa: BLE001
+        pass
+    details = str(e)
+    try:
+        details = e.details()
+    except Exception:        # noqa: BLE001
+        pass
+    return FlightError(details, code, trailers)
+
+
+def _stream_guard(resp):
+    """Convert mid-stream RpcError into FlightError w/ trailers."""
+    try:
+        for item in resp:
+            yield item
+    except grpc.RpcError as e:
+        raise _to_flight_error(e) from None
+
 
 class FlightTableClient:
     """Mid-level client (arrow-flight/src/client.rs:70): typed tables in
@@ -550,10 +681,39 @@ class FlightTableClient:
         host_port = uri.split("://", 1)[-1]
         self._channel = grpc.insecure_channel(host_port,
                                               options=_GRPC_OPTS)
+        self._headers: Dict[str, str] = {}
+
+    def add_header(self, key: str, value: str) -> None:
+        """Attach a metadata header to every subsequent call
+        (client.rs FlightClient::add_header)."""
+        self._headers[key.lower()] = value
+
+    def authenticate_basic_token(self, username: str, password: str
+                                 ) -> bytes:
+        """BasicAuth handshake -> bearer token attached to all later
+        calls (client.rs:139 handshake contract)."""
+        payload = pb.field(2, username.encode()) \
+            + pb.field(3, password.encode())
+        token = self.handshake(payload)
+        self._headers["authorization"] = "Bearer " + token.decode()
+        return token
+
+    def _md(self):
+        return tuple(self._headers.items()) or None
 
     def _method(self, kind: str, name: str):
         fn = getattr(self._channel, kind)
-        return fn(_SVC + name)
+        inner = fn(_SVC + name)
+        md = self._md()
+        streaming = kind.endswith("_stream")
+
+        def call(request):
+            try:
+                resp = inner(request, metadata=md)
+            except grpc.RpcError as e:
+                raise _to_flight_error(e) from None
+            return _stream_guard(resp) if streaming else resp
+        return call
 
     def do_get(self, name: str) -> Table:
         tables = self.do_get_stream(name)

@@ -202,3 +202,81 @@ def test_truncated_protobuf_raises():
     msg = pb.field(1, b"hello")
     with pytest.raises(ArrowInvalid):
         pb.parse_fields(msg[:-3])
+
+
+# ---------------------------------------------------------------------------
+# round 3: auth handshake, middleware, error trailers
+# (client.rs:139 handshake contract; integration middleware scenario)
+# ---------------------------------------------------------------------------
+
+def test_flight_basic_auth_roundtrip_and_rejection():
+    import grpc
+    import numpy as np
+    import pytest
+    import arrow_tpu as at
+    from arrow_tpu.io.flight import (FlightServer, FlightTableClient,
+                                     BasicAuthHandler, FlightError)
+    auth = BasicAuthHandler({"alice": "secret"})
+    srv = FlightServer("grpc://127.0.0.1:0", auth_handler=auth)
+    srv.register("t", at.Table.from_pydict({"x": np.arange(4)}))
+    try:
+        # no token: every non-handshake RPC is rejected w/ trailers
+        anon = FlightTableClient(srv.uri)
+        with pytest.raises(FlightError) as ei:
+            anon.do_get("t")
+        assert ei.value.code == grpc.StatusCode.UNAUTHENTICATED
+        assert ei.value.trailers.get("x-arrow-error-class") == \
+            "FlightUnauthenticated"
+        anon.close()
+        # wrong password: handshake itself fails
+        bad = FlightTableClient(srv.uri)
+        with pytest.raises(FlightError) as ei:
+            bad.authenticate_basic_token("alice", "wrong")
+        assert ei.value.code == grpc.StatusCode.UNAUTHENTICATED
+        bad.close()
+        # valid: token issued, bearer header unlocks calls
+        cli = FlightTableClient(srv.uri)
+        token = cli.authenticate_basic_token("alice", "secret")
+        assert token and auth.peer_identity(token.decode()) == "alice"
+        out = cli.do_get("t")
+        assert out.num_rows == 4
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_flight_middleware_headers_and_rejection():
+    import grpc
+    import numpy as np
+    import pytest
+    import arrow_tpu as at
+    from arrow_tpu.io.flight import (FlightServer, FlightTableClient,
+                                     FlightUnauthenticated, FlightError)
+
+    seen = []
+
+    class Recorder:
+        def start_call(self, method, metadata):
+            seen.append((method, metadata.get("x-tenant")))
+            return {"x-served-by": "arrow-tpu"}
+
+    class TenantGate:
+        def start_call(self, method, metadata):
+            if method != "Handshake" and \
+                    metadata.get("x-tenant") != "good":
+                raise FlightUnauthenticated("unknown tenant")
+
+    srv = FlightServer("grpc://127.0.0.1:0",
+                       middleware=(Recorder(), TenantGate()))
+    srv.register("t", at.Table.from_pydict({"x": np.arange(3)}))
+    try:
+        cli = FlightTableClient(srv.uri)
+        with pytest.raises(FlightError) as ei:
+            cli.do_get("t")            # no x-tenant header
+        assert ei.value.code == grpc.StatusCode.UNAUTHENTICATED
+        cli.add_header("x-tenant", "good")
+        assert cli.do_get("t").num_rows == 3
+        assert ("DoGet", "good") in seen
+        cli.close()
+    finally:
+        srv.shutdown()
