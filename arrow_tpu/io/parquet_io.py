@@ -106,17 +106,55 @@ class ParquetReaderBuilder:
         return self
 
     def build(self) -> Iterator[Table]:
+        """Streaming scan with row-group PREFETCH: while batch N's rows
+        are consumed, row group N+1 fetches + decodes on a background
+        thread (the reference's ParquetRecordBatchStream overlap,
+        parquet/src/arrow/async_reader/mod.rs:712 — polling the next
+        range concurrently with downstream consumption).  Depth via
+        ARROW_TPU_PARQUET_PREFETCH (default 1, 0 = synchronous)."""
+        import os
         from .parquet_native import ParquetFile
         f = ParquetFile(self.path, decryption=self.decryption)
-        remaining = self.limit
-        to_skip = self.offset
-        groups = self.row_groups if self.row_groups is not None \
-            else range(len(f.row_groups))
+        groups = list(self.row_groups if self.row_groups is not None
+                      else range(len(f.row_groups)))
         if self.bloom_probe is not None:
             keep = set(f.prune_row_groups(*self.bloom_probe))
             groups = [g for g in groups if g in keep]
-        for gi in groups:
-            rg_table = f.read_row_group(gi, columns=self.columns)
+        depth = int(os.environ.get("ARROW_TPU_PARQUET_PREFETCH", "1"))
+        if depth <= 0 or len(groups) <= 1:
+            tables = (f.read_row_group(gi, columns=self.columns)
+                      for gi in groups)
+            yield from self._emit(tables)
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=depth,
+                                thread_name_prefix="pq-prefetch")
+        try:
+            def tables():
+                pending = deque()
+                it = iter(groups)
+                for _ in range(depth):
+                    gi = next(it, None)
+                    if gi is not None:
+                        pending.append(ex.submit(
+                            f.read_row_group, gi, columns=self.columns))
+                while pending:
+                    done = pending.popleft().result()
+                    gi = next(it, None)
+                    if gi is not None:
+                        pending.append(ex.submit(
+                            f.read_row_group, gi, columns=self.columns))
+                    yield done
+            yield from self._emit(tables())
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+
+    def _emit(self, rg_tables) -> Iterator[Table]:
+        """Batch slicing + filter/offset/limit over decoded row groups."""
+        remaining = self.limit
+        to_skip = self.offset
+        for rg_table in rg_tables:
             for start in range(0, max(rg_table.num_rows, 1),
                                self.batch_size):
                 if start >= rg_table.num_rows and rg_table.num_rows > 0:

@@ -1050,10 +1050,17 @@ class _Source:
     def __init__(self, source):
         self._f = None
         self._buf = None
+        self._ranged = None
         if isinstance(source, str):
             self._f = open(source, "rb")
         elif isinstance(source, (bytes, bytearray, memoryview)):
             self._buf = bytes(source)
+        elif hasattr(source, "get_range") and hasattr(source, "size"):
+            # pluggable remote range source (the ObjectStore role of
+            # async_reader/store.rs): object with .size() -> int and
+            # .get_range(offset, length) -> bytes; must be thread-safe
+            # (the decode pool and prefetcher call it concurrently)
+            self._ranged = source
         elif hasattr(source, "seek") and hasattr(source, "read"):
             self._f = source
         elif hasattr(source, "read"):
@@ -1065,6 +1072,8 @@ class _Source:
             self._lock = threading.Lock()
             self._f.seek(0, 2)
             self._size = self._f.tell()
+        elif self._ranged is not None:
+            self._size = int(self._ranged.size())
         else:
             self._size = len(self._buf)
 
@@ -1075,6 +1084,8 @@ class _Source:
     def range(self, off: int, ln: int) -> bytes:
         if self._buf is not None:
             return self._buf[off:off + ln]
+        if self._ranged is not None:
+            return self._ranged.get_range(off, ln)
         with self._lock:    # seek+read must be atomic under threads
             self._f.seek(off)
             return self._f.read(ln)
