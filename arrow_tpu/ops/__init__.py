@@ -52,7 +52,8 @@ from .bitwise import (  # noqa: F401
     bitwise_shift_left, bitwise_shift_right,
 )
 from .coalesce import BatchCoalescer  # noqa: F401
-from .groupby import group_by, AggSpec, segment_aggregate  # noqa: F401
+from .groupby import (group_by, AggSpec, GroupByAccumulator,  # noqa: F401
+                      segment_aggregate)
 from .join import join, join_indices  # noqa: F401
 from .strings import (  # noqa: F401
     dictionary_encode, dictionary_decode,

@@ -1958,109 +1958,166 @@ def _empty_agg(table: Table, a: AggSpec):
 _SORT_AGG_CHUNK = 125_000_000
 
 
-def _group_by_chunked(table: Table, keys, aggs, n: int) -> Table:
-    """Two-level grouped aggregation for inputs past the single-program
-    HBM budget (the DataFusion partial/final AggregateMode shape): each
-    row chunk aggregates locally with DECOMPOSED aggregates (mean ->
-    sum + count), the small per-chunk group tables concatenate, and one
-    final group_by merges them (sum/count -> sum, min -> min,
-    max -> max).  Integer sums stay exact (wrapping addition is
-    associative mod 2^w); float sums compose chunk prefix-sum
-    differences — same deterministic-semantics class as the unchunked
-    path."""
-    import math
-    from .concat import concat_tables
-    k = math.ceil(n / _SORT_AGG_CHUNK)
-    q = math.ceil(n / k)
+class GroupByAccumulator:
+    """STREAMING two-level grouped aggregation (the DataFusion
+    partial/final AggregateMode shape; reference composition
+    arrow-ord/src/partition.rs + arrow-arith/src/aggregate.rs:98): feed
+    row chunks with update(), each aggregates locally with DECOMPOSED
+    aggregates (mean -> sum + count), the small per-chunk group tables
+    accumulate (re-compacting by a partial merge when they grow), and
+    finalize() runs one final merge (sum/count -> sum, min -> min,
+    max -> max).
 
-    partial_specs = []
-    merge_plan = []   # (out_name, kind, part names...)
-    seen = {}
+    Integer sums stay exact (wrapping addition is associative mod 2^w);
+    float sums compose chunk prefix-sum differences — the same
+    deterministic-semantics class as the unchunked path.
 
-    def add_partial(col, op):
-        key = (col, op)
-        if key not in seen:
-            seen[key] = f"__p{len(partial_specs)}"
-            partial_specs.append(AggSpec(col, op, seen[key]))
-        return seen[key]
+    This is the out-of-HBM path: a 500M-row x 10M-group aggregate never
+    materializes the input — chunks stream through while only the
+    per-chunk group tables stay resident."""
 
-    wide_cols = {}
+    # accumulated partial rows beyond this re-compact via partial merge
+    COMPACT_ROWS = 150_000_000
 
-    def mean_source(colname):
-        # mean needs the TRUE sum: partial sums are emitted in the
-        # SOURCE dtype, so narrow ints/bools/f32 must widen first or
-        # each chunk's partial wraps/rounds before the final divide
-        src = table.column(colname)
-        d = src.dtype
-        if d.name in ("int64", "uint64", "float64"):
-            return colname
-        wname = f"__wide_{colname}"
-        if wname not in wide_cols:
-            from .cast import cast as _cast
-            wide_cols[wname] = _cast(
-                src, dt.float64 if d.is_floating else dt.int64)
-        return wname
+    def __init__(self, keys: Sequence[str], aggs: Sequence[AggSpec]):
+        self.keys = list(keys)
+        self.aggs = list(aggs)
+        self._parts: list = []
+        self._part_rows = 0
+        self._plan = None       # built from the first chunk's dtypes
 
-    for a in aggs:
-        if a.op == "mean":
-            s = add_partial(mean_source(a.column), "sum")
-            c = add_partial(a.column, "count")
-            merge_plan.append((a.out_name, "mean", s, c))
-        elif a.op in ("count", "count_all"):
-            merge_plan.append((a.out_name, "recount",
-                               add_partial(a.column, a.op)))
-        else:
-            merge_plan.append((a.out_name, a.op,
-                               add_partial(a.column, a.op)))
+    def _build_plan(self, table: Table):
+        partial_specs = []
+        merge_plan = []   # (out_name, kind, part names...)
+        seen = {}
+        wide_specs = {}
+        src_dtypes = {}
 
-    if wide_cols:
-        table = Table(
-            tuple(table.columns) + tuple(wide_cols.values()),
+        def add_partial(col, op):
+            key = (col, op)
+            if key not in seen:
+                seen[key] = f"__p{len(partial_specs)}"
+                partial_specs.append(AggSpec(col, op, seen[key]))
+            return seen[key]
+
+        def mean_source(colname):
+            # mean needs the TRUE sum: partial sums are emitted in the
+            # SOURCE dtype, so narrow ints/bools/f32 must widen first
+            # or each chunk's partial wraps/rounds before the divide
+            d = table.column(colname).dtype
+            if d.name in ("int64", "uint64", "float64"):
+                return colname
+            wname = f"__wide_{colname}"
+            wide_specs[wname] = (
+                colname, dt.float64 if d.is_floating else dt.int64)
+            return wname
+
+        for a in self.aggs:
+            src_dtypes[a.column] = table.column(a.column).dtype
+            if a.op == "mean":
+                s = add_partial(mean_source(a.column), "sum")
+                c = add_partial(a.column, "count")
+                merge_plan.append((a.out_name, "mean", s, c))
+            elif a.op in ("count", "count_all"):
+                merge_plan.append((a.out_name, "recount",
+                                   add_partial(a.column, a.op)))
+            else:
+                merge_plan.append((a.out_name, a.op,
+                                   add_partial(a.column, a.op)))
+        self._plan = (partial_specs, merge_plan, wide_specs, src_dtypes)
+
+    def _merge_specs(self):
+        """Partial-to-partial merge (keeps partial names): sums/counts
+        add, min/min max/max."""
+        partial_specs = self._plan[0]
+        return [AggSpec(p.out_name,
+                        "sum" if p.op in ("sum", "count", "count_all")
+                        else p.op, p.out_name)
+                for p in partial_specs]
+
+    def _widen(self, table: Table) -> Table:
+        wide_specs = self._plan[2]
+        if not wide_specs:
+            return table
+        from .cast import cast as _cast
+        extra = {nm: _cast(table.column(src), d)
+                 for nm, (src, d) in wide_specs.items()}
+        return Table(
+            tuple(table.columns) + tuple(extra.values()),
             dt.Schema(tuple(table.schema.fields)
                       + tuple(dt.Field(nm, c.dtype)
-                              for nm, c in wide_cols.items())))
-    parts = [group_by(table.slice(i * q, min(q, n - i * q)), keys,
-                      partial_specs) for i in range(k)]
-    merged = concat_tables(parts)
+                              for nm, c in extra.items())))
 
-    final_specs = []
-    for name, kind, *pnames in merge_plan:
-        if kind == "mean":
-            final_specs.append(AggSpec(pnames[0], "sum", name + "#s"))
-            final_specs.append(AggSpec(pnames[1], "sum", name + "#c"))
-        elif kind == "recount":
-            final_specs.append(AggSpec(pnames[0], "sum", name))
-        else:
-            final_specs.append(AggSpec(pnames[0], kind, name))
-    out = group_by(merged, keys, final_specs)
+    def update(self, chunk: Table) -> None:
+        if self._plan is None:
+            self._build_plan(chunk)
+        part = group_by(self._widen(chunk), self.keys, self._plan[0])
+        self._parts.append(part)
+        self._part_rows += part.num_rows
+        if self._part_rows > self.COMPACT_ROWS and len(self._parts) > 1:
+            from .concat import concat_tables
+            merged = group_by(concat_tables(self._parts), self.keys,
+                              self._merge_specs())
+            self._parts = [merged]
+            self._part_rows = merged.num_rows
 
-    out_cols = list(out.columns[:len(keys)])
-    fields = [out.schema.field(kname) for kname in keys]
-    for a, (name, kind, *pnames) in zip(aggs, merge_plan):
-        src = table.column(a.column)
-        out_dt = _agg_dtype(src.dtype, a.op)
-        if kind == "mean":
-            s_col = out.column(name + "#s")
-            c_col = out.column(name + "#c")
-            m = s_col.values.astype(jnp.float64) / \
-                jnp.maximum(c_col.values, 1).astype(jnp.float64)
-            gvalid = c_col.values > 0
-            mask = None if bool(jnp.all(gvalid)) else gvalid
-            out_cols.append(PrimitiveColumn(m, dt.float64, mask))
-            fields.append(dt.Field(name, dt.float64))
-        elif kind == "recount":
-            c = out.column(name)
-            out_cols.append(PrimitiveColumn(
-                vd.canonicalize(c.values, c.validity), dt.int64,
-                _canonical=True))
-            fields.append(dt.Field(name, dt.int64, nullable=False))
-        else:
-            c = out.column(name)
-            out_cols.append(PrimitiveColumn(
-                c.values.astype(out_dt.to_jax()), out_dt, c.validity,
-                _canonical=True))
-            fields.append(dt.Field(name, out_dt))
-    return Table(tuple(out_cols), dt.Schema(tuple(fields)))
+    def finalize(self) -> Table:
+        if self._plan is None:
+            raise ArrowInvalid("GroupByAccumulator saw no chunks")
+        from .concat import concat_tables
+        partial_specs, merge_plan, _, src_dtypes = self._plan
+        merged = self._parts[0] if len(self._parts) == 1 \
+            else concat_tables(self._parts)
+
+        final_specs = []
+        for name, kind, *pnames in merge_plan:
+            if kind == "mean":
+                final_specs.append(AggSpec(pnames[0], "sum", name + "#s"))
+                final_specs.append(AggSpec(pnames[1], "sum", name + "#c"))
+            elif kind == "recount":
+                final_specs.append(AggSpec(pnames[0], "sum", name))
+            else:
+                final_specs.append(AggSpec(pnames[0], kind, name))
+        out = group_by(merged, self.keys, final_specs)
+
+        out_cols = list(out.columns[:len(self.keys)])
+        fields = [out.schema.field(kname) for kname in self.keys]
+        for a, (name, kind, *pnames) in zip(self.aggs, merge_plan):
+            out_dt = _agg_dtype(src_dtypes[a.column], a.op)
+            if kind == "mean":
+                s_col = out.column(name + "#s")
+                c_col = out.column(name + "#c")
+                m = s_col.values.astype(jnp.float64) / \
+                    jnp.maximum(c_col.values, 1).astype(jnp.float64)
+                gvalid = c_col.values > 0
+                mask = None if bool(jnp.all(gvalid)) else gvalid
+                out_cols.append(PrimitiveColumn(m, dt.float64, mask))
+                fields.append(dt.Field(name, dt.float64))
+            elif kind == "recount":
+                c = out.column(name)
+                out_cols.append(PrimitiveColumn(
+                    vd.canonicalize(c.values, c.validity), dt.int64,
+                    _canonical=True))
+                fields.append(dt.Field(name, dt.int64, nullable=False))
+            else:
+                c = out.column(name)
+                out_cols.append(PrimitiveColumn(
+                    c.values.astype(out_dt.to_jax()), out_dt, c.validity,
+                    _canonical=True))
+                fields.append(dt.Field(name, out_dt))
+        return Table(tuple(out_cols), dt.Schema(tuple(fields)))
+
+
+def _group_by_chunked(table: Table, keys, aggs, n: int) -> Table:
+    """Out-of-HBM grouped aggregation over a materialized input: slice
+    into chunks and stream them through GroupByAccumulator."""
+    import math
+    k = math.ceil(n / _SORT_AGG_CHUNK)
+    q = math.ceil(n / k)
+    acc = GroupByAccumulator(keys, aggs)
+    for i in range(k):
+        acc.update(table.slice(i * q, min(q, n - i * q)))
+    return acc.finalize()
 
 
 def _agg_dtype(src: dt.DataType, op: str) -> dt.DataType:

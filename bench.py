@@ -55,6 +55,36 @@ def _fetch(x) -> float:
     return float(np.asarray(x).ravel()[0])
 
 
+def _child(unit: str, budget=None):
+    """Run one bench unit in an ISOLATED child process and return its
+    last-stdout-line JSON.  The orchestrator process never initializes
+    JAX: a unit that OOMs the remote TPU arena (or SIGSEGVs the remote
+    compiler) dies with its process instead of poisoning every
+    subsequent allocation (observed: one config4 OOM cascaded into
+    config5 + all pallas_smoke kernels in the shared-process run)."""
+    import subprocess
+    import sys
+    budget = min(_left(), budget if budget is not None else 1500.0)
+    env = dict(os.environ, ARROW_TPU_BENCH_BUDGET=str(max(budget, 120)))
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", unit],
+            capture_output=True, text=True, env=env,
+            timeout=budget + 180)
+    except subprocess.TimeoutExpired:
+        return {"error": f"{unit}: child timeout after {budget:.0f}s"}
+    for line in reversed(p.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    tail = (p.stderr or p.stdout or "").strip().splitlines()[-3:]
+    return {"error": f"{unit}: child exit {p.returncode}: "
+                     + " | ".join(tail)[:300]}
+
+
 # ---------------------------------------------------------------------------
 
 def config1():
@@ -313,37 +343,115 @@ def config3():
             "baseline": "pyarrow sort_indices @10M (host CPU)"}
 
 
-def config4():
-    """Hash aggregate: 500M rows x 1K groups and 100M rows x 10M groups,
-    SUM/COUNT/MIN/MAX."""
+def config4_variant(groups: int, n: int):
+    """ONE (cardinality, size) group-by measurement; runs in its own
+    process (an OOM poisons the remote device arena for the rest of the
+    process — isolation keeps one failed size from cascading into the
+    retries, the next configs, and pallas_smoke, as BENCH r3 run 1
+    showed)."""
     import jax
     import jax.numpy as jnp
-    import arrow_tpu as at
     from arrow_tpu import dtypes as dtp
     from arrow_tpu.core.column import PrimitiveColumn
     from arrow_tpu.core.table import Table
     from arrow_tpu.ops.groupby import group_by, AggSpec
 
-    def gen(n, groups, seed):
-        @jax.jit
-        def g():
-            i = jnp.arange(n, dtype=jnp.uint64) + jnp.uint64(seed)
-            h = (i ^ (i >> jnp.uint64(30))) \
-                * jnp.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> jnp.uint64(27))) \
-                * jnp.uint64(0x94D049BB133111EB)
-            key = (h % jnp.uint64(groups)).astype(jnp.int64)
-            val = (h >> jnp.uint64(32)).astype(jnp.int64) % 1000
-            return key, val
-        return g()
+    @jax.jit
+    def g():
+        i = jnp.arange(n, dtype=jnp.uint64) + jnp.uint64(7)
+        h = (i ^ (i >> jnp.uint64(30))) \
+            * jnp.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> jnp.uint64(27))) \
+            * jnp.uint64(0x94D049BB133111EB)
+        key = (h % jnp.uint64(groups)).astype(jnp.int64)
+        val = (h >> jnp.uint64(32)).astype(jnp.int64) % 1000
+        return key, val
 
+    aggs = [AggSpec("v", "sum"), AggSpec("v", "count"),
+            AggSpec("v", "min"), AggSpec("v", "max")]
+
+    # past ~250M rows the MATERIALIZED input (8 GB key+val at 500M) plus
+    # sort temporaries exceed 15.75 GB HBM: stream device-generated
+    # chunks through GroupByAccumulator instead (input never resident)
+    STREAM_AT, CH = 300_000_000, 125_000_000
+    try:
+        if n >= STREAM_AT and groups > 100_000:
+            from arrow_tpu.ops.groupby import GroupByAccumulator
+
+            @jax.jit
+            def g_chunk(off):
+                i = (jnp.arange(CH, dtype=jnp.uint64)
+                     + off.astype(jnp.uint64) + jnp.uint64(7))
+                h = (i ^ (i >> jnp.uint64(30))) \
+                    * jnp.uint64(0xBF58476D1CE4E5B9)
+                h = (h ^ (h >> jnp.uint64(27))) \
+                    * jnp.uint64(0x94D049BB133111EB)
+                key = (h % jnp.uint64(groups)).astype(jnp.int64)
+                val = (h >> jnp.uint64(32)).astype(jnp.int64) % 1000
+                return key, val
+
+            def run():
+                acc = GroupByAccumulator(["k"], aggs)
+                done = 0
+                while done < n:
+                    m = min(CH, n - done)
+                    key, val = g_chunk(jnp.int64(done))
+                    t = Table((PrimitiveColumn(key[:m], dtp.int64),
+                               PrimitiveColumn(val[:m], dtp.int64)),
+                              dtp.Schema((dtp.Field("k", dtp.int64),
+                                          dtp.Field("v", dtp.int64))))
+                    acc.update(t)
+                    del key, val, t
+                    done += m
+                out = acc.finalize()
+                _fetch(out.column("v_sum").values[:1])
+                return out
+            t0 = time.perf_counter()
+            out = run()
+            warm = time.perf_counter() - t0
+            del out
+            t0 = time.perf_counter()
+            out = run()
+            dt_s = time.perf_counter() - t0
+            return {"rows_per_s": round(n / dt_s),
+                    "elapsed_s": round(dt_s, 3),
+                    "first_call_s": round(warm, 1), "rows": n,
+                    "plan": f"streamed {CH // 1_000_000}M chunks "
+                            "(GroupByAccumulator)"}
+
+        key, val = g()
+        t = Table((PrimitiveColumn(key, dtp.int64),
+                   PrimitiveColumn(val, dtp.int64)),
+                  dtp.Schema((dtp.Field("k", dtp.int64),
+                              dtp.Field("v", dtp.int64))))
+        t0 = time.perf_counter()
+        out = group_by(t, ["k"], aggs)
+        _fetch(out.column("v_sum").values[:1])
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = group_by(t, ["k"], aggs)
+        _fetch(out.column("v_sum").values[:1])
+        dt_s = time.perf_counter() - t0
+        return {"rows_per_s": round(n / dt_s),
+                "elapsed_s": round(dt_s, 3),
+                "first_call_s": round(warm, 1), "rows": n}
+    except jax.errors.JaxRuntimeError as e:
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        return {"oom_at": n}
+
+
+def config4():
+    """Hash aggregate: 500M rows x 1K groups and 100M rows x 10M groups,
+    SUM/COUNT/MIN/MAX.  Orchestrator-side: each (cardinality, size)
+    attempt is an isolated child process (see config4_variant)."""
     results = {}
     # BASELINE.md:50 spec scale: 500M rows at BOTH cardinalities.  Both
     # paths self-chunk (bin path at _BIN_CHUNK; high-card via
     # _group_by_chunked -> packed-sort per 125M chunk + partial
     # re-group), so 8 GB of key+val coexists with chunk temporaries in
     # 15.75 GB HBM; on ResourceExhausted the variant falls back one size
-    # and records it.
+    # (in a FRESH process) and records the OOM ceiling.
     for sizes, groups, tag in (((500_000_000, 250_000_000), 1_000,
                                 "500M_1K"),
                                ((500_000_000, 250_000_000, 100_000_000),
@@ -351,39 +459,21 @@ def config4():
         if _left() < 300:
             results[tag] = "skipped (budget)"
             continue
-        aggs = [AggSpec("v", "sum"), AggSpec("v", "count"),
-                AggSpec("v", "min"), AggSpec("v", "max")]
+        oom_ceiling = None
         for n in sizes:
-            try:
-                key, val = gen(n, groups, 7)
-                t = Table((PrimitiveColumn(key, dtp.int64),
-                           PrimitiveColumn(val, dtp.int64)),
-                          dtp.Schema((dtp.Field("k", dtp.int64),
-                                      dtp.Field("v", dtp.int64))))
-                t0 = time.perf_counter()
-                out = group_by(t, ["k"], aggs)
-                _fetch(out.column("v_sum").values[:1])
-                warm = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                out = group_by(t, ["k"], aggs)
-                _fetch(out.column("v_sum").values[:1])
-                dt_s = time.perf_counter() - t0
-                del out, key, val, t
-                results[tag] = {"rows_per_s": round(n / dt_s),
-                                "elapsed_s": round(dt_s, 3),
-                                "first_call_s": round(warm, 1),
-                                "rows": n}
+            r = _child(f"config4v:{groups}:{n}")
+            if isinstance(r, dict) and "oom_at" in r:
+                oom_ceiling = max(oom_ceiling or 0, r["oom_at"])
+                continue
+            if isinstance(r, dict) and "rows_per_s" in r:
+                if oom_ceiling:
+                    r["oom_at"] = oom_ceiling
+                results[tag] = r
                 break
-            except jax.errors.JaxRuntimeError as e:
-                if "RESOURCE_EXHAUSTED" not in str(e):
-                    raise
-                # free the failed attempt's arrays BEFORE retrying one
-                # size down, or the retry inherits the OOM
-                key = val = t = out = None  # noqa: F841
-                prev = results.get(tag)
-                results[tag] = {"oom_at": n}
-                if isinstance(prev, dict) and "oom_at" in prev:
-                    results[tag]["oom_at"] = max(n, prev["oom_at"])
+            results[tag] = r          # error dict: record and stop
+            break
+        else:
+            results[tag] = {"oom_at": oom_ceiling}
 
     # baselines: pyarrow group_by at 50M rows, SAME cardinality as each
     # variant (a 1K-group hash table and a 10M-entry one are different
@@ -417,12 +507,11 @@ def config4():
                         "cardinality (host CPU)"}
 
 
-def config5():
-    """Hash join: 100M probe x 10M build, Zipf-ish keys, single chip
-    (the >=2-host variant runs in dryrun_multichip via dist_join)."""
+def config5v():
+    """Join measurement child: 100M probe x 10M build, Zipf-ish keys,
+    single chip (isolated process; see _child)."""
     import jax
     import jax.numpy as jnp
-    import arrow_tpu as at
     from arrow_tpu import dtypes as dtp
     from arrow_tpu.core.column import PrimitiveColumn
     from arrow_tpu.core.table import Table
@@ -459,29 +548,21 @@ def config5():
     dt_s = time.perf_counter() - t0
     ours = NP / dt_s
     del li, ri, pk, bk
+    return {"probe_rows_per_s": round(ours), "elapsed_s": round(dt_s, 3),
+            "first_call_s": round(warm, 1), "pairs": n_out}
 
-    # baseline: pyarrow acero join at 10M x 1M
-    import pyarrow as pa
-    MP, MB = 10_000_000, 1_000_000
-    rng = np.random.default_rng(4)
-    pk_np = rng.integers(0, 2_000_000, MP)
-    bk_np = np.arange(MB) * 2
-    lt = pa.table({"k": pk_np})
-    rt = pa.table({"k": bk_np, "w": bk_np * 3})
-    t0 = time.perf_counter()
-    lt.join(rt, "k", join_type="inner")
-    base = MP / (time.perf_counter() - t0)
-    out = {"metric": "join_100Mx10M_probe_rows_per_s",
-           "value": round(ours), "unit": "rows/s",
-           "vs_baseline": round(ours / base, 3),
-           "elapsed_s": round(dt_s, 3), "first_call_s": round(warm, 1),
-           "pairs": n_out, "baseline_rows_per_s": round(base),
-           "baseline": "pyarrow acero join @10Mx1M (host CPU)"}
 
-    # --- spec scale (BASELINE.md:51): 1B probe x 100M build, streamed
-    # through HashJoiner (build index once, probe 125M-row chunks
-    # generated on device; fused probe+reduce keeps pairs out of HBM)
-    if _left() >= 400:
+def config5spec():
+    """Spec-scale join child (BASELINE.md:51): 1B probe x 100M build,
+    streamed through HashJoiner (build index once, probe 125M-row
+    chunks generated on device; fused probe+reduce keeps pairs out of
+    HBM).  Isolated process."""
+    import jax
+    import jax.numpy as jnp
+    from arrow_tpu import dtypes as dtp
+    from arrow_tpu.core.column import PrimitiveColumn
+    from arrow_tpu.core.table import Table
+    if True:
         from arrow_tpu.ops.join import HashJoiner
         NB2, NP2, CH = 100_000_000, 1_000_000_000, 125_000_000
         bk2 = jnp.arange(NB2, dtype=jnp.int64) * 2      # unique keys
@@ -516,19 +597,53 @@ def config5():
                 chk2 += k
                 del pk2, chunk
             dt2 = time.perf_counter() - t0
-            out["spec_1Bx100M"] = {
+            return {
                 "probe_rows_per_s": round(NP2 / dt2),
                 "elapsed_s": round(dt2, 3),
                 "build_s": round(build_s, 2),
                 "plan": joiner._plan, "pairs": pairs2,
-                "build_checksum": chk2,
-                "vs_baseline": round(NP2 / dt2 / base, 3)}
-            del joiner
+                "build_checksum": chk2}
         except jax.errors.JaxRuntimeError as e:
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            out["spec_1Bx100M"] = {"oom": True}
-        del bk2, right2
+            return {"oom": True}
+
+
+def config5():
+    """Hash join orchestrator: isolated children for the 100Mx10M
+    measurement and the 1Bx100M spec-scale stream; pyarrow acero
+    baseline computed here (CPU only)."""
+    import pyarrow as pa
+    MP, MB = 10_000_000, 1_000_000
+    rng = np.random.default_rng(4)
+    pk_np = rng.integers(0, 2_000_000, MP)
+    bk_np = np.arange(MB) * 2
+    lt = pa.table({"k": pk_np})
+    rt = pa.table({"k": bk_np, "w": bk_np * 3})
+    t0 = time.perf_counter()
+    lt.join(rt, "k", join_type="inner")
+    base = MP / (time.perf_counter() - t0)
+    del lt, rt, pk_np, bk_np
+
+    r = _child("config5v")
+    out = {"metric": "join_100Mx10M_probe_rows_per_s",
+           "unit": "rows/s", "baseline_rows_per_s": round(base),
+           "baseline": "pyarrow acero join @10Mx1M (host CPU)"}
+    if isinstance(r, dict) and "probe_rows_per_s" in r:
+        out.update({"value": r["probe_rows_per_s"],
+                    "vs_baseline": round(r["probe_rows_per_s"] / base, 3),
+                    "elapsed_s": r.get("elapsed_s"),
+                    "first_call_s": r.get("first_call_s"),
+                    "pairs": r.get("pairs")})
+    else:
+        out.update({"value": 0, "vs_baseline": 0,
+                    "error": r.get("error", r) if isinstance(r, dict)
+                    else r})
+    if _left() >= 400:
+        s = _child("config5spec")
+        if isinstance(s, dict) and "probe_rows_per_s" in s:
+            s["vs_baseline"] = round(s["probe_rows_per_s"] / base, 3)
+        out["spec_1Bx100M"] = s
     else:
         out["spec_1Bx100M"] = "skipped (budget)"
     return out
@@ -781,28 +896,38 @@ def _probe_backend(timeout_s: float = 300.0):
         return f"backend probe timed out after {timeout_s:.0f}s (tunnel down)"
 
 
-def main():
+def _run_one(unit: str) -> None:
+    """Child entry (--one): probe the backend, run ONE unit, print its
+    JSON as the last stdout line."""
     err = _probe_backend()
     if err is not None:
-        print(json.dumps({"metric": "filter_arith_10M_rows_per_s",
-                          "value": 0, "unit": "rows/s", "vs_baseline": 0,
-                          "error": err}), flush=True)
+        print(json.dumps({"error": err}), flush=True)
         raise SystemExit(1)
-    try:
-        import arrow_tpu  # noqa: F401 (x64 on; default backend = tpu)
-    except Exception as e:                        # noqa: BLE001
-        # backend init failure (e.g. "UNAVAILABLE: TPU backend setup")
-        # must still leave a diagnostic headline line for the driver
-        print(json.dumps({"metric": "filter_arith_10M_rows_per_s",
-                          "value": 0, "unit": "rows/s", "vs_baseline": 0,
-                          "error": f"backend init: {repr(e)[:300]}"}),
-              flush=True)
-        raise
+    import arrow_tpu  # noqa: F401 (x64 on; default backend = tpu)
+    if unit.startswith("config4v:"):
+        _, groups, n = unit.split(":")
+        r = config4_variant(int(groups), int(n))
+    else:
+        fn = {"config1": config1, "config2": config2,
+              "config3": config3, "config5v": config5v,
+              "config5spec": config5spec, "config_io": config_io,
+              "pallas_smoke": pallas_smoke}[unit]
+        r = fn()
+    print(json.dumps(r), flush=True)
+
+
+def main():
+    """Orchestrator: every unit runs in an isolated child process (this
+    process never initializes JAX — see _child).  Prints one JSON line
+    per config, headline LAST (the driver records the last line)."""
     results = {}
     headline = None
-    order = [("config1", config1), ("config2", config2),
-             ("config3", config3), ("config4", config4),
-             ("config5", config5), ("config_io", config_io)]
+    order = [("config1", lambda: _child("config1")),
+             ("config2", lambda: _child("config2")),
+             ("config3", lambda: _child("config3")),
+             ("config4", config4),          # orchestrates its own children
+             ("config5", config5),          # orchestrates its own children
+             ("config_io", lambda: _child("config_io"))]
     for name, fn in order:
         if name != "config1" and _left() < 120:
             results[name] = {"skipped": "budget"}
@@ -819,18 +944,12 @@ def main():
             print(json.dumps({"metric": name,
                               "error": repr(e)[:200]}), flush=True)
             traceback.print_exc()
-        finally:
-            # drop exception frames + dead device buffers before the
-            # next config (a live traceback pins multi-GB HBM arrays)
-            import gc
-            import sys as _sys
-            if hasattr(_sys, "last_traceback"):
-                del _sys.last_traceback
-            gc.collect()
-    smoke = pallas_smoke()
-    if headline is None:
+    smoke = _child("pallas_smoke") if _left() > 60 else {
+        "skipped": "budget"}
+    if headline is None or "value" not in headline:
         headline = {"metric": "filter_arith_10M_rows_per_s", "value": 0,
-                    "unit": "rows/s", "vs_baseline": 0}
+                    "unit": "rows/s", "vs_baseline": 0,
+                    "error": (headline or {}).get("error")}
     headline = dict(headline)
     headline["configs"] = {k: v for k, v in results.items()
                            if k != "config1"}
@@ -839,4 +958,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if len(_sys.argv) >= 3 and _sys.argv[1] == "--one":
+        _run_one(_sys.argv[2])
+    else:
+        main()

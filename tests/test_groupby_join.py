@@ -693,3 +693,41 @@ def test_hash_joiner_null_keys_and_empty():
     assert li.shape[0] == 0
     c, k = j.probe_count(left)
     assert (c, k) == (2, 10)
+
+
+def test_group_by_accumulator_streaming_matches_oneshot():
+    """GroupByAccumulator (streaming partial/final) == one-shot group_by
+    for sum/count/min/max/mean incl. narrow-dtype mean widening and the
+    partial-compaction path."""
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu.ops.groupby import (group_by, AggSpec,
+                                       GroupByAccumulator)
+    rng = np.random.default_rng(11)
+    N = 120_000
+    t = at.Table.from_pydict({
+        "k": rng.integers(0, 3000, N),
+        "v": rng.integers(-100, 100, N).astype(np.int32),
+        "f": rng.random(N).astype(np.float32)})
+    aggs = [AggSpec("v", "sum"), AggSpec("v", "count"),
+            AggSpec("v", "min"), AggSpec("v", "max"),
+            AggSpec("f", "mean"), AggSpec("v", "mean")]
+
+    def norm(tb):
+        idx = np.argsort(np.asarray(tb.column("k").values))
+        return {f.name: np.asarray(c.values)[idx]
+                for f, c in zip(tb.schema.fields, tb.columns)}
+
+    a = norm(group_by(t, ["k"], aggs))
+    acc = GroupByAccumulator(["k"], aggs)
+    acc.COMPACT_ROWS = 5000        # force mid-stream partial compaction
+    for i in range(0, N, 25_000):
+        acc.update(t.slice(i, min(25_000, N - i)))
+    assert len(acc._parts) == 1    # compaction actually ran
+    b = norm(acc.finalize())
+    assert set(a) == set(b)
+    for kk in a:
+        if a[kk].dtype.kind == "f":
+            assert np.allclose(a[kk], b[kk], rtol=1e-12), kk
+        else:
+            assert (a[kk] == b[kk]).all(), kk
