@@ -27,8 +27,13 @@ __all__ = ["MemoryPool", "TrackingMemoryPool", "MemoryReservation",
 
 
 def _nbytes(x) -> int:
-    return int(np.dtype(x.dtype).itemsize * int(np.prod(x.shape))) \
-        if hasattr(x, "dtype") else 0
+    if not (hasattr(x, "dtype") and hasattr(x, "shape")):
+        return 0
+    try:
+        item = np.dtype(x.dtype).itemsize
+    except TypeError:      # non-tensor leaf (e.g. NullColumn's dtype tag)
+        return 0
+    return int(item * int(np.prod(x.shape)))
 
 
 def column_memory_size(col: Column) -> int:

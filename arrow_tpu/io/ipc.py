@@ -331,10 +331,24 @@ def write_stream(sink, tables, compression: Optional[str] = None) -> None:
     tables = [tables] if isinstance(tables, Table) else list(tables)
     if not tables:
         raise ArrowInvalid("write_stream of zero batches")
+    presized = None
+    if isinstance(sink, _io.BytesIO) and compression is None:
+        # pre-size the BytesIO to the payload estimate: growth-by-
+        # doubling re-copies the whole stream ~log(n) times and was the
+        # single hottest line of a 2M-row write (BytesIO.write 80% of
+        # wall time under cProfile)
+        from ..core.pool import table_memory_size
+        est = sum(table_memory_size(t) for t in tables) + 64 * 1024
+        presized = sink.tell()
+        sink.seek(presized + est - 1)
+        sink.write(b"\0")
+        sink.seek(presized)
     w = StreamWriter(sink, tables[0], compression)
     for t in tables:
         w.write(t)
     w.close()
+    if presized is not None:
+        sink.truncate(sink.tell())
 
 
 def read_stream(source) -> List[Table]:

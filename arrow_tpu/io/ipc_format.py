@@ -482,10 +482,15 @@ def _validity_buffer(col: Column) -> Tuple[bytes, int]:
     if col.validity is None:
         return b"", 0
     mask = _np(col.validity)
-    nc = int(mask.size - np.count_nonzero(mask))
+    # pack in C first, popcount the packed bits (32x less data than
+    # count_nonzero over the bool mask; this fn was ~8% of a 2M-row
+    # stream write)
+    from ..utils import native as nt
+    packed = nt.pack_bits(mask)
+    nc = int(mask.size - nt.count_set_bits(packed, mask.size))
     if nc == 0:
         return b"", 0
-    return np.packbits(mask, bitorder="little").tobytes(), nc
+    return packed.tobytes(), nc
 
 
 class _Flattener:

@@ -79,6 +79,16 @@ def can_cast(from_dt: dt.DataType, to_dt: dt.DataType) -> bool:
             return to_dt.unit == "year_month"
         return from_dt.name == "duration" and to_dt.unit == "month_day_nano"
     prim = lambda d: d.is_numeric or d.is_boolean or d.is_temporal
+    if from_dt.is_run_end_encoded or to_dt.is_run_end_encoded:
+        # REE arms (cast/mod.rs:166-180 RunEndEncoded): value-type cast
+        # with runs kept, decode-then-cast, or encode-after-cast
+        inner_from = from_dt.value_type if from_dt.is_run_end_encoded \
+            else from_dt
+        inner_to = to_dt.value_type if to_dt.is_run_end_encoded else to_dt
+        if to_dt.is_run_end_encoded and not (
+                prim(inner_to) or inner_to.is_string):
+            return False                      # run_end_encode surface
+        return can_cast(inner_from, inner_to)
     if prim(from_dt) and prim(to_dt):
         return True
     if (from_dt.is_string or from_dt.is_binary) and \
@@ -123,6 +133,37 @@ def cast(col: Column, to: dt.DataType,
     if to.is_null:
         # (_, Null) arm (cast/mod.rs:306): values are discarded
         return NullColumn(len(col))
+
+    from ..core.nested import RunEndColumn
+    if isinstance(col, RunEndColumn):
+        # REE source (cast/mod.rs:166 RunEndEncoded arms): cast the
+        # values and keep the runs when the target is REE (re-checking
+        # run-end width), else decode then cast
+        if to.is_run_end_encoded:
+            vals = cast(col.values, to.value_type, options)
+            re_np = np.dtype(to.index_type.to_jax())
+            if len(col) > np.iinfo(re_np).max:
+                raise ArrowInvalid(
+                    f"run ends overflow {to.index_type!r}: {len(col)}")
+            return RunEndColumn(col.run_ends.astype(re_np), vals,
+                                len(col))
+        from .ree import run_end_decode
+        return cast(run_end_decode(col), to, options)
+    if to.is_run_end_encoded:
+        # encode-after-cast; strings run-end encode through their
+        # dictionary codes (run_end_encode is primitive-only)
+        from .ree import run_end_encode
+        inner = cast(col, to.value_type, options)
+        if isinstance(inner, StringColumn):
+            from .strings import dictionary_encode
+            from .take import take
+            d = dictionary_encode(inner)
+            ree = run_end_encode(
+                PrimitiveColumn(d.codes, dt.int32, d.validity),
+                to.index_type)
+            svals = take(d.values, ree.values)
+            return RunEndColumn(ree.run_ends, svals, len(col))
+        return run_end_encode(inner, to.index_type)
 
     if isinstance(col, DictionaryColumn):
         if to.is_dictionary:
@@ -179,8 +220,6 @@ def cast(col: Column, to: dt.DataType,
     if isinstance(col, FixedSizeBinaryColumn):
         # FixedSizeBinary -> Binary/Utf8 (and identity width changes)
         if to.is_binary or to.is_string:
-            import numpy as np
-            import jax.numpy as jnp
             n, w = col.data.shape
             offs = jnp.arange(0, (n + 1) * w, w, dtype=jnp.int32)
             data = col.data.reshape(-1)

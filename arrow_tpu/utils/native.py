@@ -815,3 +815,55 @@ def plain_byte_array_encode(offsets: np.ndarray, data: np.ndarray
     if sz < 0:
         raise ValueError("byte-array encode overflow")
     return out[:sz].tobytes()
+
+
+def _bind_avro(lib):
+    if getattr(lib, "_avro_bound", False):
+        return
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    vpp = ctypes.POINTER(ctypes.c_void_p)
+    lib.avro_decode_block.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, u8p, i32p, i32p, i32p,
+        i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i64p, i64p, vpp, vpp]
+    lib.avro_decode_block.restype = ctypes.c_int64
+    lib._avro_bound = True
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def avro_decode_block(payload: bytes, row_count: int, prog, fill: bool,
+                      vals=None, lens=None):
+    """One pass of the native Avro columnar block decoder
+    (hostcodec.cpp avro_decode_block).  prog = (kind u8[], extra i32[],
+    cstart i32[], ccount i32[], cidx i32[], root).  fill=False measures
+    per-node occurrence/byte counts; fill=True writes into the
+    caller-allocated numpy buffers in `vals`/`lens`.  Returns
+    (consumed_bytes, occ i64[n_nodes], nbytes i64[n_nodes]) or None when
+    the native lib is unavailable; consumed_bytes < 0 = malformed."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_avro(lib)
+    kind, extra, cstart, ccount, cidx, root = prog
+    n_nodes = len(kind)
+    data = np.frombuffer(payload, np.uint8)
+    occ = np.zeros(n_nodes, np.int64)
+    nb = np.zeros(n_nodes, np.int64)
+    valp = (ctypes.c_void_p * n_nodes)()
+    lenp = (ctypes.c_void_p * n_nodes)()
+    if fill:
+        for i in range(n_nodes):
+            if vals[i] is not None:
+                valp[i] = vals[i].ctypes.data
+            if lens[i] is not None:
+                lenp[i] = lens[i].ctypes.data
+    pos = lib.avro_decode_block(
+        _u8(data), len(data), row_count, _u8(kind), _i32p(extra),
+        _i32p(cstart), _i32p(ccount), _i32p(cidx), n_nodes, root,
+        1 if fill else 0, _i64p(occ), _i64p(nb), valp, lenp)
+    return int(pos), occ, nb

@@ -2799,3 +2799,201 @@ void regex_match_batch(void* h, const int64_t* offs, const uint8_t* data,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Avro columnar block decoder (the arrow-avro decode hot path,
+// arrow-avro/src/reader/record.rs role).  Python compiles the Avro
+// schema into a flat node program; this decoder walks each row once and
+// appends values into per-node columnar buffers (values / varlen bytes +
+// lengths / per-occurrence child counts / union valid flags), which the
+// Python side assembles into Arrow columns with vectorized numpy ops.
+// Two-pass protocol: fill=0 measures per-node occurrence and byte counts
+// (occ / nbytes outputs), fill=1 writes into caller-allocated buffers.
+//
+// Node kinds:
+//   0 null  1 boolean  2 int/long (zigzag varint -> i64)
+//   3 float (f32 -> f64 out)  4 double  5 string/bytes (varlen)
+//   6 fixed (extra = byte width)  7 enum (varint -> i64)
+//   8 record (children in order)  9 array (1 child)
+//   10 map (2 children: key string node, value node)
+//   11 nullable union (extra = null branch index, 1 child; emits a
+//      u8 valid flag per occurrence)
+// ---------------------------------------------------------------------------
+
+namespace avro {
+
+struct Ctx {
+    const uint8_t* d;
+    int64_t len;
+    int64_t pos;
+    const uint8_t* kind;
+    const int32_t* extra;
+    const int32_t* cstart;
+    const int32_t* ccount;
+    const int32_t* cidx;
+    int fill;
+    int64_t* occ;      // per-node occurrence cursor / count
+    int64_t* bytec;    // per-node varlen byte cursor / count
+    void** vals;
+    void** lens;
+};
+
+static inline int zz(Ctx* c, int64_t* out) {
+    uint64_t acc = 0;
+    int shift = 0;
+    for (;;) {
+        if (c->pos >= c->len || shift > 63) return -1;
+        uint8_t b = c->d[c->pos++];
+        acc |= (uint64_t)(b & 0x7F) << shift;
+        if (!(b & 0x80)) break;
+        shift += 7;
+    }
+    *out = (int64_t)(acc >> 1) ^ -(int64_t)(acc & 1);
+    return 0;
+}
+
+static int dec(Ctx* c, int32_t node) {
+    const int64_t o = c->occ[node];
+    switch (c->kind[node]) {
+    case 0:  // null
+        return 0;
+    case 1: {  // boolean
+        if (c->pos >= c->len) return -1;
+        if (c->fill) ((uint8_t*)c->vals[node])[o] = c->d[c->pos] != 0;
+        c->pos++; c->occ[node]++;
+        return 0;
+    }
+    case 2: case 7: {  // int/long/enum
+        int64_t v;
+        if (zz(c, &v)) return -1;
+        if (c->fill) ((int64_t*)c->vals[node])[o] = v;
+        c->occ[node]++;
+        return 0;
+    }
+    case 3: {  // float -> f64
+        if (c->pos + 4 > c->len) return -1;
+        if (c->fill) {
+            float f;
+            memcpy(&f, c->d + c->pos, 4);
+            ((double*)c->vals[node])[o] = (double)f;
+        }
+        c->pos += 4; c->occ[node]++;
+        return 0;
+    }
+    case 4: {  // double
+        if (c->pos + 8 > c->len) return -1;
+        if (c->fill) {
+            double f;
+            memcpy(&f, c->d + c->pos, 8);
+            ((double*)c->vals[node])[o] = f;
+        }
+        c->pos += 8; c->occ[node]++;
+        return 0;
+    }
+    case 5: {  // string/bytes
+        int64_t n;
+        if (zz(c, &n) || n < 0 || c->pos + n > c->len) return -1;
+        if (c->fill) {
+            memcpy((uint8_t*)c->vals[node] + c->bytec[node],
+                   c->d + c->pos, (size_t)n);
+            ((int64_t*)c->lens[node])[o] = n;
+        }
+        c->pos += n; c->bytec[node] += n; c->occ[node]++;
+        return 0;
+    }
+    case 6: {  // fixed
+        const int64_t w = c->extra[node];
+        if (c->pos + w > c->len) return -1;
+        if (c->fill)
+            memcpy((uint8_t*)c->vals[node] + o * w, c->d + c->pos,
+                   (size_t)w);
+        c->pos += w; c->occ[node]++;
+        return 0;
+    }
+    case 8: {  // record
+        const int32_t s = c->cstart[node];
+        for (int32_t k = 0; k < c->ccount[node]; ++k)
+            if (dec(c, c->cidx[s + k])) return -1;
+        return 0;
+    }
+    case 9: {  // array
+        const int32_t child = c->cidx[c->cstart[node]];
+        int64_t total = 0;
+        for (;;) {
+            int64_t n;
+            if (zz(c, &n)) return -1;
+            if (n == 0) break;
+            if (n < 0) {
+                int64_t sz;
+                if (zz(c, &sz)) return -1;  // block byte size (skippable)
+                n = -n;
+            }
+            if (n > (int64_t)1 << 40) return -1;
+            total += n;
+            for (int64_t k = 0; k < n; ++k)
+                if (dec(c, child)) return -1;
+        }
+        if (c->fill) ((int64_t*)c->vals[node])[o] = total;
+        c->occ[node]++;
+        return 0;
+    }
+    case 10: {  // map: entries decode key then value
+        const int32_t s = c->cstart[node];
+        const int32_t knode = c->cidx[s], vnode = c->cidx[s + 1];
+        int64_t total = 0;
+        for (;;) {
+            int64_t n;
+            if (zz(c, &n)) return -1;
+            if (n == 0) break;
+            if (n < 0) {
+                int64_t sz;
+                if (zz(c, &sz)) return -1;
+                n = -n;
+            }
+            if (n > (int64_t)1 << 40) return -1;
+            total += n;
+            for (int64_t k = 0; k < n; ++k) {
+                if (dec(c, knode)) return -1;
+                if (dec(c, vnode)) return -1;
+            }
+        }
+        if (c->fill) ((int64_t*)c->vals[node])[o] = total;
+        c->occ[node]++;
+        return 0;
+    }
+    case 11: {  // nullable union
+        int64_t branch;
+        if (zz(c, &branch)) return -1;
+        const int valid = branch != c->extra[node];
+        if (c->fill) ((uint8_t*)c->vals[node])[o] = (uint8_t)valid;
+        c->occ[node]++;
+        if (valid) return dec(c, c->cidx[c->cstart[node]]);
+        return 0;
+    }
+    default:
+        return -1;
+    }
+}
+
+}  // namespace avro
+
+extern "C" {
+
+int64_t avro_decode_block(const uint8_t* data, int64_t len,
+                          int64_t row_count,
+                          const uint8_t* kind, const int32_t* extra,
+                          const int32_t* child_start,
+                          const int32_t* child_count,
+                          const int32_t* child_idx,
+                          int32_t n_nodes, int32_t root, int32_t fill,
+                          int64_t* occ, int64_t* nbytes,
+                          void** vals, void** lens) {
+    avro::Ctx c{data, len, 0, kind, extra, child_start, child_count,
+                child_idx, fill, occ, nbytes, vals, lens};
+    for (int32_t i = 0; i < n_nodes; ++i) { occ[i] = 0; nbytes[i] = 0; }
+    for (int64_t r = 0; r < row_count; ++r)
+        if (avro::dec(&c, root)) return -1;
+    return c.pos;
+}
+
+}  // extern "C"

@@ -340,3 +340,37 @@ def test_utf8_to_time_and_date64():
         ["2020-02-29", "1970-01-02T03:00:00"]), at.date64)
     assert np.asarray(d64.values).tolist() == \
         [18321 * 86_400_000, 86_400_000 + 3 * 3_600_000]
+
+
+def test_ree_cast_arms():
+    """REE cast arms (cast/mod.rs:166 RunEndEncoded): decode-then-cast,
+    value cast with runs kept (run-end width re-checked), and
+    encode-after-cast incl. strings; oracle = pyarrow run_end kernels."""
+    import jax.numpy as jnp
+    from arrow_tpu.core.nested import RunEndColumn
+    from arrow_tpu.ops.cast import can_cast, cast
+
+    ree = RunEndColumn(jnp.asarray([2, 5], jnp.int32), at.column([1, 9]))
+    assert cast(ree, at.int64).to_pylist() == [1, 1, 9, 9, 9]
+    assert cast(ree, at.float64).to_pylist() == [1.0, 1.0, 9.0, 9.0, 9.0]
+
+    r2 = cast(ree, at.dtypes.run_end_encoded(at.int64, at.float32))
+    assert r2.num_runs == 2
+    assert r2.to_pylist() == [1.0, 1.0, 9.0, 9.0, 9.0]
+
+    for src, re_t in (([1, 1, 2, None, None], pa.int32()),
+                      (["a", "a", "b", None, "b"], pa.int16())):
+        d = at.dtypes.run_end_encoded(
+            at.int32 if re_t == pa.int32() else at.int16,
+            at.utf8 if isinstance(src[0], str) else at.int64)
+        got = cast(at.column(src), d)
+        oracle = pa.compute.run_end_encode(pa.array(src),
+                                           run_end_type=re_t)
+        assert got.num_runs == len(oracle.run_ends)
+        assert got.to_pylist() == src
+
+    assert can_cast(at.dtypes.run_end_encoded(at.int32, at.int64),
+                    at.float64)
+    assert not can_cast(at.dtypes.list_(at.int64),
+                        at.dtypes.run_end_encoded(at.int32,
+                                                  at.dtypes.list_(at.int64)))

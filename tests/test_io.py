@@ -572,3 +572,55 @@ def test_malformed_inputs_raise_arrow_errors():
                 pass                     # the only acceptable failure
         with pytest.raises(at.ArrowError):
             reader(blob[: len(blob) // 3])
+
+
+def test_avro_columnar_matches_per_row(monkeypatch):
+    """The native columnar decoder (hostcodec avro_decode_block +
+    vectorized assembly) must engage for vanilla schemas and produce
+    exactly what the per-row fallback produces — including nested
+    list/struct/map, enums-as-dictionary nulls, and union validity."""
+    import io as _io
+    from arrow_tpu.io import avro as av
+    rng = np.random.default_rng(11)
+    n = 5_000
+    ints = rng.integers(0, 10**6, n)
+    pt = pa.table({
+        "i": pa.array([int(x) if x % 7 else None for x in ints],
+                      pa.int64()),
+        "f": pa.array(rng.random(n), pa.float32()),
+        "s": pa.array([f"v{x % 97}" if x % 5 else None for x in ints]),
+        "l": pa.array([[int(y) for y in rng.integers(0, 9, x % 4)]
+                       if x % 6 else None for x in ints],
+                      pa.list_(pa.int64())),
+        "st": pa.array([{"a": int(x), "b": f"w{x % 10}"} if x % 3
+                        else None for x in ints],
+                       pa.struct([("a", pa.int64()),
+                                  ("b", pa.string())])),
+        "m": pa.array([[(f"k{x % 3}", int(x))] if x % 4 else None
+                       for x in ints], pa.map_(pa.string(), pa.int64())),
+    })
+    t = at.Table.from_pyarrow(pt)
+    buf = _io.BytesIO()
+    av.write_avro(buf, t, codec="deflate")
+    data = buf.getvalue()
+
+    hits = []
+    orig = av._read_columnar
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        hits.append(r is not None)
+        return r
+
+    monkeypatch.setattr(av, "_read_columnar", spy)
+    fast = av.read_avro(data)
+    assert hits == [True], "columnar path must engage for this schema"
+    monkeypatch.setattr(av, "_read_columnar", lambda *a, **k: None)
+    slow = av.read_avro(data)
+    for name in fast.column_names:
+        a = fast.column(name).to_pylist()
+        b = slow.column(name).to_pylist()
+        if name == "m":
+            a = [None if x is None else list(x) for x in a]
+            b = [None if x is None else list(x) for x in b]
+        assert a == b, name
