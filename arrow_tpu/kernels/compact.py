@@ -163,11 +163,22 @@ def _kernel(keep_ref, planes_ref, out_ref, off_smem, pend_smem, staging,
         cp.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("nplanes", "interpret"))
-def _compact_impl(keep, planes, *, nplanes: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("nplanes", "interpret",
+                                             "out_cap"))
+def _compact_impl(keep, planes, *, nplanes: int, interpret: bool,
+                  out_cap=None):
     n = keep.shape[0]
     nblocks = max(1, -(-n // _BLOCK))
     npad = nblocks * _BLOCK
+    # callers with a PROVEN bound on the kept count (e.g. group_by run
+    # starts <= the static key-domain size) shrink the output buffer:
+    # at 125M rows x 8 planes the full-length buffer alone is 4 GB of
+    # HBM; a 10M-group bound cuts it to ~0.34 GB.  The kernel only ever
+    # DMA-writes the first ceil(count/_BLOCK) blocks, so a cap >= count
+    # is safe by construction (an undersized cap would corrupt: callers
+    # must pass a true upper bound).
+    out_npad = npad if out_cap is None else \
+        min(npad, max(1, -(-int(out_cap) // _BLOCK)) * _BLOCK)
     # plane count rounds up to the full i32 sublane tile (8): Mosaic
     # requires dim-0 slices of the HBM output aligned to the tiling, and
     # sub-tile staging shapes hit masked-op paths (measured 4x slower
@@ -175,8 +186,20 @@ def _compact_impl(keep, planes, *, nplanes: int, interpret: bool):
     nplanes = -(-nplanes // 8) * 8
     keep_p = jnp.zeros((npad,), jnp.int32).at[:n].set(
         keep.astype(jnp.int32))
-    planes_p = jnp.zeros((nplanes, npad), jnp.uint32) \
-        .at[:planes.shape[0], :n].set(planes)
+    # pad via concat (NOT zeros().at[].set(planes)): at 125M-row calls
+    # the .at[].set form materializes BOTH the stacked planes and the
+    # padded copy (~2x plane bytes of HBM peak); concat lets XLA fuse
+    # the producers straight into one padded buffer
+    planes_p = planes
+    if planes_p.shape[1] != npad:
+        planes_p = jnp.concatenate(
+            [planes_p, jnp.zeros((planes_p.shape[0],
+                                  npad - planes_p.shape[1]),
+                                 jnp.uint32)], axis=1)
+    if planes_p.shape[0] != nplanes:
+        planes_p = jnp.concatenate(
+            [planes_p, jnp.zeros((nplanes - planes_p.shape[0], npad),
+                                 jnp.uint32)], axis=0)
 
     with jax.enable_x64(False):
         out = pl.pallas_call(
@@ -189,7 +212,7 @@ def _compact_impl(keep, planes, *, nplanes: int, interpret: bool):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((nplanes, npad + _BLOCK),
+            out_shape=jax.ShapeDtypeStruct((nplanes, out_npad + _BLOCK),
                                            jnp.int32),
             scratch_shapes=[
                 pltpu.SMEM((1,), jnp.int32),
@@ -203,20 +226,23 @@ def _compact_impl(keep, planes, *, nplanes: int, interpret: bool):
         )(keep_p.reshape(nblocks * _SUB, _LANE),
           planes_p.reshape(nplanes, nblocks * _SUB, _LANE))
     count = jnp.sum(keep_p, dtype=jnp.int32)
-    return out[:, :npad], count
+    return out[:, :out_npad], count
 
 
-def compact_planes(keep: jnp.ndarray, planes: jnp.ndarray
-                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def compact_planes(keep: jnp.ndarray, planes: jnp.ndarray,
+                   out_cap=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack rows where keep, preserving order.
 
     planes: (P, n) u32 limb planes (bitcast views of the columns being
-    filtered).  Returns (compacted (P, n) — rows >= count are garbage —
-    and the kept count)."""
+    filtered).  Returns (compacted (P, m) — rows >= count are garbage —
+    and the kept count).  out_cap: optional PROVEN upper bound on the
+    kept count; shrinks the output buffer (m = padded cap instead of
+    padded n)."""
     out, count = _compact_impl(
         keep, jax.lax.bitcast_convert_type(planes, jnp.uint32)
         if planes.dtype != jnp.uint32 else planes,
-        nplanes=planes.shape[0], interpret=interpret_mode())
+        nplanes=planes.shape[0], interpret=interpret_mode(),
+        out_cap=out_cap)
     return out[:planes.shape[0]], count
 
 
@@ -231,7 +257,8 @@ def supported_dtype(d) -> bool:
     return jnp.issubdtype(d, jnp.integer)
 
 
-def compact_mask_arrays(keep: jnp.ndarray, arrays: Sequence[jnp.ndarray]
+def compact_mask_arrays(keep: jnp.ndarray, arrays: Sequence[jnp.ndarray],
+                        out_cap=None
                         ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
     """Compact several same-length arrays by one mask (the
     filter_record_batch shape).  Bool widens to u32 for the ride.
@@ -265,7 +292,7 @@ def compact_mask_arrays(keep: jnp.ndarray, arrays: Sequence[jnp.ndarray]
                           .astype(jnp.uint32)[None, :])
         spec.append((a.dtype, k))
     stacked = jnp.concatenate(planes, axis=0)
-    out, count = compact_planes(keep, stacked)
+    out, count = compact_planes(keep, stacked, out_cap=out_cap)
     results = []
     base = 0
     for dtype, k in spec:
