@@ -9,3 +9,7 @@ from .dist import (  # noqa: F401
     local_group_aggregate, dist_group_by, dist_join_unique,
     dist_join, dist_join_skew, dist_sort, dist_sum,
 )
+from .api import (  # noqa: F401
+    dist_table_group_by, dist_table_sort, dist_table_join,
+    pack_key_columns,
+)
