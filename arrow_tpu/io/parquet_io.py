@@ -27,7 +27,63 @@ from ..core.table import Table
 from ..errors import ArrowInvalid
 
 __all__ = ["ParquetReaderBuilder", "WriterProperties", "ParquetWriter",
-           "read_parquet", "write_parquet", "read_metadata"]
+           "read_parquet", "write_parquet", "read_metadata",
+           "RowSelection", "RowFilter"]
+
+
+class RowSelection:
+    """Sorted disjoint row intervals (selection.rs:100 RowSelection).
+
+    Produced from a predicate mask (from_mask) or intervals; drives
+    page-skip decode: pages fully outside the selection never
+    decompress (arrow_reader/mod.rs:736 ReadPlan)."""
+
+    def __init__(self, intervals: Sequence[tuple]):
+        iv = sorted((int(s), int(e)) for s, e in intervals if e > s)
+        merged: List[tuple] = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        self.intervals = merged
+
+    @classmethod
+    def from_mask(cls, mask) -> "RowSelection":
+        import numpy as np
+        m = np.asarray(mask, bool)
+        if not m.size:
+            return cls([])
+        d = np.flatnonzero(np.diff(m.astype(np.int8)))
+        edges = [0] + (d + 1).tolist() + [m.size]
+        return cls([(edges[i], edges[i + 1])
+                    for i in range(len(edges) - 1) if m[edges[i]]])
+
+    def row_count(self) -> int:
+        return sum(e - s for s, e in self.intervals)
+
+    def intersection(self, other: "RowSelection") -> "RowSelection":
+        out = []
+        for s1, e1 in self.intervals:
+            for s2, e2 in other.intervals:
+                s, e = max(s1, s2), min(e1, e2)
+                if e > s:
+                    out.append((s, e))
+        return RowSelection(out)
+
+    def union(self, other: "RowSelection") -> "RowSelection":
+        return RowSelection(self.intervals + other.intervals)
+
+
+@dataclass
+class RowFilter:
+    """arrow_reader/filter.rs:173 RowFilter: a predicate with an
+    EXPLICIT input projection.  The builder evaluates the predicate
+    from its projection columns alone, turns the mask into a
+    RowSelection, and decodes the remaining columns with page
+    skipping."""
+    predicate: Callable[[Table], object]   # Table(projection) -> bool Column
+    columns: Sequence[str]
 
 
 @dataclass
@@ -111,7 +167,14 @@ class ParquetReaderBuilder:
         thread (the reference's ParquetRecordBatchStream overlap,
         parquet/src/arrow/async_reader/mod.rs:712 — polling the next
         range concurrently with downstream consumption).  Depth via
-        ARROW_TPU_PARQUET_PREFETCH (default 1, 0 = synchronous)."""
+        ARROW_TPU_PARQUET_PREFETCH (default 1, 0 = synchronous).
+
+        A RowFilter (vs a plain callable) runs the two-phase ReadPlan
+        (arrow_reader/mod.rs:736): decode the predicate's projection,
+        turn its mask into a RowSelection, then decode the remaining
+        columns SKIPPING pages outside the selection (offset index
+        required for the skip; without one the selection still trims
+        rows, it just cannot avoid decodes)."""
         import os
         from .parquet_native import ParquetFile
         f = ParquetFile(self.path, decryption=self.decryption)
@@ -120,6 +183,10 @@ class ParquetReaderBuilder:
         if self.bloom_probe is not None:
             keep = set(f.prune_row_groups(*self.bloom_probe))
             groups = [g for g in groups if g in keep]
+        if isinstance(self.row_filter, RowFilter):
+            yield from self._emit(self._pushdown_tables(f, groups),
+                                  apply_filter=False)
+            return
         depth = int(os.environ.get("ARROW_TPU_PARQUET_PREFETCH", "1"))
         if depth <= 0 or len(groups) <= 1:
             tables = (f.read_row_group(gi, columns=self.columns)
@@ -150,7 +217,49 @@ class ParquetReaderBuilder:
         finally:
             ex.shutdown(wait=False, cancel_futures=True)
 
-    def _emit(self, rg_tables) -> Iterator[Table]:
+    def _pushdown_tables(self, f, groups) -> Iterator[Table]:
+        """Two-phase decode per row group: predicate projection ->
+        RowSelection -> page-skipped decode of the remaining columns."""
+        from ..core.column import Column
+        import numpy as np
+        rf = self.row_filter
+        out_cols = list(self.columns) if self.columns is not None \
+            else [c.name for c in f.root.children]
+        pred_cols = [c for c in rf.columns]
+        rest_cols = [c for c in out_cols if c not in set(pred_cols)]
+        for gi in groups:
+            t_pred = f.read_row_group(gi, columns=pred_cols)
+            mcol = rf.predicate(t_pred)
+            m = np.asarray(mcol.values).astype(bool)
+            if getattr(mcol, "validity", None) is not None:
+                m = m & np.asarray(mcol.validity)
+            sel = RowSelection.from_mask(m)
+            if sel.row_count() == 0:
+                continue
+            if rest_cols:
+                t_rest = f.read_row_group(gi, columns=rest_cols,
+                                          selection=sel.intervals)
+            else:
+                t_rest = None
+            if not m.all():
+                from ..ops.filter import filter_table
+                t_pred = filter_table(t_pred, mcol)
+            by_name = {}
+            for name, col, fld in zip(t_pred.schema.names,
+                                      t_pred.columns,
+                                      t_pred.schema.fields):
+                by_name[name] = (col, fld)
+            if t_rest is not None:
+                for name, col, fld in zip(t_rest.schema.names,
+                                          t_rest.columns,
+                                          t_rest.schema.fields):
+                    by_name[name] = (col, fld)
+            cols = tuple(by_name[nm][0] for nm in out_cols)
+            fields = tuple(by_name[nm][1] for nm in out_cols)
+            yield Table(cols, dt.Schema(fields))
+
+    def _emit(self, rg_tables, apply_filter: bool = True
+              ) -> Iterator[Table]:
         """Batch slicing + filter/offset/limit over decoded row groups."""
         remaining = self.limit
         to_skip = self.offset
@@ -161,7 +270,7 @@ class ParquetReaderBuilder:
                     break
                 t = rg_table.slice(start, min(self.batch_size,
                                               rg_table.num_rows - start))
-                if self.row_filter is not None:
+                if apply_filter and self.row_filter is not None:
                     from ..ops.filter import filter_table
                     t = filter_table(t, self.row_filter(t))
                 if to_skip:

@@ -488,15 +488,44 @@ def _empty_values(node: SchemaNode):
     return np.zeros(0, np.int64)
 
 
+# decode-skip observability (tests assert page-skip pushdown really
+# skips: arrow_reader/selection.rs:100 ReadPlan role)
+PAGES_DECODED = [0]
+PAGES_SKIPPED = [0]
+
+
+def _zero_values(node: SchemaNode, count: int):
+    """Placeholder values for a SKIPPED page: shaped like a decoded page
+    of `count` all-valid rows; the rows are dropped by the caller's
+    RowSelection before anything reads them."""
+    p = node.physical
+    if p in _PHYS_NP:
+        return np.zeros(count, _PHYS_NP[p])
+    if p == PT_BOOLEAN:
+        return np.zeros(count, np.bool_)
+    if p == PT_BYTE_ARRAY:
+        return np.zeros(count + 1, np.int32), np.zeros(0, np.uint8)
+    if p == PT_FLBA:
+        return np.zeros((count, node.type_length), np.uint8)
+    return np.zeros(count, np.int64)
+
+
 def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
-                       crypto=None) -> _LeafData:
+                       crypto=None, page_skip=None) -> _LeafData:
     """Decode every page of one column chunk (serialized_reader.rs:95 +
     column/reader.rs roles).  Fetches the chunk's byte range in ONE
     read (the async_reader per-chunk fetch granularity).
 
     crypto: (key, file_aad, rg_idx, col_idx) for encrypted chunks —
     page headers and bodies are separate GCM modules
-    (serialized_reader.rs:750-795)."""
+    (serialized_reader.rs:750-795).
+
+    page_skip: optional per-DATA-page keep flags (from the offset index
+    + a RowSelection, selection.rs:100): pages whose flag is False skip
+    decompression and value/level decode entirely — their slots fill
+    with all-valid zero placeholders that the selection drops.  Flat
+    (max_rep == 0) leaves only; headers still parse (a few bytes) to
+    walk the page stream."""
     if 3 not in chunk_meta and -1 in chunk_meta:
         raise ArrowInvalid(
             f"cannot decrypt column {'.'.join(node.name.split())}: "
@@ -548,6 +577,7 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
                     == node.max_def).sum())
 
     page_ord = 0
+    data_ord = 0                         # DATA page ordinal (page_skip)
     while slots_read < num_values and pos < end:
         if crypto is not None:
             from .parquet_crypto import (decrypt_module, module_aad,
@@ -586,6 +616,26 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
             raw = _decompress(codec, body, ulen)
             dictionary = _decode_plain(node, raw, dcount)
             continue
+        if page_type in (PAGE_DATA, PAGE_DATA_V2) and page_skip is not None:
+            dph = header.get(5 if page_type == PAGE_DATA else 8, {})
+            n = dph.get(1, 0)
+            keep = page_skip[data_ord] if data_ord < len(page_skip) \
+                else True
+            data_ord += 1
+            if not keep:
+                PAGES_SKIPPED[0] += 1
+                if node.max_def:
+                    # same const-region bookkeeping as _def_levels'
+                    # const fast path: pretend all-valid
+                    if defs_all_const:
+                        const_regions.append((slots_read, n))
+                    else:
+                        defs[slots_read:slots_read + n] = node.max_def
+                chunks.append(("plain", _zero_values(node, n)))
+                slots_read += n
+                nonnull_read += n
+                continue
+            PAGES_DECODED[0] += 1
         if page_type == PAGE_DATA:
             dph = header.get(5, {})
             n = dph.get(1, 0)
@@ -1223,11 +1273,13 @@ class ParquetFile:
         return out
 
     def _rg_plan(self, rg_index: int,
-                 columns: Optional[Sequence[str]]):
+                 columns: Optional[Sequence[str]], selection=None):
         """(projected root fields, decode jobs).  A job is
-        (leaf_index, chunk, leaf, crypto) — independent, so chunks
-        decode in parallel (the reference's multithreaded scan role;
-        the C++ page kernels release the GIL)."""
+        (leaf_index, chunk, leaf, crypto, page_skip) — independent, so
+        chunks decode in parallel (the reference's multithreaded scan
+        role; the C++ page kernels release the GIL).  selection: sorted
+        disjoint (start, end) row intervals enabling page-skip decode
+        via the offset index."""
         rg = self.row_groups[rg_index]
         leaves = self._leaves()
         chunks = rg.get(1, [])
@@ -1247,8 +1299,41 @@ class ParquetFile:
             if chunk.get(8) is not None:
                 crypto = (self._chunk_crypto(chunk, li),
                           self._file_aad, rg_index, li)
-            jobs.append((leaf.leaf_index, chunk, leaf, crypto))
+            page_skip = None
+            if selection is not None and not leaf.max_rep \
+                    and crypto is None:
+                page_skip = self._page_keep_flags(rg_index, li,
+                                                  selection)
+            jobs.append((leaf.leaf_index, chunk, leaf, crypto,
+                         page_skip))
         return fields, jobs
+
+    def _page_keep_flags(self, rg_index: int, li: int, intervals):
+        """Per-DATA-page keep flags from the offset index: page i is
+        kept iff [first_row_i, first_row_{i+1}) intersects any selected
+        interval (selection.rs scan_ranges role).  None when the file
+        has no offset index for this chunk."""
+        chunk = self.row_groups[rg_index].get(1, [])[li]
+        oi = self._offset_index_chunk(chunk, rg_index, li)
+        if not oi:
+            return None
+        rg_rows = self.row_groups[rg_index].get(3, 0)
+        firsts = [p[2] for p in oi]
+        keep = []
+        for i, fr in enumerate(firsts):
+            end = firsts[i + 1] if i + 1 < len(firsts) else rg_rows
+            keep.append(any(s < end and e > fr for s, e in intervals))
+        return keep
+
+    def _offset_index_chunk(self, md_chunk, rg_index, li):
+        off = md_chunk.get(4)
+        ln = md_chunk.get(5)
+        if off is None or ln is None:
+            return None
+        blob = self._index_blob(md_chunk, rg_index, li, off, ln, 4)
+        oi = CompactReader(blob).read_struct()
+        return [(p.get(1, 0), p.get(2, 0), p.get(3, 0))
+                for p in oi.get(1, [])]
 
     def _assemble(self, rg_index: int, fields, leaf_map,
                   as_dictionary) -> Table:
@@ -1263,11 +1348,32 @@ class ParquetFile:
 
     def read_row_group(self, rg_index: int,
                        columns: Optional[Sequence[str]] = None,
-                       as_dictionary: Sequence[str] = ()) -> Table:
-        fields, jobs = self._rg_plan(rg_index, columns)
+                       as_dictionary: Sequence[str] = (),
+                       selection=None) -> Table:
+        """selection: optional sorted disjoint (start, end) row
+        intervals (RowSelection).  With an offset index present, pages
+        entirely outside the selection are NOT decoded
+        (arrow_reader/mod.rs:736 ReadPlan); the returned table holds
+        ONLY the selected rows either way."""
+        fields, jobs = self._rg_plan(rg_index, columns,
+                                     selection=selection)
         results = _decode_parallel(self._src, jobs)
         leaf_map = {li: r for (li, *_), r in zip(jobs, results)}
-        return self._assemble(rg_index, fields, leaf_map, as_dictionary)
+        t = self._assemble(rg_index, fields, leaf_map, as_dictionary)
+        if selection is None:
+            return t
+        n = t.num_rows
+        mask = np.zeros(n, np.bool_)
+        for s, e in selection:
+            mask[max(s, 0):min(e, n)] = True
+        if mask.all():
+            return t
+        from ..ops.filter import filter_table
+        from ..core.column import PrimitiveColumn
+        from .. import dtypes as _dt
+        import jax.numpy as _jnp
+        return filter_table(t, PrimitiveColumn(_jnp.asarray(mask),
+                                               _dt.bool_))
 
     def column_index(self, rg_index: int, column: str):
         """Parsed page-index ColumnIndex for one chunk
@@ -1452,23 +1558,25 @@ def _decode_parallel(src, jobs):
     """Decode column chunks on a thread pool (ARROW_TPU_PARQUET_THREADS
     =0 disables, =N caps; default = cpu count).  Safe because
     _read_column_chunk is pure numpy/C++ per chunk and the ctypes page
-    kernels drop the GIL."""
+    kernels drop the GIL.  A job is (leaf_index, chunk, leaf, crypto,
+    page_skip)."""
     import os
     if len(jobs) <= 1:
-        return [_read_column_chunk(src, ch, lf, cr)
-                for _, ch, lf, cr in jobs]
+        return [_read_column_chunk(src, ch, lf, cr, page_skip=ps)
+                for _, ch, lf, cr, ps in jobs]
     env = os.environ.get("ARROW_TPU_PARQUET_THREADS", "")
     workers = os.cpu_count() or 4
     if env:
         workers = int(env)
     workers = min(workers, len(jobs))
     if workers <= 1:
-        return [_read_column_chunk(src, ch, lf, cr)
-                for _, ch, lf, cr in jobs]
+        return [_read_column_chunk(src, ch, lf, cr, page_skip=ps)
+                for _, ch, lf, cr, ps in jobs]
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=workers) as ex:
         return list(ex.map(
-            lambda j: _read_column_chunk(src, j[1], j[2], j[3]), jobs))
+            lambda j: _read_column_chunk(src, j[1], j[2], j[3],
+                                         page_skip=j[4]), jobs))
 
 
 def _value_hashes(leaf: SchemaNode, values, lib, nt):

@@ -1137,3 +1137,136 @@ def test_pluggable_range_source(tmp_path):
     assert np.asarray(out.columns[0].values).sum() == 999 * 500
     # lazy: footer + column chunk ranges, NOT one whole-file read
     assert store.calls >= 2
+
+
+# ---- RowSelection page-skip pushdown (VERDICT r4 item 7) --------------------
+# selection.rs:100 RowSelection + arrow_reader/mod.rs:736 ReadPlan: a
+# RowFilter's mask becomes a RowSelection that SKIPS decoding pages
+# outside it (offset index driven).
+
+def test_row_filter_page_skip_pushdown():
+    import io
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu import compute as ops
+    from arrow_tpu.core.datum import Scalar
+    from arrow_tpu import dtypes as dtp
+    from arrow_tpu.ops.concat import concat_tables
+    from arrow_tpu.io.parquet_io import (ParquetReaderBuilder, RowFilter,
+                                         WriterProperties, write_parquet)
+    from arrow_tpu.io import parquet_native as pn
+
+    rng = np.random.default_rng(0)
+    n = 80_000
+    t = at.Table.from_pydict({
+        "k": np.arange(n),
+        "v": rng.integers(0, 10**6, n),
+        "s": ["r%d" % (i % 97) for i in range(n)],
+    })
+    buf = io.BytesIO()
+    write_parquet(buf, t, WriterProperties(write_page_index=True,
+                                           data_page_size=8_000,
+                                           row_group_size=40_000))
+    data = buf.getvalue()
+
+    def pred(tbl):
+        k = tbl.column("k")
+        return ops.and_(ops.gt_eq(k, Scalar(10_000, dtp.int64)),
+                        ops.lt(k, Scalar(12_000, dtp.int64)))
+
+    def rd(b):
+        ts = list(b.build())
+        return concat_tables(ts) if len(ts) > 1 else ts[0]
+
+    pn.PAGES_DECODED[0] = 0
+    pn.PAGES_SKIPPED[0] = 0
+    got = rd(ParquetReaderBuilder(io.BytesIO(data)).with_row_filter(
+        RowFilter(pred, ["k"])).with_batch_size(1_000_000))
+    assert got.num_rows == 2_000
+    # the selection covers ~2.5% of rows: most non-predicate pages must
+    # never decode
+    assert pn.PAGES_SKIPPED[0] > 3 * pn.PAGES_DECODED[0], \
+        (pn.PAGES_DECODED[0], pn.PAGES_SKIPPED[0])
+    # bitwise identical to the decode-everything-then-filter path
+    full = rd(ParquetReaderBuilder(io.BytesIO(data))
+              .with_row_filter(pred).with_batch_size(1_000_000))
+    assert got.to_pydict() == full.to_pydict()
+    # schema column order is preserved even though the predicate column
+    # decodes separately
+    assert got.schema.names == ["k", "v", "s"]
+
+
+def test_row_filter_pushdown_without_page_index():
+    """No offset index -> no skipping, but identical rows."""
+    import io
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu import compute as ops
+    from arrow_tpu.core.datum import Scalar
+    from arrow_tpu import dtypes as dtp
+    from arrow_tpu.ops.concat import concat_tables
+    from arrow_tpu.io.parquet_io import (ParquetReaderBuilder, RowFilter,
+                                         WriterProperties, write_parquet)
+    rng = np.random.default_rng(1)
+    n = 30_000
+    t = at.Table.from_pydict({"k": np.arange(n),
+                              "v": rng.integers(0, 100, n)})
+    buf = io.BytesIO()
+    write_parquet(buf, t, WriterProperties(data_page_size=8_000,
+                                           row_group_size=10_000))
+    data = buf.getvalue()
+
+    def pred(tbl):
+        return ops.lt(tbl.column("k"), Scalar(777, dtp.int64))
+
+    def rd(b):
+        ts = list(b.build())
+        return concat_tables(ts) if len(ts) > 1 else ts[0]
+
+    got = rd(ParquetReaderBuilder(io.BytesIO(data)).with_row_filter(
+        RowFilter(pred, ["k"])))
+    full = rd(ParquetReaderBuilder(io.BytesIO(data))
+              .with_row_filter(pred))
+    assert got.to_pydict() == full.to_pydict()
+
+
+def test_row_selection_algebra():
+    from arrow_tpu.io.parquet_io import RowSelection
+    import numpy as np
+    a = RowSelection([(0, 10), (8, 20), (30, 40)])
+    assert a.intervals == [(0, 20), (30, 40)]
+    assert a.row_count() == 30
+    b = RowSelection.from_mask(np.array([0, 1, 1, 0, 1], bool))
+    assert b.intervals == [(1, 3), (4, 5)]
+    assert a.intersection(RowSelection([(15, 35)])).intervals == \
+        [(15, 20), (30, 35)]
+    assert a.union(RowSelection([(20, 30)])).intervals == [(0, 40)]
+    assert RowSelection.from_mask(np.zeros(0, bool)).intervals == []
+
+
+def test_async_parquet_writer_multipart():
+    """AsyncParquetWriter (async_writer/mod.rs role): encode overlaps
+    multipart upload; parts reassemble to a readable file."""
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu.io.async_writer import AsyncParquetWriter, MemorySink
+    from arrow_tpu.io.parquet_io import WriterProperties
+    from arrow_tpu.io.parquet_native import ParquetFile
+    rng = np.random.default_rng(0)
+    t1 = at.Table.from_pydict({"a": rng.integers(0, 100, 50_000),
+                               "s": ["x%d" % i for i in range(50_000)]})
+    t2 = at.Table.from_pydict({"a": rng.integers(0, 100, 30_000),
+                               "s": ["y%d" % i for i in range(30_000)]})
+    sink = MemorySink()
+    w = AsyncParquetWriter(sink, t1,
+                           WriterProperties(row_group_size=20_000),
+                           buffer_size=64_000)
+    w.write(t1)
+    w.write(t2)
+    w.close()
+    assert sink.completed
+    assert len(sink.parts) > 1          # multipart actually happened
+    got = ParquetFile(sink.getvalue()).read()
+    exp = {"a": (t1.to_pydict()["a"] + t2.to_pydict()["a"]),
+           "s": t1.to_pydict()["s"] + t2.to_pydict()["s"]}
+    assert got.to_pydict() == exp
