@@ -568,6 +568,20 @@ class HashJoiner:
                                       jnp.uint64(self.kmin))
         return int(cnt), int(chk)
 
+    def probe_count_device(self, left: Table):
+        """probe_count WITHOUT the host sync: returns DEVICE scalars
+        (cnt, chk) so a streaming caller can accumulate on device and
+        fetch once — the double-buffered form of the 1B-probe loop
+        (SURVEY §2.4 overlap; a per-chunk int() fetch serializes the
+        pipeline on tunnel round trips)."""
+        if self._plan != "index" or left.num_rows == 0:
+            c, k = self.probe_count(left)
+            return jnp.int64(c), jnp.int64(k)
+        lkey, lvalid = encode_value_key(left.column(self.on[0]))
+        lvalid = vd.make_mask(lkey.shape[0], lvalid)
+        return _index_probe_count(lkey, lvalid, self.table,
+                                  jnp.uint64(self.kmin))
+
 
 @jax.jit
 def _index_probe_count(lkey, lvalid, table, kmin):

@@ -400,7 +400,9 @@ def config4_variant(groups: int, n: int):
                                PrimitiveColumn(val[:m], dtp.int64)),
                               dtp.Schema((dtp.Field("k", dtp.int64),
                                           dtp.Field("v", dtp.int64))))
-                    acc.update(t)
+                    # double-buffered: chunk i+1's generation dispatches
+                    # while chunk i's host syncs are in flight (depth 2)
+                    acc.update_async(t)
                     del key, val, t
                     done += m
                 out = acc.finalize()
@@ -586,16 +588,27 @@ def config5spec():
             t0 = time.perf_counter()
             joiner = HashJoiner(right2, ["k"])
             build_s = time.perf_counter() - t0
-            pairs2 = chk2 = 0
             t0 = time.perf_counter()
+            # double-buffered stream: device-scalar accumulation with a
+            # depth-2 sync throttle — no per-chunk int() round trip, so
+            # chunk i+1's gen+probe dispatch while chunk i executes
+            # (each pending chunk holds ~1 GB of HBM: depth stays at 2)
+            total_c = jnp.zeros((), jnp.int64)
+            total_k = jnp.zeros((), jnp.int64)
+            pending = []
             for ci in range(NP2 // CH):
                 pk2 = gen_chunk(jnp.int64(ci * CH))
                 chunk = Table((PrimitiveColumn(pk2, dtp.int64),),
                               dtp.Schema((dtp.Field("k", dtp.int64),)))
-                c, k = joiner.probe_count(chunk)
-                pairs2 += c
-                chk2 += k
+                c, k = joiner.probe_count_device(chunk)
+                total_c = total_c + c.astype(jnp.int64)
+                total_k = total_k + k.astype(jnp.int64)
+                pending.append(total_c)
+                if len(pending) > 2:
+                    _fetch(pending.pop(0))
                 del pk2, chunk
+            pairs2 = int(total_c)
+            chk2 = int(total_k)
             dt2 = time.perf_counter() - t0
             return {
                 "probe_rows_per_s": round(NP2 / dt2),
@@ -639,14 +652,19 @@ def config5():
         out.update({"value": 0, "vs_baseline": 0,
                     "error": r.get("error", r) if isinstance(r, dict)
                     else r})
-    if _left() >= 400:
-        s = _child("config5spec")
-        if isinstance(s, dict) and "probe_rows_per_s" in s:
-            s["vs_baseline"] = round(s["probe_rows_per_s"] / base, 3)
-        out["spec_1Bx100M"] = s
-    else:
-        out["spec_1Bx100M"] = "skipped (budget)"
+    out["spec_1Bx100M"] = "pending (separate unit)"
     return out
+
+
+def config5_spec_unit(base):
+    """Spec-scale join as its own ordered unit (after everything else
+    has recorded) so a wall-clock kill mid-run costs only this number."""
+    if _left() < 400:
+        return "skipped (budget)"
+    s = _child("config5spec")
+    if isinstance(s, dict) and "probe_rows_per_s" in s and base:
+        s["vs_baseline"] = round(s["probe_rows_per_s"] / base, 3)
+    return s
 
 
 def config_io():
@@ -899,10 +917,11 @@ def _probe_backend(timeout_s: float = 300.0):
 def _run_one(unit: str) -> None:
     """Child entry (--one): probe the backend, run ONE unit, print its
     JSON as the last stdout line."""
-    err = _probe_backend()
-    if err is not None:
-        print(json.dumps({"error": err}), flush=True)
-        raise SystemExit(1)
+    if os.environ.get("ARROW_TPU_BENCH_PROBED") != "1":
+        err = _probe_backend()
+        if err is not None:
+            print(json.dumps({"error": err}), flush=True)
+            raise SystemExit(1)
     import arrow_tpu  # noqa: F401 (x64 on; default backend = tpu)
     if unit.startswith("config4v:"):
         _, groups, n = unit.split(":")
@@ -916,45 +935,63 @@ def _run_one(unit: str) -> None:
     print(json.dumps(r), flush=True)
 
 
+def _headline(results):
+    """Cumulative headline: config1's metric line with every other
+    completed config embedded.  Emitted after EVERY unit so a driver
+    timeout can never zero out completed work (r3 lost config1 + the
+    headline to a wall-clock kill because the headline printed last)."""
+    h = results.get("config1")
+    if not (isinstance(h, dict) and "value" in h):
+        h = {"metric": "filter_arith_10M_rows_per_s", "value": 0,
+             "unit": "rows/s", "vs_baseline": 0,
+             "error": (h or {}).get("error")
+             if isinstance(h, dict) else None}
+    h = dict(h)
+    h["configs"] = {k: v for k, v in results.items() if k != "config1"}
+    if "pallas_smoke" in h["configs"]:
+        h["pallas_smoke"] = h["configs"].pop("pallas_smoke")
+    h["elapsed_total_s"] = round(time.time() - _T0, 1)
+    return h
+
+
 def main():
     """Orchestrator: every unit runs in an isolated child process (this
-    process never initializes JAX — see _child).  Prints one JSON line
-    per config, headline LAST (the driver records the last line)."""
+    process never initializes JAX — see _child).  After EVERY unit the
+    cumulative headline line re-prints, so the driver's last-line parse
+    always sees the most complete record even if the wall clock kills
+    the suite mid-config.  Cheap units run first; spec-scale extras
+    last."""
+    err = _probe_backend()
+    if err is not None:
+        print(json.dumps({"metric": "filter_arith_10M_rows_per_s",
+                          "value": 0, "unit": "rows/s",
+                          "vs_baseline": 0, "error": err}), flush=True)
+        return
+    os.environ["ARROW_TPU_BENCH_PROBED"] = "1"
     results = {}
-    headline = None
     order = [("config1", lambda: _child("config1")),
              ("config2", lambda: _child("config2")),
              ("config3", lambda: _child("config3")),
+             ("config_io", lambda: _child("config_io")),
+             ("pallas_smoke", lambda: _child("pallas_smoke")),
              ("config4", config4),          # orchestrates its own children
-             ("config5", config5),          # orchestrates its own children
-             ("config_io", lambda: _child("config_io"))]
+             ("config5", config5)]          # orchestrates its own children
     for name, fn in order:
         if name != "config1" and _left() < 120:
             results[name] = {"skipped": "budget"}
             continue
         try:
-            r = fn()
-            results[name] = r
-            if name == "config1":
-                headline = r
-            else:
-                print(json.dumps(r), flush=True)
+            results[name] = fn()
         except Exception as e:                    # noqa: BLE001
             results[name] = {"error": f"{type(e).__name__}: {e}"}
-            print(json.dumps({"metric": name,
-                              "error": repr(e)[:200]}), flush=True)
             traceback.print_exc()
-    smoke = _child("pallas_smoke") if _left() > 60 else {
-        "skipped": "budget"}
-    if headline is None or "value" not in headline:
-        headline = {"metric": "filter_arith_10M_rows_per_s", "value": 0,
-                    "unit": "rows/s", "vs_baseline": 0,
-                    "error": (headline or {}).get("error")}
-    headline = dict(headline)
-    headline["configs"] = {k: v for k, v in results.items()
-                           if k != "config1"}
-    headline["pallas_smoke"] = smoke
-    print(json.dumps(headline), flush=True)
+        print(json.dumps(_headline(results)), flush=True)
+    # spec-scale join LAST: every headline number is already recorded
+    c5 = results.get("config5")
+    base = c5.get("baseline_rows_per_s") if isinstance(c5, dict) else None
+    if isinstance(c5, dict):
+        c5["spec_1Bx100M"] = config5_spec_unit(base)
+        print(json.dumps(_headline(results)), flush=True)
 
 
 if __name__ == "__main__":

@@ -351,3 +351,176 @@ def test_fuzz_join_parity(seed):
         key = lambda d: sorted(zip(*[
             [(x is not None, x) for x in d[k]] for k in sorted(d)]))
         assert key(gd) == key(ed), (how, seed)
+
+
+# ---- regexp fuzz: native lazy-DFA vs Python `re` oracle --------------------
+# (VERDICT r4 item 10; engine: hostcodec.cpp rex::, ops/strings.py
+# _regex_native_mask — grammar: literals, ., [classes], * + ?,
+# alternation, groups, anchors, \d \w \s escapes)
+
+def _random_pattern(rng) -> str:
+    """Random pattern from the native engine's supported grammar."""
+    def atom(depth):
+        r = rng.random()
+        if r < 0.35:
+            return chr(rng.integers(97, 103))          # literal a-f
+        if r < 0.5:
+            return "."
+        if r < 0.62:
+            lo = chr(rng.integers(97, 100))
+            hi = chr(ord(lo) + int(rng.integers(1, 4)))
+            neg = "^" if rng.random() < 0.25 else ""
+            return f"[{neg}{lo}-{hi}]"
+        if r < 0.72:
+            return rng.choice(["\\d", "\\w", "\\s"])
+        if depth >= 2:
+            return chr(rng.integers(97, 103))
+        return "(" + expr(depth + 1) + ")"
+
+    def piece(depth):
+        a = atom(depth)
+        r = rng.random()
+        if r < 0.2:
+            return a + rng.choice(["*", "+", "?"])
+        return a
+
+    def branch(depth):
+        return "".join(piece(depth)
+                       for _ in range(int(rng.integers(1, 4))))
+
+    def expr(depth):
+        n = int(rng.integers(1, 3))
+        return "|".join(branch(depth) for _ in range(n))
+
+    pat = expr(0)
+    if rng.random() < 0.2:
+        pat = "^" + pat
+    if rng.random() < 0.2:
+        pat = pat + "$"
+    return pat
+
+
+@pytest.mark.parametrize("seed", range(50))
+def test_fuzz_regexp_native_vs_re(seed):
+    import re as _re
+    from arrow_tpu.core.column import StringColumn
+    from arrow_tpu.ops import strings as st
+    rng = np.random.default_rng(1000 + seed)
+    pat = _random_pattern(rng)
+    try:
+        rx = _re.compile(pat)
+    except _re.error:
+        return
+    alphabet = "abcdefg 0137_"
+    n = 200
+    vals = ["".join(alphabet[i] for i in
+                    rng.integers(0, len(alphabet),
+                                 rng.integers(0, 12)))
+            for _ in range(n)]
+    null = rng.random(n) < 0.1
+    col = StringColumn.from_pylist(
+        [None if m else v for v, m in zip(vals, null)])
+    got = st.regexp_is_match(col, pat)
+    gv = np.asarray(got.values)
+    gm = np.ones(n, bool) if got.validity is None \
+        else np.asarray(got.validity)
+    for i in range(n):
+        if null[i]:
+            assert not gm[i]
+            continue
+        exp = rx.search(vals[i]) is not None
+        assert gm[i] and bool(gv[i]) == exp, \
+            (seed, pat, vals[i], bool(gv[i]), exp)
+
+
+# ---- variant fuzz: round-trip + path-get vs the per-row parser --------------
+
+def _random_json_value(rng, depth=0):
+    r = rng.random()
+    if depth >= 3 or r < 0.45:
+        k = rng.integers(0, 5)
+        if k == 0:
+            return None
+        if k == 1:
+            return bool(rng.random() < 0.5)
+        if k == 2:
+            return int(rng.integers(-10**12, 10**12))
+        if k == 3:
+            return float(np.round(rng.normal(0, 100), 6))
+        return "s" + str(rng.integers(0, 100))
+    if r < 0.75:
+        return [_random_json_value(rng, depth + 1)
+                for _ in range(rng.integers(0, 4))]
+    return {f"k{j}": _random_json_value(rng, depth + 1)
+            for j in range(rng.integers(0, 4))}
+
+
+@pytest.mark.parametrize("seed", range(50))
+def test_fuzz_variant_roundtrip_and_get(seed):
+    import json
+    from arrow_tpu.io import variant as vr
+    rng = np.random.default_rng(2000 + seed)
+    rows = [_random_json_value(rng) for _ in range(20)]
+    cols = []
+    for v in rows:
+        md, val = vr.json_to_variant(json.dumps(v))
+        back = vr.parse_variant(md, val)
+        assert back == v, (seed, v, back)
+        cols.append((md, val))
+    # columnar path-get vs the per-row parser on a random object field
+    objs = [{"a": _random_json_value(rng, 2),
+             "b": [_random_json_value(rng, 3)
+                   for _ in range(rng.integers(1, 3))]}
+            for _ in range(10)]
+    pairs = [vr.json_to_variant(json.dumps(o)) for o in objs]
+    col = vr.VariantColumn([m for m, _ in pairs],
+                           [v for _, v in pairs])
+    got = vr.variant_get(col, ["a"])
+    exp = [o["a"] for o in objs]
+    assert got == exp, seed
+
+
+# ---- FlightSQL command round-trips ------------------------------------------
+
+@pytest.mark.parametrize("seed", range(50))
+def test_fuzz_flightsql_command_roundtrip(seed):
+    """Random FlightSQL commands encode -> Any-unpack -> field-decode
+    back to the same payloads (io/pb.py wire codec parity)."""
+    from arrow_tpu.io import flightsql as fs
+    from arrow_tpu.io import pb
+    rng = np.random.default_rng(3000 + seed)
+    q = "SELECT c" + str(rng.integers(0, 100)) + " FROM t WHERE x < " \
+        + str(rng.integers(-10**9, 10**9))
+    handle = bytes(rng.integers(0, 256, rng.integers(1, 30),
+                                dtype=np.uint8))
+    table = "tbl_" + str(rng.integers(0, 1000))
+
+    name, payload = fs._any_unpack(fs.cmd_statement_query(q))
+    assert name.endswith("CommandStatementQuery")
+    assert pb.first_str(pb.parse_fields(payload), 1) == q
+
+    name, payload = fs._any_unpack(
+        fs.cmd_prepared_statement_query(handle))
+    assert name.endswith("CommandPreparedStatementQuery")
+    assert pb.first_bytes(pb.parse_fields(payload), 1) == handle
+
+    name, payload = fs._any_unpack(fs.cmd_get_primary_keys(table))
+    assert name.endswith("CommandGetPrimaryKeys")
+    assert pb.first_str(pb.parse_fields(payload), 3) == table
+
+    ids = sorted(int(x) for x in
+                 rng.integers(0, 600, rng.integers(0, 6)))
+    name, payload = fs._any_unpack(fs.cmd_get_sql_info(ids))
+    assert name.endswith("CommandGetSqlInfo")
+    got_ids = pb.parse_fields(payload).get(1, []) if payload else []
+    flat = []
+    for g in got_ids:
+        if isinstance(g, (bytes, bytearray)):
+            # packed repeated uint32
+            i = 0
+            while i < len(g):
+                v, i = pb.read_varint(g, i)
+                flat.append(int(v))
+        else:
+            flat.append(int(g))
+    assert flat == ids
