@@ -400,9 +400,12 @@ def config4_variant(groups: int, n: int):
                                PrimitiveColumn(val[:m], dtp.int64)),
                               dtp.Schema((dtp.Field("k", dtp.int64),
                                           dtp.Field("v", dtp.int64))))
-                    # double-buffered: chunk i+1's generation dispatches
-                    # while chunk i's host syncs are in flight (depth 2)
-                    acc.update_async(t)
+                    # SYNC update: at 125M chunks one update's working
+                    # set is ~11 GB; depth-2 update_async holds two and
+                    # OOMs the 15.75 GB arena (measured).  The join
+                    # stream (1 GB chunks) is where double-buffering
+                    # pays; here the syncs cost <3% of the chunk time.
+                    acc.update(t)
                     del key, val, t
                     done += m
                 out = acc.finalize()

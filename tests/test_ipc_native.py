@@ -385,3 +385,40 @@ def test_truncated_stream_raises():
     raw = buf.getvalue()
     with pytest.raises(ArrowInvalid):
         ipc.read_stream(raw[:-12])
+
+
+def test_legacy_v4_ipc_compat():
+    """Legacy (pre-1.0) IPC tolerance: metadata V4 + use_legacy_format
+    (no continuation marker, 4-byte length prefix) reads through both
+    the stream and the file reader — the arrow-integration-testing
+    ipc_reader.rs backward-compat role, with pyarrow's legacy writer as
+    the golden producer (no 0.14.x golden files in this image)."""
+    import io
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.ipc as paipc
+    from arrow_tpu.io import ipc as at_ipc
+    rng = np.random.default_rng(0)
+    pt = pa.table({
+        "a": pa.array(rng.integers(-10**9, 10**9, 500), pa.int64()),
+        "s": pa.array(["v%d" % (i % 7) for i in range(500)]),
+        "d": pa.array(["w%d" % (i % 5) for i in range(500)]
+                      ).dictionary_encode(),
+        "f": pa.array(rng.random(500), pa.float64()),
+    })
+    opts = paipc.IpcWriteOptions(
+        use_legacy_format=True,
+        metadata_version=paipc.MetadataVersion.V4)
+    buf = io.BytesIO()
+    with paipc.new_stream(buf, pt.schema, options=opts) as w:
+        w.write_table(pt)
+    got = at_ipc.read_stream(io.BytesIO(buf.getvalue()))
+    if isinstance(got, list):
+        from arrow_tpu.ops.concat import concat_tables
+        got = got[0] if len(got) == 1 else concat_tables(got)
+    assert got.to_pydict() == pt.to_pydict()
+    buf2 = io.BytesIO()
+    with paipc.new_file(buf2, pt.schema, options=opts) as w:
+        w.write_table(pt)
+    f = at_ipc.FileReader(buf2.getvalue())
+    assert f.get_batch(0).to_pydict() == pt.to_pydict()

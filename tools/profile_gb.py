@@ -88,7 +88,9 @@ def run(label, use_async=False):
 
 
 print(f"N={N} CH={CH} groups={GROUPS}", flush=True)
+import sys as _sys
 run("warm1")
 run("warm2")
-run("async1", use_async=True)
-run("async2", use_async=True)
+if "--async" in _sys.argv:
+    run("async1", use_async=True)
+    run("async2", use_async=True)
