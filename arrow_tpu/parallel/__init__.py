@@ -6,7 +6,8 @@ from .partition import (  # noqa: F401
     hash_u64, bucketize, exchange, repartition_arrays, ShuffleResult,
 )
 from .dist import (  # noqa: F401
-    local_group_aggregate, dist_group_by, dist_join_unique,
+    local_group_aggregate, dist_group_by, dist_group_by_stream,
+    dist_join_unique,
     dist_join, dist_join_skew, dist_sort, dist_sum,
 )
 from .api import (  # noqa: F401

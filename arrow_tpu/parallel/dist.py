@@ -22,7 +22,8 @@ from .mesh import shard_axis
 from .partition import bucketize, exchange, hash_u64, repartition_arrays
 from ..ops.groupby import float_group_sums
 
-__all__ = ["local_group_aggregate", "dist_group_by", "dist_join_unique",
+__all__ = ["local_group_aggregate", "dist_group_by",
+           "dist_group_by_stream", "dist_join_unique",
            "dist_join", "dist_join_skew", "dist_sort", "dist_sum"]
 
 _U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
@@ -204,6 +205,84 @@ def dist_group_by(axis: str, key: jnp.ndarray, valid: jnp.ndarray,
     overflow = sh.overflow | (jax.lax.psum(g_over.astype(jnp.int32),
                                            axis) > 0)
     return gk, gv, outs, overflow
+
+
+_MERGE_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def dist_group_by_stream(axis: str, key_chunks: jnp.ndarray,
+                         valid_chunks: jnp.ndarray, shuffle_cap: int,
+                         group_cap: int, ops: Sequence[str],
+                         val_chunks: Sequence[jnp.ndarray]):
+    """CHUNKED distributed group-by with software-pipelined exchange
+    (SURVEY §2.4 "double-buffered async collectives overlapping
+    compute").
+
+    Inputs are (C, n)-shaped per-shard chunk stacks.  Each lax.scan
+    iteration issues chunk i+1's all_to_all shuffle AND aggregates the
+    already-shuffled chunk i — the two are data-independent inside one
+    program, so XLA's latency-hiding scheduler runs the ICI exchange
+    concurrently with the local sort/segment work (the in-program form
+    of the reference ecosystem's streamed Flight DoExchange).  Chunk
+    partials stack up and one final local merge (sum/count->sum,
+    min->min, max->max) reduces them; output groups are disjoint across
+    shards (hash-partitioned), padded to group_cap.
+
+    Returns (group_keys, group_valid, [agg results], overflow).
+    """
+    C = key_chunks.shape[0]
+
+    def shuffle(k, ok, vs):
+        sh = repartition_arrays(axis, k, ok, shuffle_cap, k, *vs)
+        return sh.arrays[0], sh.valid, tuple(sh.arrays[1:]), sh.overflow
+
+    def agg(k, ok, vs):
+        return local_group_aggregate(k, ok, group_cap,
+                                     list(zip(ops, vs)))
+
+    cur = shuffle(key_chunks[0], valid_chunks[0],
+                  tuple(v[0] for v in val_chunks))
+
+    def body(carry, xs):
+        cur_k, cur_ok, cur_vs, over = carry
+        nk, nok = xs[0], xs[1]
+        nvs = xs[2:]
+        nxt = shuffle(nk, nok, nvs)          # chunk i+1 exchange ...
+        gk, gv, outs, g_over = agg(cur_k, cur_ok, cur_vs)  # ... overlaps
+        over = over | nxt[3] | g_over        # chunk i's aggregation
+        return (nxt[0], nxt[1], nxt[2], over), \
+            (gk, gv, tuple(outs))
+
+    if C > 1:
+        xs = (key_chunks[1:], valid_chunks[1:]) \
+            + tuple(v[1:] for v in val_chunks)
+        # the psum'd overflow flag is replicated while the body's agg
+        # overflow is axis-varying: promote the initial carry so scan's
+        # carry types match (shard_map vma rule)
+        over0 = jax.lax.pvary(cur[3], (axis,))
+        (lk, lok, lvs, over), partials = jax.lax.scan(
+            body, (cur[0], cur[1], cur[2], over0), xs)
+    else:
+        lk, lok, lvs, over = cur
+        partials = None
+    gk_l, gv_l, outs_l, g_over = agg(lk, lok, lvs)
+    over = over | g_over
+
+    if partials is None:
+        over = jax.lax.psum(over.astype(jnp.int32), axis) > 0
+        return gk_l, gv_l, list(outs_l), over
+    pk, pv, pouts = partials
+    all_k = jnp.concatenate([pk.reshape(-1), gk_l])
+    all_v = jnp.concatenate([pv.reshape(-1), gv_l])
+    merged_vals = []
+    merge_ops = [_MERGE_OP[o] for o in ops]
+    for po, lo in zip(pouts, outs_l):
+        merged_vals.append(jnp.concatenate([po.reshape(-1), lo]))
+    mk, mv, mouts, m_over = local_group_aggregate(
+        all_k, all_v, group_cap, list(zip(merge_ops, merged_vals)))
+    # mesh-agree the accumulated (axis-varying) flags -> replicated
+    over = jax.lax.psum((over | m_over).astype(jnp.int32), axis) > 0
+    return mk, mv, mouts, over
 
 
 def dist_sum(axis: str, values: jnp.ndarray, valid: jnp.ndarray):

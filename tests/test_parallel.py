@@ -532,3 +532,45 @@ def test_dist_table_key_too_wide(mesh):
     with pytest.raises(at.ArrowNotImplementedError):
         par.dist_table_group_by(t, ["a", "b"], [AggSpec("v", "sum")],
                                 mesh=mesh)
+
+
+def test_dist_group_by_stream_pipelined(mesh):
+    """Chunked distributed group-by with software-pipelined exchange
+    (SURVEY §2.4 double-buffered collectives): chunk i+1's all_to_all
+    issues beside chunk i's local aggregation inside one lax.scan;
+    results must equal the unchunked host truth."""
+    import functools
+    rng = np.random.default_rng(21)
+    C, n = 4, 1024
+    keys = jnp.asarray(rng.integers(0, 37, (C, n)).astype(np.uint64))
+    vals = jnp.asarray(rng.integers(-100, 100, (C, n)).astype(np.int64))
+    ok = jnp.asarray(rng.random((C, n)) > 0.1)
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(None, AXIS),) * 3,
+                       out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                                  P(AXIS), P(AXIS), P()))
+    def stream(k, okk, v):
+        gk, gv, outs, over = par.dist_group_by_stream(
+            AXIS, k, okk, 512, 64, ["sum", "count", "min", "max"],
+            [v, v, v, v])
+        return (gk, gv) + tuple(outs) + (over,)
+
+    gk, gv, s, c, mn, mx, over = (np.asarray(x)
+                                  for x in stream(keys, ok, vals))
+    assert not np.asarray(over).any()
+    got = {}
+    for i in range(len(gk)):
+        if gv[i]:
+            got[int(gk[i])] = (int(s[i]), int(c[i]), int(mn[i]),
+                               int(mx[i]))
+    kf = np.asarray(keys).ravel()
+    vf = np.asarray(vals).ravel()
+    of = np.asarray(ok).ravel()
+    exp = {}
+    for k in np.unique(kf[of]):
+        sel = vf[(kf == k) & of]
+        exp[int(k)] = (int(sel.sum()), len(sel), int(sel.min()),
+                       int(sel.max()))
+    assert got == exp
