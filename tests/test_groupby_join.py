@@ -731,3 +731,32 @@ def test_group_by_accumulator_streaming_matches_oneshot():
             assert np.allclose(a[kk], b[kk], rtol=1e-12), kk
         else:
             assert (a[kk] == b[kk]).all(), kk
+
+
+def test_group_by_accumulator_async_pipelined():
+    """update_async (depth-2 pipelined updates) == sync update ==
+    one-shot group_by; worker exceptions surface at flush/finalize."""
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu.ops.groupby import (group_by, AggSpec,
+                                       GroupByAccumulator)
+    rng = np.random.default_rng(12)
+    N = 80_000
+    t = at.Table.from_pydict({
+        "k": rng.integers(0, 2000, N),
+        "v": rng.integers(-100, 100, N)})
+    aggs = [AggSpec("v", "sum"), AggSpec("v", "count"),
+            AggSpec("v", "min"), AggSpec("v", "max")]
+    acc = GroupByAccumulator(["k"], aggs)
+    for i in range(0, N, 10_000):
+        acc.update_async(t.slice(i, min(10_000, N - i)))
+    got = acc.finalize()
+    exp = group_by(t, ["k"], aggs)
+    assert got.to_pydict() == exp.to_pydict()
+
+    # errors from the worker thread re-raise on the caller side
+    import pytest as _pytest
+    bad = GroupByAccumulator(["k"], [AggSpec("missing", "sum")])
+    with _pytest.raises(Exception):
+        bad.update_async(t.slice(0, 1000))
+        bad.flush()
