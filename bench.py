@@ -570,7 +570,14 @@ def config5spec():
     if True:
         from arrow_tpu.ops.join import HashJoiner
         NB2, NP2, CH = 100_000_000, 1_000_000_000, 125_000_000
-        bk2 = jnp.arange(NB2, dtype=jnp.int64) * 2      # unique keys
+
+        # JIT the build-side generation: the eager arange*2 at 100M
+        # measured 1277 s through the tunnel (per-op remote dispatch);
+        # the jitted program is one cached executable
+        @jax.jit
+        def gen_build():
+            return jnp.arange(NB2, dtype=jnp.int64) * 2  # unique keys
+        bk2 = gen_build()
         right2 = Table((PrimitiveColumn(bk2, dtp.int64),),
                        dtp.Schema((dtp.Field("k", dtp.int64),)))
 
@@ -596,6 +603,11 @@ def config5spec():
             # depth-2 sync throttle — no per-chunk int() round trip, so
             # chunk i+1's gen+probe dispatch while chunk i executes
             # (each pending chunk holds ~1 GB of HBM: depth stays at 2)
+            @jax.jit
+            def acc2(tc, tk, c, k):
+                return tc + c.astype(jnp.int64), \
+                    tk + k.astype(jnp.int64)
+
             total_c = jnp.zeros((), jnp.int64)
             total_k = jnp.zeros((), jnp.int64)
             pending = []
@@ -604,8 +616,7 @@ def config5spec():
                 chunk = Table((PrimitiveColumn(pk2, dtp.int64),),
                               dtp.Schema((dtp.Field("k", dtp.int64),)))
                 c, k = joiner.probe_count_device(chunk)
-                total_c = total_c + c.astype(jnp.int64)
-                total_k = total_k + k.astype(jnp.int64)
+                total_c, total_k = acc2(total_c, total_k, c, k)
                 pending.append(total_c)
                 if len(pending) > 2:
                     _fetch(pending.pop(0))
