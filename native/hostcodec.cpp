@@ -1079,15 +1079,31 @@ uint64_t xxhash64(const uint8_t* data, int64_t len, uint64_t seed);
 // Returns the number of distinct values.
 int64_t intern_varlen(const int64_t* offsets, const uint8_t* data,
                       int64_t n, int32_t* codes, int64_t* uniq_idx) {
+    // ADAPTIVE table: start L1-resident and grow by rehashing the (few)
+    // uniques when load passes 1/2.  The old fixed 2n-slot table was
+    // ~24 MB at 1M rows — every probe a cache miss (~25 ns/row measured)
+    // even for a 4-value dictionary; low-cardinality interning (the
+    // common parquet dictionary page case) now stays in L1/L2.
     int64_t cap = 16;
-    while (cap < 2 * n) cap <<= 1;
-    const uint64_t mask = cap - 1;
-    // open addressing: slot stores code+1 (0 = empty)
-    std::vector<int32_t> slots;
-    std::vector<uint64_t> hashes;
-    slots.assign(cap, 0);
-    hashes.assign(cap, 0);
+    while (cap < 2 * n && cap < 1024) cap <<= 1;
+    std::vector<int32_t> slots(cap, 0);   // code+1 (0 = empty)
+    std::vector<uint64_t> hashes(cap, 0);
+    std::vector<uint64_t> uniq_hash;
+    uniq_hash.reserve(1024);
     int64_t n_uniq = 0;
+    uint64_t mask = cap - 1;
+    auto grow = [&]() {
+        cap <<= 2;
+        mask = cap - 1;
+        slots.assign(cap, 0);
+        hashes.assign(cap, 0);
+        for (int64_t c = 0; c < n_uniq; ++c) {
+            uint64_t j = uniq_hash[c] & mask;
+            while (slots[j] != 0) j = (j + 1) & mask;
+            slots[j] = (int32_t)(c + 1);
+            hashes[j] = uniq_hash[c];
+        }
+    };
     for (int64_t i = 0; i < n; ++i) {
         const uint8_t* s = data + offsets[i];
         const int64_t len = offsets[i + 1] - offsets[i];
@@ -1096,9 +1112,15 @@ int64_t intern_varlen(const int64_t* offsets, const uint8_t* data,
         while (true) {
             int32_t c = slots[j];
             if (c == 0) {
+                if (2 * (n_uniq + 1) >= cap) {
+                    grow();
+                    j = h & mask;
+                    while (slots[j] != 0) j = (j + 1) & mask;
+                }
                 slots[j] = (int32_t)(n_uniq + 1);
                 hashes[j] = h;
                 uniq_idx[n_uniq] = i;
+                uniq_hash.push_back(h);
                 codes[i] = (int32_t)n_uniq;
                 ++n_uniq;
                 break;
@@ -1377,6 +1399,25 @@ int64_t csv_index(const uint8_t* data, int64_t len, uint8_t delim,
             if (pos < len) ++pos;      // closing quote
         } else {
             fs = pos;
+            // SWAR scan to the next delimiter/newline: 8 bytes per
+            // iteration (the per-byte loop measured ~450 MB/s; this is
+            // the indexer's hot path)
+            const uint64_t ones = 0x0101010101010101ULL;
+            const uint64_t high = 0x8080808080808080ULL;
+            const uint64_t dpat = ones * delim;
+            while (pos + 8 <= len) {
+                uint64_t w;
+                std::memcpy(&w, data + pos, 8);
+                uint64_t xd = w ^ dpat;
+                uint64_t xn = w ^ 0x0A0A0A0A0A0A0A0AULL;
+                uint64_t hit = ((xd - ones) & ~xd & high)
+                             | ((xn - ones) & ~xn & high);
+                if (hit) {
+                    pos += __builtin_ctzll(hit) >> 3;
+                    break;
+                }
+                pos += 8;
+            }
             while (pos < len && data[pos] != delim && data[pos] != '\n')
                 ++pos;
             fe = pos;
