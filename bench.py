@@ -874,6 +874,34 @@ def pallas_smoke():
     finally:
         os.environ["ARROW_TPU_USE_PALLAS"] = "0"
 
+    try:
+        # the r4 compact-stage2 route: packed-sort group-by whose run
+        # starts/ends come from the Pallas stream-compaction kernel
+        # (wide-domain int keys force the packed path)
+        from arrow_tpu.core.column import PrimitiveColumn
+        from arrow_tpu.core.table import Table
+        from arrow_tpu import dtypes as dtp
+        from arrow_tpu.ops.groupby import group_by, AggSpec
+        n = 200_000
+        k_np = (rng.integers(0, 30_000, n) * 7919) % 1_000_003
+        v_np = rng.integers(-1000, 1000, n)
+        t = Table((PrimitiveColumn(jnp.asarray(k_np), dtp.int64),
+                   PrimitiveColumn(jnp.asarray(v_np), dtp.int64)),
+                  dtp.Schema((dtp.Field("k", dtp.int64),
+                              dtp.Field("v", dtp.int64))))
+        aggs = [AggSpec("v", "sum"), AggSpec("v", "count"),
+                AggSpec("v", "min"), AggSpec("v", "max")]
+        os.environ["ARROW_TPU_USE_PALLAS"] = "1"
+        a = group_by(t, ["k"], aggs)
+        os.environ["ARROW_TPU_USE_PALLAS"] = "0"
+        b = group_by(t, ["k"], aggs)
+        out["groupcompact"] = "ok" if a.to_pydict() == b.to_pydict() \
+            else "MISMATCH"
+    except Exception as e:                        # noqa: BLE001
+        out["groupcompact"] = f"ERROR {type(e).__name__}"
+    finally:
+        os.environ["ARROW_TPU_USE_PALLAS"] = "0"
+
     for name in ("groupagg", "groupminmax"):
         try:
             from arrow_tpu.core.column import PrimitiveColumn
