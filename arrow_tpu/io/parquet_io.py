@@ -117,6 +117,7 @@ class ParquetReaderBuilder:
     row_groups: Optional[Sequence[int]] = None
     batch_size: int = 65536
     row_filter: Optional[Callable[[Table], object]] = None
+    row_selection: Optional["RowSelection"] = None
     limit: Optional[int] = None
     offset: int = 0
     bloom_probe: Optional[tuple] = None   # (column, value)
@@ -141,9 +142,19 @@ class ParquetReaderBuilder:
         return self
 
     def with_row_filter(self, predicate_fn):
-        """predicate_fn: Table -> boolean Column; pushed down per batch
-        (the RowFilter/RowSelection role, arrow_reader/filter.rs:173)."""
+        """Plain callable (Table -> boolean Column): applied per batch
+        after decode.  A RowFilter instance instead enables the
+        two-phase page-skip pushdown (arrow_reader/filter.rs:173)."""
         self.row_filter = predicate_fn
+        return self
+
+    def with_row_selection(self, selection: "RowSelection"):
+        """Decode only the selected rows, skipping pages entirely
+        outside the selection when the file has an offset index
+        (arrow_reader/mod.rs with_row_selection; selection row
+        coordinates are FILE-relative across the selected row
+        groups)."""
+        self.row_selection = selection
         return self
 
     def with_bloom_filter(self, column: str, value):
@@ -187,6 +198,9 @@ class ParquetReaderBuilder:
             yield from self._emit(self._pushdown_tables(f, groups),
                                   apply_filter=False)
             return
+        if self.row_selection is not None:
+            yield from self._emit(self._selected_tables(f, groups))
+            return
         depth = int(os.environ.get("ARROW_TPU_PARQUET_PREFETCH", "1"))
         if depth <= 0 or len(groups) <= 1:
             tables = (f.read_row_group(gi, columns=self.columns)
@@ -216,6 +230,27 @@ class ParquetReaderBuilder:
             yield from self._emit(tables())
         finally:
             ex.shutdown(wait=False, cancel_futures=True)
+
+    def _selected_tables(self, f, groups) -> Iterator[Table]:
+        """Explicit RowSelection scan: intersect the (file-relative)
+        selection with each row group's span and decode with page
+        skipping."""
+        rg_start = {}
+        acc = 0
+        for gi in range(len(f.row_groups)):
+            rg_start[gi] = acc
+            acc += f.row_groups[gi].get(3, 0)
+        for gi in groups:
+            base = rg_start[gi]
+            nrows = f.row_groups[gi].get(3, 0)
+            local = RowSelection(
+                [(max(s - base, 0), min(e - base, nrows))
+                 for s, e in self.row_selection.intervals
+                 if s < base + nrows and e > base])
+            if local.row_count() == 0:
+                continue
+            yield f.read_row_group(gi, columns=self.columns,
+                                   selection=local.intervals)
 
     def _pushdown_tables(self, f, groups) -> Iterator[Table]:
         """Two-phase decode per row group: predicate projection ->

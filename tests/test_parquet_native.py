@@ -1270,3 +1270,33 @@ def test_async_parquet_writer_multipart():
     exp = {"a": (t1.to_pydict()["a"] + t2.to_pydict()["a"]),
            "s": t1.to_pydict()["s"] + t2.to_pydict()["s"]}
     assert got.to_pydict() == exp
+
+
+def test_with_row_selection_direct():
+    """Explicit RowSelection scan (arrow_reader with_row_selection):
+    file-relative intervals decode only intersecting pages per group."""
+    import io
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu.ops.concat import concat_tables
+    from arrow_tpu.io.parquet_io import (ParquetReaderBuilder,
+                                         RowSelection, WriterProperties,
+                                         write_parquet)
+    from arrow_tpu.io import parquet_native as pn
+    rng = np.random.default_rng(0)
+    n = 100_000
+    t = at.Table.from_pydict({"k": np.arange(n),
+                              "v": rng.integers(0, 100, n)})
+    buf = io.BytesIO()
+    write_parquet(buf, t, WriterProperties(write_page_index=True,
+                                           data_page_size=8_000,
+                                           row_group_size=40_000))
+    sel = RowSelection([(5, 10), (39_990, 40_020), (99_000, 100_000)])
+    pn.PAGES_DECODED[0] = 0
+    pn.PAGES_SKIPPED[0] = 0
+    ts = list(ParquetReaderBuilder(io.BytesIO(buf.getvalue()))
+              .with_row_selection(sel).with_batch_size(10**6).build())
+    got = concat_tables(ts) if len(ts) > 1 else ts[0]
+    assert got.to_pydict()["k"] == \
+        [i for s, e in sel.intervals for i in range(s, e)]
+    assert pn.PAGES_SKIPPED[0] > pn.PAGES_DECODED[0]
