@@ -496,6 +496,15 @@ def key_parts(c: Column, opt=None):
         c = dictionary_encode(c)
     if isinstance(c, DictionaryColumn):
         ranks, dict_null = dictionary_value_ranks(c.values)
+        if not dict_null.any() and len(ranks) and \
+                bool((np.diff(ranks.astype(np.int64)) > 0).all()):
+            # VALUE-SORTED dictionary (strictly increasing ranks =
+            # distinct values in slot order): codes ARE the ranks, so
+            # the encoder can skip the 100M-row rank-LUT gather inside
+            # the sort program (measured 0.5 s of a 1.57 s 2-key
+            # 100M-row lexsort).  ranks=None marks this statically via
+            # the pytree structure.
+            return (c.codes, None, None, c.validity)
         entry_valid = jnp.asarray(~dict_null) if dict_null.any() else None
         return (c.codes, jnp.asarray(ranks), entry_valid, c.validity)
     if isinstance(c, DecimalColumn):
@@ -593,7 +602,10 @@ def _encode_one_traced(kind, opt, part) -> List[jnp.ndarray]:
         keys.extend(limb_keys)
         return keys
     if kind == "dict":
-        vkey = jnp.take(ranks.astype(jnp.uint32), vals, mode="clip")
+        if ranks is None:          # value-sorted dictionary: code = rank
+            vkey = vals.astype(jnp.uint32)
+        else:
+            vkey = jnp.take(ranks.astype(jnp.uint32), vals, mode="clip")
         if entry_valid is not None:
             ev = jnp.take(entry_valid, vals, mode="clip")
             validity = ev if validity is None else (validity & ev)

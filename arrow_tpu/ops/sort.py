@@ -82,6 +82,13 @@ def _decode_sort(cols, opts, limit, need_idx, payloads=()):
         parts.append(p)
         if kinds[-1] == "dict":
             ranks, entry_valid = p[1], p[2]
+            if ranks is None:
+                # value-sorted dictionary (key_parts fast path):
+                # rank == slot, the inverse is the identity
+                nslots = len(col.values)
+                invs.append(jnp.arange(max(nslots, 1), dtype=jnp.int32))
+                metas.append(np.dtype(col.codes.dtype).name)
+                continue
             # rank -> FIRST valid slot holding it (row_format._decode_key
             # does the same): argsort(ranks) is wrong when dictionary
             # values repeat — dense ranks are non-unique, and the
