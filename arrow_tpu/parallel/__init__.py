@@ -8,7 +8,8 @@ from .partition import (  # noqa: F401
 from .dist import (  # noqa: F401
     local_group_aggregate, dist_group_by, dist_group_by_stream,
     dist_join_unique,
-    dist_join, dist_join_skew, dist_sort, dist_sum,
+    dist_join, dist_join_stream, dist_join_skew, dist_sort,
+    dist_sum,
 )
 from .api import (  # noqa: F401
     dist_table_group_by, dist_table_sort, dist_table_join,

@@ -24,7 +24,8 @@ from ..ops.groupby import float_group_sums
 
 __all__ = ["local_group_aggregate", "dist_group_by",
            "dist_group_by_stream", "dist_join_unique",
-           "dist_join", "dist_join_skew", "dist_sort", "dist_sum"]
+           "dist_join", "dist_join_stream", "dist_join_skew",
+           "dist_sort", "dist_sum"]
 
 _U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -171,21 +172,36 @@ def local_group_aggregate(key: jnp.ndarray, valid: jnp.ndarray,
     return group_keys, group_valid, outs, overflow
 
 
-def _local_lookup_unique(probe_key, probe_valid, build_key, build_valid,
-                         build_vals: Sequence[jnp.ndarray]):
-    """For each probe row find the (unique) matching build row.
-    Returns (match_valid, [gathered build values])."""
+def _sort_build_side(build_key, build_valid,
+                     build_vals: Sequence[jnp.ndarray]):
+    """Sort the build side ONCE for repeated lookups: returns
+    (sorted keys, sorted invalid flags, [build values in key order])."""
     bk = jnp.where(build_valid, build_key, _U64_MAX)
     # ~valid as a tiebreak key: probe keys equal to the sentinel must
     # land on the VALID build row, not an invalid one that ties it
     iota = jnp.arange(bk.shape[0], dtype=jnp.int32)
     bks, inv_s, order = jax.lax.sort((bk, ~build_valid, iota),
                                      num_keys=2, is_stable=True)
+    return bks, inv_s, [bv[order] for bv in build_vals]
+
+
+def _lookup_sorted(probe_key, probe_valid, bks, inv_s, bvals_sorted):
+    """Probe a pre-sorted unique-key build side."""
     pos = jnp.searchsorted(bks, probe_key)
     pos_c = jnp.clip(pos, 0, bks.shape[0] - 1)
     hit = (bks[pos_c] == probe_key) & probe_valid & ~inv_s[pos_c]
-    gathered = [bv[order][pos_c] for bv in build_vals]
+    gathered = [bv[pos_c] for bv in bvals_sorted]
     return hit, gathered
+
+
+def _local_lookup_unique(probe_key, probe_valid, build_key, build_valid,
+                         build_vals: Sequence[jnp.ndarray]):
+    """For each probe row find the (unique) matching build row.
+    Returns (match_valid, [gathered build values])."""
+    bks, inv_s, bvals_sorted = _sort_build_side(build_key, build_valid,
+                                                build_vals)
+    return _lookup_sorted(probe_key, probe_valid, bks, inv_s,
+                          bvals_sorted)
 
 
 # ---- distributed operators ---------------------------------------------------
@@ -315,6 +331,78 @@ def dist_join_unique(axis: str,
                                          bsh.arrays[1:])
     return pk, psh.valid, psh.arrays[1:], hit, gathered, \
         psh.overflow | bsh.overflow
+
+
+def dist_join_stream(axis: str,
+                     probe_key_chunks: jnp.ndarray,
+                     probe_valid_chunks: jnp.ndarray,
+                     probe_val_chunks: Sequence[jnp.ndarray],
+                     build_key, build_valid,
+                     build_vals: Sequence[jnp.ndarray],
+                     probe_cap: int, build_cap: int):
+    """CHUNKED FK join with software-pipelined exchange (the streamed
+    analog of dist_join_unique; SURVEY §2.4 double-buffered
+    collectives).
+
+    The build side co-shuffles and SORTS once; probe chunk stacks
+    ((C, n)-shaped) stream through lax.scan, each iteration issuing
+    chunk i+1's all_to_all beside chunk i's local sorted lookup — the
+    ICI exchange rides under the probe compute.  Returns per-chunk
+    stacked (probe_key', probe_valid', [probe vals'], match_valid,
+    [build vals']) plus a mesh-agreed overflow flag.
+    """
+    bsh = repartition_arrays(axis, build_key, build_valid, build_cap,
+                             build_key, *build_vals)
+    bks, inv_s, bvals_sorted = _sort_build_side(
+        bsh.arrays[0], bsh.valid, list(bsh.arrays[1:]))
+
+    def shuffle(k, ok, vs):
+        sh = repartition_arrays(axis, k, ok, probe_cap, k, *vs)
+        return sh.arrays[0], sh.valid, tuple(sh.arrays[1:]), sh.overflow
+
+    def probe(k, ok, vs):
+        hit, got = _lookup_sorted(k, ok, bks, inv_s, bvals_sorted)
+        return k, ok, tuple(vs), hit, tuple(got)
+
+    C = probe_key_chunks.shape[0]
+    cur = shuffle(probe_key_chunks[0], probe_valid_chunks[0],
+                  tuple(v[0] for v in probe_val_chunks))
+
+    def body(carry, xs):
+        cur_k, cur_ok, cur_vs, over = carry
+        nxt = shuffle(xs[0], xs[1], xs[2:])     # chunk i+1 exchange ...
+        out = probe(cur_k, cur_ok, cur_vs)      # ... rides under chunk
+        over = over | nxt[3]                    # i's lookup
+        return (nxt[0], nxt[1], nxt[2], over), out
+
+    if C > 1:
+        xs = (probe_key_chunks[1:], probe_valid_chunks[1:]) \
+            + tuple(v[1:] for v in probe_val_chunks)
+        over0 = jax.lax.pvary(cur[3], (axis,)) \
+            if not isinstance(cur[3], bool) else cur[3]
+        (lk, lok, lvs, over), outs = jax.lax.scan(
+            body, (cur[0], cur[1], cur[2], over0), xs)
+    else:
+        lk, lok, lvs, over = cur
+        outs = None
+    last = probe(lk, lok, lvs)
+    over = (jax.lax.psum(over.astype(jnp.int32), axis) > 0) \
+        | bsh.overflow
+    if outs is None:
+        k1, ok1, vs1, hit1, got1 = last
+        stack = (k1[None], ok1[None], tuple(v[None] for v in vs1),
+                 hit1[None], tuple(g[None] for g in got1))
+        return stack + (over,)
+    ks, oks, vss, hits, gots = outs
+    k1, ok1, vs1, hit1, got1 = last
+    ks = jnp.concatenate([ks, k1[None]])
+    oks = jnp.concatenate([oks, ok1[None]])
+    vss = tuple(jnp.concatenate([a, b[None]])
+                for a, b in zip(vss, vs1))
+    hits = jnp.concatenate([hits, hit1[None]])
+    gots = tuple(jnp.concatenate([a, b[None]])
+                 for a, b in zip(gots, got1))
+    return ks, oks, vss, hits, gots, over
 
 
 def dist_join(axis: str,

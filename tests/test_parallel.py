@@ -574,3 +574,41 @@ def test_dist_group_by_stream_pipelined(mesh):
         exp[int(k)] = (int(sel.sum()), len(sel), int(sel.min()),
                        int(sel.max()))
     assert got == exp
+
+
+def test_dist_join_stream_pipelined(mesh):
+    """Chunked FK join with pipelined exchange (dist_join_stream):
+    build shuffled+sorted once, probe chunks stream; results equal the
+    host truth."""
+    import functools
+    rng = np.random.default_rng(22)
+    C, n = 3, 1024
+    pk = jnp.asarray(rng.integers(0, 600, (C, n)).astype(np.uint64))
+    pv = jnp.asarray(rng.integers(-50, 50, (C, n)).astype(np.int64))
+    ok = jnp.asarray(rng.random((C, n)) > 0.1)
+    bk = jnp.asarray((np.arange(512) * 2).astype(np.uint64))
+    bw = jnp.asarray(np.arange(512, dtype=np.int64) * 3)
+    bok = jnp.ones(512, bool)
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=((P(None, AXIS),) * 3 + (P(AXIS),) * 3),
+                       out_specs=(P(None, AXIS),) * 5 + (P(),))
+    def stream(k, okk, v, bkk, bokk, bww):
+        ks, oks, (vs,), hits, (gots,), over = par.dist_join_stream(
+            AXIS, k, okk, (v,), bkk, bokk, (bww,), 512, 512)
+        return ks, oks, vs, hits, gots, over
+
+    ks, oks, vs, hits, gots, over = (
+        np.asarray(x) for x in stream(pk, ok, pv, bk, bok, bw))
+    assert not np.asarray(over).any()
+    got_pairs = sorted(
+        (int(ks[c, i]), int(vs[c, i]), int(gots[c, i]))
+        for c in range(ks.shape[0]) for i in range(ks.shape[1])
+        if oks[c, i] and hits[c, i])
+    kf, vf, of = np.asarray(pk), np.asarray(pv), np.asarray(ok)
+    exp_pairs = sorted(
+        (int(kf[c, i]), int(vf[c, i]), int(kf[c, i]) // 2 * 3)
+        for c in range(C) for i in range(n)
+        if of[c, i] and kf[c, i] % 2 == 0 and kf[c, i] < 1024)
+    assert got_pairs == exp_pairs
