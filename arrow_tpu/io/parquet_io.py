@@ -28,7 +28,7 @@ from ..errors import ArrowInvalid
 
 __all__ = ["ParquetReaderBuilder", "WriterProperties", "ParquetWriter",
            "read_parquet", "write_parquet", "read_metadata",
-           "RowSelection", "RowFilter"]
+           "RowSelection", "RowFilter", "StatisticsConverter"]
 
 
 class RowSelection:
@@ -475,3 +475,104 @@ def read_metadata(path) -> ParquetMetadata:
     """Footer metadata incl. per-column statistics — parsed natively."""
     from .parquet_native import ParquetFile
     return ParquetMetadata(ParquetFile(path))
+
+
+class StatisticsConverter:
+    """Parquet statistics as ENGINE COLUMNS (the arrow-rs
+    StatisticsConverter role, parquet/src/arrow/arrow_reader/
+    statistics.rs): one row per row group (or per page, from the page
+    index) with min/max/null_count decoded through the column's
+    physical type — the shape pruning engines consume."""
+
+    def __init__(self, pf_or_path, column: str):
+        from .parquet_native import ParquetFile
+        self._pf = pf_or_path if isinstance(pf_or_path, ParquetFile) \
+            else ParquetFile(pf_or_path)
+        self._col = column
+        md = ParquetMetadata(self._pf)
+        self._md = md
+
+    def _decode_many(self, raws):
+        """PLAIN-decode a list of Optional[bytes] min/max blobs into an
+        engine column (physical-type driven, like statistics.rs)."""
+        import struct as _st
+        from .parquet_native import _leaves_under
+        li = self._pf._leaf_index_for(self._col)
+        if li is None:
+            raise ArrowInvalid(f"unknown column {self._col!r}")
+        leaves = [leaf for f in self._pf.root.children
+                  for leaf in _leaves_under(f)]
+        phys = leaves[li].physical
+        from ..core.column import column as make_col
+        from .. import dtypes as _dt
+
+        def one(raw):
+            if raw is None or not isinstance(raw, (bytes, bytearray)):
+                return None
+            try:
+                if phys == 1:
+                    return _st.unpack("<i", raw)[0]
+                if phys == 2:
+                    return _st.unpack("<q", raw)[0]
+                if phys == 4:
+                    return _st.unpack("<f", raw)[0]
+                if phys == 5:
+                    return _st.unpack("<d", raw)[0]
+                if phys == 0:
+                    return bool(raw[0])
+                return bytes(raw).decode("utf-8", "backslashreplace")
+            except Exception:          # noqa: BLE001
+                return None
+        vals = [one(r) for r in raws]
+        d = {1: _dt.int32, 2: _dt.int64, 4: _dt.float32,
+             5: _dt.float64, 0: _dt.bool_}.get(phys, _dt.utf8)
+        return make_col(vals, d)
+
+    def _rg_stat_raw(self, which):
+        out = []
+        li = self._pf._leaf_index_for(self._col)
+        for rg in range(self._md.num_row_groups):
+            md = self._pf.row_groups[rg].get(1, [])[li].get(3, {})
+            st = md.get(12)
+            if st is None:
+                out.append(None)
+                continue
+            if which == "min":
+                out.append(st.get(6, st.get(2)))
+            elif which == "max":
+                out.append(st.get(5, st.get(1)))
+            else:
+                out.append(st.get(3))
+        return out
+
+    def row_group_statistics(self):
+        """Table: one row per row group with min/max columns (decoded)
+        and null_count int64."""
+        mins = self._decode_many(self._rg_stat_raw("min"))
+        maxs = self._decode_many(self._rg_stat_raw("max"))
+        from ..core.column import column as make_col
+        from .. import dtypes as _dt
+        ncs = make_col(self._rg_stat_raw("null_count"), _dt.int64)
+        return Table((mins, maxs, ncs), dt.Schema((
+            dt.Field("min", mins.dtype), dt.Field("max", maxs.dtype),
+            dt.Field("null_count", _dt.int64))))
+
+    def page_statistics(self, rg_index: int):
+        """Table: one row per PAGE from the column index (page-index
+        driven pruning shape), or None when the file has no column
+        index for this chunk."""
+        ci = self._pf.column_index(rg_index, self._col)
+        if ci is None:
+            return None
+        mins = self._decode_many(ci["min_values"])
+        maxs = self._decode_many(ci["max_values"])
+        from ..core.column import column as make_col
+        from .. import dtypes as _dt
+        ncs = make_col([int(x) for x in ci["null_counts"]]
+                       if ci["null_counts"] else
+                       [None] * len(ci["min_values"]), _dt.int64)
+        nps = make_col([bool(b) for b in ci["null_pages"]], _dt.bool_)
+        return Table((mins, maxs, ncs, nps), dt.Schema((
+            dt.Field("min", mins.dtype), dt.Field("max", maxs.dtype),
+            dt.Field("null_count", _dt.int64),
+            dt.Field("is_null_page", _dt.bool_, nullable=False))))

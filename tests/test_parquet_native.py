@@ -1300,3 +1300,36 @@ def test_with_row_selection_direct():
     assert got.to_pydict()["k"] == \
         [i for s, e in sel.intervals for i in range(s, e)]
     assert pn.PAGES_SKIPPED[0] > pn.PAGES_DECODED[0]
+
+
+def test_statistics_converter():
+    """StatisticsConverter (arrow_reader/statistics.rs role): row-group
+    and page statistics decode into engine columns through the leaf's
+    physical type."""
+    import io
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import (StatisticsConverter,
+                                         WriterProperties, write_parquet)
+    rng = np.random.default_rng(0)
+    n = 50_000
+    t = at.Table.from_pydict({"k": np.arange(n), "f": rng.random(n),
+                              "s": ["v%03d" % (i % 50)
+                                    for i in range(n)]})
+    buf = io.BytesIO()
+    write_parquet(buf, t, WriterProperties(write_page_index=True,
+                                           data_page_size=8_000,
+                                           row_group_size=20_000))
+    data = buf.getvalue()
+    sc = StatisticsConverter(io.BytesIO(data), "k")
+    rg = sc.row_group_statistics().to_pydict()
+    assert rg["min"] == [0, 20_000, 40_000]
+    assert rg["max"] == [19_999, 39_999, 49_999]
+    assert rg["null_count"] == [0, 0, 0]
+    ps = sc.page_statistics(0).to_pydict()
+    assert ps["min"][0] == 0
+    assert all(a < b for a, b in zip(ps["min"], ps["min"][1:]))
+    # string column: byte-array stats decode as utf8
+    rgs = StatisticsConverter(io.BytesIO(data), "s") \
+        .row_group_statistics().to_pydict()
+    assert rgs["min"][0] == "v000" and rgs["max"][0] == "v049"
