@@ -123,18 +123,32 @@ class AsyncParquetWriter:
         self._closed = False
 
     def _upload_loop(self):
+        # After a put_part failure the loop KEEPS DRAINING (discarding
+        # parts) rather than exiting: with the bounded queue full, an
+        # exited uploader would deadlock the producer's blocking put
+        # forever instead of letting _ship_pending surface self._err.
+        failed = False
         while True:
             part = self._q.get()
             if part is None:
                 return
+            if failed:
+                continue
             try:
                 self._sink.put_part(part)
             except Exception as e:     # noqa: BLE001
                 self._err.append(e)
-                return
+                failed = True
 
     def _ship_pending(self, force: bool = False):
         if self._err:
+            # terminal: stop the uploader, abort the multipart write,
+            # and surface the sink error to the caller
+            if not self._closed:
+                self._closed = True
+                self._q.put(None)
+                self._uploader.join()
+                self._sink.abort()
             raise ArrowInvalid(f"sink upload failed: {self._err[0]}")
         if force or self._staging.pending() >= self._buffer_size:
             part = self._staging.drain()

@@ -94,6 +94,14 @@ class StreamWriter:
     def __init__(self, sink, schema_table, compression: Optional[str] = None,
                  *, _file_mode: bool = False):
         self._sink = sink
+        # Writer offsets (self._pos, block offsets) count from 0, but the
+        # sink may already hold data (appending to a non-empty BytesIO):
+        # absolute seeks must add this base or the pre-extend would
+        # overwrite the existing prefix.
+        try:
+            self._base = sink.tell()
+        except Exception:              # noqa: BLE001 — non-seekable sink
+            self._base = 0
         self._codec = _CODECS[compression]
         schema = schema_table.schema if isinstance(schema_table, Table) \
             else schema_table
@@ -131,9 +139,9 @@ class StreamWriter:
         import io as _io
         total = len(framed) + blen
         if isinstance(self._sink, _io.BytesIO) and total > (1 << 20):
-            self._sink.seek(self._pos + total - 1)
+            self._sink.seek(self._base + self._pos + total - 1)
             self._sink.write(b"\x00")
-            self._sink.seek(self._pos)
+            self._sink.seek(self._base + self._pos)
         self._emit(framed)
         for c in chunks:
             self._emit(c)

@@ -232,12 +232,14 @@ class ParquetReaderBuilder:
             ex.shutdown(wait=False, cancel_futures=True)
 
     def _selected_tables(self, f, groups) -> Iterator[Table]:
-        """Explicit RowSelection scan: intersect the (file-relative)
-        selection with each row group's span and decode with page
-        skipping."""
+        """Explicit RowSelection scan: the selection is relative to the
+        CONCATENATION OF THE SELECTED ROW GROUPS (arrow-rs
+        with_row_selection semantics, arrow_reader/mod.rs — "rows from
+        skipped row groups should not be included"), intersected with
+        each scanned group's span and decoded with page skipping."""
         rg_start = {}
         acc = 0
-        for gi in range(len(f.row_groups)):
+        for gi in groups:
             rg_start[gi] = acc
             acc += f.row_groups[gi].get(3, 0)
         for gi in groups:
@@ -440,34 +442,20 @@ class ParquetMetadata:
 
     def column_statistics(self, rg: int, col: int):
         """-> {min, max, null_count, distinct_count} with min/max decoded
-        from their PLAIN encoding per the leaf's physical type
-        (Statistics, format.rs field ids 1-6)."""
-        import struct as _st
+        from their PLAIN encoding through the leaf's LOGICAL type
+        (Statistics, format.rs field ids 1-6; statistics.rs decodes via
+        the converted/arrow type, so UINT32/UINT64 stay unsigned and
+        decimal blobs come back as Decimal)."""
+        from .parquet_native import _leaves_under
         md = self._pf.row_groups[rg].get(1, [])[col].get(3, {})
         st = md.get(12)
         if st is None:
             return None
-        phys = md.get(1, 6)
-
-        def dec(raw):
-            if raw is None or not isinstance(raw, (bytes, bytearray)):
-                return raw
-            try:
-                if phys == 1:
-                    return _st.unpack("<i", raw)[0]
-                if phys == 2:
-                    return _st.unpack("<q", raw)[0]
-                if phys == 4:
-                    return _st.unpack("<f", raw)[0]
-                if phys == 5:
-                    return _st.unpack("<d", raw)[0]
-                if phys == 0:
-                    return bool(raw[0])
-                return raw.decode("utf-8", "backslashreplace")
-            except Exception:          # noqa: BLE001
-                return raw
-        return {"min": dec(st.get(6, st.get(2))),
-                "max": dec(st.get(5, st.get(1))),
+        leaves = [leaf for f in self._pf.root.children
+                  for leaf in _leaves_under(f)]
+        node = leaves[col]
+        return {"min": _stat_decode_one(st.get(6, st.get(2)), node),
+                "max": _stat_decode_one(st.get(5, st.get(1)), node),
                 "null_count": st.get(3), "distinct_count": st.get(4)}
 
 
@@ -475,6 +463,66 @@ def read_metadata(path) -> ParquetMetadata:
     """Footer metadata incl. per-column statistics — parsed natively."""
     from .parquet_native import ParquetFile
     return ParquetMetadata(ParquetFile(path))
+
+
+def _stat_decode_one(raw, node):
+    """PLAIN-decode one min/max statistics blob through the leaf's
+    LOGICAL type (the reference decodes stats via the converted/arrow
+    type, statistics.rs): unsigned INT32/INT64 decode as unsigned,
+    decimal INT32/INT64/BYTE_ARRAY/FLBA blobs (big-endian two's
+    complement for the byte forms) decode to decimal.Decimal, utf8
+    decodes to str, and non-utf8 byte stats come back as raw bytes
+    instead of backslash-escaped text."""
+    import struct as _st
+    if raw is None or not isinstance(raw, (bytes, bytearray)):
+        return None
+    from .parquet_native import _logical_dtype
+    d = _logical_dtype(node)
+    name = d.name
+    phys = node.physical
+    try:
+        if name.startswith("decimal"):
+            if phys == 1:
+                unscaled = _st.unpack("<i", raw)[0]
+            elif phys == 2:
+                unscaled = _st.unpack("<q", raw)[0]
+            else:
+                unscaled = int.from_bytes(bytes(raw), "big", signed=True)
+            import decimal as _dec
+            return _dec.Decimal(unscaled).scaleb(-d.scale)
+        if phys == 1:
+            return _st.unpack(
+                "<I" if name.startswith("uint") else "<i", raw)[0]
+        if phys == 2:
+            return _st.unpack(
+                "<Q" if name.startswith("uint") else "<q", raw)[0]
+        if phys == 4:
+            return _st.unpack("<f", raw)[0]
+        if phys == 5:
+            return _st.unpack("<d", raw)[0]
+        if phys == 0:
+            return bool(raw[0])
+        if "utf8" in name:
+            return bytes(raw).decode("utf-8")
+        return bytes(raw)
+    except Exception:                  # noqa: BLE001
+        return None
+
+
+def _stat_column_dtype(node):
+    """Engine dtype for a decoded min/max statistics column: the leaf's
+    logical dtype for value-like families, else the physical fallback."""
+    from .parquet_native import _logical_dtype
+    from .. import dtypes as _dt
+    d = _logical_dtype(node)
+    n = d.name
+    if (n.startswith(("int", "uint", "float", "decimal"))
+            or n in ("bool", "utf8", "large_utf8")):
+        return d
+    if n in ("binary", "large_binary", "fixed_size_binary"):
+        return _dt.binary
+    return {1: _dt.int32, 2: _dt.int64, 4: _dt.float32,
+            5: _dt.float64, 0: _dt.bool_}.get(node.physical, _dt.utf8)
 
 
 class StatisticsConverter:
@@ -494,39 +542,19 @@ class StatisticsConverter:
 
     def _decode_many(self, raws):
         """PLAIN-decode a list of Optional[bytes] min/max blobs into an
-        engine column (physical-type driven, like statistics.rs)."""
-        import struct as _st
+        engine column through the leaf's LOGICAL type (statistics.rs
+        decodes via the arrow type: unsigned stays unsigned, decimal
+        blobs become decimal columns)."""
         from .parquet_native import _leaves_under
         li = self._pf._leaf_index_for(self._col)
         if li is None:
             raise ArrowInvalid(f"unknown column {self._col!r}")
         leaves = [leaf for f in self._pf.root.children
                   for leaf in _leaves_under(f)]
-        phys = leaves[li].physical
+        node = leaves[li]
         from ..core.column import column as make_col
-        from .. import dtypes as _dt
-
-        def one(raw):
-            if raw is None or not isinstance(raw, (bytes, bytearray)):
-                return None
-            try:
-                if phys == 1:
-                    return _st.unpack("<i", raw)[0]
-                if phys == 2:
-                    return _st.unpack("<q", raw)[0]
-                if phys == 4:
-                    return _st.unpack("<f", raw)[0]
-                if phys == 5:
-                    return _st.unpack("<d", raw)[0]
-                if phys == 0:
-                    return bool(raw[0])
-                return bytes(raw).decode("utf-8", "backslashreplace")
-            except Exception:          # noqa: BLE001
-                return None
-        vals = [one(r) for r in raws]
-        d = {1: _dt.int32, 2: _dt.int64, 4: _dt.float32,
-             5: _dt.float64, 0: _dt.bool_}.get(phys, _dt.utf8)
-        return make_col(vals, d)
+        vals = [_stat_decode_one(r, node) for r in raws]
+        return make_col(vals, _stat_column_dtype(node))
 
     def _rg_stat_raw(self, which):
         out = []

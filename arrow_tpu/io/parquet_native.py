@@ -489,7 +489,11 @@ def _empty_values(node: SchemaNode):
 
 
 # decode-skip observability (tests assert page-skip pushdown really
-# skips: arrow_reader/selection.rs:100 ReadPlan role)
+# skips: arrow_reader/selection.rs:100 ReadPlan role).  Incremented
+# from the parallel chunk-decode pool, so the read-modify-write must be
+# locked or counts drop under contention.
+import threading as _threading
+_CTR_LOCK = _threading.Lock()
 PAGES_DECODED = [0]
 PAGES_SKIPPED = [0]
 
@@ -623,7 +627,8 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
                 else True
             data_ord += 1
             if not keep:
-                PAGES_SKIPPED[0] += 1
+                with _CTR_LOCK:
+                    PAGES_SKIPPED[0] += 1
                 if node.max_def:
                     # same const-region bookkeeping as _def_levels'
                     # const fast path: pretend all-valid
@@ -635,7 +640,8 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
                 slots_read += n
                 nonnull_read += n
                 continue
-            PAGES_DECODED[0] += 1
+            with _CTR_LOCK:
+                PAGES_DECODED[0] += 1
         if page_type == PAGE_DATA:
             dph = header.get(5, {})
             n = dph.get(1, 0)

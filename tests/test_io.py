@@ -624,3 +624,33 @@ def test_avro_columnar_matches_per_row(monkeypatch):
             a = [None if x is None else list(x) for x in a]
             b = [None if x is None else list(x) for x in b]
         assert a == b, name
+
+
+def test_async_writer_sink_error_no_deadlock():
+    """A failing sink must surface through close() instead of
+    deadlocking the bounded upload queue (uploader drains after
+    recording the error)."""
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu.errors import ArrowInvalid
+    from arrow_tpu.io.async_writer import AsyncParquetWriter, ObjectStoreSink
+
+    class FailSink(ObjectStoreSink):
+        def __init__(self):
+            self.aborted = False
+
+        def put_part(self, data):
+            raise OSError("upload rejected")
+
+        def abort(self):
+            self.aborted = True
+
+    t = at.Table.from_pydict({"x": np.arange(50_000, dtype=np.int64)})
+    sink = FailSink()
+    w = AsyncParquetWriter(sink, t, buffer_size=1)
+    import pytest
+    with pytest.raises(ArrowInvalid, match="upload rejected"):
+        for _ in range(8):             # enough parts to overfill maxsize=4
+            w.write(t)
+        w.close()
+    assert sink.aborted

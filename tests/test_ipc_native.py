@@ -422,3 +422,23 @@ def test_legacy_v4_ipc_compat():
         w.write_table(pt)
     f = at_ipc.FileReader(buf2.getvalue())
     assert f.get_batch(0).to_pydict() == pt.to_pydict()
+
+
+def test_stream_writer_appends_to_nonempty_sink():
+    """StreamWriter appending to a BytesIO that already holds data: the
+    >1MB pre-extend optimization must seek relative to the sink's base
+    position, not absolute 0, or it overwrites the existing prefix."""
+    import numpy as np
+    prefix = b"HEADERBYTES!" * 10
+    buf = io.BytesIO()
+    buf.write(prefix)
+    t = at.Table.from_pydict({"x": np.arange(400_000, dtype=np.int64)})
+    w = ipc.StreamWriter(buf, t.schema)
+    w.write(t)                     # body ~3.2 MB > the 1 MB threshold
+    w.close()
+    raw = buf.getvalue()
+    assert raw[:len(prefix)] == prefix
+    got = ipc.read_stream(raw[len(prefix):])
+    got = got[0] if isinstance(got, list) else got
+    assert np.array_equal(np.asarray(got.column("x").values),
+                          np.arange(400_000))

@@ -1333,3 +1333,64 @@ def test_statistics_converter():
     rgs = StatisticsConverter(io.BytesIO(data), "s") \
         .row_group_statistics().to_pydict()
     assert rgs["min"][0] == "v000" and rgs["max"][0] == "v049"
+
+
+def test_row_selection_relative_to_selected_groups():
+    """with_row_groups + with_row_selection: the selection indexes the
+    CONCATENATION OF THE SELECTED GROUPS, not the file (arrow-rs
+    with_row_selection — 'rows from skipped row groups should not be
+    included')."""
+    import io
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu.ops.concat import concat_tables
+    from arrow_tpu.io.parquet_io import (ParquetReaderBuilder,
+                                         RowSelection, WriterProperties,
+                                         write_parquet)
+    n = 120_000
+    t = at.Table.from_pydict({"k": np.arange(n)})
+    buf = io.BytesIO()
+    write_parquet(buf, t, WriterProperties(write_page_index=True,
+                                           data_page_size=8_000,
+                                           row_group_size=40_000))
+    # groups 1 and 2 selected -> selection row 0 is file row 40_000
+    sel = RowSelection([(0, 5), (40_000, 40_010)])
+    ts = list(ParquetReaderBuilder(io.BytesIO(buf.getvalue()))
+              .with_row_groups([1, 2]).with_row_selection(sel)
+              .with_batch_size(10**6).build())
+    got = concat_tables(ts) if len(ts) > 1 else ts[0]
+    assert got.to_pydict()["k"] == \
+        list(range(40_000, 40_005)) + list(range(80_000, 80_010))
+
+
+def test_statistics_logical_type_decode():
+    """Stats decode through the LOGICAL type (statistics.rs): uint32/
+    uint64 with the high bit set stay unsigned, decimal FLBA blobs
+    decode to Decimal (pyarrow-written file as the golden producer)."""
+    import io
+    from decimal import Decimal
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from arrow_tpu.io.parquet_io import StatisticsConverter, read_metadata
+    pt = pa.table({
+        "u32": pa.array([2**31 + 5, 2**32 - 1, 7], pa.uint32()),
+        "u64": pa.array([2**63 + 9, 2**64 - 2, 11], pa.uint64()),
+        "dec": pa.array([Decimal("12.34"), Decimal("-0.07"),
+                         Decimal("99999.99")], pa.decimal128(10, 2)),
+    })
+    buf = io.BytesIO()
+    pq.write_table(pt, buf)
+    data = buf.getvalue()
+    rg = StatisticsConverter(io.BytesIO(data), "u32") \
+        .row_group_statistics().to_pydict()
+    assert rg["min"] == [7] and rg["max"] == [2**32 - 1]
+    rg = StatisticsConverter(io.BytesIO(data), "u64") \
+        .row_group_statistics().to_pydict()
+    assert rg["min"] == [11] and rg["max"] == [2**64 - 2]
+    rg = StatisticsConverter(io.BytesIO(data), "dec") \
+        .row_group_statistics().to_pydict()
+    assert rg["min"] == [Decimal("-0.07")]
+    assert rg["max"] == [Decimal("99999.99")]
+    md = read_metadata(io.BytesIO(data))
+    st = md.column_statistics(0, 1)
+    assert st["min"] == 11 and st["max"] == 2**64 - 2
