@@ -593,11 +593,15 @@ class _Handlers(grpc.GenericRpcHandler):
                 dec = FlightStreamDecoder()
                 try:
                     tables = dec.decode_all(req_iter)
-                    s.do_put(dec.descriptor, tables, schema=dec.schema)
+                    # a do_put hook may RETURN app_metadata bytes (the
+                    # FlightSQL DoPutUpdateResult convention) carried on
+                    # the PutResult (sql/server.rs:399 DML surface)
+                    meta = s.do_put(dec.descriptor, tables,
+                                    schema=dec.schema)
                 except Exception as e:       # noqa: BLE001
                     _err(context, e)
                     return
-                yield b""                   # one empty PutResult
+                yield pb.field(1, meta) if meta else b""
             return grpc.stream_stream_rpc_method_handler(guarded(do_put))
 
         if name == "DoExchange":
@@ -739,6 +743,26 @@ class FlightTableClient:
         results = self._method("stream_stream", "DoPut")(
             encode_flight_stream(table, descriptor=desc))
         list(results)                  # drain PutResults
+
+    def do_put_command(self, cmd: bytes, tables=None,
+                       schema: Optional[dt.Schema] = None) -> bytes:
+        """do_put with a COMMAND descriptor (the FlightSQL DML shape):
+        streams `tables` (or a descriptor-only FlightData when there is
+        no payload) and returns the first PutResult's app_metadata —
+        where DoPutUpdateResult rides (sql/client.rs execute_update)."""
+        desc = FlightDescriptor.for_command(cmd)
+        if tables:
+            stream = encode_flight_stream(tables, descriptor=desc,
+                                          schema=schema)
+        elif schema is not None:
+            stream = encode_flight_stream([], descriptor=desc,
+                                          schema=schema)
+        else:
+            stream = iter([_flight_data(descriptor=desc)])
+        results = list(self._method("stream_stream", "DoPut")(stream))
+        if not results:
+            return b""
+        return pb.first_bytes(pb.parse_fields(results[0]), 1)
 
     def do_exchange(self, name: str, tables) -> List[Table]:
         desc = FlightDescriptor.for_path(name)

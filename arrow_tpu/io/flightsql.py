@@ -33,7 +33,8 @@ def dt_schema(names, cols):
 from .flight import (FlightDescriptor, FlightInfo, FlightServer,
                      FlightTableClient, DESCRIPTOR_CMD, schema_ipc_bytes)
 
-__all__ = ["FlightSQLServer", "FlightSQLClient", "simple_sql_executor"]
+__all__ = ["FlightSQLServer", "FlightSQLClient", "simple_sql_executor",
+           "simple_sql_update_executor"]
 
 _TYPE_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
 
@@ -41,7 +42,9 @@ _TYPE_PREFIX = "type.googleapis.com/arrow.flight.protocol.sql."
 # ---- protobuf wire codec shared with the Flight layer (io/pb.py) ------------
 
 from .pb import (varint as _varint, field as _field,
-                 parse_fields as _parse_fields)
+                 parse_fields as _parse_fields,
+                 varint_field as _varint_field, first as _pb_first,
+                 first_bytes as _pb_first_bytes)
 
 
 def _any_pack(msg_name: str, payload: bytes) -> bytes:
@@ -55,6 +58,15 @@ def _any_unpack(buf: bytes) -> Tuple[str, bytes]:
     url = f.get(1, [b""])[0].decode()
     val = f.get(2, [b""])[0]
     return url.rsplit(".", 1)[-1], val
+
+
+def _decode_update_result(meta: bytes) -> int:
+    """PutResult.app_metadata -> DoPutUpdateResult.record_count
+    (int64; -1 = unknown)."""
+    if not meta:
+        return -1
+    n = _pb_first(_parse_fields(meta), 1, 0)
+    return n - (1 << 64) if n >= 1 << 63 else n
 
 
 # ---- command messages (FlightSql.proto field numbers) -------------------------
@@ -140,6 +152,68 @@ def cmd_get_xdbc_type_info(data_type: Optional[int] = None) -> bytes:
     if data_type == 0:
         body = _varint(1 << 3) + _varint(0)   # explicit zero
     return _any_pack("CommandGetXdbcTypeInfo", body)
+
+
+def cmd_statement_update(query: str,
+                         transaction_id: Optional[bytes] = None) -> bytes:
+    """CommandStatementUpdate{query=1, transaction_id=2} — the DoPut
+    DML command (FlightSql.proto:1758)."""
+    body = _field(1, query.encode())
+    if transaction_id:
+        body += _field(2, transaction_id)
+    return _any_pack("CommandStatementUpdate", body)
+
+
+def cmd_prepared_statement_update(handle: bytes) -> bytes:
+    return _any_pack("CommandPreparedStatementUpdate", _field(1, handle))
+
+
+# TableDefinitionOptions enums (FlightSql.proto:1785)
+TABLE_NOT_EXIST_CREATE = 1
+TABLE_NOT_EXIST_FAIL = 2
+TABLE_EXISTS_FAIL = 1
+TABLE_EXISTS_APPEND = 2
+TABLE_EXISTS_REPLACE = 3
+
+
+def cmd_statement_ingest(table: str, *,
+                         if_not_exist: int = TABLE_NOT_EXIST_CREATE,
+                         if_exists: int = TABLE_EXISTS_FAIL,
+                         db_schema: Optional[str] = None,
+                         catalog: Optional[str] = None,
+                         temporary: bool = False,
+                         transaction_id: Optional[bytes] = None,
+                         options: Optional[Dict[str, str]] = None
+                         ) -> bytes:
+    """CommandStatementIngest (FlightSql.proto:1782): bulk-load the
+    DoPut stream into `table` per the TableDefinitionOptions."""
+    tdo = _varint_field(1, if_not_exist) + _varint_field(2, if_exists)
+    body = _field(1, tdo) + _field(2, table.encode())
+    if db_schema is not None:
+        body += _field(3, db_schema.encode())
+    if catalog is not None:
+        body += _field(4, catalog.encode())
+    if temporary:
+        body += _varint_field(5, 1)
+    if transaction_id:
+        body += _field(6, transaction_id)
+    for k, v in (options or {}).items():
+        body += _field(1000, _field(1, k.encode())
+                       + _field(2, v.encode()))
+    return _any_pack("CommandStatementIngest", body)
+
+
+def action_cancel_query(info_bytes: bytes) -> bytes:
+    """ActionCancelQueryRequest{info=1} (serialized FlightInfo)."""
+    return _any_pack("ActionCancelQueryRequest", _field(1, info_bytes))
+
+
+def _do_put_update_result(count: int) -> bytes:
+    """DoPutUpdateResult{record_count=1} — rides PutResult.app_metadata
+    (NOT Any-wrapped; sql/client.rs decodes it directly).  Encoded
+    explicitly even for zero so a 0-row DDL result is distinguishable
+    from a legacy empty PutResult (= unknown, -1)."""
+    return _varint(1 << 3) + _varint(count & ((1 << 64) - 1))
 
 
 def action_begin_transaction() -> bytes:
@@ -405,6 +479,15 @@ def simple_sql_executor(tables: Dict[str, Table], query: str) -> Table:
     return execute_sql(tables, query)
 
 
+def simple_sql_update_executor(tables: Dict[str, Table], query: str):
+    """Execute one DML/DDL statement via the engine's SQL frontend ->
+    (mutations, record_count).  The reference delegates update SQL to
+    the application (sql/server.rs:399 do_put_statement_update); this
+    is that application side."""
+    from ..sql import execute_sql_update
+    return execute_sql_update(tables, query)
+
+
 # ---- server --------------------------------------------------------------------
 
 class FlightSQLServer(FlightServer):
@@ -418,12 +501,18 @@ class FlightSQLServer(FlightServer):
 
     def __init__(self, location: str = "grpc://0.0.0.0:0",
                  executor: Optional[Callable[[Dict[str, Table], str],
-                                             Table]] = None, **kw):
+                                             Table]] = None,
+                 update_executor: Optional[Callable] = None, **kw):
         super().__init__(location, **kw)
         self._executor = executor or simple_sql_executor
+        self._update_executor = update_executor \
+            or simple_sql_update_executor
         self._prepared: Dict[bytes, str] = {}
+        self._prepared_params: Dict[bytes, Table] = {}
         self._plock = threading.Lock()
         self._results: Dict[bytes, Table] = {}   # get_flight_info cache
+        self._cancelled: set = set()             # cancelled query tickets
+        self._temp_tables: set = set()
         self.sql_info = default_sql_info()
         self._transactions: set = set()
         # table -> [(column_name, key_name, seq)]
@@ -463,18 +552,42 @@ class FlightSQLServer(FlightServer):
     def _run(self, query: str) -> Table:
         return self._executor(dict(self._tables), query)
 
+    def _run_update(self, query: str) -> int:
+        """Execute DML and apply its table mutations atomically."""
+        with self._lock:
+            snapshot = dict(self._tables)
+        mutations, count = self._update_executor(snapshot, query)
+        with self._lock:
+            for name, table in mutations.items():
+                if table is None:
+                    self._tables.pop(name, None)
+                    self._temp_tables.discard(name)
+                else:
+                    self._tables[name] = table
+        return count
+
+    def _bound_query(self, handle: bytes) -> str:
+        """Prepared handle -> query text with any bound parameter row
+        substituted for its `?` placeholders."""
+        with self._plock:
+            q = self._prepared.get(handle)
+            params = self._prepared_params.get(handle)
+        if q is None:
+            raise ArrowInvalid("unknown prepared statement")
+        if params is not None and "?" in q:
+            from ..sql import bind_sql_params
+            rows = list(zip(*(c.to_pylist() for c in params.columns))) \
+                or [()]
+            q = bind_sql_params(q, list(rows[0]))
+        return q
+
     def _table_for_cmd(self, cmd: bytes) -> Table:
         name, body = _any_unpack(cmd)
         f = _parse_fields(body)
         if name == "CommandStatementQuery":
             return self._run(f[1][0].decode())
         if name == "CommandPreparedStatementQuery":
-            handle = f[1][0]
-            with self._plock:
-                q = self._prepared.get(handle)
-            if q is None:
-                raise ArrowInvalid("unknown prepared statement")
-            return self._run(q)
+            return self._run(self._bound_query(f[1][0]))
         if name == "CommandGetCatalogs":
             from ..core.column import column
             return Table.from_pydict({"catalog_name": column(["default"])})
@@ -554,11 +667,126 @@ class FlightSQLServer(FlightServer):
     def do_get(self, ticket: bytes):
         if ticket.startswith(b"\n") and _TYPE_PREFIX.encode() in ticket:
             with self._plock:
+                if ticket in self._cancelled:
+                    raise KeyError("query was cancelled")
                 cached = self._results.pop(ticket, None)
             yield cached if cached is not None \
                 else self._table_for_cmd(ticket)
             return
         yield from super().do_get(ticket)
+
+    def do_put(self, descriptor, tables, schema=None):
+        """FlightSQL DML surface (sql/server.rs:399,410
+        do_put_statement_update / do_put_statement_ingest /
+        do_put_prepared_statement_*): command descriptors execute DML
+        or bulk-ingest the stream; path descriptors fall through to the
+        plain Flight dataset registry.  Returns the PutResult
+        app_metadata bytes (DoPutUpdateResult)."""
+        if descriptor is None or descriptor.type != DESCRIPTOR_CMD:
+            return super().do_put(descriptor, tables, schema=schema)
+        name, body = _any_unpack(descriptor.cmd)
+        f = _parse_fields(body)
+        if name == "CommandStatementUpdate":
+            tid = _pb_first_bytes(f, 2)
+            if tid:
+                with self._plock:
+                    if tid not in self._transactions:
+                        raise ArrowInvalid("unknown transaction id")
+            return _do_put_update_result(self._run_update(
+                f[1][0].decode()))
+        if name == "CommandPreparedStatementUpdate":
+            handle = f[1][0]
+            with self._plock:
+                q = self._prepared.get(handle)
+            if q is None:
+                raise ArrowInvalid("unknown prepared statement")
+            if tables and "?" in q:
+                # one execution per parameter row (client.rs bind loop)
+                from ..ops.concat import concat_tables
+                from ..sql import bind_sql_params
+                params = tables[0] if len(tables) == 1 \
+                    else concat_tables(tables)
+                total = 0
+                for row in zip(*(c.to_pylist()
+                                 for c in params.columns)):
+                    total += self._run_update(
+                        bind_sql_params(q, list(row)))
+                return _do_put_update_result(total)
+            return _do_put_update_result(self._run_update(q))
+        if name == "CommandPreparedStatementQuery":
+            # parameter binding for a later do_get: store the row batch
+            # and return DoPutPreparedStatementResult{handle=1}
+            handle = f[1][0]
+            with self._plock:
+                if handle not in self._prepared:
+                    raise ArrowInvalid("unknown prepared statement")
+                if tables:
+                    from ..ops.concat import concat_tables
+                    self._prepared_params[handle] = (
+                        tables[0] if len(tables) == 1
+                        else concat_tables(tables))
+            return _field(1, handle)    # DoPutPreparedStatementResult
+        if name == "CommandStatementIngest":
+            return self._ingest(f, tables, schema)
+        raise ArrowInvalid(f"unsupported FlightSQL DoPut command {name}")
+
+    def _ingest(self, f, tables, schema):
+        """CommandStatementIngest semantics (FlightSql.proto
+        TableDefinitionOptions): create/fail on missing target,
+        fail/append/replace on existing."""
+        tdo = _parse_fields(_pb_first_bytes(f, 1)) if 1 in f else {}
+        if_not_exist = _pb_first(tdo, 1, 0)
+        if_exists = _pb_first(tdo, 2, 0)
+        target = f.get(2, [b""])[0].decode()
+        if not target:
+            raise ArrowInvalid("CommandStatementIngest needs a table")
+        temporary = bool(_pb_first(f, 5, 0))
+        tid = _pb_first_bytes(f, 6)
+        if tid:
+            with self._plock:
+                if tid not in self._transactions:
+                    raise ArrowInvalid("unknown transaction id")
+        from ..ops.concat import concat_tables
+        if tables:
+            data = tables[0] if len(tables) == 1 \
+                else concat_tables(tables)
+        elif schema is not None:
+            from ..core.column import NullColumn
+            from .integration_json import _empty_col
+            data = Table(tuple(NullColumn(0) if fl.dtype.is_null
+                               else _empty_col(fl.dtype)
+                               for fl in schema.fields), schema)
+        else:
+            raise ArrowInvalid("ingest stream carried no schema")
+        with self._lock:
+            existing = self._tables.get(target)
+        if existing is None:
+            if if_not_exist == 2:      # TABLE_NOT_EXIST_OPTION_FAIL
+                raise ArrowInvalid(f"table {target!r} does not exist")
+            if if_not_exist == 0:
+                raise ArrowInvalid(
+                    "TableNotExistOption must be CREATE or FAIL")
+            new = data
+        else:
+            if if_exists == 1:         # TABLE_EXISTS_OPTION_FAIL
+                raise ArrowInvalid(f"table {target!r} already exists")
+            if if_exists == 3:         # REPLACE
+                new = data
+            elif if_exists == 2:       # APPEND
+                if tuple(fl.dtype for fl in data.schema.fields) != \
+                        tuple(fl.dtype for fl in
+                              existing.schema.fields):
+                    raise ArrowInvalid(
+                        "ingest schema does not match existing table")
+                new = concat_tables([existing, data])
+            else:
+                raise ArrowInvalid(
+                    "TableExistsOption must be FAIL, APPEND or REPLACE")
+        with self._lock:
+            self._tables[target] = new
+            if temporary:
+                self._temp_tables.add(target)
+        return _do_put_update_result(data.num_rows)
 
     def do_action(self, action_type: str, body: bytes):
         if action_type == "CreatePreparedStatement":
@@ -576,6 +804,37 @@ class FlightSQLServer(FlightServer):
             f = _parse_fields(inner)
             with self._plock:
                 self._prepared.pop(f[1][0], None)
+            return
+        if action_type == "CancelQuery":
+            # deprecated-but-supported explicit cancel
+            # (sql/server.rs:553 do_action_cancel_query)
+            name, inner = _any_unpack(body)
+            f = _parse_fields(inner)
+            info = FlightInfo.decode(f.get(1, [b""])[0])
+            result = 3                 # CANCEL_RESULT_NOT_CANCELLABLE
+            for ticket, _locs in info.endpoints:
+                if ticket.startswith(b"\n") \
+                        and _TYPE_PREFIX.encode() in ticket:
+                    with self._plock:
+                        self._results.pop(ticket, None)
+                        self._cancelled.add(ticket)
+                    result = 1         # CANCEL_RESULT_CANCELLED
+            yield _any_pack("ActionCancelQueryResult",
+                            _varint_field(1, result))
+            return
+        if action_type == "CancelFlightInfo":
+            # the modern core-Flight replacement (Flight.proto
+            # CancelFlightInfoRequest{info=1} -> Result{status=1};
+            # not Any-wrapped)
+            f = _parse_fields(body)
+            info = FlightInfo.decode(f.get(1, [b""])[0])
+            status = 3                 # CANCEL_STATUS_NOT_CANCELLABLE
+            for ticket, _locs in info.endpoints:
+                with self._plock:
+                    self._results.pop(ticket, None)
+                    self._cancelled.add(ticket)
+                status = 1             # CANCEL_STATUS_CANCELLED
+            yield _varint_field(1, status)
             return
         if action_type == "BeginTransaction":
             tid = _uuid.uuid4().bytes
@@ -669,6 +928,56 @@ class FlightSQLClient:
     def get_xdbc_type_info(self, data_type: Optional[int] = None
                            ) -> Table:
         return self._get(cmd_get_xdbc_type_info(data_type))
+
+    def execute_update(self, query: str,
+                       transaction_id: Optional[bytes] = None) -> int:
+        """DoPut CommandStatementUpdate -> affected-row count
+        (sql/client.rs execute_update)."""
+        meta = self._client.do_put_command(
+            cmd_statement_update(query, transaction_id))
+        return _decode_update_result(meta)
+
+    def execute_prepared_update(self, handle: bytes,
+                                params: Optional[Table] = None) -> int:
+        """DoPut CommandPreparedStatementUpdate; `params` rows bind the
+        query's `?` placeholders (one execution per row)."""
+        meta = self._client.do_put_command(
+            cmd_prepared_statement_update(handle),
+            [params] if params is not None else None)
+        return _decode_update_result(meta)
+
+    def bind_prepared(self, handle: bytes, params: Table) -> bytes:
+        """DoPut CommandPreparedStatementQuery: bind a parameter batch
+        for the next execute_prepared; returns the (possibly updated)
+        handle from DoPutPreparedStatementResult."""
+        meta = self._client.do_put_command(
+            cmd_prepared_statement_query(handle), [params])
+        f = _parse_fields(meta) if meta else {}
+        return f.get(1, [handle])[0]
+
+    def execute_ingest(self, table: str, tables, **kw) -> int:
+        """DoPut CommandStatementIngest: bulk-load `tables` (a Table or
+        list of Tables) into `table`; kwargs mirror
+        cmd_statement_ingest (if_not_exist/if_exists/temporary/...)."""
+        if isinstance(tables, Table):
+            tables = [tables]
+        meta = self._client.do_put_command(
+            cmd_statement_ingest(table, **kw), list(tables))
+        return _decode_update_result(meta)
+
+    def get_query_info(self, query: str) -> FlightInfo:
+        """GetFlightInfo for a statement query WITHOUT fetching results
+        (the handle cancel_query needs)."""
+        return self._client.get_flight_info(
+            FlightDescriptor.for_command(cmd_statement_query(query)))
+
+    def cancel_query(self, info: FlightInfo) -> int:
+        """ActionCancelQuery -> CancelResult enum
+        (1 = CANCELLED; sql/client.rs cancel_query)."""
+        results = self._client.do_action(
+            "CancelQuery", action_cancel_query(info.encode()))
+        name, body = _any_unpack(results[0])
+        return _pb_first(_parse_fields(body), 1, 0)
 
     def begin_transaction(self) -> bytes:
         results = self._client.do_action("BeginTransaction",

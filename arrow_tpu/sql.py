@@ -37,7 +37,7 @@ from .core.datum import scalar as make_scalar
 from .core.table import Table
 from .errors import ArrowInvalid
 
-__all__ = ["execute_sql"]
+__all__ = ["execute_sql", "execute_sql_update", "bind_sql_params"]
 
 
 # ---------------------------------------------------------------------------
@@ -452,8 +452,14 @@ class _Evaluator:
             if isinstance(v, float) and d.is_integer:
                 return make_scalar(v, dt.float64), \
                     cast_kernel(other, dt.float64)
-            if isinstance(v, str) or isinstance(v, bool) or v is None:
+            if isinstance(v, bool):
                 return make_scalar(v), other
+            if v is None:
+                return make_scalar(None, d), other
+            if isinstance(v, str):
+                # cmp/strings kernels take raw str scalars (no tensor
+                # representation exists for utf8 scalars)
+                return v, other
             return make_scalar(v, d), other
 
         llit = isinstance(le, Lit)
@@ -854,3 +860,287 @@ def _aggregate(t: Table, aliases, suffixes, items,
         cols.append(col)
         fields.append(dt.Field(name, col.dtype))
     return Table(tuple(cols), dt.Schema(tuple(fields))), having, hidden
+
+
+# ---------------------------------------------------------------------------
+# DML / DDL (the update-statement surface behind FlightSQL
+# CommandStatementUpdate — arrow-flight/src/sql/server.rs:399 delegates
+# the SQL itself to the application; this is that application side)
+# ---------------------------------------------------------------------------
+
+def _word(p: _Parser, w: str) -> bool:
+    """Accept a case-insensitive bare word (DML verbs are not in the
+    SELECT keyword set, so they arrive as `id` tokens)."""
+    t = p.peek()
+    if (t[0] == "id" and t[1].lower() == w) or t == ("kw", w):
+        p.next()
+        return True
+    return False
+
+
+def _expect_word(p: _Parser, w: str) -> None:
+    if not _word(p, w):
+        raise ArrowInvalid(
+            f"SQL parse error: expected {w.upper()}, got {p.peek()!r}")
+
+
+def _const_value(e):
+    """Evaluate a VALUES-row expression to one python value by running
+    the row evaluator over a one-row dummy table (so CAST, arithmetic
+    and negation all work)."""
+    dummy = Table.from_pydict({"__one": [0]})
+    c = _Evaluator(dummy, {}).eval(e)
+    vals = c.to_pylist()
+    if len(vals) != 1:
+        raise ArrowInvalid("VALUES expressions must be scalar")
+    return vals[0]
+
+
+def _typed_col(vals, dtype):
+    """Python values -> Column of `dtype`, falling back to infer+cast
+    for types make_col can't build directly from literals."""
+    from .ops.cast import cast as cast_kernel
+    try:
+        return make_col(vals, dtype)
+    except Exception:                  # noqa: BLE001
+        return cast_kernel(make_col(vals), dtype)
+
+
+def _mask_arrays(mask_col):
+    """Bool predicate column -> (true&valid ndarray, count)."""
+    m = np.asarray(mask_col.values).astype(bool)
+    if getattr(mask_col, "validity", None) is not None:
+        m = m & np.asarray(mask_col.validity).astype(bool)
+    return m, int(np.count_nonzero(m))
+
+
+def _select_tail(query: str) -> str:
+    m = re.search(r"(?i)\bselect\b", query)
+    if m is None:
+        raise ArrowInvalid("expected SELECT")
+    return query[m.start():]
+
+
+def execute_sql_update(tables: Dict[str, Table], query: str
+                       ) -> Tuple[Dict[str, Optional[Table]], int]:
+    """Execute one DML/DDL statement against `tables`.
+
+    Returns (mutations, record_count): mutations maps table name ->
+    new Table (None = dropped); record_count is the DoPutUpdateResult
+    count (rows inserted / matched / deleted; 0 for DDL).
+
+    Grammar: INSERT INTO t [(cols)] VALUES (...)[, ...] | SELECT ...;
+    UPDATE t SET c = expr [, ...] [WHERE pred];
+    DELETE FROM t [WHERE pred];
+    CREATE TABLE [IF NOT EXISTS] t (c TYPE [, ...]) | AS SELECT ...;
+    DROP TABLE [IF EXISTS] t.
+    """
+    p = _Parser(_tokenize(query))
+
+    if _word(p, "insert"):
+        _expect_word(p, "into")
+        tname = p.expect("id")[1]
+        if tname not in tables:
+            raise ArrowInvalid(f"no such table {tname!r}")
+        target = tables[tname]
+        names = list(target.column_names)
+        if p.accept("op", "("):
+            names = [p.expect("id")[1]]
+            while p.accept("op", ","):
+                names.append(p.expect("id")[1])
+            p.expect("op", ")")
+            for n in names:
+                if n not in target.column_names:
+                    raise ArrowInvalid(f"no such column {n!r}")
+        if _word(p, "values"):
+            rows = []
+            while True:
+                p.expect("op", "(")
+                row = [_const_value(p.expr())]
+                while p.accept("op", ","):
+                    row.append(_const_value(p.expr()))
+                p.expect("op", ")")
+                if len(row) != len(names):
+                    raise ArrowInvalid(
+                        f"VALUES row has {len(row)} values, expected "
+                        f"{len(names)}")
+                rows.append(row)
+                if not p.accept("op", ","):
+                    break
+            p.expect("end")
+            by_name = {n: [r[i] for r in rows]
+                       for i, n in enumerate(names)}
+            cols = tuple(
+                _typed_col(by_name.get(f.name, [None] * len(rows)),
+                           f.dtype)
+                for f in target.schema.fields)
+            add = Table(cols, target.schema)
+        else:
+            sel = execute_sql(tables, _select_tail(query))
+            if sel.num_columns != len(names):
+                raise ArrowInvalid(
+                    f"SELECT produces {sel.num_columns} columns, "
+                    f"expected {len(names)}")
+            from .ops.cast import cast as cast_kernel
+            by_name = dict(zip(names, sel.columns))
+            cols = []
+            for f in target.schema.fields:
+                if f.name in by_name:
+                    c = by_name[f.name]
+                    cols.append(c if c.dtype == f.dtype
+                                else cast_kernel(c, f.dtype))
+                else:
+                    cols.append(_typed_col([None] * sel.num_rows,
+                                           f.dtype))
+            add = Table(tuple(cols), target.schema)
+        from .ops.concat import concat_tables
+        new = add if target.num_rows == 0 else \
+            concat_tables([target, add])
+        return {tname: new}, add.num_rows
+
+    if _word(p, "update"):
+        tname = p.expect("id")[1]
+        if tname not in tables:
+            raise ArrowInvalid(f"no such table {tname!r}")
+        t = tables[tname]
+        _expect_word(p, "set")
+        sets = []
+        while True:
+            cname = p.expect("id")[1]
+            if cname not in t.column_names:
+                raise ArrowInvalid(f"no such column {cname!r}")
+            p.expect("op", "=")
+            sets.append((cname, p.expr()))
+            if not p.accept("op", ","):
+                break
+        where = p.expr() if p.accept("kw", "where") else None
+        p.expect("end")
+        ev = _Evaluator(t, {})
+        from .ops.cast import cast as cast_kernel
+        from .ops.select_misc import zip_ as zip_kernel
+        if where is not None:
+            mcol = ev.eval(where)
+            m, count = _mask_arrays(mcol)
+            mask = make_col(m.tolist(), dt.bool_)
+        else:
+            mask, count = None, t.num_rows
+        updates = {}
+        for cname, e in sets:
+            newc = ev.eval(e)
+            old = t.column(cname)
+            if newc.dtype != old.dtype:
+                newc = cast_kernel(newc, old.dtype)
+            updates[cname] = newc if mask is None \
+                else zip_kernel(mask, newc, old)
+        cols = tuple(updates.get(f.name, c)
+                     for f, c in zip(t.schema.fields, t.columns))
+        return {tname: Table(cols, t.schema)}, count
+
+    if _word(p, "delete"):
+        p.expect("kw", "from")
+        tname = p.expect("id")[1]
+        if tname not in tables:
+            raise ArrowInvalid(f"no such table {tname!r}")
+        t = tables[tname]
+        where = p.expr() if p.accept("kw", "where") else None
+        p.expect("end")
+        if where is None:
+            return {tname: t.slice(0, 0)}, t.num_rows
+        m, count = _mask_arrays(_Evaluator(t, {}).eval(where))
+        from .ops.filter import filter_table
+        keep = make_col((~m).tolist(), dt.bool_)
+        return {tname: filter_table(t, keep)}, count
+
+    if _word(p, "create"):
+        _expect_word(p, "table")
+        if_not_exists = False
+        if _word(p, "if"):
+            p.expect("kw", "not")
+            _expect_word(p, "exists")
+            if_not_exists = True
+        tname = p.expect("id")[1]
+        if tname in tables:
+            if if_not_exists:
+                return {}, 0
+            raise ArrowInvalid(f"table {tname!r} already exists")
+        if p.accept("kw", "as"):
+            sel = execute_sql(tables, _select_tail(query))
+            return {tname: sel}, sel.num_rows
+        p.expect("op", "(")
+        fields = []
+        while True:
+            cname = p.expect("id")[1]
+            tok = p.next()
+            if tok[0] not in ("id", "kw"):
+                raise ArrowInvalid(
+                    f"SQL parse error: expected type, got {tok!r}")
+            fields.append(dt.Field(cname, _sql_type(tok[1])))
+            if not p.accept("op", ","):
+                break
+        p.expect("op", ")")
+        p.expect("end")
+        from .io.integration_json import _empty_col
+        from .core.column import NullColumn
+        cols = tuple(NullColumn(0) if f.dtype.is_null
+                     else _empty_col(f.dtype) for f in fields)
+        return {tname: Table(cols, dt.Schema(tuple(fields)))}, 0
+
+    if _word(p, "drop"):
+        _expect_word(p, "table")
+        if_exists = False
+        if _word(p, "if"):
+            _expect_word(p, "exists")
+            if_exists = True
+        tname = p.expect("id")[1]
+        p.expect("end")
+        if tname not in tables:
+            if if_exists:
+                return {}, 0
+            raise ArrowInvalid(f"no such table {tname!r}")
+        return {tname: None}, 0
+
+    raise ArrowInvalid(
+        "expected INSERT / UPDATE / DELETE / CREATE / DROP")
+
+
+def bind_sql_params(query: str, row) -> str:
+    """Substitute positional `?` placeholders with SQL literals (the
+    parameter-binding convention FlightSQL prepared statements carry in
+    their do_put parameter batch; sql/client.rs bind contract)."""
+    out = []
+    it = iter(row)
+    i = 0
+    while i < len(query):
+        ch = query[i]
+        if ch == "'":                  # skip string literals
+            j = i + 1
+            while j < len(query):
+                if query[j] == "'" and j + 1 < len(query) \
+                        and query[j + 1] == "'":
+                    j += 2
+                    continue
+                if query[j] == "'":
+                    break
+                j += 1
+            out.append(query[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "?":
+            try:
+                v = next(it)
+            except StopIteration:
+                raise ArrowInvalid(
+                    "not enough parameters for placeholders") from None
+            if v is None:
+                out.append("NULL")
+            elif isinstance(v, bool):
+                out.append("TRUE" if v else "FALSE")
+            elif isinstance(v, str):
+                out.append("'" + v.replace("'", "''") + "'")
+            else:
+                out.append(repr(v))
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)

@@ -213,3 +213,109 @@ def test_transactions_begin_commit_rollback():
     finally:
         cli.close()
         srv.shutdown()
+
+
+# ---- DML / bulk-ingest / cancel (sql/server.rs:399,410,553) ----------------
+
+def test_execute_update_insert_update_delete(server):
+    cli = FlightSQLClient(server.uri)
+    assert cli.execute_update(
+        "INSERT INTO trades VALUES (10, 99.5), (11, 1.25)") == 2
+    assert cli.execute("SELECT id FROM trades WHERE id >= 10") \
+        .to_pydict() == {"id": [10, 11]}
+    assert cli.execute_update(
+        "UPDATE trades SET px = px * 2 WHERE id = 10") == 1
+    assert cli.execute("SELECT px FROM trades WHERE id = 10") \
+        .to_pydict() == {"px": [199.0]}
+    assert cli.execute_update("DELETE FROM trades WHERE id >= 10") == 2
+    assert cli.execute("SELECT COUNT(*) AS n FROM trades") \
+        .to_pydict()["n"] == [10]
+    cli.close()
+
+
+def test_execute_update_ddl_and_transaction(server):
+    cli = FlightSQLClient(server.uri)
+    assert cli.execute_update(
+        "CREATE TABLE scratch (k INT, v VARCHAR)") == 0
+    assert "scratch" in cli.get_tables().to_pydict()["table_name"]
+    tid = cli.begin_transaction()
+    assert cli.execute_update(
+        "INSERT INTO scratch VALUES (1, 'a')", transaction_id=tid) == 1
+    cli.commit(tid)
+    with pytest.raises(Exception):      # unknown transaction id
+        cli.execute_update("DELETE FROM scratch",
+                           transaction_id=b"bogus-txn-id....")
+    assert cli.execute_update("DROP TABLE scratch") == 0
+    assert "scratch" not in cli.get_tables().to_pydict()["table_name"]
+    cli.close()
+
+
+def test_prepared_statement_update_with_params(server):
+    cli = FlightSQLClient(server.uri)
+    h = cli.prepare("INSERT INTO trades VALUES (?, ?)")
+    params = at.Table.from_pydict({"p0": [20, 21, 22],
+                                   "p1": [1.0, 2.0, 3.0]})
+    assert cli.execute_prepared_update(h, params) == 3
+    got = cli.execute("SELECT id, px FROM trades WHERE id >= 20")
+    assert got.to_pydict() == {"id": [20, 21, 22],
+                               "px": [1.0, 2.0, 3.0]}
+    # no-param update through the same path
+    h2 = cli.prepare("DELETE FROM trades WHERE id >= 20")
+    assert cli.execute_prepared_update(h2) == 3
+    cli.close()
+
+
+def test_bind_prepared_query_params(server):
+    cli = FlightSQLClient(server.uri)
+    h = cli.prepare("SELECT px FROM trades WHERE id = ?")
+    h = cli.bind_prepared(h, at.Table.from_pydict({"p0": [4]}))
+    assert cli.execute_prepared(h).to_pydict() == {"px": [6.0]}
+    cli.close()
+
+
+def test_statement_ingest(server):
+    from arrow_tpu.io.flightsql import (TABLE_EXISTS_APPEND,
+                                        TABLE_EXISTS_FAIL,
+                                        TABLE_EXISTS_REPLACE,
+                                        TABLE_NOT_EXIST_FAIL)
+    cli = FlightSQLClient(server.uri)
+    data = at.Table.from_pydict({
+        "k": at.column(np.arange(1000, dtype=np.int64)),
+        "s": at.column(["v%d" % (i % 7) for i in range(1000)])})
+    # create on missing
+    assert cli.execute_ingest("bulk", data) == 1000
+    assert cli.execute("SELECT COUNT(*) AS n FROM bulk") \
+        .to_pydict()["n"] == [1000]
+    # FAIL on existing
+    with pytest.raises(Exception):
+        cli.execute_ingest("bulk", data, if_exists=TABLE_EXISTS_FAIL)
+    # append doubles it (multi-table stream too)
+    assert cli.execute_ingest("bulk", [data.slice(0, 500),
+                                       data.slice(500, 500)],
+                              if_exists=TABLE_EXISTS_APPEND) == 1000
+    assert cli.execute("SELECT COUNT(*) AS n FROM bulk") \
+        .to_pydict()["n"] == [2000]
+    # replace resets
+    assert cli.execute_ingest("bulk", data.slice(0, 10),
+                              if_exists=TABLE_EXISTS_REPLACE) == 10
+    assert cli.execute("SELECT COUNT(*) AS n FROM bulk") \
+        .to_pydict()["n"] == [10]
+    # schema mismatch on append raises
+    bad = at.Table.from_pydict({"k": [1.5], "s": ["x"]})
+    with pytest.raises(Exception):
+        cli.execute_ingest("bulk", bad, if_exists=TABLE_EXISTS_APPEND)
+    # FAIL on missing target
+    with pytest.raises(Exception):
+        cli.execute_ingest("nope", data,
+                           if_not_exist=TABLE_NOT_EXIST_FAIL)
+    cli.close()
+
+
+def test_cancel_query(server):
+    cli = FlightSQLClient(server.uri)
+    info = cli.get_query_info("SELECT id FROM trades")
+    assert cli.cancel_query(info) == 1      # CANCEL_RESULT_CANCELLED
+    # the ticket is dead now: fetching it errors
+    with pytest.raises(Exception):
+        cli._client.do_get_ticket(info.endpoints[0][0])
+    cli.close()

@@ -250,3 +250,79 @@ def test_fuzz_sql_where_agg(seed):
     want_keys = sorted([k for k in cnt], key=lambda x: (x is not None, x))[:5]
     assert gd["a"] == want_keys, seed
     assert gd["c"] == [cnt[k] for k in want_keys]
+
+
+# ---- DML / DDL executor (the application side of FlightSQL
+# CommandStatementUpdate; sql/server.rs:399 delegates SQL to the app) --------
+
+def test_sql_update_statements():
+    from arrow_tpu.sql import execute_sql_update
+    t = {"x": at.Table.from_pydict({"a": [1, 2, 3],
+                                    "s": ["p", "q", "r"]})}
+    mut, n = execute_sql_update(t, "INSERT INTO x VALUES (4, 'w')")
+    assert n == 1
+    t["x"] = mut["x"]
+    assert t["x"].to_pydict()["a"] == [1, 2, 3, 4]
+    mut, n = execute_sql_update(
+        t, "UPDATE x SET a = a + 100, s = 'z' WHERE a >= 3")
+    assert n == 2
+    assert mut["x"].to_pydict() == {"a": [1, 2, 103, 104],
+                                    "s": ["p", "q", "z", "z"]}
+    mut, n = execute_sql_update(t, "DELETE FROM x WHERE s = 'q'")
+    assert n == 1 and mut["x"].to_pydict()["a"] == [1, 3, 4]
+    mut, n = execute_sql_update(t, "DELETE FROM x")
+    assert n == 4 and mut["x"].num_rows == 0
+    # column-subset insert fills missing columns with NULL
+    mut, n = execute_sql_update(t, "INSERT INTO x (s) VALUES ('only')")
+    assert n == 1 and mut["x"].to_pydict()["a"][-1] is None
+    # INSERT ... SELECT
+    mut, n = execute_sql_update(
+        t, "INSERT INTO x (a) SELECT a * 10 FROM x WHERE a > 1")
+    assert n == 3 and mut["x"].to_pydict()["a"][-3:] == [20, 30, 40]
+
+
+def test_sql_ddl_statements():
+    from arrow_tpu.sql import execute_sql_update
+    from arrow_tpu.errors import ArrowInvalid
+    t = {"x": at.Table.from_pydict({"a": [1, 2, 3]})}
+    mut, n = execute_sql_update(
+        t, "CREATE TABLE y (k BIGINT, v VARCHAR, f DOUBLE)")
+    assert n == 0 and mut["y"].num_rows == 0
+    assert [f.dtype.name for f in mut["y"].schema.fields] == \
+        ["int64", "utf8", "float64"]
+    t.update(mut)
+    with pytest.raises(ArrowInvalid):
+        execute_sql_update(t, "CREATE TABLE y (k INT)")
+    assert execute_sql_update(
+        t, "CREATE TABLE IF NOT EXISTS y (k INT)") == ({}, 0)
+    mut, n = execute_sql_update(
+        t, "CREATE TABLE z AS SELECT a FROM x WHERE a > 1")
+    assert n == 2 and mut["z"].to_pydict() == {"a": [2, 3]}
+    mut, n = execute_sql_update(t, "DROP TABLE x")
+    assert mut == {"x": None}
+    with pytest.raises(ArrowInvalid):
+        execute_sql_update(t, "DROP TABLE nope")
+    assert execute_sql_update(t, "DROP TABLE IF EXISTS nope") == ({}, 0)
+
+
+def test_sql_string_predicates():
+    # string literals in WHERE were broken pre-r5 (make_scalar cannot
+    # infer utf8); cmp kernels take raw str scalars
+    t = {"x": at.Table.from_pydict({"a": [1, 2, 3],
+                                    "s": ["p", "q", "r"]})}
+    assert execute_sql(t, "SELECT a FROM x WHERE s = 'q'") \
+        .to_pydict() == {"a": [2]}
+    assert execute_sql(t, "SELECT a FROM x WHERE s <> 'q'") \
+        .to_pydict() == {"a": [1, 3]}
+    assert execute_sql(t, "SELECT a FROM x WHERE s >= 'q'") \
+        .to_pydict() == {"a": [2, 3]}
+
+
+def test_sql_bind_params():
+    from arrow_tpu.sql import bind_sql_params
+    assert bind_sql_params("SELECT * FROM t WHERE a = ? AND s = ?",
+                           [5, "it's"]) == \
+        "SELECT * FROM t WHERE a = 5 AND s = 'it''s'"
+    assert bind_sql_params("WHERE s = '?' AND a = ?", [None]) == \
+        "WHERE s = '?' AND a = NULL"
+    assert bind_sql_params("a = ?", [True]) == "a = TRUE"
