@@ -103,8 +103,12 @@ class WriterProperties:
     encryption: object = None   # parquet_crypto.FileEncryptionProperties
     key_value_metadata: Optional[dict] = None
     store_schema: bool = True   # embed ARROW:schema for exact round-trip
+    # default VALUES encoding (properties.rs set_encoding): one of
+    # plain / rle / delta_binary_packed / delta_length_byte_array /
+    # delta_byte_array / byte_stream_split; None = format defaults
+    encoding: Optional[str] = None
     # per-column overrides: {column: {compression, dictionary_enabled,
-    # write_statistics}} (properties.rs set_column_* builder roles)
+    # write_statistics, encoding}} (properties.rs set_column_* roles)
     column_properties: Optional[dict] = None
 
 
@@ -424,7 +428,8 @@ def write_parquet(path, table: Table,
         encryption=props.encryption,
         key_value_metadata=props.key_value_metadata,
         store_schema=props.store_schema,
-        column_properties=props.column_properties)
+        column_properties=props.column_properties,
+        encoding=props.encoding)
 
 
 class ParquetMetadata:

@@ -536,16 +536,67 @@ def delta_binary_packed_encode(vals: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _common_prefix_lens(offs: np.ndarray, data8: np.ndarray,
+                        lens: np.ndarray) -> np.ndarray:
+    """prefix[i] = length of the common prefix of value i with value
+    i-1 (prefix[0] = 0), fully vectorized: one flat byte-compare over
+    sum(min(len[i-1], len[i])) positions, then a per-segment
+    first-mismatch via minimum.reduceat."""
+    n = len(lens)
+    pref = np.zeros(n, np.int64)
+    if n <= 1:
+        return pref
+    m = np.minimum(lens[:-1], lens[1:]).astype(np.int64)   # pair p=(p,p+1)
+    total = int(m.sum())
+    if total == 0:
+        return pref
+    starts = np.zeros(n - 1, np.int64)
+    np.cumsum(m[:-1], out=starts[1:])
+    seg = np.repeat(np.arange(n - 1), m)
+    pos = np.arange(total, dtype=np.int64) - starts[seg]
+    off64 = offs.astype(np.int64, copy=False)
+    eq = data8[off64[seg] + pos] == data8[off64[seg + 1] + pos]
+    val = np.where(eq, np.int64(1) << 62, pos)
+    nz = m > 0
+    red = np.minimum.reduceat(val, starts[nz])
+    pref[1:][nz] = np.minimum(red, m[nz])
+    return pref
+
+
 def delta_byte_array_encode(offs: np.ndarray, data: np.ndarray) -> bytes:
-    """DELTA_BYTE_ARRAY with zero prefix lengths (spec-valid; prefix
-    compression is an optimization, not a requirement)."""
+    """DELTA_BYTE_ARRAY (incremental encoding, encoding/mod.rs
+    DeltaByteArrayEncoder role): real common-prefix compression against
+    the previous value — prefix lengths + suffix lengths as
+    DELTA_BINARY_PACKED, then the concatenated suffix bytes."""
     n = len(offs) - 1
     lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    data8 = np.asarray(data, np.uint8)
+    pref = _common_prefix_lens(offs, data8, lens)
+    sfx = lens - pref
     out = bytearray()
-    out += delta_binary_packed_encode(np.zeros(n, np.int64))
-    out += delta_binary_packed_encode(lens)
-    out += np.asarray(data, np.uint8)[:int(offs[-1])].tobytes()
+    out += delta_binary_packed_encode(pref)
+    out += delta_binary_packed_encode(sfx)
+    sfx_total = int(sfx.sum())
+    if sfx_total:
+        if int(pref.sum()) == 0:
+            out += data8[:int(offs[-1])].tobytes()
+        else:
+            sstarts = np.zeros(n, np.int64)
+            np.cumsum(sfx[:-1], out=sstarts[1:])
+            seg = np.repeat(np.arange(n), sfx)
+            pos = np.arange(sfx_total, dtype=np.int64) - sstarts[seg]
+            src = offs.astype(np.int64)[seg] + pref[seg] + pos
+            out += data8[src].tobytes()
     return bytes(out)
+
+
+def delta_length_byte_array_encode(offs: np.ndarray,
+                                   data: np.ndarray) -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY: lengths as DELTA_BINARY_PACKED, then
+    the raw concatenated bytes (encoding/mod.rs DeltaLengthByteArray)."""
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    return delta_binary_packed_encode(lens) \
+        + np.asarray(data, np.uint8)[:int(offs[-1])].tobytes()
 
 
 def rle_bool_encode(vals: np.ndarray) -> bytes:
@@ -773,7 +824,8 @@ class NativeParquetWriter:
                  encryption=None,
                  key_value_metadata: Optional[dict] = None,
                  store_schema: bool = True,
-                 column_properties: Optional[dict] = None):
+                 column_properties: Optional[dict] = None,
+                 encoding: Optional[str] = None):
         self._own = isinstance(sink, str)
         self._out = open(sink, "wb") if self._own else sink
         self._arrow_schema = schema        # the embed keeps view dtypes
@@ -798,6 +850,9 @@ class NativeParquetWriter:
         # {column-or-leaf-path: {compression, dictionary_enabled,
         #  write_statistics}}
         self.column_properties = dict(column_properties or {})
+        # default VALUES encoding for every column without a per-column
+        # override (properties.rs set_encoding); None = format defaults
+        self.encoding = encoding
         self.bloom_filter_columns = set(bloom_filter_columns)
         self.row_group_size = row_group_size
         self.data_page_size = data_page_size or (1 << 20)
@@ -991,7 +1046,7 @@ class NativeParquetWriter:
         DELTA_BINARY_PACKED int32/64, DELTA_BYTE_ARRAY byte arrays.
         A per-column "encoding" override (set_column_encoding role)
         forces plain / delta_* / rle / byte_stream_split."""
-        forced = self._col_prop(leaf, "encoding", None)
+        forced = self._col_prop(leaf, "encoding", self.encoding)
         if forced is not None:
             return self._encode_forced(leaf, pc, forced.lower())
         if self.page_v2:
@@ -1033,6 +1088,11 @@ class NativeParquetWriter:
             return 7, delta_byte_array_encode(
                 np.asarray(pc.offsets).astype(np.int64),
                 np.asarray(pc.data))
+        if e == "delta_length_byte_array" and phys == PT_BYTE_ARRAY \
+                and isinstance(pc, StringColumn):
+            return 6, delta_length_byte_array_encode(
+                np.asarray(pc.offsets).astype(np.int64),
+                np.asarray(pc.data))
         if e == "byte_stream_split" and phys in (PT_INT32, PT_INT64,
                                                  PT_FLOAT, PT_DOUBLE):
             plain = _plain_values(pc, None)
@@ -1062,7 +1122,7 @@ class NativeParquetWriter:
 
         dict_on = self._col_prop(leaf, "dictionary_enabled",
                                  self.dictionary_enabled)
-        if self._col_prop(leaf, "encoding", None) is not None:
+        if self._col_prop(leaf, "encoding", self.encoding) is not None:
             dict_on = False            # forced encoding bypasses dict
         if isinstance(c, DictionaryColumn) and not dict_on:
             # dictionary disabled (or encoding forced) for this column:

@@ -1394,3 +1394,124 @@ def test_statistics_logical_type_decode():
     md = read_metadata(io.BytesIO(data))
     st = md.column_statistics(0, 1)
     assert st["min"] == 11 and st["max"] == 2**64 - 2
+
+
+# ---- writer encoding breadth (encodings/encoding/mod.rs:95-102,
+# properties.rs:156 set_encoding / set_column_encoding) ----------------------
+
+@pytest.mark.parametrize("enc,colname", [
+    ("delta_binary_packed", "i32"),
+    ("delta_binary_packed", "i64"),
+    ("delta_binary_packed", "u64"),
+    ("delta_length_byte_array", "s"),
+    ("delta_byte_array", "s"),
+    ("byte_stream_split", "f32"),
+    ("byte_stream_split", "f64"),
+    ("byte_stream_split", "i64"),
+])
+@pytest.mark.parametrize("version", ["1.0", "2.0"])
+def test_writer_encoding_matrix(enc, colname, version):
+    """Per-column encoding override round-trips through BOTH our
+    reader and pyarrow."""
+    import io
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import (ParquetReaderBuilder,
+                                         WriterProperties, write_parquet)
+    rng = np.random.default_rng(3)
+    n = 20_000
+    cols = {
+        "i32": at.column(np.sort(rng.integers(-10**6, 10**6, n))
+                         .astype(np.int32)),
+        "i64": at.column(rng.integers(-10**12, 10**12, n)),
+        "u64": at.column(rng.integers(0, 2**63, n).astype(np.uint64)
+                         + np.uint64(2**63)),
+        "f32": at.column(rng.random(n).astype(np.float32)),
+        "f64": at.column(rng.random(n)),
+        "s": at.column(["key_%06d_%s" % (i // 3, "x" * (i % 5))
+                        for i in range(n)]),
+    }
+    t = at.Table.from_pydict({colname: cols[colname]})
+    buf = io.BytesIO()
+    write_parquet(buf, t, WriterProperties(
+        data_page_version=version, data_page_size=16_000,
+        column_properties={colname: {"encoding": enc}}))
+    data = buf.getvalue()
+    got = next(iter(ParquetReaderBuilder(io.BytesIO(data))
+                    .with_batch_size(10**6).build()))
+    assert got.to_pydict() == t.to_pydict()
+    pt = pq.read_table(io.BytesIO(data))
+    if colname == "f32":
+        assert np.allclose(pt.column(colname).to_numpy(),
+                           np.asarray(t.column(colname).values))
+    else:
+        assert pt.to_pydict() == t.to_pydict()
+
+
+def test_writer_default_encoding_and_sizes():
+    """A file-level default encoding applies to every column
+    (set_encoding), and delta encodings actually SHRINK files:
+    sorted ints (DELTA_BINARY_PACKED) and shared-prefix strings
+    (DELTA_BYTE_ARRAY) vs PLAIN."""
+    import io
+    import numpy as np
+    import pyarrow.parquet as pq
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import WriterProperties, write_parquet
+
+    def size(t, props):
+        buf = io.BytesIO()
+        write_parquet(buf, t, props)
+        return len(buf.getvalue()), buf.getvalue()
+
+    n = 100_000
+    ti = at.Table.from_pydict({"k": np.arange(n) * 7 + 3})
+    s_plain, _ = size(ti, WriterProperties(
+        compression="none", dictionary_enabled=False, encoding="plain"))
+    s_delta, raw = size(ti, WriterProperties(
+        compression="none", encoding="delta_binary_packed"))
+    assert s_delta < s_plain / 10       # sorted ints pack tiny
+    assert pq.read_table(io.BytesIO(raw)).to_pydict() == ti.to_pydict()
+
+    ts = at.Table.from_pydict(
+        {"s": at.column(["user/%08d/profile" % (i // 2)
+                         for i in range(n)])})
+    s_plain, _ = size(ts, WriterProperties(
+        compression="none", dictionary_enabled=False))
+    s_dba, raw = size(ts, WriterProperties(
+        compression="none",
+        column_properties={"s": {"encoding": "delta_byte_array"}}))
+    assert s_dba < s_plain * 0.55       # shared prefixes compress away
+    assert pq.read_table(io.BytesIO(raw)).to_pydict() == ts.to_pydict()
+
+    # incompatible global default raises (arrow-rs errors too)
+    import pytest as _pytest
+    from arrow_tpu.errors import ArrowNotImplementedError
+    with _pytest.raises(ArrowNotImplementedError):
+        size(ts, WriterProperties(encoding="delta_binary_packed"))
+
+
+def test_delta_byte_array_prefix_parity_with_pyarrow():
+    """Our prefix-compressed DELTA_BYTE_ARRAY and pyarrow's read of it
+    agree on adversarial prefix shapes (empty strings, full-prefix
+    repeats, prefix growth/shrink)."""
+    import io
+    import numpy as np
+    import pyarrow.parquet as pq
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import (ParquetReaderBuilder,
+                                         WriterProperties, write_parquet)
+    vals = ["", "", "a", "a", "ab", "abc", "abc", "abd", "", "xyz",
+            "xy", "x", "xx" * 500, "xx" * 500 + "q", "zz", ""]
+    t = at.Table.from_pydict({"s": at.column(vals)})
+    buf = io.BytesIO()
+    write_parquet(buf, t, WriterProperties(
+        compression="none",
+        column_properties={"s": {"encoding": "delta_byte_array"}}))
+    data = buf.getvalue()
+    assert pq.read_table(io.BytesIO(data)).to_pydict() == {"s": vals}
+    got = next(iter(ParquetReaderBuilder(io.BytesIO(data))
+                    .with_batch_size(10**6).build()))
+    assert got.to_pydict() == {"s": vals}
