@@ -7,7 +7,7 @@ marker, then blocks of (row_count, byte_size, payload, sync).
 r2 coverage (arrow-avro codec.rs / reader/block.rs parity): nested
 records (struct), arrays (list), maps, fixed, enums, ["null", T]
 unions; logical types date/time-millis/time-micros/timestamp-millis/
-timestamp-micros/uuid; codecs null, deflate, and snappy (native
+timestamp-micros/uuid; codecs null/deflate/snappy/zstandard/bzip2/xz (native
 hostcodec codec + CRC32 check); reader-vs-writer schema resolution
 (field defaults, int->long->float->double and string<->bytes
 promotions).  Column batches build host-side, then upload to device.
@@ -587,6 +587,16 @@ def _iter_blocks(cur: _Cursor, data: bytes, sync: bytes, codec: str):
             payload = nt.snappy_decompress(payload[:-4], ulen).tobytes()
             if zlib.crc32(payload) & 0xFFFFFFFF != crc:
                 raise ArrowInvalid("avro snappy block CRC mismatch")
+        elif codec == "zstandard":
+            import zstandard
+            payload = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=max(len(payload) * 200, 1 << 20))
+        elif codec == "bzip2":
+            import bz2
+            payload = bz2.decompress(payload)
+        elif codec == "xz":
+            import lzma
+            payload = lzma.decompress(payload)
         elif codec != "null":
             raise ArrowNotImplementedError(f"avro codec {codec}")
         yield count, payload
@@ -893,7 +903,7 @@ def _avro_cell(v, d: dt.DataType):
 def write_avro(sink, table: Table, codec: str = "deflate",
                block_rows: int = 64_000) -> None:
     """Table -> Avro object container file (the format read_avro and
-    arrow-avro consume).  codec: null | deflate | snappy."""
+    arrow-avro consume).  codec: null | deflate | snappy | zstandard | bzip2 | xz."""
     import os as _os
     from ..utils import native as nt
     schema = {"type": "record", "name": "arrow_tpu",
@@ -931,6 +941,15 @@ def write_avro(sink, table: Table, codec: str = "deflate",
             payload = comp + struct.pack(">I",
                                          zlib.crc32(bytes(body))
                                          & 0xFFFFFFFF)
+        elif codec == "zstandard":
+            import zstandard
+            payload = zstandard.ZstdCompressor().compress(payload)
+        elif codec == "bzip2":
+            import bz2
+            payload = bz2.compress(payload)
+        elif codec == "xz":
+            import lzma
+            payload = lzma.compress(payload)
         elif codec != "null":
             raise ArrowNotImplementedError(f"avro codec {codec}")
         _put_zz(out, stop - start)

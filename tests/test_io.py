@@ -654,3 +654,31 @@ def test_async_writer_sink_error_no_deadlock():
             w.write(t)
         w.close()
     assert sink.aborted
+
+
+def test_avro_codec_matrix():
+    """All six container codecs round-trip (compression.rs:35-106:
+    null/deflate/snappy/zstandard/bzip2/xz — the r5 codec-breadth
+    item); compressed files are actually smaller."""
+    import io
+    import numpy as np
+    import arrow_tpu as at
+    from arrow_tpu.io.avro import read_avro, write_avro
+    rng = np.random.default_rng(5)
+    n = 5_000
+    t = at.Table.from_pydict({
+        "k": at.column(rng.integers(0, 50, n)),
+        "s": at.column(["repeat_%d" % (i % 20) for i in range(n)]),
+        "f": at.column(rng.random(n)),
+    })
+    sizes = {}
+    for codec in ("null", "deflate", "snappy", "zstandard", "bzip2",
+                  "xz"):
+        buf = io.BytesIO()
+        write_avro(buf, t, codec=codec)
+        data = buf.getvalue()
+        sizes[codec] = len(data)
+        got = read_avro(io.BytesIO(data))
+        assert got.to_pydict() == t.to_pydict(), codec
+    for codec in ("deflate", "zstandard", "bzip2", "xz"):
+        assert sizes[codec] < sizes["null"] * 0.7, (codec, sizes)
