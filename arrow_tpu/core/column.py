@@ -267,45 +267,55 @@ class DictionaryColumn(Column):
     """
 
     def __init__(self, codes: jnp.ndarray, values: Column,
-                 validity: vd.Mask = None, *, _canonical: bool = False):
+                 validity: vd.Mask = None, *, _canonical: bool = False,
+                 ordered: bool = False):
         if not _canonical:
             codes = vd.canonicalize(codes, validity)
         self.codes = codes
         self.values = values
         self.validity = validity
-        self.dtype = dt.dictionary(_jax_to_logical(codes.dtype), values.dtype)
+        self.dtype = dt.dictionary(_jax_to_logical(codes.dtype),
+                                   values.dtype, ordered=ordered)
+
+    @property
+    def ordered(self) -> bool:
+        return bool(self.dtype.ordered)
 
     def tree_flatten(self):
+        aux_ord = bool(self.dtype.ordered)
         if self.validity is None:
-            return (self.codes, self.values), (False,)
-        return (self.codes, self.values, self.validity), (True,)
+            return (self.codes, self.values), (False, aux_ord)
+        return (self.codes, self.values, self.validity), (True, aux_ord)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (has_validity,) = aux
+        has_validity, aux_ord = aux
         obj = cls.__new__(cls)
         obj.codes = children[0]
         obj.values = children[1]
         obj.validity = children[2] if has_validity else None
         obj.dtype = dt.dictionary(_jax_to_logical(obj.codes.dtype),
-                                  obj.values.dtype)
+                                  obj.values.dtype, ordered=aux_ord)
         return obj
 
     def __len__(self):
         return int(self.codes.shape[0])
 
     def with_validity(self, validity):
-        return DictionaryColumn(self.codes, self.values, validity)
+        return DictionaryColumn(self.codes, self.values, validity,
+                                ordered=self.ordered)
 
     def with_codes(self, codes, *, _canonical=True):
         return DictionaryColumn(codes, self.values, self.validity,
-                                _canonical=_canonical)
+                                _canonical=_canonical,
+                                ordered=self.ordered)
 
     def slice(self, offset, length):
         v = self.validity[offset:offset + length] \
             if self.validity is not None else None
         return DictionaryColumn(self.codes[offset:offset + length],
-                                self.values, v, _canonical=True)
+                                self.values, v, _canonical=True,
+                                ordered=self.ordered)
 
     @property
     def dictionary_size(self) -> int:

@@ -58,6 +58,10 @@ class DataType:
     list_size: Optional[int] = None   # fixed-size list / fixed-size binary
     mode: Optional[str] = None        # union: 'sparse' | 'dense'
     type_ids: Optional[Tuple[int, ...]] = None  # union child type ids
+    # dictionary: values are sorted and code order IS value order
+    # (datatype.rs Dictionary ordered bool; IPC isOrdered).  None (not
+    # False) when unordered so equality matches pre-flag constructions.
+    ordered: Optional[bool] = None
 
     # ---- categories ------------------------------------------------------
     @property
@@ -294,9 +298,12 @@ def decimal256(precision: int, scale: int) -> DataType:
     return DataType("decimal256", precision=precision, scale=scale)
 
 
-def dictionary(index_type: DataType, value_type: DataType) -> DataType:
+def dictionary(index_type: DataType, value_type: DataType,
+               ordered: bool = False) -> DataType:
     assert index_type.is_integer
-    return DataType("dictionary", index_type=index_type, value_type=value_type)
+    return DataType("dictionary", index_type=index_type,
+                    value_type=value_type,
+                    ordered=True if ordered else None)
 
 
 def list_(value_type: DataType) -> DataType:

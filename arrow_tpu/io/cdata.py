@@ -76,6 +76,7 @@ ArrowArray._fields_ = [
     ("private_data", ctypes.c_void_p),
 ]
 
+ARROW_FLAG_DICTIONARY_ORDERED = 1
 ARROW_FLAG_NULLABLE = 2
 
 # exported trees stay alive until the consumer calls release()
@@ -292,6 +293,8 @@ def _fill_schema(s, d: dt.DataType, name: str, nullable: bool) -> None:
         vp = _c_new(ArrowSchema)
         _fill_schema(vp.contents, d.value_type, "", True)
         s.dictionary = vp
+        if d.ordered:
+            s.flags |= ARROW_FLAG_DICTIONARY_ORDERED
     else:
         s.dictionary = None
     lib = _clib()
@@ -530,7 +533,8 @@ def _import_schema(s: ArrowSchema):
         d = _dtype_from_fmt(fmt)
     if s.dictionary:
         _, vd_, _ = _import_schema(s.dictionary.contents)
-        d = dt.dictionary(d, vd_)
+        d = dt.dictionary(d, vd_, ordered=bool(
+            s.flags & ARROW_FLAG_DICTIONARY_ORDERED))
     return name, d, nullable
 
 
@@ -578,7 +582,8 @@ def _import_array(a: ArrowArray, d: dt.DataType) -> Column:
         codes = _read_buffer(buf(1), d.index_type.to_numpy(),
                              total)[off:]
         values = _import_array(a.dictionary.contents, d.value_type)
-        return DictionaryColumn(jnp.asarray(codes), values, validity)
+        return DictionaryColumn(jnp.asarray(codes), values, validity,
+                                ordered=bool(d.ordered))
     if nm in ("decimal128", "decimal256"):
         k = 2 if nm == "decimal128" else 4
         limbs = _read_buffer(buf(1), np.uint64,

@@ -64,7 +64,8 @@ def dtype_from_pyarrow(t: pa.DataType) -> dt.DataType:
         return dt.fixed_size_binary(t.byte_width)
     if pa.types.is_dictionary(t):
         return dt.dictionary(dtype_from_pyarrow(t.index_type),
-                             dtype_from_pyarrow(t.value_type))
+                             dtype_from_pyarrow(t.value_type),
+                             ordered=bool(t.ordered))
     if pa.types.is_list(t):
         return dt.list_(dtype_from_pyarrow(t.value_type))
     if pa.types.is_large_list(t):
@@ -137,7 +138,8 @@ def dtype_to_pyarrow(d: dt.DataType) -> pa.DataType:
         raise ArrowNotImplementedError(f"pyarrow cannot build {d!r}")
     if d.name == "dictionary":
         return pa.dictionary(dtype_to_pyarrow(d.index_type),
-                             dtype_to_pyarrow(d.value_type))
+                             dtype_to_pyarrow(d.value_type),
+                             ordered=bool(d.ordered))
     if d.name == "list":
         return pa.list_(dtype_to_pyarrow(d.value_type))
     if d.name == "large_list":
@@ -269,7 +271,8 @@ def column_from_pyarrow(arr) -> Column:
         if idx.null_count:
             idx = pc.fill_null(idx, 0)
         codes = jnp.asarray(idx.to_numpy(zero_copy_only=False))
-        return DictionaryColumn(codes, values, _validity_of(arr))
+        return DictionaryColumn(codes, values, _validity_of(arr),
+                                ordered=bool(ldt.ordered))
 
     if ldt.name in ("list", "large_list"):
         a = arr
@@ -409,8 +412,9 @@ def column_to_pyarrow(col: Column) -> pa.Array:
 
     if isinstance(col, DictionaryColumn):
         indices = pa.array(np.asarray(col.codes), mask=_mask_arg(col))
-        return pa.DictionaryArray.from_arrays(indices,
-                                              column_to_pyarrow(col.values))
+        return pa.DictionaryArray.from_arrays(
+            indices, column_to_pyarrow(col.values),
+            ordered=bool(col.dtype.ordered))
 
     from ..core.nested import ListViewColumn
     if isinstance(col, ListViewColumn):

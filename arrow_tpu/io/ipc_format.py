@@ -272,6 +272,8 @@ def _write_schema_with_seq_ids(b: Builder, schema: dt.Schema) -> int:
             b.start_table()
             b.add_scalar(0, "i64", dict_id)
             b.add_offset(1, idx_off)
+            if d.ordered:              # Schema.fbs isOrdered (slot 2)
+                b.add_scalar(2, "bool", 1)
             dict_off = b.end_table()
         name_off = b.string(f.name) if f.name is not None else None
         md_off = _write_kvs(b, getattr(f, "metadata", ()))
@@ -328,7 +330,8 @@ def _read_field(ft: FTable, dict_ids: List[Tuple[int, dt.Field]]
     if denc is not None:
         idx_t = denc.table(1)
         index_type = _read_int_type(idx_t) if idx_t is not None else dt.int32
-        d = dt.dictionary(index_type, d)
+        d = dt.dictionary(index_type, d,
+                          ordered=bool(denc.scalar(2, "bool", False)))
         f = dt.Field(name, d, bool(nullable), metadata)
         dict_ids[slot] = (dict_ids[slot][0], f)
         return f
@@ -902,7 +905,8 @@ class _Rebuilder:
             dict_id = self.dict_id_of[self.dict_ord]
             self.dict_ord += 1
             values = self.dicts[dict_id]
-            return DictionaryColumn(jnp.asarray(codes.copy()), values, v)
+            return DictionaryColumn(jnp.asarray(codes.copy()), values, v,
+                                    ordered=bool(d.ordered))
 
         if d.name == "bool":
             v = self.validity(n, nc)

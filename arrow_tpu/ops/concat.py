@@ -67,6 +67,13 @@ def concat(cols: Sequence[Column]) -> Column:
                             _concat_masks(cols))
 
     if isinstance(c0, DictionaryColumn):
+        if all(c.values is c0.values for c in cols[1:]):
+            # shared dictionary object: concat codes only, keep the
+            # dictionary (and its ordered flag) intact
+            return DictionaryColumn(
+                jnp.concatenate([c.codes for c in cols]), c0.values,
+                _concat_masks(cols), _canonical=True,
+                ordered=bool(c0.dtype.ordered))
         total = sum(len(c.values) for c in cols)
         code_max = int(jnp.iinfo(c0.codes.dtype).max)
         if total - 1 > code_max:

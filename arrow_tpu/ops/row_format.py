@@ -495,6 +495,13 @@ def key_parts(c: Column, opt=None):
         from .strings import dictionary_encode
         c = dictionary_encode(c)
     if isinstance(c, DictionaryColumn):
+        if c.dtype.ordered and getattr(c.values, "validity",
+                                       None) is None:
+            # declared-ordered dictionary (datatype.rs Dictionary
+            # ordered bool, set by dictionary_encode(ordered=True) or
+            # carried in from IPC/C-ABI): codes ARE the ranks — skip
+            # the O(u log u) host rank-verification entirely
+            return (c.codes, None, None, c.validity)
         ranks, dict_null = dictionary_value_ranks(c.values)
         if not dict_null.any() and len(ranks) and \
                 bool((np.diff(ranks.astype(np.int64)) > 0).all()):

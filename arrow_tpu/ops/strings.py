@@ -42,13 +42,19 @@ __all__ = [
 
 # ---- encoding ----------------------------------------------------------------
 
-def dictionary_encode(col: Column, code_dtype=jnp.int32) -> DictionaryColumn:
+def dictionary_encode(col: Column, code_dtype=jnp.int32,
+                      ordered: bool = False) -> DictionaryColumn:
     """StringColumn -> DictionaryColumn with sorted-unique values.
 
     Native O(n) hash interning (hostcodec intern_varlen, the
     generic_bytes_dictionary_builder.rs role) + an O(u log u) sort of the
     distinct values only, so codes double as ranks for the sort/groupby
-    dict-rank keys.  No per-row Python."""
+    dict-rank keys.  No per-row Python.
+
+    ordered=True marks the result's dtype ordered (the arrow-schema
+    Dictionary ordered bool) — truthful here because values are always
+    emitted value-sorted; downstream sorts then skip even the host
+    rank-verification pass (row_format.key_parts)."""
     if isinstance(col, DictionaryColumn):
         return col
     if not isinstance(col, StringColumn):
@@ -68,7 +74,8 @@ def dictionary_encode(col: Column, code_dtype=jnp.int32) -> DictionaryColumn:
                           jnp.asarray(new_data), col.dtype)
     codes = jnp.asarray(codes.astype(np.dtype(code_dtype)))
     return DictionaryColumn(codes, values, col.validity,
-                            _canonical=col.validity is None)
+                            _canonical=col.validity is None,
+                            ordered=ordered)
 
 
 def dictionary_decode(col: DictionaryColumn) -> StringColumn:

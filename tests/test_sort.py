@@ -552,3 +552,71 @@ def test_sort_limit_topk_single_key():
     assert ops.sort(cn, limit=3).to_pylist() == [None, None, 1]
     f = at.column(rng.standard_normal(100))
     assert ops.sort(f, limit=5).to_pylist() == ops.sort(f).to_pylist()[:5]
+
+
+def test_ordered_dictionary_flag():
+    """dictionary_encode(ordered=True) (datatype.rs Dictionary ordered
+    bool; arrow-row dictionary codec lib.rs:420): the flag rides the
+    dtype, skips the host rank-verification in key_parts, survives
+    IPC + C-ABI round-trips, and clears when concat merges foreign
+    dictionaries."""
+    import io
+    import numpy as np
+    import pyarrow as pa
+    import arrow_tpu as at
+    from arrow_tpu.ops import strings as s_ops
+    from arrow_tpu.ops.concat import concat
+    from arrow_tpu.ops import row_format as rf
+    import importlib
+    rfm = importlib.import_module("arrow_tpu.ops.row_format")
+
+    c = at.column(["q", "b", "zz", "b", "a", "q"])
+    d = s_ops.dictionary_encode(c, ordered=True)
+    assert d.dtype.ordered and d.ordered
+    assert s_ops.dictionary_encode(c).dtype.ordered is None
+
+    # the fast path must not even CALL dictionary_value_ranks
+    orig = rfm.dictionary_value_ranks
+    try:
+        def boom(values):
+            raise AssertionError("rank verification ran")
+        rfm.dictionary_value_ranks = boom
+        parts = rfm.key_parts(d)
+        assert parts[1] is None        # ranks skipped: codes ARE ranks
+    finally:
+        rfm.dictionary_value_ranks = orig
+    # and the sort is still right
+    from arrow_tpu.ops.sort import sort as sort_col, SortOptions
+    assert sort_col(d, SortOptions()).to_pylist() == \
+        ["a", "b", "b", "q", "q", "zz"]
+
+    # slices / code rewraps keep the flag
+    assert d.slice(1, 3).dtype.ordered
+    assert d.with_codes(d.codes).dtype.ordered
+
+    # IPC round-trip (Schema.fbs DictionaryEncoding.isOrdered)
+    from arrow_tpu.io import ipc
+    t = at.Table.from_pydict({"d": d})
+    buf = io.BytesIO()
+    ipc.write_stream(buf, t)
+    back = ipc.read_stream(buf.getvalue())
+    back = back[0] if isinstance(back, list) else back
+    assert back.column("d").dtype.ordered
+    assert back.column("d").to_pylist() == d.to_pylist()
+
+    # C-ABI round-trip through pyarrow (ARROW_FLAG_DICTIONARY_ORDERED)
+    pt = t.to_pyarrow()
+    assert pt.schema.field("d").type.ordered
+    back2 = at.Table.from_pyarrow(pt)
+    assert back2.column("d").dtype.ordered
+
+    # concat: shared dictionary keeps the flag; merged foreign
+    # dictionaries clear it
+    cc = concat([d, d.slice(0, 2)])
+    assert cc.dtype.ordered and cc.to_pylist() == \
+        d.to_pylist() + ["q", "b"]
+    other = s_ops.dictionary_encode(at.column(["mm", "nn"]),
+                                    ordered=True)
+    mixed = concat([d, other])
+    assert not bool(mixed.dtype.ordered)
+    assert mixed.to_pylist() == d.to_pylist() + ["mm", "nn"]
