@@ -23,7 +23,7 @@ import uuid as _uuid
 from typing import Callable, Dict, Optional, Tuple
 
 from ..core.table import Table
-from ..errors import ArrowInvalid
+from ..errors import ArrowInvalid, ArrowNotImplementedError
 
 
 def dt_schema(names, cols):
@@ -201,6 +201,21 @@ def cmd_statement_ingest(table: str, *,
         body += _field(1000, _field(1, k.encode())
                        + _field(2, v.encode()))
     return _any_pack("CommandStatementIngest", body)
+
+
+def cmd_statement_substrait_plan(plan: bytes, version: str = "",
+                                 transaction_id: Optional[bytes] = None
+                                 ) -> bytes:
+    """CommandStatementSubstraitPlan{plan=1{bytes plan=1, string
+    version=2}, transaction_id=2} (FlightSql.proto:1503; sql/mod.rs
+    CommandStatementSubstraitPlan)."""
+    inner = _field(1, plan)
+    if version:
+        inner += _field(2, version.encode())
+    body = _field(1, inner)
+    if transaction_id:
+        body += _field(2, transaction_id)
+    return _any_pack("CommandStatementSubstraitPlan", body)
 
 
 def action_cancel_query(info_bytes: bytes) -> bytes:
@@ -502,11 +517,13 @@ class FlightSQLServer(FlightServer):
     def __init__(self, location: str = "grpc://0.0.0.0:0",
                  executor: Optional[Callable[[Dict[str, Table], str],
                                              Table]] = None,
-                 update_executor: Optional[Callable] = None, **kw):
+                 update_executor: Optional[Callable] = None,
+                 substrait_executor: Optional[Callable] = None, **kw):
         super().__init__(location, **kw)
         self._executor = executor or simple_sql_executor
         self._update_executor = update_executor \
             or simple_sql_update_executor
+        self._substrait_executor = substrait_executor
         self._prepared: Dict[bytes, str] = {}
         self._prepared_params: Dict[bytes, Table] = {}
         self._plock = threading.Lock()
@@ -639,6 +656,19 @@ class FlightSQLServer(FlightServer):
             fk = f.get(6, [b""])[0].decode()
             return _typed_table(_KEYS_IMPORT_EXPORT_FIELDS,
                                 self._fk_rows(pk_table=pk, fk_table=fk))
+        if name == "CommandStatementSubstraitPlan":
+            # the reference delegates plan execution to the application
+            # (sql/server.rs do_get_statement takes the command; SQL /
+            # substrait semantics are app-side).  A pluggable executor
+            # receives (tables, plan_bytes, version).
+            if self._substrait_executor is None:
+                raise ArrowNotImplementedError(
+                    "no substrait executor registered")
+            pf = _parse_fields(f.get(1, [b""])[0])
+            plan = pf.get(1, [b""])[0]
+            version = pf.get(2, [b""])[0].decode() if 2 in pf else ""
+            return self._substrait_executor(dict(self._tables), plan,
+                                            version)
         if name == "CommandGetXdbcTypeInfo":
             rows = _XDBC_TYPES
             if 1 in f:
@@ -964,6 +994,11 @@ class FlightSQLClient:
         meta = self._client.do_put_command(
             cmd_statement_ingest(table, **kw), list(tables))
         return _decode_update_result(meta)
+
+    def execute_substrait(self, plan: bytes, version: str = "") -> Table:
+        """Execute a serialized substrait.Plan
+        (sql/client.rs execute_substrait)."""
+        return self._get(cmd_statement_substrait_plan(plan, version))
 
     def get_query_info(self, query: str) -> FlightInfo:
         """GetFlightInfo for a statement query WITHOUT fetching results

@@ -493,6 +493,9 @@ def _empty_values(node: SchemaNode):
 # from the parallel chunk-decode pool, so the read-modify-write must be
 # locked or counts drop under contention.
 import threading as _threading
+
+from ..utils import trace as _trace
+
 _CTR_LOCK = _threading.Lock()
 PAGES_DECODED = [0]
 PAGES_SKIPPED = [0]
@@ -629,6 +632,7 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
             if not keep:
                 with _CTR_LOCK:
                     PAGES_SKIPPED[0] += 1
+                _trace.count("parquet.pages_skipped")
                 if node.max_def:
                     # same const-region bookkeeping as _def_levels'
                     # const fast path: pretend all-valid
@@ -642,6 +646,7 @@ def _read_column_chunk(src, chunk_meta: dict, node: SchemaNode,
                 continue
             with _CTR_LOCK:
                 PAGES_DECODED[0] += 1
+            _trace.count("parquet.pages_decoded")
         if page_type == PAGE_DATA:
             dph = header.get(5, {})
             n = dph.get(1, 0)

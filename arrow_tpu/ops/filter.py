@@ -178,3 +178,12 @@ def filter_static(values: jnp.ndarray, keep: jnp.ndarray
     """
     out, = compact_by_mask(keep, values.shape[0], values)
     return out, jnp.sum(keep, dtype=jnp.int32)
+
+
+def filter_static_multi(keep: jnp.ndarray, *arrays: jnp.ndarray):
+    """filter_static over several aligned arrays sharing ONE partition
+    sort (each extra operand rides the same sort for ~free — measured
+    r4: payload operands cost ~0 at 125M).  Returns
+    (tuple_of_compacted, valid_len)."""
+    outs = compact_by_mask(keep, arrays[0].shape[0], *arrays)
+    return outs, jnp.sum(keep, dtype=jnp.int32)

@@ -46,6 +46,15 @@ _AGG_OPS = ("sum", "count", "count_all", "min", "max", "mean")
 _FUSED_CRASHED = set()
 
 
+def _fused_crashed_add(sig) -> None:
+    """Record a remote-compiler crash AND surface it through the trace
+    counters so the degraded plan is observable in bench/driver output
+    (r5: silent fallbacks were invisible to callers)."""
+    _FUSED_CRASHED.add(sig)
+    from ..utils import trace
+    trace.count("groupby.fused_fallback")
+
+
 def float_group_sums(contrib, diff_fn):
     """IEEE-honest float grouped sums on the cumsum+boundary-diff plan.
 
@@ -224,7 +233,7 @@ def group_by(table: Table, keys: Sequence[str],
         # per source slot — min/max of a slot still share their sort —
         # and remember the crashing shape so later calls skip the
         # doomed compile attempt.
-        _FUSED_CRASHED.add(sig)
+        _fused_crashed_add(sig)
         by_slot = {}
         for i, item in enumerate(plan):
             by_slot.setdefault(item[1], []).append(i)
@@ -1836,7 +1845,7 @@ def _packed_sort_path(table: Table, key_cols, keys, aggs, sc, int_scan,
     except jax.errors.JaxRuntimeError as e:
         if "remote_compile" not in str(e):
             raise
-        _FUSED_CRASHED.add(sig)
+        _fused_crashed_add(sig)
         return None               # general path has its own fallbacks
 
     ng = int(cntv) if use_compact else int(ngv)  # ONE round trip
@@ -2051,7 +2060,7 @@ def _int_range_fast_path(table: Table, key_cols, keys, aggs
             # _FUSED_CRASHED set): rerun one value column per stage —
             # each solo column rides the primary sort — and stitch the
             # per-bin partial dicts back into vplan order.
-            _FUSED_CRASHED.add(sig)
+            _fused_crashed_add(sig)
             cnt_all_p = None
             cols_p = []
             for ci, vp in enumerate(vplan_s):

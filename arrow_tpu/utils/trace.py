@@ -18,7 +18,8 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional
 
-__all__ = ["OpTimings", "op_timer", "timings", "trace", "reset_timings"]
+__all__ = ["OpTimings", "op_timer", "timings", "trace", "reset_timings",
+           "count", "counters_snapshot", "reset_counters"]
 
 
 @dataclass
@@ -93,3 +94,29 @@ def trace(path: str):
     import jax
     with jax.profiler.trace(path):
         yield
+
+
+# ---------------------------------------------------------------------------
+# Degraded-path / decision counters (r5: make silent plan fallbacks
+# observable — e.g. group_by's remote-compiler-SIGSEGV per-slot
+# fallback, parquet page-skip pushdown effectiveness)
+# ---------------------------------------------------------------------------
+
+_counter_lock = threading.Lock()
+_counters: Dict[str, int] = {}
+
+
+def count(name: str, n: int = 1) -> None:
+    """Bump a named engine counter (thread-safe)."""
+    with _counter_lock:
+        _counters[name] = _counters.get(name, 0) + n
+
+
+def counters_snapshot() -> Dict[str, int]:
+    with _counter_lock:
+        return dict(_counters)
+
+
+def reset_counters() -> None:
+    with _counter_lock:
+        _counters.clear()

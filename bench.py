@@ -117,6 +117,34 @@ def config1():
     per_pass = (time.perf_counter() - t0) / (reps * PASSES)
     ours = N / per_pass
 
+    # COMPACTED variant (r4 judge: the masked plan avoids the filter
+    # kernel's materialization work; this one does it — filter_static
+    # is the real compaction the reference's filter.rs:556 hot loops
+    # perform, so both numbers ride the record)
+    from arrow_tpu.ops.filter import filter_static_multi
+
+    @jax.jit
+    def compact_passes(x, y):
+        def body(i, acc):
+            keep = x > i
+            # both columns ride ONE partition sort (filter.rs filters
+            # each column too, but shares the predicate evaluation)
+            (xf, yf), n = filter_static_multi(keep, x, y)
+            # padding beyond n is zero by construction -> sums ignore it
+            z = yf * 2.0 + xf.astype(jnp.float64)
+            return (acc[0] + jnp.sum(z), acc[1] + n)
+        return jax.lax.fori_loop(0, PASSES, body,
+                                 (jnp.float64(0), jnp.int64(0)))
+
+    _fetch(compact_passes(x, y)[0])
+    t0 = time.perf_counter()
+    creps = 3
+    for _ in range(creps):
+        cout = compact_passes(x, y)
+    _fetch(cout[0])
+    per_pass_c = (time.perf_counter() - t0) / (creps * PASSES)
+    ours_c = N / per_pass_c
+
     import pyarrow as pa
     import pyarrow.compute as pc
     ax, ay = pa.array(x_np), pa.array(y_np)
@@ -134,6 +162,9 @@ def config1():
     base = N / ((time.perf_counter() - t0) / 5)
     return {"metric": "filter_arith_10M_rows_per_s", "value": round(ours),
             "unit": "rows/s", "vs_baseline": round(ours / base, 3),
+            "masked_rows_per_s": round(ours),
+            "compacted_rows_per_s": round(ours_c),
+            "compacted_vs_baseline": round(ours_c / base, 3),
             "baseline_rows_per_s": round(base),
             "baseline": "pyarrow.compute (host CPU)"}
 
@@ -974,6 +1005,17 @@ def _run_one(unit: str) -> None:
               "config5spec": config5spec, "config_io": config_io,
               "pallas_smoke": pallas_smoke}[unit]
         r = fn()
+    # degraded-path observability (r5): if any engine fallback fired
+    # during this unit (remote-compiler SIGSEGV per-slot plans, ...),
+    # it rides the record instead of hiding
+    try:
+        from arrow_tpu.utils.trace import counters_snapshot
+        snap = {k: v for k, v in counters_snapshot().items()
+                if not k.startswith("parquet.pages")}
+        if snap and isinstance(r, dict):
+            r["engine_counters"] = snap
+    except Exception:                  # noqa: BLE001
+        pass
     print(json.dumps(r), flush=True)
 
 

@@ -319,3 +319,34 @@ def test_cancel_query(server):
     with pytest.raises(Exception):
         cli._client.do_get_ticket(info.endpoints[0][0])
     cli.close()
+
+
+def test_substrait_plan_command(server):
+    """CommandStatementSubstraitPlan rides the protocol end-to-end; the
+    plan executor is pluggable (the reference delegates execution to
+    the application, sql/server.rs do_get_statement)."""
+    from arrow_tpu.io.flightsql import FlightSQLServer
+    import arrow_tpu as at
+
+    # default server: honest not-implemented
+    cli = FlightSQLClient(server.uri)
+    with pytest.raises(Exception):
+        cli.execute_substrait(b"\x01\x02plan")
+    cli.close()
+
+    def toy_substrait(tables, plan, version):
+        # toy executor: the 'plan' is a SQL string (tests the wire
+        # plumbing; real engines plug a substrait consumer here)
+        assert version == "0.52.0"
+        from arrow_tpu.sql import execute_sql
+        return execute_sql(tables, plan.decode())
+
+    srv2 = FlightSQLServer("grpc://127.0.0.1:0",
+                           substrait_executor=toy_substrait)
+    srv2.register("t", at.Table.from_pydict({"a": [1, 2, 3]}))
+    cli2 = FlightSQLClient(srv2.uri)
+    got = cli2.execute_substrait(b"SELECT a FROM t WHERE a > 1",
+                                 version="0.52.0")
+    assert got.to_pydict() == {"a": [2, 3]}
+    cli2.close()
+    srv2.shutdown()

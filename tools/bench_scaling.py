@@ -59,6 +59,10 @@ def main():
     results = {}
 
     counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev_all]
+    # weak scaling PER OPERATOR (VERDICT r4 item 3: efficiency numbers
+    # per operator, not one fused step)
+    results = {op: {} for op in ("group_by", "sort", "join_unique",
+                                 "join_skew", "fused")}
     for nd in counts:
         mesh = par.make_mesh(nd)
         axis = par.shard_axis(mesh)
@@ -66,43 +70,85 @@ def main():
         keys = jnp.asarray(rng.integers(0, 1 << 20, n, dtype=np.uint64))
         vals = jnp.asarray(rng.integers(-1000, 1000, n).astype(np.int64))
         ok = jnp.ones((n,), jnp.bool_)
-        bkeys = jnp.asarray(
-            np.arange(per * nd, dtype=np.uint64))
-        bvals = jnp.asarray(np.arange(per * nd, dtype=np.int64))
+        bkeys = jnp.asarray(np.arange(n, dtype=np.uint64))
+        bok = jnp.ones((n,), jnp.bool_)
+        bvals = jnp.asarray(np.arange(n, dtype=np.int64))
 
-        @jax.jit
-        @functools.partial(jax.shard_map, mesh=mesh,
-                           in_specs=(P(axis),) * 5,
-                           out_specs=(P(axis), P(axis), P()))
-        def step(k, v, m, bk, bv):
-            gk, gv, (gsum,), _gover = par.dist_group_by(
+        def shmap(fn, n_out):
+            return jax.jit(functools.partial(
+                jax.shard_map, mesh=mesh, in_specs=(P(axis),) * 6,
+                out_specs=(P(axis),) * n_out)(fn))
+
+        def op_group_by(k, v, m, bk, bm, bv):
+            gk, gv, (gsum,), _ = par.dist_group_by(
                 axis, k, m, per, per, [("sum", v)])
-            sk, svalid, _, _sover = par.dist_sort(axis, k, m, per * 2)
-            total = par.dist_sum(axis, v, m)
-            return gsum, sk, total
+            return (gsum,)
 
-        def run():
-            out = step(keys, vals, ok, bkeys, bvals)
-            return float(np.asarray(out[-1]).ravel()[0])
+        def op_sort(k, v, m, bk, bm, bv):
+            sk, svalid, _, _ = par.dist_sort(axis, k, m, per * 2)
+            return (sk,)
 
-        run()                                     # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            run()
-        dt = (time.perf_counter() - t0) / args.reps
-        results[nd] = n / dt
-        print(f"devices={nd:>2}  rows={n:>10}  {dt*1e3:8.1f} ms  "
-              f"{n/dt/1e6:10.2f} Mrows/s", flush=True)
+        def op_join_unique(k, v, m, bk, bm, bv):
+            jk, jvalid, _, hit, (got,), _ = par.dist_join_unique(
+                axis, k, m, (v,), bk, bm, (bv,), per * 2, per * 2)
+            return (got,)
 
-    base = results[counts[0]] / counts[0]
-    effs = {nd: results[nd] / (nd * base) for nd in counts}
-    print(json.dumps({
-        "metric": "dist_weak_scaling_efficiency",
-        "per_device_rows": per,
-        "rows_per_s": {str(k): round(v) for k, v in results.items()},
-        "efficiency": {str(k): round(v, 3) for k, v in effs.items()},
-        "backend": jax.default_backend(),
-    }))
+        def op_join_skew(k, v, m, bk, bm, bv):
+            light, (hit_h, (got_h,), _) = par.dist_join_skew(
+                axis, k, m, (v,), bk, bm, (bv,), n, n,
+                heavy_cap=8, build_heavy_cap=8 * nd,
+                heavy_min_frac=1.0 / 8)
+            return (got_h,)
+
+        def op_fused(k, v, m, bk, bm, bv):
+            gk, gv, (gsum,), _ = par.dist_group_by(
+                axis, k, m, per, per, [("sum", v)])
+            sk, svalid, _, _ = par.dist_sort(axis, k, m, per * 2)
+            return (gsum, sk)
+
+        ops = {"group_by": (op_group_by, 1), "sort": (op_sort, 1),
+               "join_unique": (op_join_unique, 1),
+               "join_skew": (op_join_skew, 1), "fused": (op_fused, 2)}
+        for name, (fn, n_out) in ops.items():
+            step = shmap(fn, n_out)
+
+            def run():
+                out = step(keys, vals, ok, bkeys, bok, bvals)
+                return float(np.asarray(out[0]).ravel()[0])
+
+            run()                                 # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                run()
+            dt = (time.perf_counter() - t0) / args.reps
+            results[name][nd] = n / dt
+            print(f"devices={nd:>2}  {name:<12} rows={n:>9}  "
+                  f"{dt*1e3:8.1f} ms  {n/dt/1e6:8.2f} Mrows/s",
+                  flush=True)
+
+    out = {"metric": "dist_weak_scaling_efficiency",
+           "per_device_rows": per,
+           "backend": jax.default_backend(),
+           "operators": {}}
+    for name, res in results.items():
+        base = res[counts[0]] / counts[0]
+        out["operators"][name] = {
+            "rows_per_s": {str(k): round(v) for k, v in res.items()},
+            "efficiency": {str(k): round(v / (k * base), 3)
+                           for k, v in res.items()},
+            # on a time-shared host (N virtual devices, 1 physical
+            # core) weak-scaling efficiency is bounded by 1/N; absolute
+            # throughput retention is the host-meaningful number
+            # (1.0 = collectives add zero overhead)
+            "throughput_retention": {
+                str(k): round(v / res[counts[0]], 3)
+                for k, v in res.items()},
+        }
+    if out["backend"] == "cpu":
+        out["note"] = ("virtual CPU mesh = structural validation only; "
+                       "see throughput_retention (1/N efficiency bound "
+                       "on a time-shared core)")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
