@@ -348,6 +348,14 @@ def _finish_index_join(ri32, cnt_dev, n_l: int, how: str):
     if how == "inner":
         from .filter import compact_by_mask
         cnt = int(cnt_dev)
+        if n_l < (1 << 31):
+            # compact at i32 width: halves the partition-sort operand
+            # bytes (measured on-chip r5: 0.457 s vs 0.85 s at 100M
+            # probe / 50M matches — the finish was 43% of the probe);
+            # the widening casts fuse into the output copy for free
+            li = jnp.arange(n_l, dtype=jnp.int32)
+            lo, ro = compact_by_mask(matched, cnt, li, ri32)
+            return lo.astype(jnp.int64), ro.astype(jnp.int64)
         li = jnp.arange(n_l, dtype=jnp.int64)
         lo, ro = compact_by_mask(matched, cnt, li,
                                  ri32.astype(jnp.int64))
