@@ -109,6 +109,49 @@ import functools
 _U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _prim_encode_tag(col: Column):
+    """Static encode tag for the fused single-primitive-key plan, or
+    None when the column needs the general (materialized) encode."""
+    from ..core.column import PrimitiveColumn
+    if not isinstance(col, PrimitiveColumn):
+        return None
+    d = col.dtype
+    if d.is_floating or (d.name == "interval" and d.unit == "day_time"):
+        return None
+    if d.is_boolean or d.is_unsigned_integer:
+        return "unsigned"
+    if d.is_signed_integer or d.is_temporal:
+        return "signed"
+    return None
+
+
+def _enc_raw(vals, tag: str):
+    if tag == "unsigned":
+        return vals.astype(jnp.uint64)
+    from .row_format import jax_bitcast_u64, _SIGN64
+    return jax_bitcast_u64(vals.astype(jnp.int64)) ^ _SIGN64
+
+
+@functools.partial(jax.jit, static_argnames=("ltag", "rtag"))
+def _key_range_scan_raw(lvals, lvalid, rvals, rvalid, ltag, rtag):
+    """_key_range_scan with the order-key encode FUSED in (no 0.8 GB/
+    100M-row key buffer materializes; the encode is elementwise and
+    rides the reduction's read)."""
+    return _key_range_scan(_enc_raw(lvals, ltag), lvalid,
+                           _enc_raw(rvals, rtag), rvalid)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "rtag"))
+def _index_build_raw(rvals, rvalid, kmin, R, rtag):
+    return _index_build_stage(_enc_raw(rvals, rtag), rvalid, kmin, R)
+
+
+@functools.partial(jax.jit, static_argnames=("ltag",))
+def _index_probe_raw(lvals, lvalid, table, kmin, ltag):
+    return _index_probe_stage(_enc_raw(lvals, ltag), lvalid, table,
+                              kmin)
+
+
 @jax.jit
 def _key_range_scan(lkey, lvalid, rkey, rvalid):
     """(combined min, combined max, build min, build max) over VALID
@@ -397,35 +440,70 @@ def join_indices(left: Table, right: Table, on: Sequence[str],
             return li, jnp.full((left.num_rows,), -1, jnp.int64)
         empty = jnp.zeros((0,), jnp.int64)
         return empty, empty
-    lkey, lvalid, rkey, rvalid, lkeys, rkeys = combined_keys(
-        [left.column(c) for c in on],
-        [right.column(c) for c in right_on])
+    on_cols = [left.column(c) for c in on]
+    r_cols = [right.column(c) for c in right_on]
     multi = len(on) > 1
 
-    # packed plan when the combined key range fits 61 bits (common:
-    # rebased int keys, string ranks) — single-key sorts, fewer operand
-    # streams
-    rng = np.asarray(_key_range_scan(lkey, lvalid, rkey, rvalid))
-    kmin, kmax = int(rng[0]), int(rng[1])
-    bmin, bmax = int(rng[2]), int(rng[3])
-    span = bmax - bmin + 1 if bmin <= bmax else 0
+    def _index_fits(span):
+        return 0 < span <= min(1 << 27,
+                               max(1 << 22, 4 * right.num_rows))
 
-    # perfect-index plan: single exact key whose BUILD range is
-    # comparable to the build size — a dense table replaces every merge
-    # sort with one build sort + one probe gather (requires unique
-    # build keys, detected on device; DuckDB's perfect-hash join
-    # re-designed for gather-friendly hardware).  Probe keys outside
-    # the build range simply miss.
-    if (not multi and right.num_rows > 0
-            and 0 < span <= min(1 << 27,
-                                max(1 << 22, 4 * right.num_rows))):
-        table, dup = _index_build_stage(rkey, rvalid,
-                                        jnp.uint64(bmin), span)
-        if not bool(dup):
-            ri32, cnt_dev = _index_probe_stage(lkey, lvalid, table,
-                                               jnp.uint64(bmin))
-            return _finish_index_join(ri32, cnt_dev, left.num_rows,
-                                      how)
+    # single-primitive-key FUSED plan (r5): the order-key encode rides
+    # inside the scan/build/probe programs — no 8B/row key buffer
+    # materializes and the two eager encode dispatches disappear
+    # (CLAUDE.md: eager ops at large shapes cost ~100x jitted)
+    ltag = rtag = None
+    if not multi:
+        ltag = _prim_encode_tag(on_cols[0])
+        rtag = _prim_encode_tag(r_cols[0])
+    if ltag is not None and rtag is not None:
+        lcol, rcol = on_cols[0], r_cols[0]
+        lvals, rvals = lcol.values, rcol.values
+        lvalid = vd.make_mask(left.num_rows, lcol.validity)
+        rvalid = vd.make_mask(right.num_rows, rcol.validity)
+        rng = np.asarray(_key_range_scan_raw(lvals, lvalid, rvals,
+                                             rvalid, ltag, rtag))
+        kmin, kmax = int(rng[0]), int(rng[1])
+        bmin, bmax = int(rng[2]), int(rng[3])
+        span = bmax - bmin + 1 if bmin <= bmax else 0
+        if right.num_rows > 0 and _index_fits(span):
+            table, dup = _index_build_raw(rvals, rvalid,
+                                          jnp.uint64(bmin), span, rtag)
+            if not bool(dup):
+                ri32, cnt_dev = _index_probe_raw(lvals, lvalid, table,
+                                                 jnp.uint64(bmin), ltag)
+                return _finish_index_join(ri32, cnt_dev, left.num_rows,
+                                          how)
+        # fall through to the sort plans: materialize the keys once
+        lkey, _lv = encode_value_key(lcol)
+        rkey, _rv = encode_value_key(rcol)
+        lkeys, rkeys = [lkey], [rkey]
+    else:
+        lkey, lvalid, rkey, rvalid, lkeys, rkeys = combined_keys(
+            on_cols, r_cols)
+
+        # packed plan when the combined key range fits 61 bits (common:
+        # rebased int keys, string ranks) — single-key sorts, fewer
+        # operand streams
+        rng = np.asarray(_key_range_scan(lkey, lvalid, rkey, rvalid))
+        kmin, kmax = int(rng[0]), int(rng[1])
+        bmin, bmax = int(rng[2]), int(rng[3])
+        span = bmax - bmin + 1 if bmin <= bmax else 0
+
+        # perfect-index plan: single exact key whose BUILD range is
+        # comparable to the build size — a dense table replaces every
+        # merge sort with one build sort + one probe gather (requires
+        # unique build keys, detected on device; DuckDB's perfect-hash
+        # join re-designed for gather-friendly hardware).  Probe keys
+        # outside the build range simply miss.
+        if not multi and right.num_rows > 0 and _index_fits(span):
+            table, dup = _index_build_stage(rkey, rvalid,
+                                            jnp.uint64(bmin), span)
+            if not bool(dup):
+                ri32, cnt_dev = _index_probe_stage(lkey, lvalid, table,
+                                                   jnp.uint64(bmin))
+                return _finish_index_join(ri32, cnt_dev, left.num_rows,
+                                          how)
 
     if kmin <= kmax and (kmax - kmin) < (1 << 61):
         counts_orig, start_orig, idxs, total_dev = _probe_stage_packed(

@@ -442,13 +442,15 @@ def test_perfect_index_many_null_build_keys(monkeypatch):
         "k": pa.array([5, None, None, 9], type=pa.int64()),
         "w": pa.array([50, 0, 1, 90], type=pa.int64())}))
     seen = {}
-    real = _jn._index_build_stage
+    # spy OUTSIDE the jit boundary: the r5 fused plan calls
+    # _index_build_raw (encode folded in), whose outputs are concrete
+    real = _jn._index_build_raw
 
     def spy(*a, **k):
         out = real(*a, **k)
         seen["dup"] = bool(out[1])
         return out
-    monkeypatch.setattr(_jn, "_index_build_stage", spy)
+    monkeypatch.setattr(_jn, "_index_build_raw", spy)
     li, ri = _jn.join_indices(lt, rt, ["k"])
     assert seen["dup"] is False
     assert np.asarray(li).tolist() == [0, 2]
