@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import threading
 import uuid as _uuid
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 from ..core.table import Table
 from ..errors import ArrowInvalid, ArrowNotImplementedError
@@ -83,12 +83,22 @@ def cmd_get_catalogs() -> bytes:
     return _any_pack("CommandGetCatalogs", b"")
 
 
-def cmd_get_db_schemas() -> bytes:
-    return _any_pack("CommandGetDbSchemas", b"")
-
-
-def cmd_get_tables(include_schema: bool = False) -> bytes:
+def cmd_get_db_schemas(db_schema_filter_pattern: Optional[str] = None
+                       ) -> bytes:
     body = b""
+    if db_schema_filter_pattern is not None:
+        body += _field(2, db_schema_filter_pattern.encode())
+    return _any_pack("CommandGetDbSchemas", body)
+
+
+def cmd_get_tables(include_schema: bool = False,
+                   table_name_filter_pattern: Optional[str] = None,
+                   table_types: Sequence[str] = ()) -> bytes:
+    body = b""
+    if table_name_filter_pattern is not None:
+        body += _field(3, table_name_filter_pattern.encode())
+    for t in table_types:
+        body += _field(4, t.encode())
     if include_schema:
         body += _varint((5 << 3) | 0) + _varint(1)
     return _any_pack("CommandGetTables", body)
@@ -609,18 +619,49 @@ class FlightSQLServer(FlightServer):
             from ..core.column import column
             return Table.from_pydict({"catalog_name": column(["default"])})
         if name == "CommandGetDbSchemas":
+            # CommandGetDbSchemas{catalog=1, db_schema_filter_pattern=2}
             from ..core.column import column
+            rows = [("default", "public")]
+            pat = f.get(2, [b""])[0].decode() if 2 in f else None
+            if pat:
+                import re as _re
+                rx = _re.compile("^" + _re.escape(pat)
+                                 .replace("%", ".*").replace("_", ".")
+                                 + "$")
+                rows = [r for r in rows if rx.match(r[1])]
             return Table.from_pydict({
-                "catalog_name": column(["default"]),
-                "db_schema_name": column(["public"])})
+                "catalog_name": column([r[0] for r in rows]),
+                "db_schema_name": column([r[1] for r in rows])})
         if name == "CommandGetTables":
+            # CommandGetTables{catalog=1, db_schema_filter_pattern=2,
+            # table_name_filter_pattern=3, table_types=4,
+            # include_schema=5} — filters honored like sql/server.rs
+            # expects its implementors to
             from ..core.column import column
             names = sorted(self._tables)
-            return Table.from_pydict({
+            pat = f.get(3, [b""])[0].decode() if 3 in f else None
+            if pat:
+                import re as _re
+                rx = _re.compile(
+                    "^" + _re.escape(pat).replace("%", ".*")
+                    .replace("_", ".").replace("\\%", ".*")
+                    .replace("\\_", ".") + "$")
+                names = [n for n in names if rx.match(n)]
+            want_types = [t.decode() for t in f.get(4, [])]
+            if want_types and "TABLE" not in want_types:
+                names = []
+            include_schema = bool(_pb_first(f, 5, 0))
+            cols = {
                 "catalog_name": column(["default"] * len(names)),
                 "db_schema_name": column(["public"] * len(names)),
                 "table_name": column(names),
-                "table_type": column(["TABLE"] * len(names))})
+                "table_type": column(["TABLE"] * len(names))}
+            if include_schema:
+                with self._lock:
+                    schemas = [schema_ipc_bytes(self._tables[n].schema)
+                               for n in names]
+                cols["table_schema"] = column(schemas)
+            return Table.from_pydict(cols)
         if name == "CommandGetTableTypes":
             from ..core.column import column
             return Table.from_pydict({"table_type": column(["TABLE"])})
@@ -931,11 +972,11 @@ class FlightSQLClient:
     def get_catalogs(self) -> Table:
         return self._get(cmd_get_catalogs())
 
-    def get_db_schemas(self) -> Table:
-        return self._get(cmd_get_db_schemas())
+    def get_db_schemas(self, **kw) -> Table:
+        return self._get(cmd_get_db_schemas(**kw))
 
-    def get_tables(self) -> Table:
-        return self._get(cmd_get_tables())
+    def get_tables(self, **kw) -> Table:
+        return self._get(cmd_get_tables(**kw))
 
     def get_table_types(self) -> Table:
         return self._get(cmd_get_table_types())

@@ -107,6 +107,10 @@ class WriterProperties:
     # plain / rle / delta_binary_packed / delta_length_byte_array /
     # delta_byte_array / byte_stream_split; None = format defaults
     encoding: Optional[str] = None
+    # dictionary fallback threshold (properties.rs
+    # dictionary_page_size_limit, default 1 MB): chunks whose dictionary
+    # would exceed this write the fallback value encodings instead
+    dictionary_page_size_limit: int = 1 << 20
     # per-column overrides: {column: {compression, dictionary_enabled,
     # write_statistics, encoding}} (properties.rs set_column_* roles)
     column_properties: Optional[dict] = None
@@ -429,7 +433,8 @@ def write_parquet(path, table: Table,
         key_value_metadata=props.key_value_metadata,
         store_schema=props.store_schema,
         column_properties=props.column_properties,
-        encoding=props.encoding)
+        encoding=props.encoding,
+        dictionary_page_size_limit=props.dictionary_page_size_limit)
 
 
 class ParquetMetadata:

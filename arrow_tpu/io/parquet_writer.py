@@ -825,7 +825,8 @@ class NativeParquetWriter:
                  key_value_metadata: Optional[dict] = None,
                  store_schema: bool = True,
                  column_properties: Optional[dict] = None,
-                 encoding: Optional[str] = None):
+                 encoding: Optional[str] = None,
+                 dictionary_page_size_limit: int = 1 << 20):
         self._own = isinstance(sink, str)
         self._out = open(sink, "wb") if self._own else sink
         self._arrow_schema = schema        # the embed keeps view dtypes
@@ -853,6 +854,7 @@ class NativeParquetWriter:
         # default VALUES encoding for every column without a per-column
         # override (properties.rs set_encoding); None = format defaults
         self.encoding = encoding
+        self.dictionary_page_size_limit = dictionary_page_size_limit
         self.bloom_filter_columns = set(bloom_filter_columns)
         self.row_group_size = row_group_size
         self.data_page_size = data_page_size or (1 << 20)
@@ -1131,6 +1133,32 @@ class NativeParquetWriter:
             c = dictionary_decode(c)
         dict_col = isinstance(c, DictionaryColumn)
         use_dict = dict_col or (dict_on and isinstance(c, StringColumn))
+        fresh_dict = None
+        if use_dict:
+            # dictionary_page_size_limit fallback (properties.rs:39
+            # default 1 MB; column/writer/mod.rs falls back to the
+            # value encodings when the accumulated dictionary passes
+            # the limit): a high-cardinality chunk writes PLAIN instead
+            # of emitting a multi-MB dictionary page
+            limit = self._col_prop(leaf, "dictionary_page_size_limit",
+                                   self.dictionary_page_size_limit)
+            if dict_col:
+                vc = c.values
+            else:
+                from ..ops.strings import dictionary_encode
+                fresh_dict = dictionary_encode(c)
+                vc = fresh_dict.values
+            if isinstance(vc, StringColumn):
+                est = len(vc) * 4 + int(np.asarray(vc.offsets)[-1])
+            else:
+                est = len(vc) * 8
+            if est > limit:
+                if dict_col:
+                    from ..ops.strings import dictionary_decode
+                    c = dictionary_decode(c)
+                    dict_col = False
+                fresh_dict = None
+                use_dict = False
 
         start_pos = self._pos
         dict_page_offset = None
@@ -1164,8 +1192,7 @@ class NativeParquetWriter:
                 # stats come from the USED values only
                 stat_col = _gather_leaf(values_col, np.unique(codes))
             else:
-                from ..ops.strings import dictionary_encode
-                dcol = dictionary_encode(c)
+                dcol = fresh_dict
                 codes = np.asarray(dcol.codes)
                 values_col = dcol.values
                 stat_col = values_col   # every entry used, by build

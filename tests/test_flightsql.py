@@ -350,3 +350,29 @@ def test_substrait_plan_command(server):
     assert got.to_pydict() == {"a": [2, 3]}
     cli2.close()
     srv2.shutdown()
+
+
+def test_get_tables_filters_and_schema(server):
+    """CommandGetTables filter patterns / table_types / include_schema
+    and CommandGetDbSchemas pattern (the reference's metadata filter
+    contract)."""
+    server.register("orders", at.Table.from_pydict({"o": [1]}))
+    cli = FlightSQLClient(server.uri)
+    got = cli.get_tables(table_name_filter_pattern="tra%")
+    assert got.to_pydict()["table_name"] == ["trades"]
+    got = cli.get_tables(table_name_filter_pattern="_rders")
+    assert got.to_pydict()["table_name"] == ["orders"]
+    assert cli.get_tables(table_types=["VIEW"]).num_rows == 0
+    got = cli.get_tables(include_schema=True)
+    d = got.to_pydict()
+    assert "table_schema" in d and len(d["table_schema"]) == 2
+    # the embedded bytes ARE an IPC schema message
+    from arrow_tpu.io.flight import schema_ipc_bytes
+    i = d["table_name"].index("trades")
+    assert d["table_schema"][i] == schema_ipc_bytes(
+        server._tables["trades"].schema)
+    assert cli.get_db_schemas(db_schema_filter_pattern="pub%") \
+        .to_pydict()["db_schema_name"] == ["public"]
+    assert cli.get_db_schemas(db_schema_filter_pattern="nope%") \
+        .num_rows == 0
+    cli.close()

@@ -1515,3 +1515,55 @@ def test_delta_byte_array_prefix_parity_with_pyarrow():
     got = next(iter(ParquetReaderBuilder(io.BytesIO(data))
                     .with_batch_size(10**6).build()))
     assert got.to_pydict() == {"s": vals}
+
+
+def test_dictionary_page_size_limit_fallback():
+    """dictionary_page_size_limit (properties.rs:39, default 1 MB):
+    a chunk whose dictionary would exceed the limit falls back to the
+    value encodings (no dictionary page; column/writer/mod.rs
+    fallback), low-cardinality chunks keep the dictionary."""
+    import io
+    import numpy as np
+    import pyarrow.parquet as pq
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_io import WriterProperties, write_parquet
+
+    def encodings_of(data):
+        md = pq.ParquetFile(io.BytesIO(data)).metadata
+        return set(md.row_group(0).column(0).encodings)
+
+    # low cardinality: dictionary stays
+    n = 30_000
+    low = at.Table.from_pydict(
+        {"s": at.column(["v%03d" % (i % 100) for i in range(n)])})
+    buf = io.BytesIO()
+    write_parquet(buf, low, WriterProperties(compression="none"))
+    low_data = buf.getvalue()
+    assert "RLE_DICTIONARY" in encodings_of(low_data) or \
+        "PLAIN_DICTIONARY" in encodings_of(low_data)
+
+    # high cardinality (all-distinct 40-char strings -> dict >1MB):
+    # falls back to PLAIN, and the file round-trips
+    hi = at.Table.from_pydict(
+        {"s": at.column(["row_%036d" % i for i in range(n)])})
+    buf = io.BytesIO()
+    write_parquet(buf, hi, WriterProperties(compression="none"))
+    hi_data = buf.getvalue()
+    encs = encodings_of(hi_data)
+    assert "RLE_DICTIONARY" not in encs and "PLAIN_DICTIONARY" not in encs
+    assert pq.read_table(io.BytesIO(hi_data)).to_pydict() == \
+        hi.to_pydict()
+
+    # a tiny custom limit forces the fallback even at low cardinality;
+    # a pre-encoded DictionaryColumn materializes on fallback
+    from arrow_tpu.ops.strings import dictionary_encode
+    pre = at.Table.from_pydict(
+        {"s": dictionary_encode(low.column("s"))})
+    buf = io.BytesIO()
+    write_parquet(buf, pre, WriterProperties(
+        compression="none", dictionary_page_size_limit=64))
+    tiny = buf.getvalue()
+    encs = encodings_of(tiny)
+    assert "RLE_DICTIONARY" not in encs and "PLAIN_DICTIONARY" not in encs
+    assert pq.read_table(io.BytesIO(tiny)).to_pydict() == \
+        low.to_pydict()
