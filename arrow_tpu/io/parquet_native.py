@@ -125,6 +125,67 @@ class SchemaNode:
         return self.physical is not None
 
 
+def _project_fields(fields, columns):
+    """Projection with nested STRUCT-branch selection (the
+    ProjectionMask::leaves role, parquet/src/arrow/mod.rs): a plain
+    name keeps the whole column; a dotted path like 'a.b.c' keeps only
+    that branch of struct 'a' — sibling leaves are neither decoded nor
+    assembled.  List/map subtrees are kept whole (their leaves are not
+    independently addressable by name)."""
+    by_root: Dict[str, list] = {}
+    for c in columns:
+        parts = c.split(".")
+        by_root.setdefault(parts[0], []).append(parts[1:])
+    out = []
+    for f in fields:
+        paths = by_root.get(f.name)
+        if paths is None:
+            continue
+        pf = _prune_node(f, paths)
+        if pf is not None:
+            out.append(pf)
+    return out
+
+
+def _prune_node(node: SchemaNode, paths):
+    """Keep only the struct branches named by `paths` (each a list of
+    remaining name segments); None when nothing matches beneath."""
+    if any(len(p) == 0 for p in paths):
+        return node                    # this exact node was requested
+    if node.is_leaf:
+        return None                    # path runs past a leaf
+    ct = node.converted
+    lt = node.logical or {}
+    is_listmap = ct in (1, 2, 3) or 1 in lt or 3 in lt or (
+        len(node.children) == 1 and node.children[0].repetition == 2
+        and not node.children[0].is_leaf
+        and node.children[0].name in ("list", "key_value", "array"))
+    if is_listmap:
+        return node                    # dotted pruning is struct-only
+    by: Dict[str, list] = {}
+    for p in paths:
+        by.setdefault(p[0], []).append(p[1:])
+    kept = []
+    for ch in node.children:
+        sub = by.get(ch.name)
+        if sub is None:
+            continue
+        pc = _prune_node(ch, sub)
+        if pc is not None:
+            kept.append(pc)
+    if not kept:
+        return None
+    if len(kept) == len(node.children) and all(
+            k is c for k, c in zip(kept, node.children)):
+        return node                    # nothing pruned anywhere below
+    import dataclasses
+    pruned = dataclasses.replace(node, children=kept)
+    # the ARROW:schema hint describes the FULL struct; a pruned one
+    # must fall back to the parquet-derived dtype
+    pruned.arrow_hint = None
+    return pruned
+
+
 def _parse_schema(elems: List[dict]) -> SchemaNode:
     pos = [0]
 
@@ -1296,15 +1357,12 @@ class ParquetFile:
         chunks = rg.get(1, [])
         fields = self.root.children
         if columns is not None:
-            fields = [f for f in fields if f.name in set(columns)]
-        wanted_roots = {id(f) for f in fields}
-        root_of: Dict[int, SchemaNode] = {}
-        for f in self.root.children:
-            for leaf in _leaves_under(f):
-                root_of[leaf.leaf_index] = f
+            fields = _project_fields(fields, columns)
+        kept_leaf_ids = {leaf.leaf_index for f in fields
+                         for leaf in _leaves_under(f)}
         jobs = []
         for li, (leaf, chunk) in enumerate(zip(leaves, chunks)):
-            if id(root_of[leaf.leaf_index]) not in wanted_roots:
+            if leaf.leaf_index not in kept_leaf_ids:
                 continue
             crypto = None
             if chunk.get(8) is not None:

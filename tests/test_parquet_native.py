@@ -1567,3 +1567,45 @@ def test_dictionary_page_size_limit_fallback():
     assert "RLE_DICTIONARY" not in encs and "PLAIN_DICTIONARY" not in encs
     assert pq.read_table(io.BytesIO(tiny)).to_pydict() == \
         low.to_pydict()
+
+
+def test_nested_leaf_projection():
+    """Dotted-path projection (the ProjectionMask::leaves role): only
+    the selected struct branches decode and assemble; sibling leaves
+    never decode.  List/map subtrees stay whole."""
+    import io
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_native import ParquetFile
+    pt = pa.table({
+        "a": pa.array([{"x": i, "y": "s%d" % i, "z": float(i)}
+                       for i in range(500)]),
+        "b": pa.array(range(500)),
+        "lst": pa.array([[i, i + 1] for i in range(500)]),
+    })
+    buf = io.BytesIO()
+    pq.write_table(pt, buf)
+    f = ParquetFile(buf.getvalue())
+    t = f.read_row_group(0, columns=["a.x", "b"])
+    assert t.column_names == ["a", "b"]
+    a = t.column("a")
+    assert [fl.name for fl in a.dtype.fields] == ["x"]
+    assert a.to_pylist() == [{"x": i} for i in range(500)]
+    assert t.column("b").to_pylist() == list(range(500))
+    # two branches of the same struct
+    t2 = f.read_row_group(0, columns=["a.z", "a.x"])
+    assert [fl.name for fl in t2.column("a").dtype.fields] == ["x", "z"]
+    # list columns addressed by name come back whole
+    t3 = f.read_row_group(0, columns=["lst"])
+    assert t3.column("lst").to_pylist()[:2] == [[0, 1], [1, 2]]
+    # nothing-matches path drops the column entirely
+    t4 = f.read_row_group(0, columns=["a.nope", "b"])
+    assert t4.column_names == ["b"]
+    # builder surface takes the dotted names too
+    from arrow_tpu.io.parquet_io import ParquetReaderBuilder
+    got = next(iter(ParquetReaderBuilder(io.BytesIO(buf.getvalue()))
+                    .with_projection(["a.y"]).with_batch_size(10**6)
+                    .build()))
+    assert got.column("a").to_pylist()[:2] == [{"y": "s0"},
+                                               {"y": "s1"}]
