@@ -51,7 +51,10 @@ def cmd_parquet_rewrite(args):
     """parquet-rewrite: decode + re-encode with new properties."""
     from .io.parquet_io import write_parquet, WriterProperties
     t = _read_table(args.input)
-    props = WriterProperties(compression=args.compression)
+    props = WriterProperties(compression=args.compression,
+                             encoding=args.encoding,
+                             data_page_version=args.page_version,
+                             dictionary_enabled=not args.no_dictionary)
     write_parquet(args.output, t, properties=props)
     print(f"rewrote {t.num_rows} rows -> {args.output}")
 
@@ -163,13 +166,21 @@ def cmd_json_integration(args):
 
 
 def cmd_flight_sql(args):
-    """flight_sql_client: run one query against a FlightSQL server."""
+    """flight_sql_client: run one query (or DML with --update) against
+    a FlightSQL server (arrow-flight/src/bin/flight_sql_client.rs)."""
     from .io.flightsql import FlightSQLClient
     from .utils.display import pretty_format_table
     cli = FlightSQLClient(args.uri)
     try:
-        t = cli.execute(args.query)
-        print(pretty_format_table(t))
+        verb = args.query.lstrip().split(None, 1)
+        is_dml = args.update or (verb and verb[0].lower() in (
+            "insert", "update", "delete", "create", "drop"))
+        if is_dml:
+            n = cli.execute_update(args.query)
+            print(f"{n} rows affected")
+        else:
+            t = cli.execute(args.query)
+            print(pretty_format_table(t))
     finally:
         cli.close()
 
@@ -191,6 +202,12 @@ def main(argv=None):
     s.add_argument("input")
     s.add_argument("output")
     s.add_argument("--compression", default="snappy")
+    s.add_argument("--encoding", default=None,
+                   help="plain|delta_binary_packed|delta_length_byte_"
+                        "array|delta_byte_array|byte_stream_split|rle")
+    s.add_argument("--page-version", default="1.0",
+                   choices=["1.0", "2.0"])
+    s.add_argument("--no-dictionary", action="store_true")
     s.set_defaults(fn=cmd_parquet_rewrite)
 
     s = sub.add_parser("parquet-concat")
@@ -225,6 +242,8 @@ def main(argv=None):
 
     s = sub.add_parser("flight-sql")
     s.add_argument("--uri", required=True)
+    s.add_argument("--update", action="store_true",
+                   help="force DoPut CommandStatementUpdate")
     s.add_argument("query")
     s.set_defaults(fn=cmd_flight_sql)
 
