@@ -537,6 +537,10 @@ class FlightSQLServer(FlightServer):
         self._prepared: Dict[bytes, str] = {}
         self._prepared_params: Dict[bytes, Table] = {}
         self._plock = threading.Lock()
+        # serializes DML read-modify-write cycles: without it two
+        # concurrent CommandStatementUpdates could both snapshot, both
+        # mutate, and one write would silently win (lost update)
+        self._update_lock = threading.Lock()
         self._results: Dict[bytes, Table] = {}   # get_flight_info cache
         self._cancelled: set = set()             # cancelled query tickets
         self._temp_tables: set = set()
@@ -580,17 +584,19 @@ class FlightSQLServer(FlightServer):
         return self._executor(dict(self._tables), query)
 
     def _run_update(self, query: str) -> int:
-        """Execute DML and apply its table mutations atomically."""
-        with self._lock:
-            snapshot = dict(self._tables)
-        mutations, count = self._update_executor(snapshot, query)
-        with self._lock:
-            for name, table in mutations.items():
-                if table is None:
-                    self._tables.pop(name, None)
-                    self._temp_tables.discard(name)
-                else:
-                    self._tables[name] = table
+        """Execute DML and apply its table mutations atomically (one
+        writer at a time; readers stay lock-free on the registry)."""
+        with self._update_lock:
+            with self._lock:
+                snapshot = dict(self._tables)
+            mutations, count = self._update_executor(snapshot, query)
+            with self._lock:
+                for name, table in mutations.items():
+                    if table is None:
+                        self._tables.pop(name, None)
+                        self._temp_tables.discard(name)
+                    else:
+                        self._tables[name] = table
         return count
 
     def _bound_query(self, handle: bytes) -> str:
@@ -829,34 +835,41 @@ class FlightSQLServer(FlightServer):
                                for fl in schema.fields), schema)
         else:
             raise ArrowInvalid("ingest stream carried no schema")
-        with self._lock:
-            existing = self._tables.get(target)
-        if existing is None:
-            if if_not_exist == 2:      # TABLE_NOT_EXIST_OPTION_FAIL
-                raise ArrowInvalid(f"table {target!r} does not exist")
-            if if_not_exist == 0:
-                raise ArrowInvalid(
-                    "TableNotExistOption must be CREATE or FAIL")
-            new = data
-        else:
-            if if_exists == 1:         # TABLE_EXISTS_OPTION_FAIL
-                raise ArrowInvalid(f"table {target!r} already exists")
-            if if_exists == 3:         # REPLACE
-                new = data
-            elif if_exists == 2:       # APPEND
-                if tuple(fl.dtype for fl in data.schema.fields) != \
-                        tuple(fl.dtype for fl in
-                              existing.schema.fields):
+        # one writer at a time: two concurrent APPENDs must not both
+        # read the same `existing` and drop one batch (lost update)
+        with self._update_lock:
+            with self._lock:
+                existing = self._tables.get(target)
+            if existing is None:
+                if if_not_exist == 2:  # TABLE_NOT_EXIST_OPTION_FAIL
                     raise ArrowInvalid(
-                        "ingest schema does not match existing table")
-                new = concat_tables([existing, data])
+                        f"table {target!r} does not exist")
+                if if_not_exist == 0:
+                    raise ArrowInvalid(
+                        "TableNotExistOption must be CREATE or FAIL")
+                new = data
             else:
-                raise ArrowInvalid(
-                    "TableExistsOption must be FAIL, APPEND or REPLACE")
-        with self._lock:
-            self._tables[target] = new
-            if temporary:
-                self._temp_tables.add(target)
+                if if_exists == 1:     # TABLE_EXISTS_OPTION_FAIL
+                    raise ArrowInvalid(
+                        f"table {target!r} already exists")
+                if if_exists == 3:     # REPLACE
+                    new = data
+                elif if_exists == 2:   # APPEND
+                    if tuple(fl.dtype for fl in data.schema.fields) != \
+                            tuple(fl.dtype for fl in
+                                  existing.schema.fields):
+                        raise ArrowInvalid(
+                            "ingest schema does not match existing "
+                            "table")
+                    new = concat_tables([existing, data])
+                else:
+                    raise ArrowInvalid(
+                        "TableExistsOption must be FAIL, APPEND or "
+                        "REPLACE")
+            with self._lock:
+                self._tables[target] = new
+                if temporary:
+                    self._temp_tables.add(target)
         return _do_put_update_result(data.num_rows)
 
     def do_action(self, action_type: str, body: bytes):

@@ -156,7 +156,9 @@ def _prune_node(node: SchemaNode, paths):
         return None                    # path runs past a leaf
     ct = node.converted
     lt = node.logical or {}
-    is_listmap = ct in (1, 2, 3) or 1 in lt or 3 in lt or (
+    # converted: MAP=1, MAP_KEY_VALUE=2, LIST=3; LogicalType union
+    # field ids: MAP=2, LIST=3 (STRING is 1 — not a group annotation)
+    is_listmap = ct in (1, 2, 3) or 2 in lt or 3 in lt or (
         len(node.children) == 1 and node.children[0].repetition == 2
         and not node.children[0].is_leaf
         and node.children[0].name in ("list", "key_value", "array"))

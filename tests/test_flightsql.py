@@ -376,3 +376,32 @@ def test_get_tables_filters_and_schema(server):
     assert cli.get_db_schemas(db_schema_filter_pattern="nope%") \
         .num_rows == 0
     cli.close()
+
+
+def test_concurrent_updates_serialize(server):
+    """DML read-modify-write cycles serialize: N concurrent INSERTs
+    through separate clients must all land (no lost updates)."""
+    import threading
+    errs = []
+
+    def one(i):
+        try:
+            c = FlightSQLClient(server.uri)
+            assert c.execute_update(
+                f"INSERT INTO trades VALUES ({100 + i}, 1.0)") == 1
+            c.close()
+        except Exception as e:         # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    cli = FlightSQLClient(server.uri)
+    got = cli.execute("SELECT COUNT(*) AS n FROM trades "
+                      "WHERE id >= 100").to_pydict()
+    assert got["n"] == [8]
+    cli.close()
