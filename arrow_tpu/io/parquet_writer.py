@@ -324,6 +324,12 @@ def _flatten_leaf(col: Column, nullable: bool):
                 k = c.list_size
                 counts = np.where(live, np.int64(k), np.int64(0))
                 base = sr * k
+            elif len(c) == 0:
+                # an empty list column (every outer slot dead/empty)
+                # has offsets == [0]; offs[sr + 1] would index past it
+                # (np.where evaluates both branches)
+                counts = np.zeros(ns, np.int64)
+                base = np.zeros(ns, np.int64)
             else:
                 offs = np.asarray(c.offsets).astype(np.int64)
                 counts = np.where(live, offs[sr + 1] - offs[sr],

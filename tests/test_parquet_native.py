@@ -1609,3 +1609,41 @@ def test_nested_leaf_projection():
                     .build()))
     assert got.column("a").to_pylist()[:2] == [{"y": "s0"},
                                                {"y": "s1"}]
+
+
+def test_write_nested_list_empty_inner():
+    """Nested lists whose INNER list column has zero rows (every outer
+    slot null or empty) write correctly — offs[sr+1] on the empty
+    child's 1-element offsets was an IndexError (found by the r5
+    extended fuzz campaign, seed 9068)."""
+    import io
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import arrow_tpu as at
+    from arrow_tpu.io.parquet_writer import write_parquet_native
+    from arrow_tpu.io.parquet_native import ParquetFile
+    cases = [
+        [None, []],                    # inner column: 0 rows
+        [None, None],
+        [[]],
+        [[], None, []],
+    ]
+    ty = pa.list_(pa.list_(pa.int64()))
+    for vals in cases:
+        tab = pa.table({"c": pa.array(vals, ty)})
+        t = at.Table.from_pyarrow(tab)
+        buf = io.BytesIO()
+        write_parquet_native(buf, t)
+        data = buf.getvalue()
+        assert pq.read_table(io.BytesIO(data)).to_pydict() == \
+            {"c": vals}, vals
+        assert ParquetFile(data).read().column("c").to_pylist() == \
+            vals, vals
+    # deeper: struct-of-list-of-list with all-empty middles
+    ty2 = pa.struct([("x", pa.list_(pa.list_(pa.string())))])
+    tab = pa.table({"s": pa.array([{"x": []}, {"x": None}], ty2)})
+    t = at.Table.from_pyarrow(tab)
+    buf = io.BytesIO()
+    write_parquet_native(buf, t)
+    assert pq.read_table(io.BytesIO(buf.getvalue())).to_pydict() == \
+        tab.to_pydict()
