@@ -396,7 +396,15 @@ class _Evaluator:
         from .ops import cmp as c_ops
         from .ops import numeric as n_ops
         if isinstance(e, Lit):
-            return make_col([e.value] * max(self.t.num_rows, 0))
+            n = max(self.t.num_rows, 0)
+            if n == 0 and e.value is not None:
+                # typed empty: make_col([]) would infer the null dtype
+                # and break arithmetic over empty tables
+                d = {int: dt.int64, float: dt.float64, bool: dt.bool_,
+                     str: dt.utf8}.get(type(e.value))
+                if d is not None:
+                    return make_col([], d)
+            return make_col([e.value] * n)
         if isinstance(e, Col):
             return self.col(e)
         if isinstance(e, Bin):

@@ -582,3 +582,48 @@ def test_fuzz_parquet_encoding_matrix(seed):
     ours = ParquetFile(data).read()
     assert ref["c"].to_pylist() == pavals, (seed, enc)
     assert ours.column("c").to_pylist() == pavals, (seed, enc, "ours")
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_fuzz_sql_dml_model(seed):
+    """r5 DML fuzz: random INSERT/UPDATE/DELETE sequences against a
+    plain-Python row model — execute_sql_update must track it exactly
+    (the application side of FlightSQL CommandStatementUpdate)."""
+    from arrow_tpu.sql import execute_sql_update
+    rng = np.random.default_rng(seed + 31000)
+    rows = [[int(rng.integers(-50, 50)), float(rng.integers(0, 10))]
+            for _ in range(int(rng.integers(0, 30)))]
+    # typed empties: from_pydict([]) would infer the null dtype
+    tables = {"t": at.Table.from_pydict(
+        {"a": at.column([r[0] for r in rows], at.int64),
+         "v": at.column([r[1] for r in rows], at.float64)})}
+    model = [list(r) for r in rows]
+    for _ in range(int(rng.integers(3, 12))):
+        op = rng.integers(0, 3)
+        thr = int(rng.integers(-50, 50))
+        if op == 0:
+            vals = [(int(rng.integers(-50, 50)),
+                     float(rng.integers(0, 10)))
+                    for _ in range(int(rng.integers(1, 4)))]
+            stmt = "INSERT INTO t VALUES " + ", ".join(
+                f"({a}, {v})" for a, v in vals)
+            mut, n = execute_sql_update(tables, stmt)
+            assert n == len(vals)
+            model.extend([a, v] for a, v in vals)
+        elif op == 1:
+            delta = int(rng.integers(1, 5))
+            stmt = f"UPDATE t SET v = v + {delta} WHERE a >= {thr}"
+            mut, n = execute_sql_update(tables, stmt)
+            hits = [r for r in model if r[0] >= thr]
+            assert n == len(hits)
+            for r in hits:
+                r[1] += delta
+        else:
+            stmt = f"DELETE FROM t WHERE a < {thr}"
+            mut, n = execute_sql_update(tables, stmt)
+            assert n == sum(1 for r in model if r[0] < thr)
+            model = [r for r in model if not (r[0] < thr)]
+        tables.update({k: v for k, v in mut.items() if v is not None})
+        got = tables["t"].to_pydict()
+        assert got["a"] == [r[0] for r in model], (seed, stmt)
+        assert got["v"] == [r[1] for r in model], (seed, stmt)

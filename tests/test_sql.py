@@ -326,3 +326,21 @@ def test_sql_bind_params():
     assert bind_sql_params("WHERE s = '?' AND a = ?", [None]) == \
         "WHERE s = '?' AND a = NULL"
     assert bind_sql_params("a = ?", [True]) == "a = TRUE"
+
+
+def test_sql_expressions_over_empty_table():
+    """Literals in expressions over EMPTY tables build typed empties
+    (make_col([]) would infer null and break arithmetic — found by the
+    r5 DML fuzz)."""
+    import numpy as np
+    t = {"e": at.Table.from_pydict({
+        "a": at.column(np.array([], np.int64)),
+        "v": at.column(np.array([], np.float64))})}
+    assert execute_sql(t, "SELECT a FROM e WHERE a >= -8") \
+        .num_rows == 0
+    assert execute_sql(t, "SELECT a + 1, v * -2.5 FROM e").num_rows == 0
+    from arrow_tpu.sql import execute_sql_update
+    mut, n = execute_sql_update(t, "UPDATE e SET v = v + 3 WHERE a >= -1")
+    assert n == 0 and mut["e"].num_rows == 0
+    mut, n = execute_sql_update(t, "DELETE FROM e WHERE a < -5")
+    assert n == 0
