@@ -627,3 +627,75 @@ def test_fuzz_sql_dml_model(seed):
         got = tables["t"].to_pydict()
         assert got["a"] == [r[0] for r in model], (seed, stmt)
         assert got["v"] == [r[1] for r in model], (seed, stmt)
+
+
+def _empty_heavy_type(rng, depth=0):
+    prims = [pa.int64(), pa.float64(), pa.string(), pa.bool_()]
+    if depth >= 3:
+        return prims[rng.integers(0, len(prims))]
+    r = rng.integers(0, 6)
+    if r <= 2:
+        return prims[rng.integers(0, len(prims))]
+    if r == 3:
+        return pa.list_(_empty_heavy_type(rng, depth + 1))
+    if r == 4:
+        return pa.struct([("f%d" % i, _empty_heavy_type(rng, depth + 1))
+                          for i in range(int(rng.integers(1, 3)))])
+    return pa.list_(pa.list_(_empty_heavy_type(rng, depth + 2)))
+
+
+def _empty_heavy_val(rng, ty, bias):
+    if rng.random() < bias:
+        return None
+    if pa.types.is_list(ty):
+        if rng.random() < bias:
+            return []
+        return [_empty_heavy_val(rng, ty.value_type, bias)
+                for _ in range(int(rng.integers(0, 3)))]
+    if pa.types.is_struct(ty):
+        return {f.name: _empty_heavy_val(rng, f.type, bias) for f in ty}
+    if pa.types.is_boolean(ty):
+        return bool(rng.integers(0, 2))
+    if pa.types.is_integer(ty):
+        return int(rng.integers(-100, 100))
+    if pa.types.is_floating(ty):
+        return float(rng.integers(-10, 10))
+    return "s%d" % rng.integers(0, 5)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_empty_heavy_nested(seed):
+    """r5 adversarial class: nested shapes where entire LEVELS are
+    empty or null (the seed-9068 Dremel bug family) through parquet
+    (both readers), IPC (both readers) and the C-ABI."""
+    import io as _io
+    from arrow_tpu.io.parquet_io import _native_writable
+    from arrow_tpu.io.parquet_native import ParquetFile
+    from arrow_tpu.io.parquet_writer import write_parquet_native
+    from arrow_tpu.io import ipc as at_ipc
+    rng = np.random.default_rng(seed + 77000)
+    ty = _empty_heavy_type(rng)
+    n = int(rng.integers(0, 8))
+    bias = [0.5, 0.8, 0.95][seed % 3]
+    vals = [_empty_heavy_val(rng, ty, bias) for _ in range(n)]
+    tab = pa.table({"c": pa.array(vals, ty)})
+    t = at.Table.from_pyarrow(tab)
+    if _native_writable(t.schema):
+        buf = _io.BytesIO()
+        write_parquet_native(buf, t)
+        data = buf.getvalue()
+        import pyarrow.parquet as _pq
+        assert _pq.read_table(_io.BytesIO(data)).to_pydict() == \
+            tab.to_pydict(), (seed, "pq-pyarrow")
+        assert ParquetFile(data).read().column("c").to_pylist() == \
+            tab["c"].to_pylist(), (seed, "pq-ours")
+    buf = _io.BytesIO()
+    at_ipc.write_stream(buf, t)
+    back = at_ipc.read_stream(buf.getvalue())
+    back = back[0] if isinstance(back, list) else back
+    assert back.column("c").to_pylist() == tab["c"].to_pylist(), seed
+    import pyarrow.ipc as paipc
+    pt = paipc.open_stream(_io.BytesIO(buf.getvalue())).read_all()
+    assert pt["c"].to_pylist() == tab["c"].to_pylist(), seed
+    back2 = at.Table.from_pyarrow(t.to_pyarrow())
+    assert back2.column("c").to_pylist() == tab["c"].to_pylist(), seed
